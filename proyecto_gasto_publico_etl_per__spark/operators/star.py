@@ -1,0 +1,136 @@
+"""Star-schema construction: surrogate keys, idempotent dim upsert, FK
+resolution, grain consolidation.
+
+This is the Spark restatement of the reference's load stage
+(``ETL Gasto publico Perú/etl/cargar_postgres.py:270-388``).  The reference
+round-trips to PostgreSQL on every dim read/insert and fact sub-batch; here
+all state lives as Parquet tables and the whole load is ONE lazy plan:
+
+- dim "INSERT ... ON CONFLICT DO NOTHING" (L:127-152)  →  dedup + left-anti
+  join + append (``upsert_dim``), property-tested idempotent;
+- client-side dim key→id caches (L:283-320)            →  broadcast hash
+  joins (``resolve_fks``);
+- SERIAL surrogate ids                                  →  xxhash64 natural-
+  key hashes (functions/hashing.py) — no sequence, no coordination;
+- grain consolidation group-by-sum (L:374-375)          →  shuffle hash agg
+  with map-side partial aggregation (``consolidate``).
+
+Scale notes (100 TB): dims stay broadcast-sized (≤ tens of thousands of
+rows, SURVEY.md §1.4) so FK resolution never shuffles the fact; the only
+fact shuffle is the final grain consolidation, whose key count is bounded by
+the grain cardinality.  The fact is written partitioned by ``anio`` for
+partition pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import surrogate_key
+from ..schema import DIMENSIONS, FACT_FKS, METRICS, Dim
+
+
+def normalize_key_cols(df: DataFrame, dim: Dim) -> DataFrame:
+    """Key-type normalization at join time (cargar_postgres.py:120-123):
+    every key compared as a trimmed string, except declared int keys
+    (``tipo_transaccion``, L:214) compared numerically.  Replicating this
+    exactly is what keeps joins from silently missing (SURVEY.md §7.4)."""
+    out = df
+    for k in dim.key:
+        if k in dim.int_keys:
+            out = out.withColumn(k, F.col(k).cast("int"))
+        else:
+            out = out.withColumn(k, F.trim(F.col(k).cast("string")))
+    return out
+
+
+def extract_dim(records: DataFrame, dim: Dim) -> DataFrame:
+    """Distinct natural keys (+ attributes) from a batch, with surrogate id.
+
+    Mirrors the loader's "new keys from this batch" extraction (L:353-357)
+    but keeps attributes too, first-writer-wins on duplicates via max —
+    deterministic, unlike pandas drop_duplicates order dependence.
+    """
+    base = normalize_key_cols(records.select(*dim.columns), dim)
+    agg = [F.max(a).alias(a) for a in dim.attrs]
+    deduped = base.groupBy(*dim.key).agg(*agg) if agg else base.distinct()
+    return deduped.select(
+        surrogate_key(*dim.key).alias(dim.id_col), *dim.columns
+    )
+
+
+def upsert_dim(
+    existing: DataFrame | None, incoming: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Idempotent dedup-append: the engine-level ``ON CONFLICT DO NOTHING``
+    (cargar_postgres.py:127-152; SURVEY.md §7.4).
+
+    Returns existing ∪ (incoming ∖ existing on natural key).  Appending the
+    same batch twice is a no-op — the idempotency property the reference
+    gets from unique indexes (L:101-113).
+    """
+    fresh = incoming.dropDuplicates(list(keys))
+    if existing is None:
+        return fresh
+    new_rows = fresh.join(F.broadcast(existing), list(keys), "left_anti")
+    return existing.unionByName(new_rows)
+
+
+def resolve_fks(
+    records: DataFrame, dims: Sequence[Dim] = DIMENSIONS
+) -> DataFrame:
+    """JN3 — resolve each dimension's surrogate id onto the fact batch via
+    broadcast left equi-joins on the natural key (cargar_postgres.py:353-363).
+
+    Because surrogate ids are pure hashes of the natural key, no join against
+    stored dim state is needed: the id is computed inline.  (The stored dims
+    exist to serve attributes at query time, not to mint ids — this is what
+    deletes the reference's per-batch read-dim/insert/re-read cycle.)
+    """
+    out = records
+    for dim in dims:
+        out = normalize_key_cols(out, dim)
+        out = out.withColumn(dim.id_col, surrogate_key(*dim.key))
+    return out
+
+
+def fk_complete_filter(df: DataFrame, fks: Sequence[str] = FACT_FKS) -> DataFrame:
+    """FLT6 — keep rows with all FKs resolved (cargar_postgres.py:365-372)."""
+    pred: Column = reduce(
+        lambda a, b: a & b, [F.col(k).isNotNull() for k in fks]
+    )
+    return df.filter(pred)
+
+
+def consolidate(
+    df: DataFrame,
+    grain: Sequence[str] = FACT_FKS,
+    metrics: Sequence[str] = METRICS,
+) -> DataFrame:
+    """AGG1 — collapse duplicate natural-grain rows by summing the 7 metrics
+    (cargar_postgres.py:374-375).  Spark plans a partial (map-side) + final
+    hash aggregate; with AQE the shuffle partition count adapts to the
+    actual grain cardinality."""
+    return df.groupBy(*grain).agg(
+        *[F.sum(m).alias(m) for m in metrics]
+    )
+
+
+def append_fact(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    grain: Sequence[str] = FACT_FKS,
+    metrics: Sequence[str] = METRICS,
+) -> DataFrame:
+    """Idempotent fact append: consolidate the batch to the grain, then
+    anti-join against existing grain keys (the fact-side
+    ``ON CONFLICT DO NOTHING``, cargar_postgres.py:236-267, 379-388)."""
+    batch = consolidate(incoming, grain, metrics)
+    if existing is None:
+        return batch
+    new_rows = batch.join(existing.select(*grain), list(grain), "left_anti")
+    return existing.unionByName(new_rows)

@@ -1,0 +1,677 @@
+"""Registry of declared queries for the driver contract.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with the equivalent DuckDB oracle SQL (or ``None`` for ops that are
+genuinely not SQL-expressible — the driver then records a rows-only check).
+``__spark_entry__.py`` re-exports this registry.
+
+Column-name discipline: the driver's comparator sorts columns by name and
+hashes values, so every computed column is aliased identically in the Spark
+builder and the oracle SQL.  Money flows through exact decimal aggregation
+and is presented as double in BOTH engines (functions/money.py); dates and
+timestamps are presented as strings so engine-side formatting cannot drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_text, label_or_placeholder
+from ..functions.money import DEC, dsum
+from ..operators import normalize
+from ..operators.timedim import build_time_dim
+from ..plans import queries as Q
+from ..plans import views as V
+from ..plans.testdata_star import STAR_SQL, build_star
+from ..sources.tables import load_table
+
+# Fixed parameters for the parameterized queries (the reference's `params`
+# CTE, ConsultasAlDataWarehouse.sql:3-5); orders span 1995-2001.
+ANIO = 1998
+MES_CORTE = 6
+SECTOR = "NATION_3"
+ANIO_INI, ANIO_FIN = 1996, 1999
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark builder, oracle sql or None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _star_oracle(body: str) -> str:
+    stripped = body.lstrip()
+    if stripped.upper().startswith("WITH "):
+        # merge the body's CTE list into ours instead of nesting WITHs
+        return f"WITH star AS ({STAR_SQL}), {stripped[5:]}"
+    return f"WITH star AS ({STAR_SQL}) {body}"
+
+
+# --- operator-level queries (SURVEY.md §2, [OPn] tags) -----------------------
+
+
+@register(
+    "filter_validity",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)::INT AS anio,
+           month(o_orderdate)::INT AS mes
+    FROM orders
+    WHERE year(o_orderdate) > 0 AND month(o_orderdate) BETWEEN 1 AND 12
+    """,
+)
+def filter_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLT1 via operators.normalize.filter_valid_period."""
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("ANO_EJE"),
+        F.month("o_orderdate").cast("int").alias("MES_EJE"),
+    )
+    df = normalize.filter_valid_period(df)
+    return df.select(
+        "o_orderkey",
+        F.col("ANO_EJE").alias("anio"),
+        F.col("MES_EJE").alias("mes"),
+    )
+
+
+@register(
+    "cast_coerce",
+    """
+    SELECT event_id,
+           try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           try_cast(event_type AS INTEGER) AS junk_int,
+           try_cast(value AS DECIMAL(18,4)) AS value_dec
+    FROM events
+    """,
+)
+def cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRJ4 — CAST-with-NULL-on-junk (`to_numeric(errors="coerce")`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.col("event_type").try_cast("int").alias("junk_int"),
+        F.col("value").try_cast(DEC).alias("value_dec"),
+    )
+
+
+@register(
+    "textclean",
+    r"""
+    SELECT doc_id,
+           regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS text_clean
+    FROM documents
+    """,
+)
+def textclean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRJ5 — NULL→'' → strip → collapse whitespace."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text("text").alias("text_clean"))
+
+
+@register(
+    "makedate",
+    """
+    SELECT DISTINCT year(o_orderdate)::INT AS anio,
+           month(o_orderdate)::INT AS mes,
+           CAST(make_date(year(o_orderdate)::INT, month(o_orderdate)::INT, 1)
+                AS VARCHAR) AS fecha
+    FROM orders
+    """,
+)
+def makedate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRJ6 via operators.normalize.with_month_date."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").cast("int").alias("ANO_EJE"),
+            F.month("o_orderdate").cast("int").alias("MES_EJE"),
+        )
+        .distinct()
+    )
+    df = normalize.with_month_date(df)
+    return df.select(
+        F.col("ANO_EJE").alias("anio"),
+        F.col("MES_EJE").alias("mes"),
+        F.col("FECHA").cast("string").alias("fecha"),
+    )
+
+
+@register(
+    "timedim",
+    """
+    SELECT (year(f)::BIGINT * 100 + month(f)) AS tiempo_id,
+           CAST(CAST(f AS DATE) AS VARCHAR) AS fecha,
+           year(f)::INT AS anio,
+           month(f)::INT AS mes,
+           quarter(f)::INT AS trimestre
+    FROM (SELECT unnest(generate_series(DATE '2010-01-01', DATE '2030-12-01',
+                                        INTERVAL 1 MONTH)) AS f)
+    """,
+)
+def timedim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC7/PRJ8 — generated monthly calendar 2010-2030 (252 rows)."""
+    td = build_time_dim(spark)
+    return td.select(
+        "tiempo_id",
+        F.col("fecha").cast("string").alias("fecha"),
+        "anio",
+        "mes",
+        "trimestre",
+    )
+
+
+@register(
+    "label_coalesce",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(TRIM(c_mktsegment), ''), 'SIN PLIEGO') AS pliego,
+           'Departamento de ' ||
+             COALESCE(NULLIF(TRIM(c_name), ''), 'SIN DEPARTAMENTO') ||
+             ', Perú' AS region_mapa
+    FROM customer
+    """,
+)
+def label_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FN5/FN6 — placeholder labels + map-label composition."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        label_or_placeholder("c_mktsegment", "SIN PLIEGO").alias("pliego"),
+        F.concat(
+            F.lit("Departamento de "),
+            label_or_placeholder("c_name", "SIN DEPARTAMENTO"),
+            F.lit(", Perú"),
+        ).alias("region_mapa"),
+    )
+
+
+@register(
+    "time_lookup_join",
+    """
+    SELECT o_orderkey,
+           (year(o_orderdate)::BIGINT * 100 + month(o_orderdate)) AS tiempo_id
+    FROM orders
+    """,
+)
+def time_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN1 — (anio, mes) → tiempo_id via broadcast lookup against the
+    generated calendar (the oracle proves the arithmetic-key equivalence)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("anio"),
+        F.month("o_orderdate").cast("int").alias("mes"),
+    )
+    td = build_time_dim(spark, "1990-01-01", "2030-12-01")
+    joined = orders.join(
+        F.broadcast(td.select("anio", "mes", "tiempo_id")), ["anio", "mes"], "left"
+    )
+    return joined.select("o_orderkey", "tiempo_id")
+
+
+@register(
+    "anti_join_newkeys",
+    """
+    SELECT DISTINCT c_nationkey AS nation_key
+    FROM customer
+    WHERE c_nationkey NOT IN
+          (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
+    """,
+)
+def anti_join_newkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN2 — new-key detection: incoming keys not yet in the dim."""
+    existing = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 10)
+        .select(F.col("n_nationkey").alias("nation_key"))
+    )
+    incoming = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation_key")
+    )
+    return incoming.dropDuplicates(["nation_key"]).join(
+        F.broadcast(existing), ["nation_key"], "left_anti"
+    )
+
+
+@register(
+    "fk_resolve_join",
+    """
+    SELECT l_orderkey, l_linenumber, p_name, s_name
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def fk_resolve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN3 — multi-dim FK resolution via broadcast equi-joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("l_orderkey", "l_linenumber", "p_name", "s_name")
+    )
+
+
+@register(
+    "fk_filter",
+    """
+    SELECT l_orderkey, l_linenumber, p_partkey, s_suppkey
+    FROM lineitem
+    LEFT JOIN (SELECT * FROM part WHERE p_size > 25) big ON l_partkey = big.p_partkey
+    LEFT JOIN supplier ON l_suppkey = s_suppkey
+    WHERE big.p_partkey IS NOT NULL AND s_suppkey IS NOT NULL
+    """,
+)
+def fk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLT6 — FK-completeness filter after left joins (some parts excluded
+    so genuinely-NULL FKs get dropped, as in cargar_postgres.py:365-372)."""
+    from functools import reduce
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+    supp = load_table(spark, sf_dir, "supplier")
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "left"
+    ).join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+    fks = ["p_partkey", "s_suppkey"]
+    filtered = joined.filter(
+        reduce(lambda a, b: a & b, [F.col(k).isNotNull() for k in fks])
+    )
+    return filtered.select("l_orderkey", "l_linenumber", "p_partkey", "s_suppkey")
+
+
+@register(
+    "consolidate_grain",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_total,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price_total
+    FROM lineitem
+    GROUP BY l_orderkey, l_partkey, l_suppkey
+    """,
+)
+def consolidate_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGG1 — grain consolidation group-by-sum (map-side partial agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey", "l_partkey", "l_suppkey").agg(
+        dsum("l_quantity", "qty_total"),
+        dsum("l_extendedprice", "price_total"),
+    )
+
+
+# --- star views --------------------------------------------------------------
+
+
+@register(
+    "star_join_base",
+    _star_oracle(
+        """
+        SELECT anio, mes, trimestre, nivel_gobierno_nombre, sector_nombre,
+               ejecutora_nombre, pliego_nombre, especifica_nombre,
+               proveedor_nombre, fuente_financiamiento_nombre,
+               CAST(monto_pim AS DOUBLE) AS monto_pim,
+               CAST(monto_devengado AS DOUBLE) AS monto_devengado,
+               CAST(monto_girado AS DOUBLE) AS monto_girado
+        FROM star
+        """
+    ),
+)
+def star_join_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN4/V-base — the denormalizing star join (fact × broadcast dims)."""
+    star = build_star(spark, sf_dir)
+    return star.select(
+        "anio",
+        "mes",
+        "trimestre",
+        "nivel_gobierno_nombre",
+        "sector_nombre",
+        "ejecutora_nombre",
+        "pliego_nombre",
+        "especifica_nombre",
+        "proveedor_nombre",
+        "fuente_financiamiento_nombre",
+        F.col("monto_pim").cast("double").alias("monto_pim"),
+        F.col("monto_devengado").cast("double").alias("monto_devengado"),
+        F.col("monto_girado").cast("double").alias("monto_girado"),
+    )
+
+
+@register(
+    "agg_monthly_view",
+    _star_oracle(
+        """
+        SELECT anio, mes,
+               COALESCE(NULLIF(TRIM(sector_nombre), ''), 'SIN SECTOR') AS sector,
+               COALESCE(NULLIF(TRIM(pliego_nombre), ''), 'SIN PLIEGO') AS pliego,
+               COALESCE(NULLIF(TRIM(departamento_nombre), ''), 'SIN DEPARTAMENTO')
+                   AS departamento,
+               'Departamento de ' ||
+                 COALESCE(NULLIF(TRIM(departamento_nombre), ''), 'SIN DEPARTAMENTO')
+                 || ', Perú' AS region_mapa,
+               CAST(SUM(COALESCE(monto_pia, 0)) AS DOUBLE) AS monto_pia,
+               CAST(SUM(COALESCE(monto_pim, 0)) AS DOUBLE) AS monto_pim,
+               CAST(SUM(COALESCE(monto_certificado, 0)) AS DOUBLE) AS monto_certificado,
+               CAST(SUM(COALESCE(monto_comprometido_anual, 0)) AS DOUBLE)
+                   AS monto_comprometido_anual,
+               CAST(SUM(COALESCE(monto_comprometido, 0)) AS DOUBLE) AS monto_comprometido,
+               CAST(SUM(COALESCE(monto_devengado, 0)) AS DOUBLE) AS monto_devengado,
+               CAST(SUM(COALESCE(monto_girado, 0)) AS DOUBLE) AS monto_girado
+        FROM star
+        GROUP BY 1, 2, 3, 4, 5, 6
+        """
+    ),
+)
+def agg_monthly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-aggm/AGG8 — monthly rollup with computed label group keys."""
+    return V.vw_gasto_agregado_mensual(build_star(spark, sf_dir))
+
+
+@register(
+    "agg_annual_view",
+    _star_oracle(
+        """
+        SELECT anio, sector_nombre, pliego_nombre,
+               CAST(SUM(COALESCE(monto_pim, 0)) AS DOUBLE) AS pim_total,
+               CAST(SUM(COALESCE(monto_devengado, 0)) AS DOUBLE) AS devengado_total,
+               CAST(SUM(COALESCE(monto_girado, 0)) AS DOUBLE) AS girado_total
+        FROM star
+        GROUP BY 1, 2, 3
+        """
+    ),
+)
+def agg_annual_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-agga/AGG9 — annual rollup by sector × pliego."""
+    return V.vw_gasto_agregado_anual(build_star(spark, sf_dir))
+
+
+# --- the five analytics queries + README rollups -----------------------------
+
+
+@register(
+    "ytd_by_group",
+    _star_oracle(
+        f"""
+        SELECT sector_nombre,
+               CAST(SUM(monto_devengado) AS DOUBLE) AS devengado_ytd
+        FROM star
+        WHERE anio = {ANIO} AND mes BETWEEN 1 AND {MES_CORTE}
+        GROUP BY sector_nombre
+        """
+    ),
+)
+def ytd_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/AGG3 — YTD devengado by sector."""
+    return Q.q1_ytd_by_sector(build_star(spark, sf_dir), ANIO, MES_CORTE)
+
+
+@register(
+    "topk_by_group",
+    _star_oracle(
+        f"""
+        SELECT ejecutora_nombre,
+               CAST(SUM(monto_devengado) AS DOUBLE) AS devengado_total
+        FROM star
+        WHERE anio = {ANIO}
+        GROUP BY ejecutora_nombre
+        ORDER BY devengado_total DESC, ejecutora_nombre
+        LIMIT 5
+        """
+    ),
+)
+def topk_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/AGG4+SRT3 — top-5 ejecutoras by annual devengado."""
+    return Q.q2_top_ejecutoras(build_star(spark, sf_dir), ANIO, 5)
+
+
+@register(
+    "share_of_total",
+    _star_oracle(
+        f"""
+        WITH ytd AS (
+            SELECT ejecutora_nombre,
+                   SUM(monto_devengado) AS dev_dec
+            FROM star
+            WHERE anio = {ANIO} AND mes BETWEEN 1 AND {MES_CORTE}
+              AND sector_nombre = '{SECTOR}'
+            GROUP BY ejecutora_nombre
+        )
+        SELECT ejecutora_nombre,
+               CAST(dev_dec AS DOUBLE) AS devengado_ytd,
+               CASE WHEN SUM(dev_dec) OVER () > 0
+                    THEN CAST(dev_dec AS DOUBLE)
+                         / CAST(SUM(dev_dec) OVER () AS DOUBLE)
+                    ELSE 0 END AS participacion
+        FROM ytd
+        """
+    ),
+)
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3/AGG5+JN7 — share of sector total via empty-partition window."""
+    return Q.q3_share_of_total(build_star(spark, sf_dir), ANIO, MES_CORTE, SECTOR)
+
+
+@register(
+    "backlog_having",
+    _star_oracle(
+        f"""
+        SELECT especifica_nombre,
+               CAST(SUM(monto_comprometido) AS DOUBLE) AS comprometido,
+               CAST(SUM(monto_devengado) AS DOUBLE) AS devengado,
+               CAST(SUM(monto_comprometido) AS DOUBLE)
+                 - CAST(SUM(monto_devengado) AS DOUBLE) AS backlog
+        FROM star
+        WHERE anio = {ANIO} AND mes BETWEEN 1 AND {MES_CORTE}
+        GROUP BY especifica_nombre
+        HAVING CAST(SUM(monto_comprometido) AS DOUBLE)
+                 - CAST(SUM(monto_devengado) AS DOUBLE) > 0
+        ORDER BY backlog DESC, especifica_nombre
+        LIMIT 20
+        """
+    ),
+)
+def backlog_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/AGG6+FLT7 — committed-minus-accrued backlog, HAVING > 0, top-20."""
+    return Q.q4_backlog(build_star(spark, sf_dir), ANIO, MES_CORTE, 20)
+
+
+@register(
+    "quarterly_evolution",
+    _star_oracle(
+        f"""
+        SELECT anio, trimestre, nivel_gobierno_nombre,
+               CAST(SUM(monto_devengado) AS DOUBLE) AS devengado
+        FROM star
+        WHERE anio BETWEEN {ANIO_INI} AND {ANIO_FIN}
+        GROUP BY 1, 2, 3
+        """
+    ),
+)
+def quarterly_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/AGG7 — quarterly devengado by government level."""
+    return Q.q5_quarterly_evolution(build_star(spark, sf_dir), ANIO_INI, ANIO_FIN)
+
+
+@register(
+    "rollup_year_sector",
+    _star_oracle(
+        """
+        SELECT anio, sector_nombre,
+               CAST(SUM(monto_devengado) AS DOUBLE) AS ejecutado_total
+        FROM star
+        GROUP BY 1, 2
+        """
+    ),
+)
+def rollup_year_sector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 (README.md:244-251) — executed total per year × sector."""
+    return Q.q6_rollup_year_sector(build_star(spark, sf_dir))
+
+
+@register(
+    "topn_year",
+    _star_oracle(
+        f"""
+        SELECT sector_nombre, ejecutora_nombre,
+               CAST(SUM(monto_devengado) AS DOUBLE) AS devengado_total
+        FROM star
+        WHERE anio = {ANIO}
+        GROUP BY 1, 2
+        ORDER BY devengado_total DESC, ejecutora_nombre, sector_nombre
+        LIMIT 10
+        """
+    ),
+)
+def topn_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (README.md:255-265) — top-10 ejecutoras for one year."""
+    return Q.q7_topn_year(build_star(spark, sf_dir), ANIO, 10)
+
+
+@register(
+    "running_ytd_window",
+    _star_oracle(
+        """
+        WITH monthly AS (
+            SELECT anio, mes, sector_nombre,
+                   CAST(SUM(monto_devengado) AS DOUBLE) AS devengado_mes
+            FROM star
+            GROUP BY 1, 2, 3
+        )
+        SELECT anio, mes, sector_nombre, devengado_mes,
+               SUM(devengado_mes) OVER (
+                   PARTITION BY anio, sector_nombre ORDER BY mes
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS devengado_ytd
+        FROM monthly
+        """
+    ),
+)
+def running_ytd_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[OP-ytd-window] — running YTD per (anio, sector) (SURVEY.md §2.7)."""
+    return Q.running_ytd(build_star(spark, sf_dir))
+
+
+@register(
+    "topk_per_group_window",
+    _star_oracle(
+        """
+        WITH agg AS (
+            SELECT sector_nombre, ejecutora_nombre,
+                   CAST(SUM(monto_devengado) AS DOUBLE) AS total
+            FROM star
+            GROUP BY 1, 2
+        )
+        SELECT * FROM (
+            SELECT sector_nombre, ejecutora_nombre, total,
+                   row_number() OVER (
+                       PARTITION BY sector_nombre
+                       ORDER BY total DESC, ejecutora_nombre
+                   ) AS rk
+            FROM agg
+        ) WHERE rk <= 3
+        """
+    ),
+)
+def topk_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (distributed generalization of Q2)."""
+    return Q.topk_per_group(build_star(spark, sf_dir), "sector_nombre", k=3)
+
+
+# --- events (time-series batch analogs) --------------------------------------
+
+
+@register(
+    "events_window_agg",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate over the event stream (batch form; the
+    streaming form lives in streaming/incremental.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").cast("string").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value", "value_sum"),
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions —
+    pure JVM-side plan, no state store needed in batch."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = gaps.withColumn("session_seq", F.sum("new_session").over(wc))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), fmt).alias("session_start"),
+        F.date_format(F.max("ts"), fmt).alias("session_end"),
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: sql for name, (_, sql) in REGISTRY.items() if sql is not None
+    }

@@ -1,0 +1,158 @@
+"""Adapter: the driver's TPC-H-ish testdata expressed as the MEF star.
+
+The engine's query layer (plans/queries.py, plans/views.py) speaks the MEF
+column vocabulary.  This module maps the synthetic tables onto it so every
+reference query runs unchanged against the testdata — the same trick the
+reference plays in reverse when its five SQL queries double as validation
+queries (README.md:224-231).
+
+Mapping (testdata → MEF star):
+
+  orders.o_orderdate        → anio / mes / trimestre / fecha (month grain)
+  region                    → dim_nivel_gobierno  (nivel_gobierno_nombre=r_name)
+  nation                    → "sector"            (sector_nombre=n_name)
+  customer                  → dim_ejecutora       (ejecutora_nombre=c_name,
+                                                   pliego_nombre=c_mktsegment)
+  part                      → dim_clasificador    (especifica_nombre=p_type,
+                                                   generica_nombre=p_brand)
+  supplier                  → proveedor_nombre=s_name
+  orders.o_orderpriority    → fuente_financiamiento_nombre
+  lineitem numerics         → the 7 monto_* metrics (exact decimal):
+      monto_pia                = l_quantity
+      monto_pim                = l_extendedprice
+      monto_certificado        = l_extendedprice * (1 - l_discount)
+      monto_comprometido_anual = l_extendedprice * (1 + l_tax)
+      monto_comprometido       = l_extendedprice * (1 + l_tax)  minus returns:
+                                 0 when l_returnflag = 'R'
+      monto_devengado          = net price only when shipped (l_linestatus='F')
+      monto_girado             = devengado excluding returns (l_returnflag<>'R')
+
+All joins are broadcast (dims ≤ 2k rows; at 100 TB the real dims stay
+broadcast-sized per SURVEY.md §1.4); lineitem→orders is the only
+potentially-large join and co-partitions on the orderkey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import DEC
+from ..sources.tables import load_table
+
+def _metrics(df: DataFrame) -> DataFrame:
+    zero = F.lit(0).cast(DEC)
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    net = (price * (F.lit(1) - disc)).cast(DEC)
+    gross = (price * (F.lit(1) + tax)).cast(DEC)
+    shipped = F.col("l_linestatus") == "F"
+    kept = F.col("l_returnflag") != "R"
+    return (
+        df.withColumn("monto_pia", qty)
+        .withColumn("monto_pim", price)
+        .withColumn("monto_certificado", net)
+        .withColumn("monto_comprometido_anual", gross)
+        .withColumn("monto_comprometido", F.when(kept, gross).otherwise(zero))
+        .withColumn("monto_devengado", F.when(shipped, net).otherwise(zero))
+        .withColumn(
+            "monto_girado", F.when(shipped & kept, net).otherwise(zero)
+        )
+    )
+
+
+def build_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denormalized star frame (V-base analog) over the testdata."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+
+    # lineitem ⋈ orders is the one big-big join: no broadcast hint — at small
+    # SF AQE turns it into a broadcast join on its own; at 100 TB it must be
+    # a shuffle join on the orderkey (both sides co-partition on that key).
+    fact = lineitem.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "inner",
+    )
+    fact = (
+        fact.join(F.broadcast(customer), fact.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supplier), fact.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(part), fact.l_partkey == part.p_partkey)
+    )
+    fact = _metrics(fact)
+    return fact.select(
+        F.year("o_orderdate").cast("int").alias("anio"),
+        F.month("o_orderdate").cast("int").alias("mes"),
+        F.quarter("o_orderdate").cast("int").alias("trimestre"),
+        F.col("r_name").alias("nivel_gobierno_nombre"),
+        F.col("n_name").alias("sector_nombre"),
+        F.col("n_name").alias("departamento_nombre"),
+        F.col("c_name").alias("ejecutora_nombre"),
+        F.col("c_mktsegment").alias("pliego_nombre"),
+        F.col("p_type").alias("especifica_nombre"),
+        F.col("p_brand").alias("generica_nombre"),
+        F.col("s_name").alias("proveedor_nombre"),
+        F.col("o_orderpriority").alias("fuente_financiamiento_nombre"),
+        "monto_pia",
+        "monto_pim",
+        "monto_certificado",
+        "monto_comprometido_anual",
+        "monto_comprometido",
+        "monto_devengado",
+        "monto_girado",
+    )
+
+
+#: DuckDB fragment mirroring build_star exactly — the FROM clause every
+#: oracle query builds on.  Kept adjacent to the Spark builder so the two
+#: definitions can be reviewed side by side.
+STAR_SQL = """
+SELECT year(o_orderdate)::INT AS anio,
+       month(o_orderdate)::INT AS mes,
+       quarter(o_orderdate)::INT AS trimestre,
+       r_name AS nivel_gobierno_nombre,
+       n_name AS sector_nombre,
+       n_name AS departamento_nombre,
+       c_name AS ejecutora_nombre,
+       c_mktsegment AS pliego_nombre,
+       p_type AS especifica_nombre,
+       p_brand AS generica_nombre,
+       s_name AS proveedor_nombre,
+       o_orderpriority AS fuente_financiamiento_nombre,
+       CAST(l_quantity AS DECIMAL(18,4)) AS monto_pia,
+       CAST(l_extendedprice AS DECIMAL(18,4)) AS monto_pim,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+           AS monto_certificado,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,4))
+           AS monto_comprometido_anual,
+       CASE WHEN l_returnflag <> 'R'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END AS monto_comprometido,
+       CASE WHEN l_linestatus = 'F'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END AS monto_devengado,
+       CASE WHEN l_linestatus = 'F' AND l_returnflag <> 'R'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END AS monto_girado
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part     ON l_partkey = p_partkey
+"""

@@ -1,0 +1,85 @@
+"""The serving views as DataFrame builders.
+
+Reference: ``ETL Gasto publico Perú/sql/CreacionDeUsuariosyVistas.sql`` —
+``vw_gasto_mensual`` (V:21-114, the 8-way denormalizing star join),
+``vw_gasto_agregado_mensual`` (V:119-179) and ``vw_gasto_agregado_anual``
+(V:185-196).
+
+``star_denormalize`` is the V-base join: fact × 8 broadcast dims.  The
+aggregate views then group the denormalized frame by *computed* label
+columns — the reference groups directly by ``COALESCE(...)``/``CONCAT(...)``
+expressions (V:161-179); per SURVEY.md §7.4 we materialize those as named
+columns before ``groupBy`` so select-list and grouping expressions are
+identical by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import label_or_placeholder, region_map_label
+from ..functions.money import dmoney
+from ..schema import DIMENSIONS, METRICS, Dim
+
+
+def star_denormalize(
+    fact: DataFrame,
+    time_dim: DataFrame,
+    dims: Mapping[str, DataFrame],
+    dim_defs: Sequence[Dim] = DIMENSIONS,
+    how: str = "inner",
+) -> DataFrame:
+    """V-base (JN4): fact joined to dim_tiempo + all dimensions on surrogate
+    ids.  Every dim is broadcast — the fact never shuffles for this join."""
+    out = fact.join(F.broadcast(time_dim), "tiempo_id", how)
+    for dim in dim_defs:
+        out = out.join(F.broadcast(dims[dim.name]), dim.id_col, how)
+    return out
+
+
+#: (output label column, source column, placeholder) — V:127-133, V:166-170.
+AGG_LABELS: tuple[tuple[str, str, str], ...] = (
+    ("sector", "sector_nombre", "SIN SECTOR"),
+    ("pliego", "pliego_nombre", "SIN PLIEGO"),
+    ("departamento", "departamento_nombre", "SIN DEPARTAMENTO"),
+)
+
+
+def vw_gasto_agregado_mensual(base: DataFrame) -> DataFrame:
+    """V-aggm (AGG8): monthly rollup grouped by time + cleaned labels, with
+    NULL-safe SUMs (``SUM(COALESCE(m,0))``, V:149-155)."""
+    labeled = base
+    for out_col, src, placeholder in AGG_LABELS:
+        labeled = labeled.withColumn(
+            out_col, label_or_placeholder(src, placeholder)
+        )
+    labeled = labeled.withColumn(
+        "region_mapa", region_map_label("departamento_nombre")
+    )
+    group_cols = ["anio", "mes", "sector", "pliego", "departamento", "region_mapa"]
+    sums = [
+        F.sum(F.coalesce(dmoney(m), F.lit(0).cast("decimal(18,4)")))
+        .cast("double")
+        .alias(m)
+        for m in METRICS
+    ]
+    return labeled.groupBy(*group_cols).agg(*sums)
+
+
+def vw_gasto_agregado_anual(base: DataFrame) -> DataFrame:
+    """V-agga (AGG9): ``SUM(pim), SUM(devengado), SUM(girado) GROUP BY anio,
+    sector_nombre, pliego_nombre`` (V:185-196)."""
+    return base.groupBy("anio", "sector_nombre", "pliego_nombre").agg(
+        F.sum(F.coalesce(dmoney("monto_pim"), F.lit(0).cast("decimal(18,4)")))
+        .cast("double")
+        .alias("pim_total"),
+        F.sum(F.coalesce(dmoney("monto_devengado"), F.lit(0).cast("decimal(18,4)")))
+        .cast("double")
+        .alias("devengado_total"),
+        F.sum(F.coalesce(dmoney("monto_girado"), F.lit(0).cast("decimal(18,4)")))
+        .cast("double")
+        .alias("girado_total"),
+    )

@@ -1,0 +1,41 @@
+"""Parquet read/write conventions (SRC3, SNK1/SNK2).
+
+- Reads push projection to the Parquet reader via ``.select`` (Catalyst
+  column pruning) — the reference does this by hand with
+  ``iter_batches(columns=...)`` (etl/cargar_postgres.py:275-280).
+- Writes partition the fact by ``anio``: the reference already writes one
+  Parquet per year (etl/transformar_mensual.py:119,186); partitioning is the
+  scale-out version (partition pruning on year predicates at 100 TB).
+- ``mode="ignore"`` reproduces the skip-if-exists idempotency gate
+  (etl/transformar_mensual.py:121-123); ``overwrite`` the ``--overwrite``
+  flag.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
