@@ -1,0 +1,83 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the `noop` sink (full distributed
+materialization, no driver collect — the same discipline the engine keeps
+at 100 TB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from proyecto_gasto_publico_etl_per__spark.plans.driver_queries import (  # noqa: E402
+    all_queries,
+)
+from proyecto_gasto_publico_etl_per__spark.session import get_spark  # noqa: E402
+
+#: The headline set: the reference's five analytics queries + both serving
+#: views + the load-path consolidation + the streaming-analog aggregations.
+HEADLINE = (
+    "star_join_base",
+    "agg_monthly_view",
+    "agg_annual_view",
+    "ytd_by_group",
+    "topk_by_group",
+    "share_of_total",
+    "backlog_having",
+    "quarterly_evolution",
+    "rollup_year_sector",
+    "topn_year",
+    "consolidate_grain",
+    "running_ytd_window",
+    "events_window_agg",
+    "sessionize",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT + IO cache)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
