@@ -74,10 +74,17 @@ def with_month_date(
     out_col: str = "FECHA",
 ) -> DataFrame:
     """PRJ6 — month-start date from (year, month); NULL if either is NULL
-    (transformar_mensual.py:98-105).  ``make_date`` also yields NULL for
-    out-of-range months, matching the reference's NaT on bad input."""
+    (transformar_mensual.py:98-105).  Out-of-range periods yield NULL,
+    matching the reference's NaT on bad input — ANSI ``make_date`` would
+    throw, so the validity predicate gates it row-wise."""
+    valid = (
+        F.col(year_col).isNotNull()
+        & (F.col(year_col) > 0)
+        & F.col(month_col).between(1, 12)
+    )
     return df.withColumn(
-        out_col, F.make_date(F.col(year_col), F.col(month_col), F.lit(1))
+        out_col,
+        F.when(valid, F.make_date(F.col(year_col), F.col(month_col), F.lit(1))),
     )
 
 

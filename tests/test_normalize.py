@@ -1,0 +1,91 @@
+"""Unit tests for the normalization pipeline (reference transform parity:
+ETL Gasto publico Perú/etl/transformar_mensual.py:110-197)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.operators import normalize
+from proyecto_gasto_publico_etl_per__spark.schema import COLS_CLAVE
+
+
+def test_normalize_headers(spark):
+    df = spark.createDataFrame([("a", "b")], ["  ano_eje ", "Mes_Eje"])
+    out = normalize.normalize_headers(df)
+    assert out.columns == ["ANO_EJE", "MES_EJE"]
+
+
+def test_conform_schema_adds_missing_and_orders(spark):
+    df = spark.createDataFrame([("2020", "x")], ["MES_EJE", "JUNK"])
+    out = normalize.conform_schema(df, ["ANO_EJE", "MES_EJE"])
+    assert out.columns == ["ANO_EJE", "MES_EJE"]
+    row = out.collect()[0]
+    assert row.ANO_EJE is None and row.MES_EJE == "2020"
+
+
+def test_coerce_numeric_junk_to_null(spark):
+    df = spark.createDataFrame(
+        [("2020", "7", "12.50"), ("junk", "x", "n/a")],
+        ["ANO_EJE", "MES_EJE", "MONTO_PIA"],
+    )
+    out = normalize.coerce_numeric(df).collect()
+    assert out[0].ANO_EJE == 2020 and out[0].MES_EJE == 7
+    assert out[0].MONTO_PIA == Decimal("12.5000")
+    assert out[1].ANO_EJE is None and out[1].MES_EJE is None
+    assert out[1].MONTO_PIA is None
+
+
+def test_clean_text_collapses_whitespace_and_nulls(spark):
+    df = spark.createDataFrame([("  a   b \t c  ",), (None,)], ["TXT"])
+    out = normalize.clean_text_cols(df, ["TXT"]).collect()
+    assert out[0].TXT == "a b c"
+    assert out[1].TXT == ""  # NULL -> "" (transformar_mensual.py:92)
+
+
+def test_with_month_date_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(2020, 7), (2020, None), (None, 3), (2020, 13)],
+        "ANO_EJE INT, MES_EJE INT",
+    )
+    out = {
+        (r.ANO_EJE, r.MES_EJE): r.FECHA
+        for r in normalize.with_month_date(df).collect()
+    }
+    assert str(out[(2020, 7)]) == "2020-07-01"
+    assert out[(2020, None)] is None
+    assert out[(None, 3)] is None
+    assert out[(2020, 13)] is None  # out-of-range month -> NULL, as NaT
+
+
+def test_filter_valid_period(spark):
+    df = spark.createDataFrame(
+        [(2020, 7), (0, 5), (2020, 0), (2020, 13), (None, 5), (2020, None)],
+        "ANO_EJE INT, MES_EJE INT",
+    )
+    kept = normalize.filter_valid_period(df).collect()
+    assert [(r.ANO_EJE, r.MES_EJE) for r in kept] == [(2020, 7)]
+
+
+def test_normalize_monthly_end_to_end(spark):
+    # A raw chunk with extra junk column, missing most canonical columns,
+    # dirty headers, junk numerics, dirty text: the full T:110-197 path.
+    df = spark.createDataFrame(
+        [
+            ("2021", "3", "  SALUD   CENTRAL ", "100.25", "zzz"),
+            ("bad", "3", "X", "1", "zzz"),
+        ],
+        ["ano_eje ", " MES_EJE", "sector_nombre", "monto_pia", "JUNK"],
+    )
+    out = normalize.normalize_monthly(df)
+    assert out.columns == [*COLS_CLAVE, "FECHA"]
+    rows = out.collect()
+    assert len(rows) == 1  # junk-year row filtered
+    r = rows[0]
+    assert r.ANO_EJE == 2021 and r.MES_EJE == 3
+    assert r.SECTOR_NOMBRE == "SALUD CENTRAL"
+    assert r.MONTO_PIA == Decimal("100.2500")
+    assert str(r.FECHA) == "2021-03-01"
+    # missing text columns conformed to NULL then cleaned to ""
+    assert r.PLIEGO_NOMBRE == ""

@@ -1,0 +1,93 @@
+"""Query-layer tests against the testdata star at sf0.001, plus a fast
+oracle spot-check reusing the driver-style DuckDB comparison."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from proyecto_gasto_publico_etl_per__spark.plans import queries as Q
+from proyecto_gasto_publico_etl_per__spark.plans.driver_queries import REGISTRY
+from proyecto_gasto_publico_etl_per__spark.plans.testdata_star import build_star
+from proyecto_gasto_publico_etl_per__spark.sources.tables import TABLES
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    return build_star(spark, SF_SMOKE).cache()
+
+
+def test_star_columns(star):
+    assert {"anio", "mes", "trimestre", "sector_nombre", "monto_devengado"} <= set(
+        star.columns
+    )
+    assert star.count() > 0
+
+
+def test_q1_descending_and_grouped(star):
+    rows = Q.q1_ytd_by_sector(star, 1998, 6).collect()
+    assert len(rows) > 0
+    vals = [r.devengado_ytd for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert len({r.sector_nombre for r in rows}) == len(rows)
+
+
+def test_q2_topk(star):
+    rows = Q.q2_top_ejecutoras(star, 1998, 5).collect()
+    assert len(rows) <= 5
+    vals = [r.devengado_total for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_q3_shares_sum_to_one(star):
+    rows = Q.q3_share_of_total(star, 1998, 6, "NATION_3").collect()
+    if rows:
+        assert abs(sum(r.participacion for r in rows) - 1.0) < 1e-9
+        assert all(0 <= r.participacion <= 1 for r in rows)
+
+
+def test_q4_backlog_positive(star):
+    rows = Q.q4_backlog(star, 1998, 6).collect()
+    assert all(r.backlog > 0 for r in rows)
+
+
+def test_running_ytd_monotone_per_group(star):
+    rows = Q.running_ytd(star).collect()
+    from collections import defaultdict
+
+    by_group = defaultdict(list)
+    for r in rows:
+        by_group[(r.anio, r.sector_nombre)].append((r.mes, r.devengado_ytd))
+    for seq in by_group.values():
+        seq.sort()
+        ytds = [v for _, v in seq]
+        assert ytds == sorted(ytds)  # running sum of non-negative monthly
+
+
+@pytest.mark.parametrize("name", ["ytd_by_group", "sessionize", "timedim"])
+def test_driver_oracle_spotcheck(spark, name):
+    """Fast replica of the driver's hash gate for three representative
+    queries at sf0.001 (the full 25-query gate runs in
+    tools/check_correctness.py at sf0.01)."""
+    fn, oracle = REGISTRY[name]
+    sdf = fn(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    rel = con.execute(oracle)
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(
+            tuple(repr(r[i]) if isinstance(r[i], float) else str(r[i]) for i in order)
+            for r in rows
+        )
+
+    assert norm(srows, sdf.columns) == norm(orows, ocols)
