@@ -1,0 +1,307 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over a ``documents``-shaped table (id + text) and an
+``embeddings``-shaped table (id + vector):
+
+- exact:          md5 of normalized text, keep lowest id per group
+- n-gram Jaccard: word-shingle set overlap, all candidate pairs ≥ threshold
+- MinHash + LSH:  md5-derived minhash signatures, banded bucketing, verify
+- SimHash:        32-bit sign-aggregated token hashes, Hamming ≤ k pairs
+- embedding:      cosine ≥ threshold near-dup pairs (see similarity.py)
+
+Scale design (100 TB): every stage is shuffle-bounded by keys that shrink
+the data (hash groups, shingle postings, LSH buckets) — never an all-pairs
+product.  The n-gram all-pairs verifier is only applied to candidate sets
+(LSH buckets or posting intersections).  Hashing is md5-prefix based
+(functions/hashing.py) so signatures are reproducible in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_text
+from .textstats import fingerprint
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by normalized-text hash: one row per distinct content,
+    keeping the lowest id (deterministic canonical representative)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+# --- word n-gram shingles ----------------------------------------------------
+
+
+def _tokens(text_col: str) -> Column:
+    cleaned = F.lower(clean_text(text_col))
+    return F.when(F.length(cleaned) == 0, F.array()).otherwise(
+        F.split(cleaned, " ")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` DESCENDS, so the
+    start list only exists when the doc has ≥ n tokens.
+    """
+    toks = _tokens(text_col)
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-dup pairs by word-``n``-gram Jaccard ≥ ``threshold``.
+
+    Posting-list self-join: explode (doc, shingle), join on shingle to count
+    intersections, combine with per-doc shingle counts for the union.  The
+    shuffle key is the shingle, so common-shingle skew is the scale hazard —
+    at 100 TB add a document-frequency cap on shingles (drop shingles in
+    > X% of docs: they only create candidate pairs that verification will
+    reject anyway).  Jaccard is exact rational arithmetic until one final
+    double division, so thresholding is engine-reproducible.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(text_col, n).alias("shingles"),
+    )
+    sizes = shingled.select(
+        "doc", F.size("shingles").alias("n_shingles")
+    )
+    postings = shingled.select(
+        "doc", F.explode("shingles").alias("shingle")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    pairs = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # exact-int division to double: identical bits in any engine (no
+        # round(), whose half-up implementations differ across engines)
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (
+                F.col("size_a") + F.col("size_b") - F.col("n_common")
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def _portable_hash(col: Column, seed: Column | int) -> Column:
+    """Engine-portable 32-bit hash of (seed, value) — md5-prefix based."""
+    seed_col = F.lit(seed) if isinstance(seed, int) else seed
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(seed_col.cast("string"), F.lit("|"), col)), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc, seed) → minhash: min over shingles of the seeded portable hash.
+
+    One narrow explode + one hash-agg; the shuffle key (doc, seed) has
+    bounded cardinality num_docs × num_hashes.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        shingled.select("doc", "shingle", seeds)
+        .groupBy("doc", "seed")
+        .agg(F.min(_portable_hash(F.col("shingle"), F.col("seed"))).alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band signature.
+
+    Band signature = md5 of the ordered minhash slice; docs bucket-join on
+    (band, signature) — never an all-pairs product.  rows_per_band =
+    num_hashes // bands tunes the Jaccard threshold curve
+    (s-curve ≈ (1/bands)^(1/rows_per_band)).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    band_sigs = banded.groupBy("doc", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("band_sig")
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: bucket candidates, then verify each
+    candidate pair with exact n-gram Jaccard (no false positives; false
+    negatives bounded by the band s-curve)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    verified = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cands.join(verified, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash over word tokens (with multiplicity): bit b is the
+    sign of Σ ±1 over token-hash bit b."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("tok")
+    ).withColumn("h", _portable_hash(F.col("tok"), 0))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftright with a *column* shift needs the SQL form (the Python
+    # wrapper only takes int numBits)
+    weighted = toks.select("doc", "h", bit).withColumn(
+        "w",
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+    )
+    return (
+        weighted.groupBy("doc", "bit")
+        .agg(F.sum("w").alias("s"))
+        .withColumn(
+            "bitval",
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .groupBy("doc")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation uses the pigeonhole trick: split the hash into
+    ``max_hamming + 1`` chunks; any pair within distance k shares at least
+    one exact chunk — bucket-join on (chunk_idx, chunk_value), then verify
+    the full Hamming distance.  No all-pairs product.
+    """
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    sh = simhash(df, id_col, text_col, bits)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk_idx")
+    chunked = sh.select("doc", "simhash", idx).withColumn(
+        "chunk_val",
+        F.expr(
+            "shiftright(simhash, chunk_idx * {0}) & {1}".format(
+                chunk_bits, (1 << chunk_bits) - 1
+            )
+        ),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cands = (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- Brute-force cosine top-k: the exact baseline.  The k-NN product is
+  expressed as a join + window rank so Spark distributes it; at 100 TB the
+  query side is small (a probe set) and broadcast, making this a
+  broadcast-nested-loop over the corpus — embarrassingly parallel, no
+  shuffle of the corpus.
+- Random-hyperplane LSH buckets: the scale path.  Deterministic ±1
+  hyperplanes derived from md5 (functions/hashing.py) so bucket ids are
+  reproducible in any engine; candidates bucket-join, then exact cosine
+  ranks within the bucket.
+- Embedding near-dup pairs: cosine ≥ threshold via the same LSH buckets
+  (dedup family member, SURVEY extension).
+
+All cosine math is double-precision, presented on an integer grid
+(``score_q``) so thresholds and rank order are engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Raw cosine similarity of two float vectors (double math)."""
+    ad, bd = _as_double(a), _as_double(b)
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def score_q(a: Column, b: Column, scale: int = 1000) -> Column:
+    """Cosine quantized to an integer grid (floor(cos*scale + 0.5)).
+
+    floor() of a double is exact in every engine, unlike round(), whose
+    half-up implementations differ — so thresholds, ranks, and outputs
+    built on this are engine-reproducible (double noise ~1e-15 sits ten
+    orders below the 1/scale quantum).
+    """
+    return F.floor(cosine(a, b) * scale + F.lit(0.5)).cast("bigint")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors of each query vector over the corpus.
+
+    ``queries`` is expected to be small (probe set) → broadcast; ties on
+    the rounded score break by neighbor id, so results are deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score_q3", score_q(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q3"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score_q3", "rk")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Deterministic random-hyperplane LSH bucket per vector.
+
+    Plane p's weight for dimension d is ±1 by parity of the portable
+    md5 hash of "p:d" — reproducible anywhere, no stored model.  Bucket =
+    integer of sign bits of ⟨v, plane_p⟩.
+    """
+    v = _as_double(F.col("vec"))
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        # weight_d = +1 if md5("p:d") first hex digit is even else -1
+        dot_p = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(F.col("vec")) - 1),
+                lambda x, d: x
+                * F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{p}:"), d.cast("string")
+                                )
+                            ),
+                            1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("int")
+                    .bitwiseAND(1)
+                    == 0,
+                    1.0,
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact cosine rank within the query's LSH bucket.
+
+    At 100 TB the bucket join replaces the full cross product with a
+    1/2^planes-selectivity equi-join on the bucket id.
+    """
+    cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes)
+    qb = hyperplane_buckets(queries, id_col, vec_col, n_planes)
+    joined = (
+        cb.withColumnRenamed("doc", "neighbor_id")
+        .join(
+            F.broadcast(
+                qb.select(
+                    F.col("doc").alias("query_id"),
+                    F.col("vec").alias("qvec"),
+                    "bucket",
+                )
+            ),
+            "bucket",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score_q3", score_q(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q3"), "neighbor_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score_q3", "rk")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
+
+    Pairs are generated within LSH buckets (few planes → high recall at
+    high thresholds) and verified with exact cosine.
+    """
+    b = hyperplane_buckets(df, id_col, vec_col, n_planes)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            score_q(F.col("a.vec"), F.col("b.vec")).alias("score_q3"),
+        )
+        .where(F.col("score_q3") >= int(threshold * 1000))
+        .distinct()
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond reference parity (the reference's only text processing is
+cleaning/labeling, SURVEY.md §2.10): language ID, quality scoring, token
+counting, and document fingerprinting over a ``documents``-shaped table.
+
+Everything is built-in column expressions — JVM-side, codegen-friendly, no
+UDFs — so the operators scale linearly with executors at 100 TB.  All
+expressions have exact DuckDB equivalents for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_text
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+#: language ID.  Matched as space-padded whole words over the cleaned,
+#: lowercased, space-padded text.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "fr": ("le", "et", "les", "des", "une"),
+}
+
+#: CJK unified ideographs — presence marks zh.
+_CJK_PATTERN = "[\\u4e00-\\u9fff]"
+
+
+def _padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(clean_text(col)), F.lit(" "))
+
+
+def _count_occurrences(padded: Column, word: str) -> Column:
+    """Occurrences of `` word `` via the length-difference trick —
+    identical semantics in any engine with replace()/length()."""
+    needle = f" {word} "
+    # overlapping " a a a " cases: replace consumes the shared space, so
+    # pad replacement with one space to keep counting consistent in both
+    # engines (replace(" a a ", " a ", " ") -> " a " in Spark and DuckDB).
+    return (
+        F.length(padded)
+        - F.length(F.regexp_replace(padded, F.lit(needle), F.lit(" ")))
+    ) / (len(needle) - 1)
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language marker counts + CJK char count."""
+    padded = _padded(F.col(text_col))
+    out = df
+    for lang, words in LANG_MARKERS.items():
+        score = None
+        for w in words:
+            c = _count_occurrences(padded, w)
+            score = c if score is None else score + c
+        out = out.withColumn(f"score_{lang}", score.cast("double"))
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return out.withColumn(
+        "score_zh",
+        (
+            F.length(c) - F.length(F.regexp_replace(c, _CJK_PATTERN, ""))
+        ).cast("double"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predicted language: argmax of marker scores, CJK dominant, ties
+    broken by fixed language order (deterministic in any engine)."""
+    scored = lang_scores(df, text_col)
+    langs = ["zh", *LANG_MARKERS.keys()]
+    pred = None
+    # fold a CASE chain best-so-far; order fixes ties deterministically
+    best = F.lit(-1.0)
+    pred = F.lit("und")
+    for lang in langs:
+        s = F.col(f"score_{lang}")
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return scored.withColumn("lang_pred", pred)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/null text."""
+    cleaned = clean_text(col)
+    return F.when(F.length(cleaned) == 0, F.lit(0)).otherwise(
+        F.size(F.split(cleaned, " "))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: word chars in runs of ≤4 plus standalone
+    non-space symbols — a cheap, deterministic BPE proxy:
+    count of matches of ``\\w{1,4}|[^\\w\\s]``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(r"\w{1,4}|[^\w\s]"), 0)
+    )
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring signals: char/token counts, mean token length,
+    punctuation & stopword & uppercase ratios, and a composite flag."""
+    c = F.col(text_col)
+    cleaned = clean_text(c)
+    n_chars = F.length(cleaned)
+    n_tokens = token_count(c)
+    padded = _padded(c)
+    stop = None
+    for w in LANG_MARKERS["en"]:
+        cnt = _count_occurrences(padded, w)
+        stop = cnt if stop is None else stop + cnt
+    n_punct = F.length(cleaned) - F.length(
+        F.regexp_replace(cleaned, r"[^\w\s]", "")
+    )
+    n_upper = F.length(cleaned) - F.length(
+        F.regexp_replace(cleaned, r"[A-Z]", "")
+    )
+    safe_tokens = F.when(n_tokens > 0, n_tokens.cast("double"))
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
+    # ratios stay as raw double divisions of exact integers — identical
+    # bits in any engine (round() implementations differ across engines)
+    out = (
+        df.withColumn("n_chars_clean", n_chars.cast("bigint"))
+        .withColumn("n_tokens", n_tokens.cast("bigint"))
+        .withColumn(
+            "mean_token_len",
+            F.coalesce(
+                (n_chars - (n_tokens - 1)).cast("double") / safe_tokens,
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.coalesce(n_punct.cast("double") / safe_chars, F.lit(0.0)),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.coalesce(n_upper.cast("double") / safe_chars, F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.coalesce(stop.cast("double") / safe_tokens, F.lit(0.0)),
+        )
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 5)
+        & (F.col("mean_token_len") >= 2)
+        & (F.col("mean_token_len") <= 12)
+        & (F.col("punct_ratio") <= 0.3),
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the cleaned, lowercased text —
+    the exact-dup key (cross-engine stable)."""
+    return F.md5(F.lower(clean_text(col)))
+
+
+def shingle_fingerprint(col: Column | str, n: int = 8) -> Column:
+    """Rolling-hash-style content fingerprint: minimum 32-bit hash over
+    character ``n``-gram shingles of the cleaned lowercase text (winnowing
+    with window = whole doc).  Robust to local edits, engine-portable
+    (md5-prefix hashing, functions/hashing.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.lower(clean_text(c))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(cleaned) - (n - 1), F.lit(1))
+    )
+    grams = F.transform(starts, lambda i: F.substring(cleaned, i, n))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+    )
+    return F.array_min(hashes)

@@ -667,11 +667,19 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_extensions() -> None:
+    """Late-import the extension registry (it imports ``register`` from this
+    module, so a top-level import here would be circular)."""
+    from . import extension_queries  # noqa: F401
+
+
 def all_queries() -> dict[str, QueryFn]:
+    _ensure_extensions()
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
+    _ensure_extensions()
     return {
         name: sql for name, (_, sql) in REGISTRY.items() if sql is not None
     }

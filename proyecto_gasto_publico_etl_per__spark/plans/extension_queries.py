@@ -1,0 +1,556 @@
+"""Declared queries for the training-data-pipeline extensions.
+
+Registers into the same REGISTRY as driver_queries (imported from there so
+the driver sees one catalog).  Every oracle mirrors the Spark computation
+expression-for-expression:
+
+- hashing is md5-prefix based (portable across engines),
+- ratios/jaccard are double divisions of exact integers (bit-identical),
+- cosine scores are quantized to an integer grid (floor(x*1000+0.5)),
+- no round() anywhere (its half-up rules differ between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textstats
+from ..sources.tables import load_table
+from ..streaming.incremental import windowed_event_counts
+from .driver_queries import register
+
+JACCARD_T = 0.4
+NEARDUP_T = 0.35
+
+#: shared DuckDB CTE: normalized doc text (mirrors functions.cleaning +
+#: operators.dedup._tokens / word_shingles)
+_DOCS_CTE = r"""
+docs AS (
+  SELECT doc_id AS doc,
+         regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS cleanraw,
+         lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS clean
+  FROM documents
+),
+toks AS (
+  SELECT doc, cleanraw, clean,
+         CASE WHEN length(clean) = 0 THEN []::VARCHAR[]
+              ELSE string_split(clean, ' ') END AS toks
+  FROM docs
+),
+sh AS (
+  SELECT doc, list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE []::VARCHAR[] END) AS shingles
+  FROM toks
+)
+"""
+
+#: DuckDB fragment for the exact n-gram jaccard pair list (reused by the
+#: minhash verifier)
+_JACCARD_CTE = f"""
+sizes AS (SELECT doc, len(shingles) AS n_sh FROM sh),
+posts AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+  FROM posts a JOIN posts b USING (shingle)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b, n_common,
+         CAST(n_common AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+)
+"""
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')))
+             AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-text hash."""
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DOCS_CTE}, {_JACCARD_CTE}
+    SELECT doc_a, doc_b, n_common, jaccard
+    FROM jpairs WHERE jaccard >= {JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.4 (posting-list join)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DOCS_CTE}, {_JACCARD_CTE},
+    seeds AS (SELECT unnest(range(16)) AS seed),
+    sigs AS (
+      SELECT doc, seed,
+             min(CAST(('0x' || substr(md5(seed::VARCHAR || '|' || shingle), 1, 8))
+                      AS BIGINT)) AS minhash
+      FROM posts CROSS JOIN seeds
+      GROUP BY doc, seed
+    ),
+    band_sigs AS (
+      SELECT doc, seed // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_sig
+      FROM sigs GROUP BY doc, seed // 4
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
+      WHERE a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, jaccard
+    FROM cands JOIN jpairs USING (doc_a, doc_b)
+    WHERE jaccard >= {JACCARD_T}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidates verified by exact Jaccard."""
+    return dedup.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_DOCS_CTE},
+    tok1 AS (SELECT doc, unnest(toks) AS tok FROM toks),
+    th AS (
+      SELECT doc,
+             CAST(('0x' || substr(md5('0|' || tok), 1, 8)) AS BIGINT) AS h
+      FROM tok1
+    ),
+    bits AS (SELECT unnest(range(32)) AS bit),
+    wsum AS (
+      SELECT doc, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN bits GROUP BY doc, bit
+    ),
+    shh AS (
+      SELECT doc,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM wsum GROUP BY doc
+    ),
+    chunks AS (
+      SELECT doc, simhash, c.chunk_idx,
+             (simhash >> (c.chunk_idx * 8)) & 255 AS chunk_val
+      FROM shh CROSS JOIN (SELECT unnest(range(4)) AS chunk_idx) c
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b USING (chunk_idx, chunk_val)
+      WHERE a.doc < b.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 near-dup pairs, Hamming ≤ 3, pigeonhole chunk buckets."""
+    df = dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    return df.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def _count_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"(length(p) - length(replace(p, '{needle}', ' ')))"
+        f" / CAST({len(needle) - 1} AS DOUBLE)"
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in textstats.LANG_MARKERS.items():
+        expr = " + ".join(_count_sql(w) for w in words)
+        parts.append(f"({expr}) AS score_{lang}")
+    zh = (
+        "CAST(length(coalesce(text, '')) - length(regexp_replace("
+        "coalesce(text, ''), '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)"
+        " AS score_zh"
+    )
+    return ", ".join([*parts, zh])
+
+
+@register(
+    "lang_id",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             ' ' || lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
+                 || ' ' AS p,
+             text
+      FROM documents
+    ),
+    scored AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM base),
+    long AS (
+      SELECT doc_id, 'zh' AS cand, score_zh AS s, 1 AS pri FROM scored
+      UNION ALL SELECT doc_id, 'en', score_en, 2 FROM scored
+      UNION ALL SELECT doc_id, 'es', score_es, 3 FROM scored
+      UNION ALL SELECT doc_id, 'de', score_de, 4 FROM scored
+      UNION ALL SELECT doc_id, 'fr', score_fr, 5 FROM scored
+    ),
+    best AS (
+      SELECT doc_id, cand AS lang_pred,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, pri) AS rn
+      FROM long
+    )
+    SELECT s.doc_id, s.lang, s.score_en, s.score_es, s.score_de, s.score_fr,
+           s.score_zh, b.lang_pred
+    FROM scored s JOIN best b ON s.doc_id = b.doc_id AND b.rn = 1
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with ground-truth column for auditing."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.lang_id(docs)
+    return out.select(
+        "doc_id",
+        "lang",
+        "score_en",
+        "score_es",
+        "score_de",
+        "score_fr",
+        "score_zh",
+        "lang_pred",
+    )
+
+
+@register(
+    "quality_stats",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS clean,
+             ' ' || lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
+                 || ' ' AS p
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, clean, p,
+             length(clean) AS n_chars,
+             CASE WHEN length(clean) = 0 THEN 0
+                  ELSE len(string_split(clean, ' ')) END AS n_tokens,
+             length(clean) - length(regexp_replace(clean, '[^\w\s]', '', 'g'))
+                 AS n_punct,
+             length(clean) - length(regexp_replace(clean, '[A-Z]', '', 'g'))
+                 AS n_upper,
+             (length(p) - length(replace(p, ' the ', ' '))) / CAST(4 AS DOUBLE)
+               + (length(p) - length(replace(p, ' and ', ' '))) / CAST(4 AS DOUBLE)
+               + (length(p) - length(replace(p, ' of ', ' '))) / CAST(3 AS DOUBLE)
+               + (length(p) - length(replace(p, ' is ', ' '))) / CAST(3 AS DOUBLE)
+               + (length(p) - length(replace(p, ' to ', ' '))) / CAST(3 AS DOUBLE)
+                 AS stop
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars_clean,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE) ELSE 0 END AS mean_token_len,
+           CASE WHEN n_chars > 0
+                THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                ELSE 0 END AS punct_ratio,
+           CASE WHEN n_chars > 0
+                THEN CAST(n_upper AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                ELSE 0 END AS upper_ratio,
+           CASE WHEN n_tokens > 0
+                THEN stop / CAST(n_tokens AS DOUBLE) ELSE 0 END AS stopword_ratio,
+           (n_tokens >= 5
+             AND (CASE WHEN n_tokens > 0
+                       THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE) ELSE 0 END) >= 2
+             AND (CASE WHEN n_tokens > 0
+                       THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE) ELSE 0 END) <= 12
+             AND (CASE WHEN n_chars > 0
+                       THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                       ELSE 0 END) <= 0.3) AS quality_ok
+    FROM m
+    """,
+)
+def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals + composite flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.quality_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_chars_clean",
+        "n_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "quality_ok",
+    )
+
+
+@register(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(regexp_replace(trim(coalesce(text, '')),
+                                                '\s+', ' ', 'g')) = 0 THEN 0
+                ELSE len(string_split(
+                       lower(regexp_replace(trim(coalesce(text, '')),
+                                            '\s+', ' ', 'g')), ' '))
+                END AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+                                       '\w{1,4}|[^\w\s]')) AS INT)
+               AS n_subtokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish sub-token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count("text").cast("int").alias("n_tokens"),
+        textstats.bpe_ish_token_count("text").cast("int").alias("n_subtokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
+                 AS clean
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(clean) AS content_hash,
+           list_min(list_transform(
+             range(1, greatest(length(clean) - 7, 1) + 1),
+             i -> CAST(('0x' || substr(md5(substr(clean, i, 8)), 1, 8))
+                       AS BIGINT))) AS shingle_fp
+    FROM base
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content hash + rolling char-8-gram min-hash fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.fingerprint("text").alias("content_hash"),
+        textstats.shingle_fingerprint("text").alias("shingle_fp"),
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+_COSINE_TOPK_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(list_cosine_similarity(qv, cv) * 1000 + 0.5) AS BIGINT)
+                 AS score_q3
+      FROM c CROSS JOIN q
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score_q3,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+             ) AS INT) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("sim_topk_brute", _COSINE_TOPK_SQL)
+def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 10-vector probe set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+_BUCKETS_SQL = """
+    dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    planes AS (SELECT unnest(range({n_planes})) AS p),
+    dots AS (
+      SELECT vec_id, p,
+             SUM(x * CASE WHEN CAST(('0x' || substr(
+                       md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1)) AS INT)
+                       & 1 = 0
+                     THEN 1.0 ELSE -1.0 END) AS dot
+      FROM dims CROSS JOIN planes
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "sim_topk_lsh",
+    f"""
+    WITH {_BUCKETS_SQL.format(n_planes=8)},
+    q AS (
+      SELECT b.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, b.bucket
+      FROM buckets b JOIN embeddings e USING (vec_id)
+      WHERE b.vec_id < 10
+    ),
+    c AS (
+      SELECT b.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv, b.bucket
+      FROM buckets b JOIN embeddings e USING (vec_id)
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(list_cosine_similarity(qv, cv) * 1000 + 0.5) AS BIGINT)
+                 AS score_q3
+      FROM c JOIN q USING (bucket)
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score_q3,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+             ) AS INT) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (8 deterministic hyperplanes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH {_BUCKETS_SQL.format(n_planes=4)},
+    v AS (
+      SELECT b.vec_id, e.embedding::DOUBLE[] AS vec, b.bucket
+      FROM buckets b JOIN embeddings e USING (vec_id)
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(floor(list_cosine_similarity(a.vec, b.vec) * 1000 + 0.5)
+                AS BIGINT) AS score_q3
+    FROM v a JOIN v b USING (bucket)
+    WHERE a.vec_id < b.vec_id
+      AND CAST(floor(list_cosine_similarity(a.vec, b.vec) * 1000 + 0.5)
+               AS BIGINT) >= {int(NEARDUP_T * 1000)}
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets (cos ≥ 0.35)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=NEARDUP_T)
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+
+@register(
+    "multimodal_extract",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS byte_md5,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 255.0 AS f0,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS INT) / 255.0 AS f1,
+           CAST(('0x' || substr(md5(text), 5, 2)) AS INT) / 255.0 AS f2,
+           CAST(('0x' || substr(md5(text), 7, 2)) AS INT) / 255.0 AS f3
+    FROM documents
+    """,
+)
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (documents' UTF-8 bytes stand in for media payloads; the oracle
+    reproduces the deterministic fake extractor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.documents_as_assets(docs)
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "byte_md5",
+        F.col("features")[0].alias("f0"),
+        F.col("features")[1].alias("f1"),
+        F.col("features")[2].alias("f2"),
+        F.col("features")[3].alias("f3"),
+    )
+
+
+# --- streaming (batch form of the streaming aggregate) -----------------------
+
+
+@register(
+    "stream_window_agg",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS VARCHAR)
+               AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.windowed_event_counts on the batch events frame — the
+    identical code path Structured Streaming runs with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev)
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )

@@ -1,0 +1,186 @@
+"""Tests for the training-data-pipeline extensions: dedup, similarity,
+text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different content about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    by_keep = {r.keep_id: r.n_dups for r in groups}
+    assert by_keep[1] == 2  # docs 1 and 4 collapse
+    assert by_keep[5] == 2  # "" and NULL normalize identically (ref contract)
+    assert by_keep[2] == 1 and by_keep[3] == 1
+
+
+def test_ngram_jaccard_finds_neardup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    keyed = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert keyed[(1, 4)] == 1.0  # identical
+    assert 0.4 <= keyed[(1, 2)] < 1.0  # one-word change
+    assert (1, 3) not in keyed and (2, 3) not in keyed
+
+
+def test_minhash_pipeline_recalls_strong_pairs(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.4).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 4) in found  # identical docs always share every band
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    keyed = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert keyed[(1, 4)] == 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is of the house to be"),
+            (2, "el perro de la casa que los gatos"),
+            (3, "der hund und die katze das nicht"),
+            (4, "le chien et les chats des maisons une"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r.lang_pred for r in textstats.lang_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "fr"}
+
+
+def test_quality_stats_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a normal sentence with several reasonable words here"),
+            (2, "!!! ??? ... ;;; :::"),
+            (3, "ab"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r for r in textstats.quality_stats(df).collect()}
+    assert out[1].quality_ok is True
+    assert out[2].quality_ok is False  # punctuation soup
+    assert out[3].quality_ok is False  # too short
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, None), (4, "hello, world!")],
+        "doc_id INT, text STRING",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            textstats.token_count("text").alias("n"),
+            textstats.bpe_ish_token_count("text").alias("s"),
+        ).collect()
+    }
+    assert rows[1].n == 3 and rows[2].n == 0 and rows[3].n == 0
+    # "hello, world!" -> hell+o+, + worl+d+! = 6 BPE-ish pieces
+    assert rows[4].s == 6
+
+
+def test_fingerprint_robustness(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox ran far away today"),
+         (2, "the quick brown fox ran far away todayX")],
+        "doc_id INT, text STRING",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            textstats.fingerprint("text").alias("fp"),
+            textstats.shingle_fingerprint("text").alias("sfp"),
+        ).collect()
+    }
+    assert rows[1].fp != rows[2].fp  # exact hash: any edit changes it
+    assert rows[1].sfp == rows[2].sfp  # min-shingle survives a suffix edit
+
+
+def test_brute_force_topk_selfcheck(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(emb, queries, k=4).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert 1 <= r.rk <= 4
+    # scores are sorted within each query
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for r in out:
+        g[r.query_id].append((r.rk, r.score_q3))
+    for seq in g.values():
+        seq.sort()
+        scores = [s for _, s in seq]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = similarity.brute_force_topk(emb, queries, k=5).collect()
+    lsh = similarity.lsh_topk(emb, queries, k=5).collect()
+    # approximate results score no better than exact ones per query
+    best_brute = {}
+    for r in brute:
+        if r.rk == 1:
+            best_brute[r.query_id] = r.score_q3
+    for r in lsh:
+        if r.rk == 1:
+            assert r.score_q3 <= best_brute[r.query_id]
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello", "en", "s", 5), (2, "world!", "en", "s", 6)],
+        "doc_id INT, text STRING, lang STRING, source STRING, n_chars INT",
+    )
+    assets = multimodal.documents_as_assets(docs)
+    assert [f.name for f in assets.schema.fields] == [
+        "asset_id",
+        "media_type",
+        "payload",
+        "meta",
+    ]
+    feats = {r.asset_id: r for r in multimodal.extract_features(assets).collect()}
+    import hashlib
+
+    assert feats[1].n_bytes == 5
+    assert feats[1].byte_md5 == hashlib.md5(b"hello").hexdigest()
+    assert feats[1].features == [
+        hashlib.md5(b"hello").digest()[i] / 255.0 for i in range(4)
+    ]
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
