@@ -1,0 +1,82 @@
+"""CLI mirroring the reference's entry points.
+
+Reference commands (README.md:129-156):
+
+    python etl/transformar_mensual.py [years] [--overwrite]
+    python etl/cargar_postgres.py [years] [--batch N] ...
+
+Here:
+
+    python -m proyecto_gasto_publico_etl_per__spark.cli transform RAW.csv OUT_DIR [--overwrite]
+    python -m proyecto_gasto_publico_etl_per__spark.cli load NORMALIZED_DIR WAREHOUSE
+    python -m proyecto_gasto_publico_etl_per__spark.cli query WAREHOUSE {q1..q7} [params]
+
+The batch/subbatch/resume knobs of the reference's loader do not exist:
+partitioned execution, task retry, and idempotent append make them moot
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .plans import mef_pipeline
+from .plans import queries as Q
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(prog="gasto-engine")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("transform", help="raw CSV → normalized parquet")
+    t.add_argument("raw_csv")
+    t.add_argument("out_dir")
+    t.add_argument("--overwrite", action="store_true")
+
+    ld = sub.add_parser("load", help="normalized parquet → star warehouse")
+    ld.add_argument("normalized_dir")
+    ld.add_argument("warehouse")
+
+    q = sub.add_parser("query", help="run an analytics query on the warehouse")
+    q.add_argument("warehouse")
+    q.add_argument(
+        "name", choices=["q1", "q2", "q3", "q4", "q5", "q6", "q7"]
+    )
+    q.add_argument("--anio", type=int, default=2024)
+    q.add_argument("--mes-corte", type=int, default=12)
+    q.add_argument("--sector", default="")
+    q.add_argument("--anio-fin", type=int, default=None)
+    q.add_argument("--top", type=int, default=None)
+
+    args = parser.parse_args(argv)
+    spark = get_spark("gasto-engine-cli")
+
+    if args.cmd == "transform":
+        out = mef_pipeline.transform(
+            spark, args.raw_csv, args.out_dir, overwrite=args.overwrite
+        )
+        print(f"normalized → {args.out_dir}")
+    elif args.cmd == "load":
+        fact = mef_pipeline.load(spark, args.normalized_dir, args.warehouse)
+        print(f"fact rows: {fact.count()} → {args.warehouse}")
+    else:
+        base = mef_pipeline.register_views(spark, args.warehouse)
+        runners = {
+            "q1": lambda: Q.q1_ytd_by_sector(base, args.anio, args.mes_corte),
+            "q2": lambda: Q.q2_top_ejecutoras(base, args.anio, args.top or 5),
+            "q3": lambda: Q.q3_share_of_total(
+                base, args.anio, args.mes_corte, args.sector
+            ),
+            "q4": lambda: Q.q4_backlog(base, args.anio, args.mes_corte),
+            "q5": lambda: Q.q5_quarterly_evolution(
+                base, args.anio, args.anio_fin or args.anio
+            ),
+            "q6": lambda: Q.q6_rollup_year_sector(base),
+            "q7": lambda: Q.q7_topn_year(base, args.anio, args.top or 10),
+        }
+        runners[args.name]().show(50, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,9 +42,14 @@ def normalize_key_cols(df: DataFrame, dim: Dim) -> DataFrame:
     out = df
     for k in dim.key:
         if k in dim.int_keys:
-            out = out.withColumn(k, F.col(k).cast("int"))
+            out = out.withColumn(k, F.col(k).try_cast("int"))
         else:
-            out = out.withColumn(k, F.trim(F.col(k).cast("string")))
+            # NULL → "" like the loader's string normalization — otherwise a
+            # NULL key never equals itself in the upsert anti-join and the
+            # same dim row re-appends on every load
+            out = out.withColumn(
+                k, F.coalesce(F.trim(F.col(k).cast("string")), F.lit(""))
+            )
     return out
 
 
@@ -76,8 +81,16 @@ def upsert_dim(
     fresh = incoming.dropDuplicates(list(keys))
     if existing is None:
         return fresh
-    new_rows = fresh.join(F.broadcast(existing), list(keys), "left_anti")
-    return existing.unionByName(new_rows)
+    inc, ex = fresh.alias("inc"), existing.alias("ex")
+    # null-safe equality: an int key may legitimately be NULL (e.g. a dim
+    # whose raw column is absent); NULL must match NULL or the row
+    # re-appends forever
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"inc.{k}").eqNullSafe(F.col(f"ex.{k}")) for k in keys],
+    )
+    new_rows = inc.join(F.broadcast(ex), cond, "left_anti")
+    return existing.unionByName(new_rows.select(existing.columns))
 
 
 def resolve_fks(

@@ -1,0 +1,161 @@
+"""End-to-end MEF pipeline: the reference's three entry points, Spark-first.
+
+Reference lifecycle (SURVEY.md §3):
+
+1. transform — ``python etl/transformar_mensual.py [years] [--overwrite]``
+   (ETL Gasto publico Perú/etl/transformar_mensual.py:201-239): CSV →
+   normalize → one Parquet per year.
+2. load — ``python etl/cargar_postgres.py [years] ...``
+   (etl/cargar_postgres.py:270-388): Parquet → dims upsert → FK resolve →
+   consolidate → fact insert.
+3. serve — views + the five analytics queries
+   (sql/CreacionDeUsuariosyVistas.sql, sql/ConsultasAlDataWarehouse.sql).
+
+Here each step is ONE lazy Spark plan; there is no chunk loop, no driver
+concat, no per-batch DB round-trip.  The warehouse is a directory of
+Parquet tables:
+
+    <warehouse>/dim_tiempo/            (252-row generated calendar)
+    <warehouse>/dim_<name>/            (7 extracted dimensions)
+    <warehouse>/fact_gasto_mensual/    (partitioned by anio)
+
+Scale: the fact is partitioned by ``anio`` so every year-filtered query
+prunes partitions; dims stay broadcast-sized; the only wide shuffle in the
+load is the grain consolidation.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import normalize, star
+from ..operators.timedim import build_time_dim
+from ..schema import DIMENSIONS, FACT_FKS, METRICS
+from ..sources.csv_source import read_monthly_csv
+from . import views as V
+
+
+def _snake(raw: str) -> str:
+    return raw.lower()
+
+
+#: raw UPPER column → star snake column.  The reference's PRJ7 rename
+#: (cargar_postgres.py:159-233); generated from the schema so the two can
+#: never drift, with the one irregular mapping spelled out.
+RENAME_MAP: dict[str, str] = {
+    "ANO_EJE": "anio",
+    "MES_EJE": "mes",
+    "NIVEL_GOBIERNO": "nivel_gobierno_codigo",
+    "NIVEL_GOBIERNO_NOMBRE": "nivel_gobierno_nombre",
+    **{
+        c.upper(): c
+        for dim in DIMENSIONS[1:]
+        for c in dim.columns
+    },
+    **{m.upper(): m for m in METRICS},
+}
+
+
+def transform(
+    spark: SparkSession,
+    raw_csv: str,
+    out_dir: str,
+    overwrite: bool = False,
+) -> DataFrame:
+    """Transform stage: raw CSV → normalized Parquet partitioned by year.
+
+    ``mode=ignore`` reproduces the skip-if-exists idempotency gate
+    (transformar_mensual.py:121-123)."""
+    df = read_monthly_csv(spark, raw_csv)
+    normalized = normalize.normalize_monthly(df)
+    normalized.write.mode("overwrite" if overwrite else "ignore").partitionBy(
+        "ANO_EJE"
+    ).parquet(out_dir)
+    return normalized
+
+
+def _star_records(normalized: DataFrame) -> DataFrame:
+    """PRJ7: rename to star vocabulary and attach tiempo_id."""
+    renamed = normalized.select(
+        *[
+            F.col(raw).alias(snake)
+            for raw, snake in RENAME_MAP.items()
+            if raw in normalized.columns
+        ]
+    )
+    return renamed.withColumn(
+        "tiempo_id", F.col("anio").cast("long") * 100 + F.col("mes")
+    )
+
+
+def load(
+    spark: SparkSession, normalized_dir: str, warehouse: str
+) -> DataFrame:
+    """Load stage: normalized Parquet → star warehouse (idempotent).
+
+    Replaces the reference's per-batch read-dim/insert/re-read/join cycle
+    (cargar_postgres.py:283-363) with: per-dim anti-join upsert against the
+    stored dim, inline hash surrogate ids on the fact side, one grain
+    consolidation, and a grain-keyed anti-join fact append.  Re-loading the
+    same input is a no-op (the ON CONFLICT DO NOTHING property)."""
+    wh = Path(warehouse)
+    normalized = spark.read.parquet(normalized_dir)
+    records = _star_records(normalized)
+
+    time_dim = build_time_dim(spark)
+    time_dim.write.mode("overwrite").parquet(str(wh / "dim_tiempo"))
+
+    for dim in DIMENSIONS:
+        incoming = star.extract_dim(records, dim)
+        dim_path = wh / dim.name
+        existing = (
+            spark.read.parquet(str(dim_path)) if dim_path.exists() else None
+        )
+        merged = star.upsert_dim(existing, incoming, dim.key)
+        # localCheckpoint: materialize before overwriting the directory we
+        # just read from (classic read-modify-write hazard)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            str(dim_path)
+        )
+
+    resolved = star.resolve_fks(records, DIMENSIONS)
+    complete = star.fk_complete_filter(
+        resolved, [d.id_col for d in DIMENSIONS]
+    )
+    fact_cols = [*FACT_FKS, *METRICS, "anio"]
+    batch = complete.select(
+        *[c for c in fact_cols if c in complete.columns]
+    )
+    fact_path = wh / "fact_gasto_mensual"
+    existing_fact = (
+        spark.read.parquet(str(fact_path)) if fact_path.exists() else None
+    )
+    merged = star.append_fact(
+        existing_fact, batch, grain=[*FACT_FKS, "anio"], metrics=METRICS
+    )
+    merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+        "anio"
+    ).parquet(str(fact_path))
+    return spark.read.parquet(str(fact_path))
+
+
+def register_views(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Serve stage: register vw_gasto_mensual / agregado views (V:21-196)."""
+    wh = Path(warehouse)
+    fact = spark.read.parquet(str(wh / "fact_gasto_mensual"))
+    time_dim = spark.read.parquet(str(wh / "dim_tiempo"))
+    dims = {
+        d.name: spark.read.parquet(str(wh / d.name)) for d in DIMENSIONS
+    }
+    base = V.star_denormalize(fact.drop("anio"), time_dim, dims)
+    base.createOrReplaceTempView("vw_gasto_mensual")
+    V.vw_gasto_agregado_mensual(base).createOrReplaceTempView(
+        "vw_gasto_agregado_mensual"
+    )
+    V.vw_gasto_agregado_anual(base).createOrReplaceTempView(
+        "vw_gasto_agregado_anual"
+    )
+    return base

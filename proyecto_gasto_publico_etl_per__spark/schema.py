@@ -51,12 +51,13 @@ class Dim:
         key: tuple[str, ...],
         attrs: tuple[str, ...] = (),
         int_keys: tuple[str, ...] = (),
+        id_col: str | None = None,
     ) -> None:
         self.name = name
         self.key = key
         self.attrs = attrs
         self.int_keys = int_keys
-        self.id_col = f"{name.removeprefix('dim_')}_id"
+        self.id_col = id_col or f"{name.removeprefix('dim_')}_id"
 
     @property
     def columns(self) -> tuple[str, ...]:
@@ -152,6 +153,8 @@ DIMENSIONS: tuple[Dim, ...] = (
             "especifica_det_nombre",
         ),
         int_keys=("tipo_transaccion",),
+        # the reference abbreviates this FK (CreacionDeDataWareHouse.sql:124)
+        id_col="clasif_gasto_id",
     ),
 )
 

@@ -1,0 +1,90 @@
+"""End-to-end MEF pipeline test: CSV → transform → load → views → Q1.
+
+Exercises the full reference lifecycle (SURVEY.md §3) on a tiny synthetic
+raw file, including the idempotent re-load property."""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.plans import mef_pipeline
+from proyecto_gasto_publico_etl_per__spark.plans import queries as Q
+
+HEADER = [
+    "ANO_EJE", "MES_EJE", "NIVEL_GOBIERNO", "NIVEL_GOBIERNO_NOMBRE",
+    "SEC_EJEC", "EJECUTORA_CODIGO", "EJECUTORA_NOMBRE", "SECTOR_CODIGO",
+    "SECTOR_NOMBRE", "MONTO_PIA", "MONTO_PIM", "MONTO_DEVENGADO",
+]
+
+
+def _write_csv(path: Path, rows: list[list[str]]) -> None:
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(HEADER)
+        w.writerows(rows)
+
+
+@pytest.fixture()
+def raw_csv(tmp_path):
+    p = tmp_path / "2024-Gasto-Mensual.csv"
+    _write_csv(
+        p,
+        [
+            ["2024", "1", "E", "GOBIERNO NACIONAL", "001", "E1",
+             " Ejecutora   Uno ", "01", "SALUD", "100.5", "110", "90"],
+            ["2024", "1", "E", "GOBIERNO NACIONAL", "001", "E1",
+             "Ejecutora Uno", "01", "SALUD", "50", "55", "45.25"],  # same grain
+            ["2024", "2", "R", "GOBIERNO REGIONAL", "002", "E2",
+             "Ejecutora Dos", "02", "EDUCACION", "200", "220", "180"],
+            ["bad", "1", "E", "x", "003", "E3", "x", "03", "x", "1", "1", "1"],
+            ["2024", "13", "E", "x", "004", "E4", "x", "04", "x", "1", "1", "1"],
+        ],
+    )
+    return str(p)
+
+
+def test_full_pipeline(spark, tmp_path, raw_csv):
+    norm_dir = str(tmp_path / "normalized")
+    wh = str(tmp_path / "warehouse")
+
+    normalized = mef_pipeline.transform(spark, raw_csv, norm_dir)
+    stored = spark.read.parquet(norm_dir)
+    assert stored.count() == 3  # two junk rows filtered
+
+    fact = mef_pipeline.load(spark, norm_dir, wh)
+    # grain consolidation collapsed the duplicate (2024-01, E1) rows
+    assert fact.count() == 2
+    sums = {
+        r.anio_mes: float(r.pia)
+        for r in fact.groupBy(
+            F.col("tiempo_id").alias("anio_mes")
+        ).agg(F.sum("monto_pia").alias("pia")).collect()
+    }
+    assert sums[202401] == 150.5
+    assert sums[202402] == 200.0
+
+    # idempotency: re-loading the same input must not change the fact
+    fact2 = mef_pipeline.load(spark, norm_dir, wh)
+    assert fact2.count() == 2
+    total = fact2.agg(F.sum("monto_pia").alias("t")).collect()[0].t
+    assert float(total) == 350.5
+
+    base = mef_pipeline.register_views(spark, wh)
+    # the denormalized view carries dim attributes + calendar columns
+    assert {"anio", "mes", "trimestre", "sector_nombre",
+            "ejecutora_nombre"} <= set(base.columns)
+    # text cleaning normalized the dim attribute at extraction time
+    names = {r.ejecutora_nombre for r in base.select("ejecutora_nombre").collect()}
+    assert "Ejecutora Uno" in names
+
+    q1 = Q.q1_ytd_by_sector(base, 2024, 6).collect()
+    by_sector = {r.sector_nombre: r.devengado_ytd for r in q1}
+    assert by_sector == {"EDUCACION": 180.0, "SALUD": 135.25}
+
+    # views are queryable through Spark SQL (the BI path, SURVEY.md §3.3)
+    n = spark.sql("SELECT count(*) AS n FROM vw_gasto_mensual").collect()[0].n
+    assert n == 2
