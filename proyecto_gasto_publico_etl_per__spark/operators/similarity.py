@@ -11,6 +11,11 @@
   ranks within the bucket.
 - Embedding near-dup pairs: cosine ≥ threshold via the same LSH buckets
   (dedup family member, SURVEY extension).
+- IVF (inverted-file) top-k: the other classic scale path.  A tiny coarse
+  quantizer (the centroid set) is the model artifact; every corpus vector
+  is assigned to its nearest centroid in a single map-only pass (centroids
+  ride along as a literal/broadcast — no shuffle), and queries search only
+  their ``nprobe`` nearest inverted lists.
 
 All cosine math is double-precision, presented on an integer grid
 (``score_q``) so thresholds and rank order are engine-reproducible.
@@ -18,7 +23,9 @@ All cosine math is double-precision, presented on an integer grid
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 
@@ -171,6 +178,128 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q3"), "neighbor_id")
     return (
         joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score_q3", "rk")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> list[Row]:
+    """Coarse-quantizer centroids: the ``n_centroids`` lowest-id vectors.
+
+    Deterministic sample init (the same init k-means starts from); at scale
+    you would refine these offline and store them — the engine only needs
+    SOME small centroid set, and which one is a quality knob, not a
+    correctness one.  The collect is a model artifact a few KB in size,
+    not a data collect.
+    """
+    return corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+
+
+def _centroid_literal(
+    cents: Sequence[Row], id_col: str, vec_col: str
+) -> Column:
+    """The centroid set as one literal array<struct<cid,cvec>> column, so
+    assignment below is whole-stage-codegen map work with no join at all."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r[id_col])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("cvec"),
+            )
+            for r in cents
+        ]
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    cent_lit: Column,
+    vec_col: str,
+    out: str = "cid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max quantized cosine,
+    ties to the lowest centroid id).  Map-only: argmax over the literal
+    centroid array — the inverted-list build never shuffles the corpus."""
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            score_q(F.col(vec_col), c.cvec).alias("s"),
+            (-c.cid).alias("ncid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return df.withColumn(out, (-best["ncid"]).cast("int"))
+
+
+def ivf_probe(
+    df: DataFrame,
+    cent_lit: Column,
+    vec_col: str,
+    nprobe: int,
+    out: str = "cid",
+) -> DataFrame:
+    """Explode each query row into its ``nprobe`` nearest centroid ids
+    (score desc, centroid id asc on ties)."""
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (-score_q(F.col(vec_col), c.cvec)).alias("ns"),
+            c.cid.alias("cid"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored), 1, nprobe)
+    return df.withColumn(
+        out, F.explode(F.transform(probes, lambda p: p["cid"]))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine rank over the ``nprobe``
+    inverted lists nearest to each query.
+
+    At 100 TB: assignment is a map-only pass over the corpus (typically
+    persisted once, partitioned BY cid so a probe prunes partitions); the
+    probe side is small and broadcast, so search touches only
+    nprobe/n_centroids of the data and never shuffles the corpus.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cent_lit = _centroid_literal(cents, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        cent_lit,
+        "cvec",
+    )
+    probed = ivf_probe(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        cent_lit,
+        "qvec",
+        nprobe,
+    )
+    cand = (
+        assigned.join(F.broadcast(probed), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score_q3", score_q(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q3"), "neighbor_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "score_q3", "rk")
     )

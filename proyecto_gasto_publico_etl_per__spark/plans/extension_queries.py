@@ -469,6 +469,66 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10))
 
 
+_IVF_SQL = """
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    assign AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT corpus.vec_id, corpus.vec, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY CAST(floor(list_cosine_similarity(vec, cvec) * 1000
+                               + 0.5) AS BIGINT) DESC, cents.cid
+               ) AS ark
+        FROM corpus CROSS JOIN cents
+      ) WHERE ark = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, cid FROM (
+        SELECT q.vec_id AS query_id, q.vec AS qvec, cents.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(floor(list_cosine_similarity(q.vec, cents.cvec)
+                               * 1000 + 0.5) AS BIGINT) DESC, cents.cid
+               ) AS prk
+        FROM (SELECT * FROM corpus WHERE vec_id < 10) q CROSS JOIN cents
+      ) WHERE prk <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(floor(list_cosine_similarity(p.qvec, a.vec) * 1000 + 0.5)
+                  AS BIGINT) AS score_q3
+      FROM probes p JOIN assign a USING (cid)
+      WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score_q3,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+             ) AS INT) AS rk
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("sim_topk_ivf", _IVF_SQL.format(n_centroids=16, nprobe=4))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: 16 deterministic sample-init centroids,
+    4-probe search over the inverted lists (operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
 @register(
     "embedding_neardup",
     f"""

@@ -159,6 +159,43 @@ def test_lsh_topk_subset_of_bucket(spark):
             assert r.score_q3 <= best_brute[r.query_id]
 
 
+def test_ivf_topk_valid_and_bounded_by_brute(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = similarity.brute_force_topk(emb, queries, k=5).collect()
+    ivf = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3).collect()
+    for r in ivf:
+        assert r.query_id != r.neighbor_id
+        assert 1 <= r.rk <= 5
+    # IVF's best hit can't beat the exact best, and a wide probe over a
+    # small corpus should recall a good chunk of the true top-5
+    best_brute = {r.query_id: r.score_q3 for r in brute if r.rk == 1}
+    for r in ivf:
+        if r.rk == 1:
+            assert r.score_q3 <= best_brute[r.query_id]
+    true_pairs = {(r.query_id, r.neighbor_id) for r in brute}
+    got_pairs = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert len(got_pairs & true_pairs) >= len(true_pairs) // 3
+
+
+def test_ivf_assignment_is_total_and_single(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    lit = similarity._centroid_literal(cents, "vec_id", "embedding")
+    assigned = similarity.ivf_assign(emb, lit, "embedding")
+    n = emb.count()
+    assert assigned.count() == n  # map-only: no row lost or duplicated
+    assert assigned.filter(F.col("cid").isNull()).count() == 0
+    cids = {r.cid for r in assigned.select("cid").distinct().collect()}
+    assert cids <= {int(r.vec_id) for r in cents}
+    # a centroid vector is its own nearest centroid
+    self_rows = {
+        r.vec_id: r.cid
+        for r in assigned.filter(F.col("vec_id") < 8).collect()
+    }
+    assert all(v == c for v, c in self_rows.items())
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello", "en", "s", 5), (2, "world!", "en", "s", 6)],
