@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_text, label_or_placeholder
 from ..functions.money import DEC, dsum
-from ..operators import normalize
+from ..operators import normalize, skew
 from ..operators.timedim import build_time_dim
 from ..plans import queries as Q
 from ..plans import views as V
@@ -587,6 +587,25 @@ def running_ytd_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k via row_number (distributed generalization of Q2)."""
     return Q.topk_per_group(build_star(spark, sf_dir), "sector_nombre", k=3)
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, p_name
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.salted_join — the salted plan must produce exactly
+    the rows of the plain equi-join (the oracle is the unsalted SQL)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    return skew.salted_join(li, part, ["l_partkey"], n_salt=8)
 
 
 # --- events (time-series batch analogs) --------------------------------------

@@ -1,0 +1,60 @@
+"""Salted-join skew mitigation (operators/skew.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.operators.skew import (
+    SALT_COL,
+    salted_join,
+)
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 97% of rows share one hot key — the shape salting exists for
+    big = spark.range(0, 1000).select(
+        F.when(F.col("id") < 970, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [("HOT", "hot-label"), ("k995", "cold-label")], "k STRING, label STRING"
+    )
+    return big, small
+
+
+def test_salted_inner_equals_plain_join(spark, skewed):
+    big, small = skewed
+    plain = big.join(small, ["k"]).collect()
+    salted = salted_join(big, small, ["k"], n_salt=8).collect()
+    key = lambda r: (r.k, r.payload, r.label)  # noqa: E731
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
+    assert len(salted) == 971  # 970 HOT + 1 cold
+
+
+def test_salted_left_keeps_unmatched(spark, skewed):
+    big, small = skewed
+    out = salted_join(big, small, ["k"], how="left", n_salt=4)
+    assert out.count() == 1000
+    assert out.filter(F.col("label").isNull()).count() == 29
+
+
+def test_salt_reaches_the_join_keys(spark, skewed):
+    big, small = skewed
+    plan = salted_join(big, small, ["k"], n_salt=8)._jdf.queryExecution().toString()
+    assert SALT_COL in plan  # the physical join really keys on (k, salt)
+
+
+def test_salted_join_rejects_other_join_types(spark, skewed):
+    big, small = skewed
+    with pytest.raises(ValueError):
+        salted_join(big, small, ["k"], how="full")
+
+
+def test_salt_column_name_collision_rejected(spark, skewed):
+    big, small = skewed
+    with pytest.raises(ValueError):
+        salted_join(big.withColumn(SALT_COL, F.lit(1)), small, ["k"])
