@@ -21,11 +21,13 @@ Spark restatement:
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..operators import normalize
 
 
 def incremental_load(
@@ -55,6 +57,53 @@ def incremental_load(
     query = (
         stream.writeStream.format("parquet")
         .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def streaming_transform(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    raw_columns: Sequence[str],
+    max_files_per_trigger: int = 16,
+):
+    """The reference's transform CLI as a continuous pipeline: raw monthly
+    CSVs land in ``raw_dir``, and each run normalizes exactly the files
+    not yet seen into year-partitioned Parquet.
+
+    Replaces the reference's skip-if-exists gate + per-file loop
+    (``ETL Gasto publico Perú/etl/transformar_mensual.py:121-123,201-239``)
+    with checkpointed source offsets — per-FILE exactly-once, so a
+    half-written month never double-counts.  ``raw_columns`` is the raw
+    header set (CSV streams need a declared schema; all-string, types are
+    normalization's job).
+
+    Returns the finished StreamingQuery (already awaited).
+    """
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in raw_columns]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "DROPMALFORMED")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(raw_dir)
+    )
+    normalized = normalize.normalize_monthly(stream)
+    query = (
+        normalized.writeStream.format("parquet")
+        .partitionBy("ANO_EJE")
+        .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)

@@ -10,6 +10,7 @@ from pyspark.sql import types as T
 
 from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
     incremental_load,
+    streaming_transform,
     windowed_event_counts,
 )
 
@@ -55,8 +56,56 @@ def test_incremental_load_exactly_once_per_file(spark):
         ) == [(1, "A"), (2, "B"), (3, "C")]
 
 
+RAW_HEADER = [
+    "ANO_EJE", "MES_EJE", "NIVEL_GOBIERNO", "NIVEL_GOBIERNO_NOMBRE",
+    "SECTOR_NOMBRE", "MONTO_PIA", "MONTO_DEVENGADO",
+]
+
+
+def _raw_csv(path: Path, rows: list[list[str]]) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    lines = [",".join(RAW_HEADER)] + [",".join(r) for r in rows]
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_streaming_transform_exactly_once_per_file(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        raw = Path(tmp, "raw")
+        out = str(Path(tmp, "normalized"))
+        ckpt = str(Path(tmp, "ckpt"))
+        _raw_csv(
+            raw / "2024-Gasto-Mensual.csv",
+            [
+                ["2024", "1", "E", "NACIONAL", "SALUD", "100.5", "90"],
+                ["bad", "1", "E", "x", "x", "1", "1"],  # filtered (FLT1)
+            ],
+        )
+
+        streaming_transform(spark, f"{raw}/*.csv", out, ckpt, RAW_HEADER)
+        first = spark.read.parquet(out)
+        assert first.count() == 1  # junk row dropped by the validity filter
+        row = first.collect()[0]
+        assert row.ANO_EJE == 2024 and str(row.FECHA) == "2024-01-01"
+        # full normalization ran: 67-column conformed schema + FECHA
+        assert "SEC_EJEC" in first.columns and "FECHA" in first.columns
+
+        # re-run with no new files: nothing reprocessed
+        streaming_transform(spark, f"{raw}/*.csv", out, ckpt, RAW_HEADER)
+        assert spark.read.parquet(out).count() == 1
+
+        # a new month lands: only it is processed, same year partition
+        _raw_csv(
+            raw / "2024-Gasto-Mensual-02.csv",
+            [["2024", "2", "R", "REGIONAL", "EDUCACION", "200", "180"]],
+        )
+        streaming_transform(spark, f"{raw}/*.csv", out, ckpt, RAW_HEADER)
+        months = sorted(
+            r.MES_EJE for r in spark.read.parquet(out).collect()
+        )
+        assert months == [1, 2]
+
+
 def test_windowed_event_counts_matches_batch_groupby(spark):
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
