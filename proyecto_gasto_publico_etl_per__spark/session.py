@@ -29,6 +29,12 @@ DEFAULT_CONF: dict[str, str] = {
     # raise the threshold so Catalyst never degrades a dim join to SMJ.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # the default 4 MiB open-cost floor caps scan parallelism on small-to-
+    # medium files (a 10 MB file → 3 splits on 32 cores); 512 KiB is a
+    # truer per-file open cost on modern storage.  At 100 TB the 128 MiB
+    # maxPartitionBytes above governs instead, so this only affects the
+    # small-file end.
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
     "spark.sql.shuffle.partitions": "32",
 }
 
