@@ -305,3 +305,75 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- duplicate-cluster assignment (connected components) ---------------------
+
+
+def cluster_duplicates(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Assign every document appearing in a near-dup pair to a cluster:
+    the connected component of the pair graph, labeled by its minimum id
+    (so each cluster's canonical keeper is deterministic).
+
+    Iterative min-label propagation with a pointer-jumping contraction
+    each round, so convergence is O(log diameter) joins rather than
+    O(diameter).  Each round localCheckpoints to cut lineage (an
+    iterative algorithm would otherwise stack plans).  At 100 TB this is
+    the standard large-scale connected-components shape: all state is
+    (id, label) pairs, every step an equi-join + min-aggregate.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        proposed = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: follow label -> its label once, halving chains
+        lbl2 = proposed.select(
+            F.col("id").alias("lid"), F.col("label").alias("llabel")
+        )
+        jumped = (
+            proposed.join(lbl2, proposed.label == lbl2.lid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("llabel"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -183,6 +183,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("hamming", F.col("hamming").cast("int"))
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_DOCS_CTE}, {_JACCARD_CTE},
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION
+      SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the Jaccard near-dup graph: every paired
+    doc labeled with its cluster's minimum doc id (the transitive-closure
+    semantics the recursive oracle states declaratively)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    )
+    return dedup.cluster_duplicates(pairs)
+
+
 # --- text analysis -----------------------------------------------------------
 
 

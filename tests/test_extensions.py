@@ -221,3 +221,18 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_cluster_duplicates_components(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
+        cluster_duplicates,
+    )
+
+    # two components: a chain {1-2, 2-3, 3-4} and a pair {10-11}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (11, 10)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in cluster_duplicates(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
