@@ -96,6 +96,105 @@ def extract_features(assets: DataFrame, dim: int = 4) -> DataFrame:
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def decode_audio(payload: bytes) -> Any:
+    """Real decode — requires an audio codec (soundfile/librosa), absent here."""
+    raise NotImplementedError(
+        "audio decoding requires a codec library not present in this "
+        "container; the plumbing operators use deterministic fakes"
+    )
+
+
+def _fake_resized(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: a payload
+    derived from (md5(payload), target dims).  Real impl decodes with a
+    codec and re-encodes; only these bytes change, not the plumbing."""
+    seed = hashlib.md5(
+        payload + f":{width}x{height}".encode()
+    ).digest()
+    return seed * (width * height // len(seed) + 1)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Resize every image payload to (width, height) — asset schema in,
+    asset schema out, so resizes compose with any other asset operator.
+
+    Plumbing is real (Arrow batches, meta updated with the new dims,
+    non-image rows pass through untouched); the codec call is the
+    deterministic fake above.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            is_img = (out["media_type"] == "image") & out["payload"].notna()
+            out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(
+                lambda b: _fake_resized(bytes(b), width, height)
+            )
+            out.loc[is_img, "meta"] = out.loc[is_img, "meta"].map(
+                lambda m: {
+                    **(dict(m) if m is not None else {}),
+                    "width": str(width),
+                    "height": str(height),
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(batches, ASSET_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced frames from each video payload —
+    a row-expanding mapInPandas (one input row → n output rows), the shape
+    a real video pipeline needs.  Non-video rows produce no frames.
+
+    The fake 'decoder' slices the payload into n_frames spans; a real one
+    would seek the container. The expansion factor is bounded per batch,
+    so executor memory stays O(batch × n_frames).  Asset meta passes
+    through unchanged on every frame row (row repetition keeps the Arrow
+    column backing — freshly built map columns don't round-trip).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            video = pdf[
+                (pdf["media_type"] == "video") & pdf["payload"].notna()
+            ]
+            if video.empty:
+                continue
+            rep = video.loc[video.index.repeat(n_frames)]
+            idx = list(range(n_frames)) * len(video)
+            frames = [
+                bytes(p)[
+                    i * max(1, len(bytes(p)) // n_frames) : (i + 1)
+                    * max(1, len(bytes(p)) // n_frames)
+                ]
+                for p, i in zip(rep["payload"], idx)
+            ]
+            out = pd.DataFrame(
+                {
+                    "asset_id": rep["asset_id"].values,
+                    "frame_idx": pd.array(idx, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+            out["meta"] = rep["meta"].values
+            yield out
+
+    return assets.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def documents_as_assets(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as an opaque payload so the
     multimodal path can be exercised (and oracle-checked) on the synthetic

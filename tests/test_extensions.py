@@ -236,3 +236,41 @@ def test_cluster_duplicates_components(spark):
         r.doc_id: r.cluster_id for r in cluster_duplicates(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_resize_images_plumbing(spark):
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"imgbytes"), {"src": "a"}),
+            (2, "audio", bytearray(b"wavbytes"), None),
+        ],
+        multimodal.ASSET_SCHEMA,
+    )
+    out = {r.asset_id: r for r in multimodal.resize_images(assets, 8, 8).collect()}
+    assert set(out) == {1, 2}
+    # image payload replaced + dims stamped into meta
+    assert bytes(out[1].payload) != b"imgbytes"
+    assert out[1].meta["width"] == "8" and out[1].meta["height"] == "8"
+    # non-image rows pass through untouched
+    assert bytes(out[2].payload) == b"wavbytes" and out[2].meta is None
+    # deterministic: same input → same bytes
+    again = {r.asset_id: r for r in multimodal.resize_images(assets, 8, 8).collect()}
+    assert bytes(again[1].payload) == bytes(out[1].payload)
+
+
+def test_sample_frames_expands_videos_only(spark):
+    assets = spark.createDataFrame(
+        [
+            (1, "video", bytearray(bytes(range(64))), {"src": "v"}),
+            (2, "image", bytearray(b"img"), None),
+        ],
+        multimodal.ASSET_SCHEMA,
+    )
+    frames = multimodal.sample_frames(assets, n_frames=4).collect()
+    assert {r.asset_id for r in frames} == {1}
+    assert sorted(r.frame_idx for r in frames) == [0, 1, 2, 3]
+    # evenly-spaced 16-byte spans of the 64-byte payload
+    by_idx = {r.frame_idx: bytes(r.frame) for r in frames}
+    assert by_idx[0] == bytes(range(16)) and by_idx[3] == bytes(range(48, 64))
+    # asset meta rides along on every frame row
+    assert all(r.meta == {"src": "v"} for r in frames)
