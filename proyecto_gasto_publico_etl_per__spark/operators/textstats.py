@@ -176,3 +176,20 @@ def shingle_fingerprint(col: Column | str, n: int = 8) -> Column:
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
     )
     return F.array_min(hashes)
+
+
+# --- PII redaction -----------------------------------------------------------
+
+#: portable regexes (same semantics in Java regex and RE2/DuckDB): emails
+#: and long digit runs (phone/account numbers)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGITS_RE = r"[0-9]{7,}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub obvious PII from text: emails → <EMAIL>, 7+-digit runs →
+    <NUM>.  Pure regexp_replace — JVM-side, codegen'd, no UDF — so it runs
+    at scan speed over a 100 TB corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, DIGITS_RE, "<NUM>")

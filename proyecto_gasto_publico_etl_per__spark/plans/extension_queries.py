@@ -238,9 +238,8 @@ def _lang_scores_sql() -> str:
     return ", ".join([*parts, zh])
 
 
-@register(
-    "lang_id",
-    rf"""
+def _lang_sql() -> str:
+    return rf"""
     WITH base AS (
       SELECT doc_id, lang,
              ' ' || lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
@@ -264,8 +263,10 @@ def _lang_scores_sql() -> str:
     SELECT s.doc_id, s.lang, s.score_en, s.score_es, s.score_de, s.score_fr,
            s.score_zh, b.lang_pred
     FROM scored s JOIN best b ON s.doc_id = b.doc_id AND b.rn = 1
-    """,
-)
+    """
+
+
+@register("lang_id", _lang_sql())
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID with ground-truth column for auditing."""
     docs = load_table(spark, sf_dir, "documents")
@@ -282,9 +283,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_stats",
-    r"""
+_QUALITY_SQL = r"""
     WITH base AS (
       SELECT doc_id,
              regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS clean,
@@ -334,8 +333,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
                        ELSE 0 END) <= 0.3) AS quality_ok
     FROM m
-    """,
-)
+    """
+
+
+@register("quality_stats", _QUALITY_SQL)
 def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals + composite flag."""
     docs = load_table(spark, sf_dir, "documents")
@@ -349,6 +350,57 @@ def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "upper_ratio",
         "stopword_ratio",
         "quality_ok",
+    )
+
+
+@register(
+    "corpus_select",
+    f"""
+    WITH q AS ({_QUALITY_SQL}), l AS ({_lang_sql()})
+    SELECT q.doc_id, l.lang_pred, q.n_tokens, q.stopword_ratio
+    FROM q JOIN l ON q.doc_id = l.doc_id
+    WHERE q.quality_ok AND l.lang_pred = 'en'
+      AND q.n_tokens BETWEEN 5 AND 500
+    """,
+)
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-corpus selection: quality gate × language
+    gate × token-length band, composed from the audited signal operators
+    — one broadcast-free join on doc_id (both sides partition-align)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = textstats.quality_stats(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "quality_ok"
+    )
+    l = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        q.join(l, "doc_id")
+        .where(
+            F.col("quality_ok")
+            & (F.col("lang_pred") == "en")
+            & F.col("n_tokens").between(5, 500)
+        )
+        .select("doc_id", "lang_pred", "n_tokens", "stopword_ratio")
+    )
+
+
+@register(
+    "text_redact",
+    rf"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(coalesce(text, ''),
+                            '{textstats.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{textstats.DIGITS_RE}', '<NUM>', 'g') AS text_redacted
+    FROM documents
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails, long digit runs) as pure JVM regexp_replace."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.redact_pii(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text_redacted"),
     )
 
 

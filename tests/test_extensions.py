@@ -274,3 +274,23 @@ def test_sample_frames_expands_videos_only(spark):
     assert by_idx[0] == bytes(range(16)) and by_idx[3] == bytes(range(48, 64))
     # asset meta rides along on every frame row
     assert all(r.meta == {"src": "v"} for r in frames)
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at john.doe+spam@example.co.uk thanks"),
+            (2, "call 5551234567 or 123456 (short stays)"),
+            (3, "no pii here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r.doc_id: r.red
+        for r in df.select(
+            "doc_id", textstats.redact_pii("text").alias("red")
+        ).collect()
+    }
+    assert out[1] == "contact me at <EMAIL> thanks"
+    assert out[2] == "call <NUM> or 123456 (short stays)"  # 6 digits kept
+    assert out[3] == "no pii here"
