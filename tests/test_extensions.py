@@ -294,3 +294,43 @@ def test_redact_pii(spark):
     assert out[1] == "contact me at <EMAIL> thanks"
     assert out[2] == "call <NUM> or 123456 (short stays)"  # 6 digits kept
     assert out[3] == "no pii here"
+
+
+def test_cluster_duplicates_matches_union_find_on_random_graphs(spark):
+    """Property: the distributed label propagation equals a driver-side
+    union-find on randomized pair graphs (seeded for reproducibility)."""
+    import random
+
+    from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
+        cluster_duplicates,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {v for e in edges for v in e}
+        expected = {v: find(v) for v in nodes}
+
+        pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in cluster_duplicates(pairs).collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -88,3 +88,25 @@ def test_full_pipeline(spark, tmp_path, raw_csv):
     # views are queryable through Spark SQL (the BI path, SURVEY.md §3.3)
     n = spark.sql("SELECT count(*) AS n FROM vw_gasto_mensual").collect()[0].n
     assert n == 2
+
+
+def test_fact_year_filter_prunes_partitions(spark, tmp_path, raw_csv):
+    """The fact is partitioned by anio; a year predicate must reach the
+    scan as a partition filter (file-level pruning — the property that
+    keeps year-scoped queries O(year) not O(warehouse) at 100 TB)."""
+    norm_dir = str(tmp_path / "normalized")
+    wh = str(tmp_path / "warehouse")
+    mef_pipeline.transform(spark, raw_csv, norm_dir)
+    mef_pipeline.load(spark, norm_dir, wh)
+
+    fact = spark.read.parquet(f"{wh}/fact_gasto_mensual")
+    plan = (
+        fact.filter(F.col("anio") == 2024)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*anio[^\]]*\]", plan)
+    assert m, f"no partition filter on anio in plan:\n{plan[:2000]}"
