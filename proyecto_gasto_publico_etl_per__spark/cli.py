@@ -29,9 +29,13 @@ def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(prog="gasto-engine")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    t = sub.add_parser("transform", help="raw CSV → normalized parquet")
+    t = sub.add_parser("transform", help="raw CSV (file or dir) → normalized parquet")
     t.add_argument("raw_csv")
     t.add_argument("out_dir")
+    t.add_argument(
+        "years", nargs="*", type=int,
+        help="restrict a raw DIRECTORY to these years (reference CLI parity)",
+    )
     t.add_argument("--overwrite", action="store_true")
 
     ld = sub.add_parser("load", help="normalized parquet → star warehouse")
@@ -53,10 +57,25 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("gasto-engine-cli")
 
     if args.cmd == "transform":
-        out = mef_pipeline.transform(
-            spark, args.raw_csv, args.out_dir, overwrite=args.overwrite
+        from pathlib import Path
+
+        from .sources.csv_source import discover_year_files
+
+        raw = Path(args.raw_csv)
+        files = (
+            discover_year_files(raw, args.years or None)
+            if raw.is_dir()
+            else [raw]
         )
-        print(f"normalized → {args.out_dir}")
+        if not files:
+            raise SystemExit(f"no matching yearly CSVs under {raw}")
+        mef_pipeline.transform(
+            spark,
+            [str(f) for f in files],
+            args.out_dir,
+            overwrite=args.overwrite,
+        )
+        print(f"normalized {len(files)} file(s) → {args.out_dir}")
     elif args.cmd == "load":
         fact = mef_pipeline.load(spark, args.normalized_dir, args.warehouse)
         print(f"fact rows: {fact.count()} → {args.warehouse}")

@@ -61,14 +61,16 @@ RENAME_MAP: dict[str, str] = {
 
 def transform(
     spark: SparkSession,
-    raw_csv: str,
+    raw_csv: str | list[str],
     out_dir: str,
     overwrite: bool = False,
 ) -> DataFrame:
-    """Transform stage: raw CSV → normalized Parquet partitioned by year.
+    """Transform stage: raw CSV(s) → normalized Parquet partitioned by year.
 
-    ``mode=ignore`` reproduces the skip-if-exists idempotency gate
-    (transformar_mensual.py:121-123)."""
+    Accepts one path or a list (the CLI's year-filtered file set) — a
+    multi-file input is ONE lazy plan, not the reference's per-file loop
+    (transformar_mensual.py:226-239).  ``mode=ignore`` reproduces the
+    skip-if-exists idempotency gate (transformar_mensual.py:121-123)."""
     df = read_monthly_csv(spark, raw_csv)
     normalized = normalize.normalize_monthly(df)
     normalized.write.mode("overwrite" if overwrite else "ignore").partitionBy(

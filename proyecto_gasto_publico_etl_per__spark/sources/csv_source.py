@@ -15,19 +15,51 @@ by forcing a tiny action and fall through on decode errors.
 
 from __future__ import annotations
 
+import re
+from collections.abc import Iterable
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: transformar_mensual.py:131: utf-8 first, BOM variant, then latin-1.
 ENCODINGS: tuple[str, ...] = ("UTF-8", "ISO-8859-1")
 
+#: transformar_mensual.py:112-118: yearly extract filenames, daily files
+#: excluded.
+YEAR_FILE_RE = re.compile(r"^(20\d{2})-Gasto(-Mensual)?\.csv$", re.IGNORECASE)
+
+
+def discover_year_files(
+    raw_dir: str | Path,
+    years: Iterable[int] | None = None,
+) -> list[Path]:
+    """SRC5/FLT8/SRT4 — glob the raw zone for yearly extracts, keep files
+    matching the ``<year>-Gasto[-Mensual].csv`` pattern (never ``Diario``),
+    optionally restricted to requested years, sorted by (year, name) —
+    the reference CLI's file-planning step
+    (transformar_mensual.py:208-224)."""
+    wanted = set(years) if years else None
+    found: list[tuple[int, str, Path]] = []
+    for p in Path(raw_dir).glob("*.csv"):
+        m = YEAR_FILE_RE.match(p.name)
+        if not m or "diario" in p.name.lower():
+            continue
+        year = int(m.group(1))
+        if wanted is not None and year not in wanted:
+            continue
+        found.append((year, p.name, p))
+    return [p for _, _, p in sorted(found)]
+
 
 def read_monthly_csv(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     encodings: tuple[str, ...] = ENCODINGS,
 ) -> DataFrame:
     """All-string CSV scan (SRC1/SRC2): header row, quoted fields, skip
-    malformed lines, types deferred to normalization (schema-on-read)."""
+    malformed lines, types deferred to normalization (schema-on-read).
+    ``path`` may be one file or a list — a list scans as one plan."""
+    paths = [str(p) for p in path] if isinstance(path, list) else str(path)
     last_err: Exception | None = None
     for enc in encodings:
         df = (
@@ -37,7 +69,7 @@ def read_monthly_csv(
             .option("mode", "DROPMALFORMED")
             .option("encoding", enc)
             .option("inferSchema", False)
-            .csv(path)
+            .csv(paths)
         )
         try:
             df.limit(1).collect()  # probe: decode errors surface here

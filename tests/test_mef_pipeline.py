@@ -110,3 +110,38 @@ def test_fact_year_filter_prunes_partitions(spark, tmp_path, raw_csv):
 
     m = re.search(r"PartitionFilters: \[[^\]]*anio[^\]]*\]", plan)
     assert m, f"no partition filter on anio in plan:\n{plan[:2000]}"
+
+
+def test_discover_year_files(tmp_path):
+    from proyecto_gasto_publico_etl_per__spark.sources.csv_source import (
+        discover_year_files,
+    )
+
+    names = [
+        "2023-Gasto.csv", "2024-Gasto-Mensual.csv", "2022-Gasto-Diario.csv",
+        "notes.csv", "2021-Gasto-Mensual.csv", "readme.txt",
+    ]
+    for n in names:
+        (tmp_path / n).write_text("x\n")
+    got = [p.name for p in discover_year_files(tmp_path)]
+    assert got == ["2021-Gasto-Mensual.csv", "2023-Gasto.csv",
+                   "2024-Gasto-Mensual.csv"]
+    got = [p.name for p in discover_year_files(tmp_path, years=[2023, 2024])]
+    assert got == ["2023-Gasto.csv", "2024-Gasto-Mensual.csv"]
+
+
+def test_cli_transform_directory_with_year_filter(spark, tmp_path):
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for year, mes in [("2023", "3"), ("2024", "1"), ("2025", "7")]:
+        _write_csv(
+            raw / f"{year}-Gasto-Mensual.csv",
+            [[year, mes, "E", "NACIONAL", "001", "E1", "Ej",
+              "01", "SALUD", "10", "11", "9"]],
+        )
+    out = str(tmp_path / "norm")
+    cli.main(["transform", str(raw), out, "2023", "2024"])
+    years = sorted(r.ANO_EJE for r in spark.read.parquet(out).collect())
+    assert years == [2023, 2024]  # 2025 excluded by the year filter
