@@ -103,8 +103,15 @@ def load(
     stored dim, inline hash surrogate ids on the fact side, one grain
     consolidation, and a grain-keyed anti-join fact append.  Re-loading the
     same input is a no-op (the ON CONFLICT DO NOTHING property)."""
+    return load_frame(spark, spark.read.parquet(normalized_dir), warehouse)
+
+
+def load_frame(
+    spark: SparkSession, normalized: DataFrame, warehouse: str
+) -> DataFrame:
+    """The load stage on an already-materialized normalized frame — shared
+    by the batch CLI and the streaming loader's per-micro-batch handler."""
     wh = Path(warehouse)
-    normalized = spark.read.parquet(normalized_dir)
     records = _star_records(normalized)
 
     time_dim = build_time_dim(spark)
@@ -142,6 +149,41 @@ def load(
         "anio"
     ).parquet(str(fact_path))
     return spark.read.parquet(str(fact_path))
+
+
+def streaming_load(
+    spark: SparkSession,
+    normalized_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+):
+    """Continuous load: normalized Parquet files land, each micro-batch
+    runs the SAME idempotent star load (dims upsert, FK resolve,
+    consolidate, grain anti-join append) via ``foreachBatch``.
+
+    Two idempotency layers compose: checkpointed source offsets give
+    exactly-once per FILE, and the grain anti-join makes even a replayed
+    batch a no-op — the streaming restatement of the reference's
+    resumable batch ranges + ``ON CONFLICT DO NOTHING``
+    (cargar_postgres.py:322-330,379-388).
+
+    Returns the finished StreamingQuery (already awaited).
+    """
+    schema = spark.read.parquet(normalized_dir).schema
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        load_frame(spark, batch, warehouse)
+
+    query = (
+        spark.readStream.schema(schema)
+        .parquet(normalized_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
 
 
 def register_views(spark: SparkSession, warehouse: str) -> DataFrame:

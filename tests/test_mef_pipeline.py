@@ -145,3 +145,43 @@ def test_cli_transform_directory_with_year_filter(spark, tmp_path):
     cli.main(["transform", str(raw), out, "2023", "2024"])
     years = sorted(r.ANO_EJE for r in spark.read.parquet(out).collect())
     assert years == [2023, 2024]  # 2025 excluded by the year filter
+
+
+def test_streaming_load_continuous_warehouse(spark, tmp_path, raw_csv):
+    """Normalized files arrive over time; each streaming_load run folds
+    exactly the new ones into the star warehouse, idempotently."""
+    norm_dir = str(tmp_path / "normalized")
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    mef_pipeline.transform(spark, raw_csv, norm_dir)
+    mef_pipeline.streaming_load(spark, norm_dir, wh, ckpt)
+    fact = spark.read.parquet(f"{wh}/fact_gasto_mensual")
+    assert fact.count() == 2  # consolidated grain, as in the batch load
+
+    # nothing new: re-run leaves the warehouse untouched
+    mef_pipeline.streaming_load(spark, norm_dir, wh, ckpt)
+    assert spark.read.parquet(f"{wh}/fact_gasto_mensual").count() == 2
+
+    # a new month lands in the normalized zone
+    extra = tmp_path / "2024-extra.csv"
+    _write_csv(
+        extra,
+        [["2024", "3", "M", "GOBIERNO LOCAL", "003", "E3", "Ejecutora Tres",
+          "03", "TRANSPORTE", "70", "77", "60"]],
+    )
+    # (transform's mode=ignore skips an existing dir — append directly)
+    from proyecto_gasto_publico_etl_per__spark.operators import normalize
+    from proyecto_gasto_publico_etl_per__spark.sources.csv_source import (
+        read_monthly_csv,
+    )
+
+    normalize.normalize_monthly(
+        read_monthly_csv(spark, str(extra))
+    ).write.mode("append").partitionBy("ANO_EJE").parquet(norm_dir)
+
+    mef_pipeline.streaming_load(spark, norm_dir, wh, ckpt)
+    fact3 = spark.read.parquet(f"{wh}/fact_gasto_mensual")
+    assert fact3.count() == 3
+    total = fact3.agg(F.sum("monto_pia").alias("t")).collect()[0].t
+    assert float(total) == 420.5  # 350.5 + 70
