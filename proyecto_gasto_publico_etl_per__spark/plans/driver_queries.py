@@ -590,6 +590,48 @@ def topk_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_events",
+    """
+    WITH anchors AS (
+      SELECT user_id, ts, max(event_id) AS anchor_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           a.anchor_id
+    FROM purchases p ASOF LEFT JOIN anchors a
+      ON p.user_id = a.user_id AND p.ts >= a.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/asof.asof_join — each purchase event picks up the user's
+    most recent click at or before it; checked against DuckDB's native
+    ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    anchors = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("anchor_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(purchases, anchors, keys=["user_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "anchor_id",
+    )
+
+
+@register(
     "skew_salted_join",
     """
     SELECT l_orderkey, l_linenumber, l_partkey, p_name

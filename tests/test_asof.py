@@ -1,0 +1,40 @@
+"""As-of join operator (operators/asof.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.operators.asof import asof_join
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 8, m)
+
+
+def test_asof_backward_inclusive_and_null_when_no_prior(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(0)), (1, 101, _ts(10)), (1, 102, _ts(20)),
+         (2, 200, _ts(5))],
+        "user_id BIGINT, event_id BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(15), "b"), (3, _ts(0), "z")],
+        "user_id BIGINT, ts TIMESTAMP, state STRING",
+    )
+    out = {r.event_id: r.state for r in asof_join(left, right, ["user_id"]).collect()}
+    assert out == {
+        100: None,   # no state at or before 08:00
+        101: "a",    # exactly at 08:10 — inclusive
+        102: "b",    # latest of the two priors
+        200: None,   # user 2 has no states at all
+    }
+
+
+def test_asof_rejects_payload_collision(spark):
+    left = spark.createDataFrame([(1, _ts(0), "x")], "k BIGINT, ts TIMESTAMP, state STRING")
+    right = spark.createDataFrame([(1, _ts(0), "y")], "k BIGINT, ts TIMESTAMP, state STRING")
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"])
