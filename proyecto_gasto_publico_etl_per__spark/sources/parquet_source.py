@@ -22,8 +22,16 @@ def read_parquet(
     spark: SparkSession,
     path: str,
     columns: Sequence[str] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
-    df = spark.read.parquet(path)
+    """``merge_schema=True`` unions the schemas of all files — the engine
+    form of the reference's late ``ALTER TABLE ADD COLUMN`` evolution
+    (CreacionDeDataWareHouse.sql:149-150): files written before a column
+    existed read it as NULL."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    df = reader.parquet(path)
     if columns:
         df = df.select(*columns)
     return df

@@ -89,3 +89,25 @@ def test_normalize_monthly_end_to_end(spark):
     assert str(r.FECHA) == "2021-03-01"
     # missing text columns conformed to NULL then cleaned to ""
     assert r.PLIEGO_NOMBRE == ""
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Files written before a column existed read as NULL under
+    mergeSchema — the reference's ALTER TABLE ADD COLUMN path
+    (CreacionDeDataWareHouse.sql:149-150) without a migration."""
+    from proyecto_gasto_publico_etl_per__spark.sources.parquet_source import (
+        read_parquet,
+    )
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id INT, x STRING").write.parquet(
+        f"{p}/part=old"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id INT, x STRING, meta_nombre DOUBLE"
+    ).write.parquet(f"{p}/part=new")
+
+    df = read_parquet(spark, p, merge_schema=True)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].meta_nombre is None  # old file: evolved column is NULL
+    assert rows[2].meta_nombre == 9.5
