@@ -111,3 +111,22 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].meta_nombre is None  # old file: evolved column is NULL
     assert rows[2].meta_nombre == 9.5
+
+
+def test_malformed_csv_lines_dropped_not_fatal(spark, tmp_path):
+    """SRC1 parity: mode=DROPMALFORMED skips junk lines the way the
+    reference's on_bad_lines="skip" does (transformar_mensual.py:137)."""
+    from proyecto_gasto_publico_etl_per__spark.sources.csv_source import (
+        read_monthly_csv,
+    )
+
+    p = tmp_path / "2024-Gasto-Mensual.csv"
+    p.write_text(
+        'A,B,C\n'
+        '1,"ok",3\n'
+        '2,"unclosed quote,3\n'    # malformed: quote never closes
+        '4,fine,6\n'
+    )
+    df = read_monthly_csv(spark, str(p))
+    vals = sorted(r.A for r in df.collect() if r.A is not None)
+    assert "1" in vals and "2" not in vals
