@@ -139,15 +139,27 @@ def load_frame(
         *[c for c in fact_cols if c in complete.columns]
     )
     fact_path = wh / "fact_gasto_mensual"
-    existing_fact = (
-        spark.read.parquet(str(fact_path)) if fact_path.exists() else None
-    )
+    if fact_path.exists():
+        # partition-scoped upsert: the grain anti-join only needs the
+        # years present in this batch (a handful of values — a metadata
+        # collect, not a data collect), so an incremental month touches
+        # O(one year partition), never O(warehouse)
+        years = [
+            r.anio for r in batch.select("anio").distinct().collect()
+        ]
+        existing_fact = spark.read.parquet(str(fact_path)).filter(
+            F.col("anio").isin(years)
+        )
+    else:
+        existing_fact = None
     merged = star.append_fact(
         existing_fact, batch, grain=[*FACT_FKS, "anio"], metrics=METRICS
     )
-    merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-        "anio"
-    ).parquet(str(fact_path))
+    # dynamic partition overwrite rewrites ONLY the affected anio
+    # partitions; untouched years keep their files byte-for-byte
+    merged.localCheckpoint(eager=True).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("anio").parquet(str(fact_path))
     return spark.read.parquet(str(fact_path))
 
 

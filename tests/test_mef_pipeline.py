@@ -185,3 +185,42 @@ def test_streaming_load_continuous_warehouse(spark, tmp_path, raw_csv):
     assert fact3.count() == 3
     total = fact3.agg(F.sum("monto_pia").alias("t")).collect()[0].t
     assert float(total) == 420.5  # 350.5 + 70
+
+
+def test_incremental_load_touches_only_affected_year_partitions(
+    spark, tmp_path
+):
+    """Loading a new year's data must not rewrite existing year
+    partitions (dynamic partition overwrite + partition-scoped
+    anti-join) — the property that keeps incremental loads O(year),
+    not O(warehouse)."""
+    import os
+
+    wh = str(tmp_path / "warehouse")
+
+    def _load_year(year, mes, monto):
+        raw = tmp_path / f"{year}-Gasto-Mensual.csv"
+        _write_csv(
+            raw,
+            [[str(year), mes, "E", "NACIONAL", "001", f"E{year}", "Ej",
+              "01", "SALUD", monto, "1", "1"]],
+        )
+        nd = str(tmp_path / f"norm{year}_{mes}")
+        mef_pipeline.transform(spark, str(raw), nd)
+        mef_pipeline.load(spark, nd, wh)
+
+    _load_year(2023, "1", "10")
+    p2023 = Path(wh, "fact_gasto_mensual", "anio=2023")
+    files_before = {
+        f: os.path.getmtime(p2023 / f) for f in os.listdir(p2023)
+        if f.endswith(".parquet")
+    }
+
+    _load_year(2024, "1", "20")
+    files_after = {
+        f: os.path.getmtime(p2023 / f) for f in os.listdir(p2023)
+        if f.endswith(".parquet")
+    }
+    assert files_before == files_after  # 2023 partition untouched
+    fact = spark.read.parquet(f"{wh}/fact_gasto_mensual")
+    assert sorted(r.anio for r in fact.collect()) == [2023, 2024]
