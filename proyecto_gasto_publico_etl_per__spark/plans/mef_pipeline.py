@@ -206,7 +206,11 @@ def register_views(spark: SparkSession, warehouse: str) -> DataFrame:
     dims = {
         d.name: spark.read.parquet(str(wh / d.name)) for d in DIMENSIONS
     }
-    base = V.star_denormalize(fact.drop("anio"), time_dim, dims)
+    # serve the FACT's anio (the partition column) and the calendar's
+    # mes/trimestre: a year predicate on the view then lands on the
+    # partition column and prunes fact files; the dropped calendar anio
+    # is identical by construction (tiempo_id = anio*100 + mes)
+    base = V.star_denormalize(fact, time_dim.drop("anio"), dims)
     base.createOrReplaceTempView("vw_gasto_mensual")
     V.vw_gasto_agregado_mensual(base).createOrReplaceTempView(
         "vw_gasto_agregado_mensual"

@@ -224,3 +224,25 @@ def test_incremental_load_touches_only_affected_year_partitions(
     assert files_before == files_after  # 2023 partition untouched
     fact = spark.read.parquet(f"{wh}/fact_gasto_mensual")
     assert sorted(r.anio for r in fact.collect()) == [2023, 2024]
+
+
+def test_view_year_filter_prunes_fact_partitions(spark, tmp_path, raw_csv):
+    """A year predicate issued through the serving view must still prune
+    fact partitions — the view serves the fact's own anio column."""
+    norm_dir = str(tmp_path / "normalized")
+    wh = str(tmp_path / "warehouse")
+    mef_pipeline.transform(spark, raw_csv, norm_dir)
+    mef_pipeline.load(spark, norm_dir, wh)
+    mef_pipeline.register_views(spark, wh)
+
+    plan = (
+        spark.sql("SELECT sum(monto_devengado) FROM vw_gasto_mensual "
+                  "WHERE anio = 2024")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*anio[^\]]*2024[^\]]*\]", plan)
+    assert m, f"view year filter did not prune fact partitions:\n{plan[:3000]}"
