@@ -590,6 +590,73 @@ def topk_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_hierarchy",
+    _star_oracle(
+        """
+        SELECT anio, sector_nombre,
+               CAST(GROUPING(anio) * 2 + GROUPING(sector_nombre) AS BIGINT)
+                   AS gid,
+               CAST(SUM(monto_devengado) AS DOUBLE) AS devengado
+        FROM star
+        GROUP BY ROLLUP (anio, sector_nombre)
+        """
+    ),
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (year → sector → grand total) with grouping_id
+    to tell a real NULL group from a subtotal row — an engine extension
+    beyond the reference's flat GROUP BYs (SURVEY.md §2.6 notes none)."""
+    star = build_star(spark, sf_dir)
+    return star.rollup("anio", "sector_nombre").agg(
+        F.grouping_id().alias("gid"),
+        F.sum(F.col("monto_devengado")).cast("double").alias("devengado"),
+    )
+
+
+@register(
+    "pivot_monthly",
+    _star_oracle(
+        f"""
+        SELECT sector_nombre,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN mes = {m} THEN monto_devengado "
+                   f"ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS m{m:02d}"
+                   for m in range(1, 13)
+               )}
+        FROM star
+        WHERE anio = {ANIO}
+        GROUP BY sector_nombre
+        """
+    ),
+)
+def pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month pivot: one column per month of devengado per sector —
+    df.groupBy().pivot() with an explicit value list so the plan needs no
+    discovery pass (the at-scale discipline: never let pivot infer)."""
+    star = build_star(spark, sf_dir).filter(F.col("anio") == ANIO)
+    pivoted = (
+        star.groupBy("sector_nombre")
+        .pivot("mes", list(range(1, 13)))
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.col("monto_devengado"), F.lit(0).cast("decimal(18,4)")
+                )
+            )
+        )
+    )
+    return pivoted.select(
+        "sector_nombre",
+        *[
+            F.coalesce(F.col(str(m)).cast("double"), F.lit(0.0)).alias(
+                f"m{m:02d}"
+            )
+            for m in range(1, 13)
+        ],
+    )
+
+
+@register(
     "asof_join_events",
     """
     WITH anchors AS (
