@@ -590,6 +590,49 @@ def topk_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_count_by_year",
+    _star_oracle(
+        """
+        SELECT anio,
+               CAST(COUNT(DISTINCT ejecutora_nombre) AS BIGINT)
+                   AS n_ejecutoras,
+               CAST(COUNT(DISTINCT sector_nombre) AS BIGINT) AS n_sectores
+        FROM star
+        GROUP BY anio
+        """
+    ),
+)
+def distinct_count_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT per year (expand + two-phase
+    aggregate under the hood) — absent from the reference (SURVEY §2.6)."""
+    star = build_star(spark, sf_dir)
+    return star.groupBy("anio").agg(
+        F.countDistinct("ejecutora_nombre").alias("n_ejecutoras"),
+        F.countDistinct("sector_nombre").alias("n_sectores"),
+    )
+
+
+@register(
+    "except_years",
+    _star_oracle(
+        f"""
+        SELECT DISTINCT ejecutora_nombre FROM star WHERE anio = {ANIO - 1}
+        EXCEPT
+        SELECT DISTINCT ejecutora_nombre FROM star WHERE anio = {ANIO}
+        """
+    ),
+)
+def except_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: ejecutoras active the prior year but gone this
+    year (churn detection).  The reference has no set operations at all
+    (SURVEY §2.9); Spark plans EXCEPT as a left-anti aggregate."""
+    star = build_star(spark, sf_dir)
+    prev = star.filter(F.col("anio") == ANIO - 1).select("ejecutora_nombre")
+    curr = star.filter(F.col("anio") == ANIO).select("ejecutora_nombre")
+    return prev.subtract(curr)  # EXCEPT (set) semantics
+
+
+@register(
     "rollup_hierarchy",
     _star_oracle(
         """
