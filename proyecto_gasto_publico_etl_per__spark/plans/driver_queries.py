@@ -564,6 +564,40 @@ def running_ytd_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mom_delta_window",
+    _star_oracle(
+        """
+        WITH monthly AS (
+            SELECT anio, mes, sector_nombre,
+                   CAST(SUM(monto_devengado) AS DOUBLE) AS devengado_mes
+            FROM star
+            GROUP BY 1, 2, 3
+        )
+        SELECT anio, mes, sector_nombre, devengado_mes,
+               devengado_mes - lag(devengado_mes) OVER (
+                   PARTITION BY anio, sector_nombre ORDER BY mes
+               ) AS delta_mes
+        FROM monthly
+        """
+    ),
+)
+def mom_delta_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month devengado delta per (anio, sector) via lag —
+    NULL on each year's first month (no prior month to compare)."""
+    from pyspark.sql import Window
+
+    star = build_star(spark, sf_dir)
+    monthly = star.groupBy("anio", "mes", "sector_nombre").agg(
+        F.sum("monto_devengado").cast("double").alias("devengado_mes")
+    )
+    w = Window.partitionBy("anio", "sector_nombre").orderBy("mes")
+    return monthly.withColumn(
+        "delta_mes",
+        F.col("devengado_mes") - F.lag("devengado_mes").over(w),
+    )
+
+
+@register(
     "topk_per_group_window",
     _star_oracle(
         """
