@@ -794,6 +794,67 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.salted_join(li, part, ["l_partkey"], n_salt=8)
 
 
+@register(
+    "json_extract_typed",
+    """
+    WITH parsed AS (
+      SELECT try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+    )
+    SELECT k % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(SUM(v) AS DOUBLE) AS value_sum
+    FROM parsed
+    GROUP BY 1
+    """,
+)
+def json_extract_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with an explicit schema (from_json, not
+    per-field string extraction) feeding a relational aggregate — the
+    schema makes the parse a single vectorized pass and lets Catalyst
+    prune unparsed fields."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k INT")["k"].alias("k"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+    return parsed.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("value_sum"),
+    )
+
+
+@register(
+    "percentile_by_sector",
+    _star_oracle(
+        """
+        WITH d AS (
+          SELECT sector_nombre, CAST(monto_devengado AS DOUBLE) AS dev
+          FROM star
+        )
+        SELECT sector_nombre,
+               quantile_disc(dev, 0.5) AS p50,
+               quantile_disc(dev, 0.9) AS p90
+        FROM d
+        GROUP BY sector_nombre
+        """
+    ),
+)
+def percentile_by_sector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90) of devengado per sector —
+    percentile_disc picks actual data values, so both engines agree
+    bit-for-bit (no interpolation formula to match)."""
+    star = build_star(spark, sf_dir)
+    d = star.select(
+        "sector_nombre", F.col("monto_devengado").cast("double").alias("dev")
+    )
+    return d.groupBy("sector_nombre").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dev)").alias("p90"),
+    )
+
+
 # --- events (time-series batch analogs) --------------------------------------
 
 
