@@ -58,9 +58,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
@@ -83,7 +85,10 @@ def main() -> int:
             failures.append(name)
         print(f"{status:9s} {name:28s} {detail}  ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures}")
+    print(
+        f"\n{checked - len(failures)}/{checked} ok"
+        f" ({len(qs)} declared); failures: {failures}"
+    )
     return 1 if failures else 0
 
 
