@@ -22,9 +22,18 @@ _WS = r"\s+"
 
 
 def clean_text(col: Column | str) -> Column:
-    """NULL-safe strip + whitespace-collapse (PRJ5)."""
+    """NULL-safe strip + whitespace-collapse (PRJ5).
+
+    Collapse FIRST, then trim: ``trim`` removes only spaces (0x20), so a
+    leading tab/newline must become a space before trimming or it
+    survives one pass — Python's ``str.strip()`` (the reference,
+    transformar_mensual.py:93) strips all whitespace in one go, and this
+    order matches it.  Property-tested idempotent over arbitrary unicode.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.trim(F.coalesce(c.cast("string"), F.lit(""))), _WS, " ")
+    return F.trim(
+        F.regexp_replace(F.coalesce(c.cast("string"), F.lit("")), _WS, " ")
+    )
 
 
 def label_or_placeholder(col: Column | str, placeholder: str) -> Column:

@@ -110,7 +110,7 @@ def cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "textclean",
     r"""
     SELECT doc_id,
-           regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS text_clean
+           trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS text_clean
     FROM documents
     """,
 )

@@ -28,8 +28,8 @@ NEARDUP_T = 0.35
 _DOCS_CTE = r"""
 docs AS (
   SELECT doc_id AS doc,
-         regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS cleanraw,
-         lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS clean
+         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS cleanraw,
+         lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS clean
   FROM documents
 ),
 toks AS (
@@ -76,7 +76,7 @@ jpairs AS (
 @register(
     "dedup_exact",
     r"""
-    SELECT md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')))
+    SELECT md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
              AS content_hash,
            min(doc_id) AS keep_id,
            count(*) AS n_dups
@@ -242,7 +242,7 @@ def _lang_sql() -> str:
     return rf"""
     WITH base AS (
       SELECT doc_id, lang,
-             ' ' || lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
+             ' ' || lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
                  || ' ' AS p,
              text
       FROM documents
@@ -286,8 +286,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_SQL = r"""
     WITH base AS (
       SELECT doc_id,
-             regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS clean,
-             ' ' || lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
+             trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS clean,
+             ' ' || lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
                  || ' ' AS p
       FROM documents
     ),
@@ -435,7 +435,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH base AS (
       SELECT doc_id,
-             lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
+             lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
                  AS clean
       FROM documents
     )
