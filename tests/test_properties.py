@@ -97,3 +97,86 @@ def test_upsert_dim_union_semantics_and_idempotency(
     assert got == sorted(set(existing_keys) | set(incoming_keys))
     twice = upsert_dim(once, incoming, ["k"])
     assert sorted(r.k for r in twice.collect()) == got
+
+
+@SETTINGS
+@given(
+    keys=st.lists(
+        st.sampled_from(["HOT", "HOT", "HOT", "a", "b", "c"]),  # skewed
+        min_size=1, max_size=30,
+    ),
+    n_salt=st.integers(min_value=1, max_value=8),
+)
+def test_salted_join_equals_plain_join(spark, keys, n_salt):
+    """Salting is a physical rewrite only: result multiset is identical
+    to the plain join for any data distribution and salt count."""
+    from proyecto_gasto_publico_etl_per__spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k STRING, payload INT"
+    )
+    small = spark.createDataFrame(
+        [("HOT", 1), ("a", 2), ("zzz", 3)], "k STRING, label INT"
+    )
+    plain = sorted(
+        (r.k, r.payload, r.label) for r in big.join(small, ["k"]).collect()
+    )
+    salted = sorted(
+        (r.k, r.payload, r.label)
+        for r in salted_join(big, small, ["k"], n_salt=n_salt).collect()
+    )
+    assert salted == plain
+
+
+@SETTINGS
+@given(
+    periods=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=2100),
+            st.integers(min_value=-3, max_value=15),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_with_month_date_valid_iff_plausible_period(spark, periods):
+    """PRJ6 contract: FECHA is the month start exactly when (year > 0,
+    month in 1..12); otherwise NULL — never an ANSI error."""
+    from proyecto_gasto_publico_etl_per__spark.operators.normalize import (
+        with_month_date,
+    )
+
+    df = spark.createDataFrame(periods, "ANO_EJE INT, MES_EJE INT")
+    out = with_month_date(df).collect()
+    for r in out:
+        if r.ANO_EJE > 0 and 1 <= r.MES_EJE <= 12:
+            assert (r.FECHA.year, r.FECHA.month, r.FECHA.day) == (
+                r.ANO_EJE, r.MES_EJE, 1,
+            )
+        else:
+            assert r.FECHA is None
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # grain key
+            st.integers(min_value=-1000, max_value=1000),  # metric (cents)
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_consolidate_preserves_totals(spark, rows):
+    """AGG1 contract: grain consolidation never changes the grand total,
+    and yields exactly one row per distinct grain key."""
+    from decimal import Decimal
+
+    from proyecto_gasto_publico_etl_per__spark.operators.star import consolidate
+
+    df = spark.createDataFrame(
+        [(k, Decimal(c) / 100) for k, c in rows],
+        "g INT, m DECIMAL(18,4)",
+    )
+    out = consolidate(df, grain=["g"], metrics=["m"]).collect()
+    assert len(out) == len({k for k, _ in rows})
+    assert sum(r.m for r in out) == sum(Decimal(c) / 100 for _, c in rows)
