@@ -62,9 +62,12 @@ def main() -> None:
             continue
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT + IO cache)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # steady-state: min of two measured runs
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     print(
         json.dumps(
