@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> None:
     ld = sub.add_parser("load", help="normalized parquet → star warehouse")
     ld.add_argument("normalized_dir")
     ld.add_argument("warehouse")
+    ld.add_argument(
+        "years", nargs="*", type=int,
+        help="load only these years (partition-pruned read, ref CLI parity)",
+    )
 
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
@@ -77,7 +81,14 @@ def main(argv: list[str] | None = None) -> None:
         )
         print(f"normalized {len(files)} file(s) → {args.out_dir}")
     elif args.cmd == "load":
-        fact = mef_pipeline.load(spark, args.normalized_dir, args.warehouse)
+        normalized = spark.read.parquet(args.normalized_dir)
+        if args.years:
+            # ANO_EJE is the normalized zone's partition column — this
+            # filter prunes to the requested years' files
+            from pyspark.sql import functions as F
+
+            normalized = normalized.filter(F.col("ANO_EJE").isin(args.years))
+        fact = mef_pipeline.load_frame(spark, normalized, args.warehouse)
         print(f"fact rows: {fact.count()} → {args.warehouse}")
     else:
         base = mef_pipeline.register_views(spark, args.warehouse)

@@ -246,3 +246,22 @@ def test_view_year_filter_prunes_fact_partitions(spark, tmp_path, raw_csv):
 
     m = re.search(r"PartitionFilters: \[[^\]]*anio[^\]]*2024[^\]]*\]", plan)
     assert m, f"view year filter did not prune fact partitions:\n{plan[:3000]}"
+
+
+def test_cli_load_year_filter(spark, tmp_path):
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for year in ("2023", "2024"):
+        _write_csv(
+            raw / f"{year}-Gasto-Mensual.csv",
+            [[year, "1", "E", "NACIONAL", "001", "E1", "Ej",
+              "01", "SALUD", "10", "11", "9"]],
+        )
+    norm = str(tmp_path / "norm")
+    wh = str(tmp_path / "wh")
+    cli.main(["transform", str(raw), norm])
+    cli.main(["load", norm, wh, "2024"])
+    years = [r.anio for r in spark.read.parquet(f"{wh}/fact_gasto_mensual").collect()]
+    assert years == [2024]  # 2023 excluded by the load year filter

@@ -180,3 +180,47 @@ def test_consolidate_preserves_totals(spark, rows):
     out = consolidate(df, grain=["g"], metrics=["m"]).collect()
     assert len(out) == len({k for k, _ in rows})
     assert sum(r.m for r in out) == sum(Decimal(c) / 100 for _, c in rows)
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, ts)
+        min_size=1, max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 9)),
+        min_size=0, max_size=25,
+    ),
+)
+def test_asof_join_matches_naive_lookup(spark, lefts, rights):
+    """asof_join == per-row 'latest right at or before my ts' lookup."""
+    from datetime import datetime, timedelta
+
+    from proyecto_gasto_publico_etl_per__spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    # right must be unique per (key, ts): keep max payload per slot
+    rmap: dict[tuple[int, int], int] = {}
+    for k, ts, v in rights:
+        rmap[(k, ts)] = max(rmap.get((k, ts), -1), v)
+
+    left = spark.createDataFrame(
+        [(i, k, t0 + timedelta(minutes=ts)) for i, (k, ts) in enumerate(lefts)],
+        "row_id INT, k INT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(k, t0 + timedelta(minutes=ts), v) for (k, ts), v in rmap.items()],
+        "k INT, ts TIMESTAMP, payload INT",
+    ) if rmap else spark.createDataFrame([], "k INT, ts TIMESTAMP, payload INT")
+
+    got = {
+        r.row_id: r.payload
+        for r in asof_join(left, right, ["k"]).collect()
+    }
+    for i, (k, ts) in enumerate(lefts):
+        cands = [
+            (rts, v) for (rk, rts), v in rmap.items() if rk == k and rts <= ts
+        ]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, ts)
