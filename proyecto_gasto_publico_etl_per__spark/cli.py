@@ -46,6 +46,21 @@ def main(argv: list[str] | None = None) -> None:
         help="load only these years (partition-pruned read, ref CLI parity)",
     )
 
+    ins = sub.add_parser(
+        "inspect",
+        help="first N rows of a raw CSV (the reference's documented-but-"
+             "absent revision_contenido.py, README.md:159-167)",
+    )
+    ins.add_argument("raw_csv")
+    ins.add_argument("--rows", type=int, default=100)
+
+    sn = sub.add_parser(
+        "sniff",
+        help="separator/encoding detection (the reference's documented-"
+             "but-absent comprobacion.py, README.md:190-196)",
+    )
+    sn.add_argument("raw_csv")
+
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
     q.add_argument(
@@ -58,6 +73,15 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--top", type=int, default=None)
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "sniff":
+        from .sources.csv_source import sniff_csv
+
+        # pure-driver metadata probe: no Spark session needed
+        for line in sniff_csv(args.raw_csv):
+            print(line)
+        return
+
     spark = get_spark("gasto-engine-cli")
 
     if args.cmd == "transform":
@@ -80,6 +104,10 @@ def main(argv: list[str] | None = None) -> None:
             overwrite=args.overwrite,
         )
         print(f"normalized {len(files)} file(s) → {args.out_dir}")
+    elif args.cmd == "inspect":
+        from .sources.csv_source import read_monthly_csv
+
+        read_monthly_csv(spark, args.raw_csv).show(args.rows, truncate=40)
     elif args.cmd == "load":
         normalized = spark.read.parquet(args.normalized_dir)
         if args.years:

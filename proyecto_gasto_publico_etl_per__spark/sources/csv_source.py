@@ -77,3 +77,30 @@ def read_monthly_csv(
         except Exception as err:  # noqa: BLE001 - fall through to next encoding
             last_err = err
     raise last_err if last_err else ValueError(f"no readable encoding for {path}")
+
+
+def sniff_csv(path: str | Path, sample_bytes: int = 64 * 1024) -> list[str]:
+    """Separator/encoding sniffing report — the reference README documents
+    a ``comprobacion.py`` utility for this that its repo never shipped
+    (README.md:190-196); this is that tool.  Driver-side metadata probe
+    over the first ``sample_bytes`` only.
+    """
+    raw = Path(path).open("rb").read(sample_bytes)
+    enc = "UTF-8"
+    if raw.startswith(b"\xef\xbb\xbf"):
+        enc = "UTF-8-SIG"
+    else:
+        try:
+            raw.decode("utf-8")
+        except UnicodeDecodeError:
+            enc = "ISO-8859-1"
+    text = raw.decode(enc.replace("-SIG", ""), errors="replace")
+    header = text.splitlines()[0] if text else ""
+    seps = {s: header.count(s) for s in (",", ";", "\t", "|")}
+    sep = max(seps, key=seps.get)
+    return [
+        f"encoding: {enc}",
+        f"separator: {sep!r} (counts: {seps})",
+        f"columns: {len(header.split(sep)) if header else 0}",
+        f"header: {header[:120]}",
+    ]

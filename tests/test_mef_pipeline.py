@@ -265,3 +265,20 @@ def test_cli_load_year_filter(spark, tmp_path):
     cli.main(["load", norm, wh, "2024"])
     years = [r.anio for r in spark.read.parquet(f"{wh}/fact_gasto_mensual").collect()]
     assert years == [2024]  # 2023 excluded by the load year filter
+
+
+def test_cli_sniff_and_inspect(tmp_path, capsys, spark):
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    p = tmp_path / "2024-Gasto.csv"
+    p.write_bytes("A;B;C\n1;2;3\n".encode("latin-1"))
+    cli.main(["sniff", str(p)])
+    out = capsys.readouterr().out
+    assert "separator: ';'" in out and "columns: 3" in out
+
+    q = tmp_path / "2024-Gasto-Mensual.csv"
+    _write_csv(q, [["2024", "1", "E", "N", "1", "E1", "X", "01", "S",
+                    "1", "2", "3"]])
+    cli.main(["inspect", str(q), "--rows", "5"])
+    out = capsys.readouterr().out
+    assert "ANO_EJE" in out and "2024" in out
