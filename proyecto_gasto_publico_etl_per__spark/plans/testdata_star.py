@@ -40,14 +40,24 @@ from pyspark.sql import functions as F
 from ..functions.money import DEC
 from ..sources.tables import load_table
 
+def _grid(x) -> F.Column:
+    """Double expression → exact DECIMAL(18,4) on the 1e-4 grid.
+
+    The arithmetic runs in double (decimal multiply is the single most
+    expensive expression in the star build — BigDecimal once the result
+    precision exceeds the compact-long range) and lands on the grid via
+    floor(x*1e4+0.5); the oracle mirrors the identical formula, so both
+    engines perform the same IEEE ops and the same final cast.  Sums
+    downstream stay DECIMAL(18,4)-exact."""
+    return (F.floor(x * 10000 + F.lit(0.5)) / 10000).cast(DEC)
+
+
 def _metrics(df: DataFrame) -> DataFrame:
     zero = F.lit(0).cast(DEC)
-    qty = F.col("l_quantity").cast(DEC)
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = F.col("l_discount").cast(DEC)
-    tax = F.col("l_tax").cast(DEC)
-    net = (price * (F.lit(1) - disc)).cast(DEC)
-    gross = (price * (F.lit(1) + tax)).cast(DEC)
+    qty = _grid(F.col("l_quantity"))
+    price = _grid(F.col("l_extendedprice"))
+    net = _grid(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    gross = _grid(F.col("l_extendedprice") * (F.lit(1) + F.col("l_tax")))
     shipped = F.col("l_linestatus") == "F"
     kept = F.col("l_returnflag") != "R"
     return (
@@ -128,25 +138,25 @@ SELECT year(o_orderdate)::INT AS anio,
        p_brand AS generica_nombre,
        s_name AS proveedor_nombre,
        o_orderpriority AS fuente_financiamiento_nombre,
-       CAST(l_quantity AS DECIMAL(18,4)) AS monto_pia,
-       CAST(l_extendedprice AS DECIMAL(18,4)) AS monto_pim,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-            * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
-           AS monto_certificado,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-            * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,4))
-           AS monto_comprometido_anual,
+       CAST(floor(l_quantity * 10000 + 0.5) / 10000 AS DECIMAL(18,4))
+           AS monto_pia,
+       CAST(floor(l_extendedprice * 10000 + 0.5) / 10000 AS DECIMAL(18,4))
+           AS monto_pim,
+       CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) / 10000
+            AS DECIMAL(18,4)) AS monto_certificado,
+       CAST(floor(l_extendedprice * (1 + l_tax) * 10000 + 0.5) / 10000
+            AS DECIMAL(18,4)) AS monto_comprometido_anual,
        CASE WHEN l_returnflag <> 'R'
-            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,4))
+            THEN CAST(floor(l_extendedprice * (1 + l_tax) * 10000 + 0.5)
+                      / 10000 AS DECIMAL(18,4))
             ELSE CAST(0 AS DECIMAL(18,4)) END AS monto_comprometido,
        CASE WHEN l_linestatus = 'F'
-            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+            THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                      / 10000 AS DECIMAL(18,4))
             ELSE CAST(0 AS DECIMAL(18,4)) END AS monto_devengado,
        CASE WHEN l_linestatus = 'F' AND l_returnflag <> 'R'
-            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+            THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                      / 10000 AS DECIMAL(18,4))
             ELSE CAST(0 AS DECIMAL(18,4)) END AS monto_girado
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
