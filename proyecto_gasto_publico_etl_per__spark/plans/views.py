@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import label_or_placeholder, region_map_label
-from ..functions.money import dmoney
+from ..functions.money import gsum
 from ..schema import DIMENSIONS, METRICS, Dim
 
 
@@ -61,9 +61,7 @@ def vw_gasto_agregado_mensual(base: DataFrame) -> DataFrame:
     )
     group_cols = ["anio", "mes", "sector", "pliego", "departamento", "region_mapa"]
     sums = [
-        F.sum(F.coalesce(dmoney(m), F.lit(0).cast("decimal(18,4)")))
-        .cast("double")
-        .alias(m)
+        gsum(F.coalesce(F.col(m), F.lit(0)), m)  # NULL-safe exact grid sum
         for m in METRICS
     ]
     return labeled.groupBy(*group_cols).agg(*sums)
@@ -73,13 +71,7 @@ def vw_gasto_agregado_anual(base: DataFrame) -> DataFrame:
     """V-agga (AGG9): ``SUM(pim), SUM(devengado), SUM(girado) GROUP BY anio,
     sector_nombre, pliego_nombre`` (V:185-196)."""
     return base.groupBy("anio", "sector_nombre", "pliego_nombre").agg(
-        F.sum(F.coalesce(dmoney("monto_pim"), F.lit(0).cast("decimal(18,4)")))
-        .cast("double")
-        .alias("pim_total"),
-        F.sum(F.coalesce(dmoney("monto_devengado"), F.lit(0).cast("decimal(18,4)")))
-        .cast("double")
-        .alias("devengado_total"),
-        F.sum(F.coalesce(dmoney("monto_girado"), F.lit(0).cast("decimal(18,4)")))
-        .cast("double")
-        .alias("girado_total"),
+        gsum(F.coalesce(F.col("monto_pim"), F.lit(0)), "pim_total"),
+        gsum(F.coalesce(F.col("monto_devengado"), F.lit(0)), "devengado_total"),
+        gsum(F.coalesce(F.col("monto_girado"), F.lit(0)), "girado_total"),
     )
