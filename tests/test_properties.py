@@ -224,3 +224,30 @@ def test_asof_join_matches_naive_lookup(spark, lefts, rights):
         ]
         expect = max(cands)[1] if cands else None
         assert got[i] == expect, (i, k, ts)
+
+
+@SETTINGS
+@given(
+    cents=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**9)),
+        min_size=1, max_size=40,
+    )
+)
+def test_gsum_equals_dsum_on_grid_values(spark, cents):
+    """The long-micros fast path must be bit-identical to the decimal
+    accumulator for any non-negative grid values and any grouping."""
+    from decimal import Decimal
+
+    from proyecto_gasto_publico_etl_per__spark.functions.money import (
+        dsum, gsum,
+    )
+
+    df = spark.createDataFrame(
+        [(k, Decimal(c) / 10000) for k, c in cents],
+        "g INT, m DECIMAL(18,4)",
+    )
+    out = df.groupBy("g").agg(
+        dsum("m", "slow"), gsum("m", "fast")
+    ).collect()
+    for r in out:
+        assert r.fast == r.slow  # exact double equality, not approx
