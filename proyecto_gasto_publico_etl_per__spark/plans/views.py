@@ -20,7 +20,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import label_or_placeholder, region_map_label
+from ..functions.cleaning import label_or_placeholder
 from ..functions.money import gsum
 from ..schema import DIMENSIONS, METRICS, Dim
 
@@ -56,15 +56,27 @@ def vw_gasto_agregado_mensual(base: DataFrame) -> DataFrame:
         labeled = labeled.withColumn(
             out_col, label_or_placeholder(src, placeholder)
         )
-    labeled = labeled.withColumn(
-        "region_mapa", region_map_label("departamento_nombre")
-    )
-    group_cols = ["anio", "mes", "sector", "pliego", "departamento", "region_mapa"]
+    group_cols = ["anio", "mes", "sector", "pliego", "departamento"]
     sums = [
         gsum(F.coalesce(F.col(m), F.lit(0)), m)  # NULL-safe exact grid sum
         for m in METRICS
     ]
-    return labeled.groupBy(*group_cols).agg(*sums)
+    agg = labeled.groupBy(*group_cols).agg(*sums)
+    # region_mapa is a pure function of the departamento group key —
+    # attach it AFTER the aggregate so it never widens the shuffle key
+    # (same result set as grouping by it; V:161-179 groups by the
+    # expression because SQL must)
+    return agg.select(
+        "anio",
+        "mes",
+        "sector",
+        "pliego",
+        "departamento",
+        F.concat(
+            F.lit("Departamento de "), F.col("departamento"), F.lit(", Perú")
+        ).alias("region_mapa"),
+        *METRICS,
+    )
 
 
 def vw_gasto_agregado_anual(base: DataFrame) -> DataFrame:
