@@ -1,0 +1,65 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample(seed=...)`` is only reproducible for a fixed partitioning —
+repartition the input and the sample changes.  Hash-based sampling is the
+scale-correct alternative: membership depends only on the row's key, so
+the sample is stable across runs, partitionings, engines, and incremental
+loads (a document keeps its in/out status forever — critical when a
+corpus is resampled after appends).
+
+Both operators are pure column expressions (md5 → bucket in [0, 10000)),
+mirrored exactly by the DuckDB oracles of the declared queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket resolution: fractions are exact multiples of 0.01%
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, salt: str = "sample") -> Column:
+    """Stable bucket in [0, BUCKETS) from the md5 of (salt, key)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BUCKETS
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash (deterministic)."""
+    return df.filter(hash_bucket(key_col, salt) < int(fraction * BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. keep 100% of rare
+    languages and 5% of English.  Strata not listed keep ``default``."""
+    threshold: Column = F.lit(int(default * BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(key_col, salt) < threshold)

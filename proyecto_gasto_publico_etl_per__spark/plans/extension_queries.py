@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import dedup, multimodal, sampling, similarity, textstats
 from ..sources.tables import load_table
 from ..streaming.incremental import windowed_event_counts
 from .driver_queries import register
@@ -212,6 +212,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
     )
     return dedup.cluster_duplicates(pairs)
+
+
+_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 10000"
+)
+
+
+@register(
+    "hash_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_BUCKET_SQL.format(salt='sample')} < 1000
+    """,
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by doc-id hash (operators/sampling.py) —
+    stable across runs, partitionings, and engines, unlike seeded
+    Bernoulli sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.10).select("doc_id", "lang")
+
+
+@register(
+    "hash_sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_BUCKET_SQL.format(salt='sample')} <
+          CASE WHEN lang = 'en' THEN 500
+               WHEN lang = 'zh' THEN 10000
+               ELSE 2000 END
+    """,
+)
+def hash_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling: downsample dominant English
+    (5%), keep all Chinese, 20% elsewhere — the class-balance shape of a
+    training-corpus build."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.05, "zh": 1.0}, default=0.20
+    ).select("doc_id", "lang")
 
 
 # --- text analysis -----------------------------------------------------------

@@ -334,3 +334,39 @@ def test_cluster_duplicates_matches_union_find_on_random_graphs(spark):
             for r in cluster_duplicates(pairs).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_hash_sample_deterministic_and_stable_under_repartition(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators import sampling
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.2).collect()}
+    b = {
+        r.doc_id
+        for r in sampling.hash_sample(
+            docs.repartition(13), "doc_id", 0.2
+        ).collect()
+    }
+    assert a == b  # membership is a pure function of the key
+    assert 0.15 < len(a) / 2000 < 0.25  # ~20%
+    # different salt → a different (but equally stable) sample
+    c = {
+        r.doc_id
+        for r in sampling.hash_sample(docs, "doc_id", 0.2, salt="v2").collect()
+    }
+    assert c != a
+
+
+def test_stratified_hash_sample_quotas(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators import sampling
+
+    rows = [(i, "en" if i % 2 else "rare") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"rare": 1.0, "en": 0.1}
+    ).collect()
+    by_lang = {"en": 0, "rare": 0}
+    for r in out:
+        by_lang[r.lang] += 1
+    assert by_lang["rare"] == 1000  # keep-all stratum intact
+    assert 50 < by_lang["en"] < 200  # ~10% of 1000
