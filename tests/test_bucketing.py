@@ -55,3 +55,31 @@ def test_bucketed_groupby_on_bucket_key_elides_shuffle(spark, bucketed_pair):
     agg = left.groupBy("k").agg(F.sum("a").alias("s"))
     assert bucketing.shuffle_count(agg) == 0
     assert agg.count() == 10_000
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
+    from proyecto_gasto_publico_etl_per__spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "frag")
+    # simulate many tiny micro-batch appends across two partitions
+    for i in range(8):
+        spark.createDataFrame(
+            [(i * 10 + j, 2023 + (j % 2)) for j in range(10)],
+            "v INT, anio INT",
+        ).write.mode("append").partitionBy("anio").parquet(p)
+
+    def nfiles(year):
+        return len(list((tmp_path / "frag" / f"anio={year}").glob("*.parquet")))
+
+    before = spark.read.parquet(p).collect()
+    assert nfiles(2023) >= 8  # fragmented
+
+    compact_parquet(spark, p, partition_col="anio", partitions=[2023])
+    assert nfiles(2023) == 1  # tiny data → one file
+    assert nfiles(2024) >= 8  # untouched partition stays as-is
+    after = spark.read.parquet(p).collect()
+    assert sorted((r.v, r.anio) for r in after) == sorted(
+        (r.v, r.anio) for r in before
+    )
