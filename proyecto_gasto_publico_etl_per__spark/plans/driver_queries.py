@@ -667,6 +667,61 @@ def except_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intersect_years",
+    _star_oracle(
+        f"""
+        SELECT DISTINCT ejecutora_nombre FROM star WHERE anio = {ANIO - 1}
+        INTERSECT
+        SELECT DISTINCT ejecutora_nombre FROM star WHERE anio = {ANIO}
+        """
+    ),
+)
+def intersect_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: ejecutoras active in both years (retention —
+    the complement of except_years)."""
+    star = build_star(spark, sf_dir)
+    prev = star.filter(F.col("anio") == ANIO - 1).select("ejecutora_nombre")
+    curr = star.filter(F.col("anio") == ANIO).select("ejecutora_nombre")
+    return prev.intersect(curr)  # INTERSECT (set) semantics
+
+
+@register(
+    "moving_avg_window",
+    _star_oracle(
+        """
+        WITH monthly AS (
+            SELECT anio, mes, sector_nombre,
+                   CAST(SUM(monto_devengado) AS DOUBLE) AS devengado_mes
+            FROM star
+            GROUP BY 1, 2, 3
+        )
+        SELECT anio, mes, sector_nombre, devengado_mes,
+               AVG(devengado_mes) OVER (
+                   PARTITION BY anio, sector_nombre ORDER BY mes
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS avg_3m
+        FROM monthly
+        """
+    ),
+)
+def moving_avg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-month moving average of devengado per (anio, sector) —
+    a bounded-frame window (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
+    from pyspark.sql import Window
+
+    star = build_star(spark, sf_dir)
+    monthly = star.groupBy("anio", "mes", "sector_nombre").agg(
+        gsum("monto_devengado", "devengado_mes")
+    )
+    w = (
+        Window.partitionBy("anio", "sector_nombre")
+        .orderBy("mes")
+        .rowsBetween(-2, 0)
+    )
+    return monthly.withColumn("avg_3m", F.avg("devengado_mes").over(w))
+
+
+@register(
     "rollup_hierarchy",
     _star_oracle(
         """
