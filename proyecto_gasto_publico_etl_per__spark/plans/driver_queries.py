@@ -667,6 +667,81 @@ def except_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_levels",
+    _star_oracle(
+        f"""
+        SELECT anio, nivel_gobierno_nombre,
+               CAST(GROUPING(anio) * 2 + GROUPING(nivel_gobierno_nombre)
+                    AS BIGINT) AS gid,
+               CAST(SUM(monto_devengado) AS DOUBLE) AS devengado
+        FROM star
+        WHERE anio BETWEEN {ANIO_INI} AND {ANIO_FIN}
+        GROUP BY CUBE (anio, nivel_gobierno_nombre)
+        """
+    ),
+)
+def cube_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, government level): all four grouping combinations
+    in one pass, grouping_id separating subtotal shapes."""
+    star = build_star(spark, sf_dir).filter(
+        F.col("anio").between(ANIO_INI, ANIO_FIN)
+    )
+    return star.cube("anio", "nivel_gobierno_nombre").agg(
+        F.grouping_id().alias("gid"),
+        F.sum(F.col("monto_devengado")).cast("double").alias("devengado"),
+    )
+
+
+@register(
+    "string_agg_sectors",
+    _star_oracle(
+        """
+        SELECT nivel_gobierno_nombre,
+               string_agg(DISTINCT sector_nombre, '|' ORDER BY sector_nombre)
+                   AS sectores,
+               CAST(COUNT(DISTINCT sector_nombre) AS BIGINT) AS n_sectores
+        FROM star
+        GROUP BY 1
+        """
+    ),
+)
+def string_agg_sectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-distinct string aggregation (collect_set → array_sort →
+    array_join): the deterministic form of LISTAGG/string_agg."""
+    star = build_star(spark, sf_dir)
+    return star.groupBy("nivel_gobierno_nombre").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("sector_nombre")), "|"
+        ).alias("sectores"),
+        F.countDistinct("sector_nombre").alias("n_sectores"),
+    )
+
+
+@register(
+    "histogram_amounts",
+    _star_oracle(
+        """
+        SELECT CAST(floor(CAST(monto_devengado AS DOUBLE) / 5000) AS BIGINT)
+                   AS bucket,
+               count(*) AS n
+        FROM star
+        GROUP BY 1
+        """
+    ),
+)
+def histogram_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of devengado (5000-unit buckets) — the
+    single-pass distribution profile used before choosing skew/salting
+    thresholds."""
+    star = build_star(spark, sf_dir)
+    return star.groupBy(
+        F.floor(F.col("monto_devengado").cast("double") / 5000)
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
     "intersect_years",
     _star_oracle(
         f"""
