@@ -282,3 +282,36 @@ def test_cli_sniff_and_inspect(tmp_path, capsys, spark):
     cli.main(["inspect", str(q), "--rows", "5"])
     out = capsys.readouterr().out
     assert "ANO_EJE" in out and "2024" in out
+
+
+def test_load_of_all_invalid_month_is_safe_noop(spark, tmp_path):
+    """A raw file whose every row fails validity produces an empty
+    normalized set; loading it must neither fail nor disturb the
+    existing warehouse (the reference logs-and-continues,
+    transformar_mensual.py:181-183)."""
+    wh = str(tmp_path / "wh")
+
+    good = tmp_path / "2024-Gasto-Mensual.csv"
+    _write_csv(good, [["2024", "1", "E", "N", "1", "E1", "X", "01", "S",
+                       "5", "5", "5"]])
+    nd1 = str(tmp_path / "n1")
+    mef_pipeline.transform(spark, str(good), nd1)
+    mef_pipeline.load(spark, nd1, wh)
+    assert spark.read.parquet(f"{wh}/fact_gasto_mensual").count() == 1
+
+    bad = tmp_path / "2025-Gasto-Mensual.csv"
+    _write_csv(bad, [["bad", "1", "E", "N", "1", "E1", "X", "01", "S",
+                      "1", "1", "1"],
+                     ["2025", "99", "E", "N", "1", "E1", "X", "01", "S",
+                      "1", "1", "1"]])
+    # the all-invalid normalized frame loads as a harmless no-op
+    from proyecto_gasto_publico_etl_per__spark.operators import normalize
+    from proyecto_gasto_publico_etl_per__spark.sources.csv_source import (
+        read_monthly_csv,
+    )
+
+    empty = normalize.normalize_monthly(read_monthly_csv(spark, str(bad)))
+    assert empty.count() == 0
+    mef_pipeline.load_frame(spark, empty, wh)
+    fact = spark.read.parquet(f"{wh}/fact_gasto_mensual")
+    assert fact.count() == 1  # warehouse untouched
