@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup, multimodal, sampling, similarity, textstats
 from ..sources.tables import load_table
 from ..streaming.incremental import windowed_event_counts
-from .driver_queries import register
+from .driver_queries import REGISTRY, register
 
 JACCARD_T = 0.4
 NEARDUP_T = 0.35
@@ -212,6 +212,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
     )
     return dedup.cluster_duplicates(pairs)
+
+
+@register(
+    "corpus_clean_final",
+    f"""
+    WITH RECURSIVE {_DOCS_CTE}, {_JACCARD_CTE},
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION
+      SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    q AS ({{quality}}), l AS ({{lang}})
+    SELECT q.doc_id, l.lang_pred, q.n_tokens
+    FROM q JOIN l ON q.doc_id = l.doc_id
+    WHERE q.quality_ok AND l.lang_pred = 'en'
+      AND q.n_tokens BETWEEN 5 AND 500
+      AND q.doc_id NOT IN (SELECT id FROM comp WHERE cluster_id <> id)
+    """,
+)
+def corpus_clean_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus build in one declared query:
+    quality gate × language gate × token band, then near-duplicate
+    removal keeping each Jaccard cluster's minimum-id representative —
+    the composition every large corpus pipeline runs before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = textstats.quality_stats(docs).select(
+        "doc_id", "n_tokens", "quality_ok"
+    )
+    l = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    selected = (
+        q.join(l, "doc_id")
+        .where(
+            F.col("quality_ok")
+            & (F.col("lang_pred") == "en")
+            & F.col("n_tokens").between(5, 500)
+        )
+        .select("doc_id", "lang_pred", "n_tokens")
+    )
+    clusters = dedup.cluster_duplicates(
+        dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T)
+    )
+    non_representatives = clusters.filter(
+        F.col("cluster_id") != F.col("doc_id")
+    ).select("doc_id")
+    return selected.join(non_representatives, "doc_id", "left_anti")
 
 
 _BUCKET_SQL = (
@@ -740,3 +794,13 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_sum",
     )
+
+
+# corpus_clean_final's oracle embeds the quality and lang CTE bodies,
+# which are defined mid-module — splice them in now that both exist
+REGISTRY["corpus_clean_final"] = (
+    REGISTRY["corpus_clean_final"][0],
+    REGISTRY["corpus_clean_final"][1]
+    .replace("{quality}", _QUALITY_SQL)
+    .replace("{lang}", _lang_sql()),
+)
