@@ -251,3 +251,49 @@ def test_gsum_equals_dsum_on_grid_values(spark, cents):
     ).collect()
     for r in out:
         assert r.fast == r.slow  # exact double equality, not approx
+
+
+@SETTINGS
+@given(
+    f1=st.integers(min_value=0, max_value=100),
+    f2=st.integers(min_value=0, max_value=100),
+)
+def test_hash_sample_thresholds_nest(spark, f1, f2):
+    """Threshold sampling nests: the p% sample is a subset of the q%
+    sample whenever p <= q — what makes hash sampling safely 'growable'
+    (enlarging a training subset never discards previously-chosen docs)."""
+    from proyecto_gasto_publico_etl_per__spark.operators.sampling import (
+        hash_sample,
+    )
+
+    lo, hi = sorted((f1, f2))
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", lo / 100).collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", hi / 100).collect()}
+    assert small <= big
+
+
+@SETTINGS
+@given(
+    present=st.lists(
+        st.sampled_from(["A", "B", "C", "D"]), min_size=0, max_size=4,
+        unique=True,
+    )
+)
+def test_conform_schema_always_yields_target_shape(spark, present):
+    """PRJ2/PRJ3 contract: whatever subset of expected columns the raw
+    file has (plus junk extras), the conformed frame has exactly the
+    target columns in order, missing ones NULL."""
+    from proyecto_gasto_publico_etl_per__spark.operators.normalize import (
+        conform_schema,
+    )
+
+    target = ["A", "B", "C", "D"]
+    cols = [*present, "JUNK"]
+    row = tuple("x" for _ in cols)
+    df = spark.createDataFrame([row], ", ".join(f"{c} STRING" for c in cols))
+    out = conform_schema(df, target)
+    assert out.columns == target
+    r = out.collect()[0]
+    for c in target:
+        assert r[c] == ("x" if c in present else None)
