@@ -58,3 +58,26 @@ def compact_parquet(
         )
     out.parquet(path)
     return int(n_files)
+
+
+def cluster_by(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-cluster a parquet table on ``cols``: repartitionByRange +
+    sortWithinPartitions, so each output file covers a narrow, disjoint
+    range of the leading column and parquet row-group min/max stats can
+    skip whole files for range predicates — the open-source stand-in for
+    Z-ordering, and the right layout for an IVF corpus (cluster by
+    centroid id) or a time-keyed fact.
+    """
+    df = spark.read.parquet(path)
+    parts = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    clustered = parts.sortWithinPartitions(*cols)
+    clustered.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)

@@ -83,3 +83,35 @@ def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
     assert sorted((r.v, r.anio) for r in after) == sorted(
         (r.v, r.anio) for r in before
     )
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
+    from proyecto_gasto_publico_etl_per__spark.sources.maintenance import (
+        cluster_by,
+    )
+
+    p = str(tmp_path / "clustered")
+    # write interleaved values so every file initially spans the full range
+    spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+    ).repartition(4).write.parquet(p)
+
+    before = spark.read.parquet(p)
+    spans = before.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()
+    assert all(r.hi - r.lo > 5_000 for r in spans)  # full-range files
+
+    cluster_by(spark, p, ["k"], n_files=4)
+    after = spark.read.parquet(p)
+    assert after.count() == 10_000
+    spans2 = sorted(
+        (r.lo, r.hi)
+        for r in after.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    # narrow, non-overlapping ranges → min/max stats can skip files
+    for (lo1, hi1), (lo2, _hi2) in zip(spans2, spans2[1:]):
+        assert hi1 < lo2
+    assert all(hi - lo < 5_000 for lo, hi in spans2)
