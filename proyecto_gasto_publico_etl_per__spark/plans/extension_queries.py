@@ -268,6 +268,36 @@ def corpus_clean_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.join(non_representatives, "doc_id", "left_anti")
 
 
+@register(
+    "top_tokens",
+    f"""
+    WITH {_DOCS_CTE},
+    words AS (SELECT doc, unnest(toks) AS tok FROM toks),
+    counts AS (
+      SELECT tok, count(*) AS n,
+             CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM words WHERE tok <> '' GROUP BY tok
+    )
+    SELECT tok, n, n_docs FROM counts
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-20 tokens by frequency with
+    document frequency — explode (posexplode-free flatten) + two-level
+    count, the first stats pass of any corpus build."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(dedup._tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = words.groupBy("tok").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n"), "tok").limit(20)
+
+
 _BUCKET_SQL = (
     "CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
     "AS BIGINT) % 10000"
