@@ -68,18 +68,26 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Predicted language: argmax of marker scores, CJK dominant, ties
-    broken by fixed language order (deterministic in any engine)."""
+    broken by fixed language order (deterministic in any engine).
+
+    The argmax is array_max over (score, -priority, lang) structs so each
+    score expression appears exactly ONCE in the plan — a best-so-far
+    CASE fold nests the running best twice per step, duplicating every
+    score formula exponentially and blowing the generated method past
+    the JVM limit once a filter inlines it (janino fallback)."""
     scored = lang_scores(df, text_col)
     langs = ["zh", *LANG_MARKERS.keys()]
-    pred = None
-    # fold a CASE chain best-so-far; order fixes ties deterministically
-    best = F.lit(-1.0)
-    pred = F.lit("und")
-    for lang in langs:
-        s = F.col(f"score_{lang}")
-        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
-        best = F.when(s > best, s).otherwise(best)
-    return scored.withColumn("lang_pred", pred)
+    candidates = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(-i).alias("npri"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return scored.withColumn("lang_pred", F.array_max(candidates)["lang"])
 
 
 def token_count(col: Column | str) -> Column:
