@@ -370,3 +370,31 @@ def test_stratified_hash_sample_quotas(spark):
         by_lang[r.lang] += 1
     assert by_lang["rare"] == 1000  # keep-all stratum intact
     assert 50 < by_lang["en"] < 200  # ~10% of 1000
+
+
+def test_expression_heavy_queries_fully_codegen(spark):
+    """Whole-stage codegen must COMPILE for the expression-heaviest
+    declared queries — a nested/duplicated expression tree that exceeds
+    the JVM method limit silently drops Spark to interpreted execution
+    (the lang_pred argmax regression)."""
+    from proyecto_gasto_publico_etl_per__spark.plans.driver_queries import (
+        all_queries,
+    )
+
+    reg = all_queries()
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+    }
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        for name in ("lang_id", "quality_stats", "corpus_select",
+                      "dedup_simhash", "sim_topk_ivf"):
+            reg[name](spark, SF_SMOKE).collect()  # throws if codegen fails
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
