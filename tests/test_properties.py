@@ -297,3 +297,44 @@ def test_conform_schema_always_yields_target_shape(spark, present):
     r = out.collect()[0]
     for c in target:
         assert r[c] == ("x" if c in present else None)
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=2, max_size=8,
+    )
+)
+def test_ngram_jaccard_matches_python_model(spark, texts):
+    """The distributed posting-list Jaccard equals a direct Python
+    computation of 3-gram shingle overlap for arbitrary small corpora."""
+    from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(texts)]
+
+    def shingles(words):
+        return {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        } if len(words) >= 3 else set()
+
+    expected = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union and inter / union >= 0.4:
+                expected[(a, b)] = inter / union
+
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.4).collect()
+    }
+    assert got == expected
