@@ -667,6 +667,61 @@ def except_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winsorize_amounts",
+    _star_oracle(
+        """
+        WITH d AS (
+          SELECT sector_nombre,
+                 CAST(floor(CAST(monto_devengado AS DOUBLE) * 10000 + 0.5)
+                      AS BIGINT) AS dev_mic
+          FROM star
+        ),
+        caps AS (
+          SELECT sector_nombre, quantile_disc(dev_mic, 0.99) AS p99_mic
+          FROM d GROUP BY sector_nombre
+        )
+        SELECT d.sector_nombre,
+               CAST(SUM(dev_mic) / 10000 AS DOUBLE) AS total_raw,
+               CAST(SUM(LEAST(dev_mic, p99_mic)) / 10000 AS DOUBLE)
+                   AS total_capped,
+               CAST(SUM(CASE WHEN dev_mic > p99_mic THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_capped
+        FROM d JOIN caps USING (sector_nombre)
+        GROUP BY d.sector_nombre
+        """
+    ),
+)
+def winsorize_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: cap each sector's devengado at its exact p99
+    (percentile_disc picks a real data value) — the outlier treatment a
+    robust aggregate pipeline applies before averaging.  All arithmetic
+    runs on exact long micros (no distributed double sum); the per-group
+    cap is a window expression, so no second scan and no join."""
+    from pyspark.sql import Window
+
+    from ..functions.money import GRID, gmicros
+
+    star = build_star(spark, sf_dir)
+    d = star.select(
+        "sector_nombre", gmicros("monto_devengado").alias("dev_mic")
+    )
+    w = Window.partitionBy("sector_nombre")
+    capped = d.withColumn(
+        "p99_mic",
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY dev_mic)").over(w),
+    )
+    return capped.groupBy("sector_nombre").agg(
+        (F.sum("dev_mic") / GRID).cast("double").alias("total_raw"),
+        (F.sum(F.least(F.col("dev_mic"), F.col("p99_mic"))) / GRID)
+        .cast("double")
+        .alias("total_capped"),
+        F.sum(F.when(F.col("dev_mic") > F.col("p99_mic"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_capped"),
+    )
+
+
+@register(
     "cube_levels",
     _star_oracle(
         f"""
