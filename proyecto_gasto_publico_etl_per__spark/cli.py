@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> None:
         "years", nargs="*", type=int,
         help="load only these years (partition-pruned read, ref CLI parity)",
     )
+    ld.add_argument(
+        "--validate", action="store_true",
+        help="fail loudly if the normalized input violates the standard "
+             "record invariants (one extra scan)",
+    )
 
     ins = sub.add_parser(
         "inspect",
@@ -116,6 +121,11 @@ def main(argv: list[str] | None = None) -> None:
             from pyspark.sql import functions as F
 
             normalized = normalized.filter(F.col("ANO_EJE").isin(args.years))
+        if args.validate:
+            from .operators import expectations as X
+
+            row = X.assert_ok(normalized, X.standard_monthly_checks())
+            print(f"validated {row.n_rows} rows: all checks pass")
         fact = mef_pipeline.load_frame(spark, normalized, args.warehouse)
         print(f"fact rows: {fact.count()} → {args.warehouse}")
     else:

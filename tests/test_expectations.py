@@ -54,3 +54,19 @@ def test_standard_checks_pass_on_normalized_output(spark, tmp_path):
     norm = normalize.normalize_monthly(read_monthly_csv(spark, str(p)))
     row = X.assert_ok(norm, X.standard_monthly_checks())
     assert row.n_rows == 1  # the junk row was filtered upstream
+
+
+def test_cli_load_validate_flag(spark, tmp_path, capsys):
+    import csv
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    p = tmp_path / "2024-Gasto-Mensual.csv"
+    with open(p, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["ANO_EJE", "MES_EJE", "MONTO_PIA", "MONTO_DEVENGADO"])
+        w.writerow(["2024", "1", "10.5", "9"])
+    norm, wh = str(tmp_path / "n"), str(tmp_path / "w")
+    cli.main(["transform", str(p), norm])
+    cli.main(["load", norm, wh, "--validate"])
+    assert "all checks pass" in capsys.readouterr().out
