@@ -53,6 +53,14 @@ def asof_join(
         .orderBy(_ATS, _MARK)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # fill ONE struct per right row, not each column independently — a
+    # right row with a legitimately-NULL payload field must not be "seen
+    # through" to an older row's value for that field
+    row_payload = F.when(
+        F.col(_MARK) == 0, F.struct(*[F.col(c) for c in payload])
+    )
+    u = u.withColumn("__asof_p", F.last(row_payload, ignorenulls=True).over(w))
+    out = u.filter(F.col(_MARK) == 1)
     for c in payload:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col(_MARK) == 1).drop(_MARK, _ATS)
+        out = out.withColumn(c, F.col("__asof_p")[c])
+    return out.drop(_MARK, _ATS, "__asof_p")

@@ -38,3 +38,18 @@ def test_asof_rejects_payload_collision(spark):
     right = spark.createDataFrame([(1, _ts(0), "y")], "k BIGINT, ts TIMESTAMP, state STRING")
     with pytest.raises(ValueError):
         asof_join(left, right, ["k"])
+
+
+def test_asof_null_payload_field_not_seen_through(spark):
+    """A right row whose payload field is NULL must deliver that NULL —
+    not an older row's value for the same field (row-atomic fill)."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(20))], "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), "old-a", "old-b"), (1, _ts(10), None, "new-b")],
+        "user_id BIGINT, ts TIMESTAMP, a STRING, b STRING",
+    )
+    out = asof_join(left, right, ["user_id"]).collect()[0]
+    assert out.b == "new-b"
+    assert out.a is None  # NOT "old-a" — latest row's NULL wins
