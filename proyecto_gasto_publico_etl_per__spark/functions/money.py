@@ -52,8 +52,12 @@ def gsum(col: Column | str, alias: str | None = None) -> Column:
 
     Overflow bound: per-group totals must stay under 2^63/1e4 ≈ 9.2e14
     money units; Spark's ANSI sum(long) fails loudly, never wraps.
-    Negative inputs would round differently (floor vs half-away) — use
-    ``dsum`` there.
+
+    Sign caveat: for values already ON the 1e-4 grid (all DECIMAL(18,4)
+    columns) the quantization is exact for either sign; only raw
+    non-grid doubles round differently from the decimal HALF_UP cast
+    when negative (floor rounds toward -inf at half-points) — use
+    ``dsum`` for those.
     """
     out = (F.sum(gmicros(col)) / GRID).cast("double")
     return out.alias(alias) if alias else out

@@ -43,7 +43,11 @@ def hash_sample(
     fraction: float,
     salt: str = "sample",
 ) -> DataFrame:
-    """Keep ~``fraction`` of rows, chosen by key hash (deterministic)."""
+    """Keep ~``fraction`` of rows, chosen by key hash (deterministic).
+
+    Rows with a NULL key hash to NULL and are always excluded — sample
+    on a non-null key (or coalesce first) if NULL rows must be eligible.
+    """
     return df.filter(hash_bucket(key_col, salt) < int(fraction * BUCKETS))
 
 
