@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_text, label_or_placeholder
-from ..functions.money import DEC, dsum, gsum
+from ..functions.money import DEC, GRID, dsum, gmicros, gsum
 from ..operators import normalize, skew
 from ..operators.timedim import build_time_dim
 from ..plans import queries as Q
@@ -1115,6 +1115,332 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), fmt).alias("session_start"),
         F.date_format(F.max("ts"), fmt).alias("session_end"),
+    )
+
+
+# --- relational coverage extensions ------------------------------------------
+# Operators the reference lacks outright (SURVEY §2.5 "no right/full-outer,
+# semi, range joins"; §2.6 "no GROUPING SETS") but any warehouse user of the
+# reference would reach for next.  All oracle-checked.
+
+
+@register(
+    "semi_join_exists",
+    f"""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND year(o.o_orderdate) = {ANIO}
+          AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with ≥1 urgent order in the
+    target year.  Semi-join needs no fact-side dedup and streams the
+    probe side; at 100 TB the year/priority filter pushes into the fact
+    scan and the surviving keys build one hash table."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == ANIO)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_YEAR_MIC_SQL = """
+SELECT sector_nombre,
+       SUM(CAST(floor(CAST(monto_devengado AS DOUBLE) * 10000 + 0.5)
+                AS BIGINT)) AS {alias}
+FROM star WHERE anio = {anio} GROUP BY 1
+"""
+
+
+@register(
+    "full_outer_reconcile",
+    _star_oracle(
+        f"""
+        WITH p AS ({_YEAR_MIC_SQL.format(alias="prev_mic", anio=ANIO - 1)}),
+        c AS ({_YEAR_MIC_SQL.format(alias="curr_mic", anio=ANIO)})
+        SELECT COALESCE(p.sector_nombre, c.sector_nombre) AS sector_nombre,
+               CAST(COALESCE(p.prev_mic, 0) / 10000 AS DOUBLE) AS total_prev,
+               CAST(COALESCE(c.curr_mic, 0) / 10000 AS DOUBLE) AS total_curr,
+               CAST((COALESCE(c.curr_mic, 0) - COALESCE(p.prev_mic, 0))
+                    / 10000 AS DOUBLE) AS delta
+        FROM p FULL OUTER JOIN c ON p.sector_nombre = c.sector_nombre
+        """
+    ),
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: year-over-year sector reconciliation that keeps
+    sectors present in either year (the reference has no outer joins at
+    all).  Both sides are pre-aggregated to |sectors| rows before the
+    join, so the outer join itself is trivially small at any scale; the
+    delta is computed on exact long micros."""
+    star = build_star(spark, sf_dir)
+
+    def year_totals(anio: int, alias: str) -> DataFrame:
+        return (
+            star.filter(F.col("anio") == anio)
+            .groupBy("sector_nombre")
+            .agg(F.sum(gmicros("monto_devengado")).alias(alias))
+        )
+
+    j = year_totals(ANIO - 1, "prev_mic").join(
+        year_totals(ANIO, "curr_mic"), ["sector_nombre"], "full_outer"
+    )
+    pm = F.coalesce("prev_mic", F.lit(0))
+    cm = F.coalesce("curr_mic", F.lit(0))
+    return j.select(
+        "sector_nombre",
+        (pm / GRID).cast("double").alias("total_prev"),
+        (cm / GRID).cast("double").alias("total_curr"),
+        ((cm - pm) / GRID).cast("double").alias("delta"),
+    )
+
+
+@register(
+    "grouping_sets_mix",
+    _star_oracle(
+        """
+        SELECT nivel_gobierno_nombre, sector_nombre, mes,
+               CAST(GROUPING(nivel_gobierno_nombre) AS INT) AS g_nivel,
+               CAST(GROUPING(sector_nombre) AS INT) AS g_sector,
+               CAST(GROUPING(mes) AS INT) AS g_mes,
+               CAST(SUM(CAST(floor(CAST(monto_devengado AS DOUBLE) * 10000
+                                   + 0.5) AS BIGINT)) / 10000 AS DOUBLE)
+                   AS total_dev,
+               count(*) AS n_rows
+        FROM star
+        GROUP BY GROUPING SETS ((nivel_gobierno_nombre, sector_nombre),
+                                (nivel_gobierno_nombre), (mes))
+        """
+    ),
+)
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — three heterogeneous rollup levels in ONE
+    scan (vs three scans + union), with per-column GROUPING flags so
+    consumers can tell subtotal rows apart.  Spark expands the sets via
+    a single Expand node feeding one hash aggregate — the expansion
+    multiplies rows 3× pre-shuffle, still far cheaper than re-scanning
+    at 100 TB."""
+    star = build_star(spark, sf_dir)
+    return star.groupingSets(
+        [
+            ["nivel_gobierno_nombre", "sector_nombre"],
+            ["nivel_gobierno_nombre"],
+            ["mes"],
+        ],
+        "nivel_gobierno_nombre",
+        "sector_nombre",
+        "mes",
+    ).agg(
+        F.grouping("nivel_gobierno_nombre").cast("int").alias("g_nivel"),
+        F.grouping("sector_nombre").cast("int").alias("g_sector"),
+        F.grouping("mes").cast("int").alias("g_mes"),
+        (F.sum(gmicros("monto_devengado")) / GRID)
+        .cast("double")
+        .alias("total_dev"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "month_spine_gapfill",
+    _star_oracle(
+        f"""
+        WITH y AS (SELECT * FROM star WHERE anio = {ANIO}),
+        sectors AS (SELECT DISTINCT sector_nombre FROM y),
+        months AS (SELECT unnest(generate_series(1, 12))::INT AS mes),
+        agg AS (
+          SELECT sector_nombre, mes,
+                 SUM(CAST(floor(CAST(monto_devengado AS DOUBLE) * 10000 + 0.5)
+                          AS BIGINT)) AS mic
+          FROM y GROUP BY 1, 2
+        )
+        SELECT s.sector_nombre, m.mes,
+               CAST(COALESCE(a.mic, 0) / 10000 AS DOUBLE) AS total_dev,
+               CASE WHEN a.mic IS NULL THEN 0 ELSE 1 END AS has_data
+        FROM sectors s CROSS JOIN months m
+        LEFT JOIN agg a
+          ON a.sector_nombre = s.sector_nombre AND a.mes = m.mes
+        """
+    ),
+)
+def month_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse→dense gap filling: a generated month spine per sector,
+    LEFT-joined to the monthly totals and zero-filled — the standard
+    time-series densification before charting/forecasting.  The spine is
+    |sectors|×12 (tiny at any scale); the expensive side is pre-aggregated
+    before the join so nothing big crosses it."""
+    star_y = build_star(spark, sf_dir).filter(F.col("anio") == ANIO)
+    sectors = star_y.select("sector_nombre").distinct()
+    months = spark.range(1, 13).select(F.col("id").cast("int").alias("mes"))
+    spine = sectors.crossJoin(months)
+    agg = star_y.groupBy("sector_nombre", "mes").agg(
+        F.sum(gmicros("monto_devengado")).alias("mic")
+    )
+    out = spine.join(agg, ["sector_nombre", "mes"], "left")
+    return out.select(
+        "sector_nombre",
+        "mes",
+        (F.coalesce("mic", F.lit(0)) / GRID).cast("double").alias("total_dev"),
+        F.col("mic").isNotNull().cast("int").alias("has_data"),
+    )
+
+
+@register(
+    "ntile_quartiles",
+    """
+    WITH t AS (
+      SELECT year(o_orderdate)::INT AS anio,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS tot_mic,
+             o_orderkey
+      FROM orders
+    ),
+    q AS (
+      SELECT anio, tot_mic,
+             ntile(4) OVER (PARTITION BY anio
+                            ORDER BY tot_mic, o_orderkey) AS quartile
+      FROM t
+    )
+    SELECT anio, quartile,
+           count(*) AS n_orders,
+           CAST(SUM(tot_mic) / 10000 AS DOUBLE) AS total_value
+    FROM q GROUP BY 1, 2
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) value-band segmentation of orders per year, then per-band
+    totals.  The window orders on (amount, unique key) so the tiling is a
+    total order — deterministic across engines and partitionings.  At
+    scale the per-year partitions sort independently; the follow-up agg
+    reuses the same keys."""
+    from pyspark.sql import Window
+
+    t = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("anio"),
+        gmicros("o_totalprice").alias("tot_mic"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("anio").orderBy("tot_mic", "o_orderkey")
+    q = t.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("anio", "quartile").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum("tot_mic") / GRID).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "argmax_latest_event",
+    """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax without a window sort: the latest event per user via
+    max(struct(ts, event_id, payload...)) — a single hash aggregate with
+    map-side partial combine, no per-partition sort and no rank column.
+    Ties are impossible past event_id (unique), so the struct order is
+    total.  At 100 TB this is the cheapest argmax shape Spark has."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_event_type"),
+        F.col("m.value").alias("last_value"),
+    )
+
+
+@register(
+    "range_join_windows",
+    """
+    WITH win AS (
+      SELECT d::INT AS w_id,
+             make_timestamp(2024, 1, d, 2, 0, 0) AS win_start,
+             make_timestamp(2024, 1, d, 2, 0, 0) + INTERVAL 90 MINUTE
+                 AS win_end
+      FROM (SELECT unnest(generate_series(1, 31)) AS d)
+    ),
+    agg AS (
+      SELECT w.w_id, count(*) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+      FROM win w JOIN events e
+        ON e.ts >= w.win_start AND e.ts < w.win_end
+      GROUP BY 1
+    )
+    SELECT w.w_id,
+           strftime(w.win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.value_sum, 0.0) AS value_sum
+    FROM win w LEFT JOIN agg a USING (w_id)
+    """,
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment (range) join: events ∈ daily 02:00–03:30
+    maintenance windows, zero-filled per window.  A naive ts-BETWEEN join
+    is a nested loop over every (event, window) pair; this plan rewrites
+    it as an EQUI-join on the coarse hour bucket (each window explodes to
+    the hours it covers, events key by date_trunc('hour')) plus an exact
+    residual range filter — a broadcast hash join that scales linearly in
+    events, the same bucketing trick Spark's own range-join hints use."""
+    days = spark.range(1, 32).select(F.col("id").cast("int").alias("w_id"))
+    start = F.make_timestamp(
+        F.lit(2024), F.lit(1), F.col("w_id"), F.lit(2), F.lit(0), F.lit(0)
+    )
+    win = days.select(
+        "w_id",
+        start.alias("win_start"),
+        (start + F.expr("INTERVAL 90 MINUTES")).alias("win_end"),
+    )
+    buckets = win.select(
+        "w_id",
+        "win_start",
+        "win_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "win_start"),
+                F.date_trunc(
+                    "hour", F.col("win_end") - F.expr("INTERVAL 1 SECOND")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts")
+    )
+    hits = ev.join(
+        F.broadcast(buckets),
+        (ev.bucket == buckets.bucket)
+        & (ev.ts >= buckets.win_start)
+        & (ev.ts < buckets.win_end),
+    )
+    agg = hits.groupBy("w_id").agg(
+        F.count("*").alias("n_events"), dsum("value", "value_sum")
+    )
+    return win.join(agg, ["w_id"], "left").select(
+        "w_id",
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
     )
 
 

@@ -298,6 +298,74 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), "tok").limit(20)
 
 
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH {_DOCS_CTE},
+    words AS (SELECT doc, unnest(toks) AS tok FROM toks),
+    w2 AS (SELECT doc, tok FROM words WHERE tok <> ''),
+    tf AS (SELECT doc, tok, count(*) AS cnt FROM w2 GROUP BY 1, 2),
+    ntok AS (SELECT doc, count(*) AS n_tokens FROM w2 GROUP BY 1),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM ntok),
+    scored AS (
+      SELECT tf.doc, tf.tok,
+             CAST(floor(
+               CAST(tf.cnt * (2 * (nd.n_docs - dfreq.df) + 1) AS DOUBLE)
+               / CAST(ntok.n_tokens * (2 * dfreq.df + 1) AS DOUBLE)
+               * 1000000000 + 0.5) AS BIGINT) AS score_q
+      FROM tf JOIN ntok USING (doc) JOIN dfreq USING (tok) CROSS JOIN nd
+    )
+    SELECT doc AS doc_id, tok, score_q, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc
+                                   ORDER BY score_q DESC, tok) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf with a LOG-FREE
+    rational idf, idf = (N - df + ½)/(df + ½) — the BM25 idf core without
+    the log.  Dropping the log keeps ranking order for fixed tf and makes
+    the score a single exact-integer division, so both engines produce
+    bit-identical doubles (ln() differs in the last ulp across libm
+    implementations and would flip quantized ties).  Shape: explode →
+    two hash aggs (tf, doc-length) → term-level df agg → broadcast
+    1-row corpus size → per-doc top-k window.  Every join key is either
+    doc_id (co-partitioned from the explode) or tok (the df side is
+    |vocab|, broadcastable); nothing unaggregated crosses a shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(dedup._tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = words.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    ntok = words.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    ndocs = ntok.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(ntok, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(ndocs))
+    )
+    num = (
+        F.col("cnt") * (2 * (F.col("n_docs") - F.col("df")) + 1)
+    ).cast("double")
+    den = (F.col("n_tokens") * (2 * F.col("df") + 1)).cast("double")
+    scored = scored.withColumn(
+        "score_q",
+        F.floor(num / den * 1000000000 + F.lit(0.5)).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "score_q", "rk")
+    )
+
+
 _BUCKET_SQL = (
     "CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
     "AS BIGINT) % 10000"
