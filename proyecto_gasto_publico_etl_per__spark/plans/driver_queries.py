@@ -1444,6 +1444,137 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_METRICS7 = (
+    "monto_pia",
+    "monto_pim",
+    "monto_certificado",
+    "monto_comprometido_anual",
+    "monto_comprometido",
+    "monto_devengado",
+    "monto_girado",
+)
+
+
+@register(
+    "unpivot_metrics",
+    _star_oracle(
+        f"""
+        SELECT anio, metric,
+               CAST(SUM(CAST(floor(CAST(amount AS DOUBLE) * 10000 + 0.5)
+                             AS BIGINT)) / 10000 AS DOUBLE) AS total
+        FROM (SELECT * FROM star
+              UNPIVOT (amount FOR metric IN ({', '.join(_METRICS7)})))
+        GROUP BY 1, 2
+        """
+    ),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the 7 wide metric columns → long (metric, amount)
+    form, then totals per year×metric — the shape BI tools and metric
+    stores want.  Spark plans unpivot as an Expand (rows ×7 pre-agg,
+    map-side only, no extra scan); the inverse of pivot_monthly."""
+    star = build_star(spark, sf_dir)
+    long = star.unpivot(
+        ids=["anio"],
+        values=list(_METRICS7),
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
+    return long.groupBy("anio", "metric").agg(
+        (F.sum(gmicros("amount")) / GRID).cast("double").alias("total")
+    )
+
+
+@register(
+    "filtered_agg_funnel",
+    _star_oracle(
+        """
+        SELECT anio, sector_nombre,
+               count(*) AS n_total,
+               COALESCE(SUM(CASE WHEN fuente_financiamiento_nombre
+                                      = '1-URGENT' THEN 1 END), 0) AS n_urgent,
+               CAST(COALESCE(SUM(CASE WHEN mes <= 6 THEN
+                     CAST(floor(CAST(monto_devengado AS DOUBLE) * 10000 + 0.5)
+                          AS BIGINT) END), 0) / 10000 AS DOUBLE) AS dev_h1,
+               CAST(COALESCE(SUM(CASE WHEN mes > 6 THEN
+                     CAST(floor(CAST(monto_devengado AS DOUBLE) * 10000 + 0.5)
+                          AS BIGINT) END), 0) / 10000 AS DOUBLE) AS dev_h2
+        FROM star
+        GROUP BY 1, 2
+        """
+    ),
+)
+def filtered_agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregation: several differently
+    filtered measures in ONE pass over the fact — the alternative is N
+    scans + N joins.  Each conditional sum is a CASE inside the
+    aggregate, so the whole thing stays one map-side-combined hash agg
+    at any scale."""
+    star = build_star(spark, sf_dir)
+    mic = gmicros("monto_devengado")
+    return star.groupBy("anio", "sector_nombre").agg(
+        F.count("*").alias("n_total"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("fuente_financiamiento_nombre") == "1-URGENT", 1
+                )
+            ),
+            F.lit(0),
+        ).alias("n_urgent"),
+        (F.coalesce(F.sum(F.when(F.col("mes") <= 6, mic)), F.lit(0)) / GRID)
+        .cast("double")
+        .alias("dev_h1"),
+        (F.coalesce(F.sum(F.when(F.col("mes") > 6, mic)), F.lit(0)) / GRID)
+        .cast("double")
+        .alias("dev_h2"),
+    )
+
+
+@register(
+    "rank_ties",
+    _star_oracle(
+        """
+        WITH counts AS (
+          SELECT anio, sector_nombre, count(*) AS n
+          FROM star GROUP BY 1, 2
+        )
+        SELECT anio, sector_nombre, n,
+               CAST(rank() OVER w AS BIGINT) AS rk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drk,
+               percent_rank() OVER w AS prk,
+               cume_dist() OVER w AS cd
+        FROM counts
+        WINDOW w AS (PARTITION BY anio ORDER BY n DESC)
+        """
+    ),
+)
+def rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank family — rank / dense_rank / percent_rank /
+    cume_dist — over per-year sector activity counts.  Unlike
+    row_number, these are functions of the ORDER-BY VALUE alone, so ties
+    rank identically under any partitioning and no unique tiebreak column
+    is needed; percent_rank and cume_dist are single exact-integer
+    divisions (deterministic doubles)."""
+    from pyspark.sql import Window
+
+    counts = (
+        build_star(spark, sf_dir)
+        .groupBy("anio", "sector_nombre")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("anio").orderBy(F.desc("n"))
+    return counts.select(
+        "anio",
+        "sector_nombre",
+        "n",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
 def _ensure_extensions() -> None:
     """Late-import the extension registry (it imports ``register`` from this
     module, so a top-level import here would be circular)."""

@@ -366,6 +366,80 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_outliers",
+    """
+    WITH ex AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, SUM(xq) AS sx, count(*) AS n
+      FROM ex GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             SUM(CAST(floor(
+               (CAST(e.xq AS DOUBLE)
+                - CAST(c.sx AS DOUBLE) / CAST(c.n AS DOUBLE))
+               * (CAST(e.xq AS DOUBLE)
+                  - CAST(c.sx AS DOUBLE) / CAST(c.n AS DOUBLE))
+               + 0.5) AS BIGINT)) AS dist_q
+      FROM ex e JOIN cent c USING (label, pos)
+      GROUP BY 1, 2
+    )
+    SELECT label, vec_id, dist_q, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY dist_q DESC, vec_id) AS rk
+      FROM dist
+    ) WHERE rk <= 3
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + top-3 farthest vectors (squared L2) — the
+    E-step of k-means doubling as label-noise/outlier detection.  All
+    cross-row math is exact: components quantize to 1e-6-grid longs, the
+    centroid is one exact-integer division, and per-dimension squared
+    deviations are floor-quantized to longs BEFORE the across-dims sum —
+    so no distributed double accumulation anywhere and the result is
+    partition-order-independent (and engine-independent).  Shape:
+    posexplode → (label,pos) hash agg (|labels|×dims rows, broadcast
+    back) → per-vector hash agg → per-label top-k window."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn(
+        "xq",
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.sum("xq").alias("sx"), F.count("*").alias("n")
+    )
+    d = F.col("xq").cast("double") - F.col("sx").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .withColumn("sq_q", F.floor(d * d + F.lit(0.5)).cast("long"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq_q").alias("dist_q"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist_q"), "vec_id")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("label", "vec_id", "dist_q", "rk")
+    )
+
+
 _BUCKET_SQL = (
     "CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
     "AS BIGINT) % 10000"
