@@ -147,3 +147,50 @@ def append_fact(
         return batch
     new_rows = batch.join(existing.select(*grain), list(grain), "left_anti")
     return existing.unionByName(new_rows)
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    period_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from periodic snapshots.
+
+    The reference's dim upsert is SCD1 (``ON CONFLICT DO NOTHING`` keeps
+    the first-seen attributes forever, cargar_postgres.py:127-152); this
+    extension derives the full version history instead: one row per
+    (key, attribute-state) run, with ``valid_from`` (the period the state
+    first appeared), ``valid_to`` (the period the NEXT state starts;
+    NULL while current) and an ``is_current`` flag.
+
+    Implementation is two window passes over the key partition, ordered
+    by period — no self-joins, no driver state:
+
+    1. change detection: a row opens a version iff it is the key's first
+       snapshot (lag(period) IS NULL — period is never null, so this
+       cleanly distinguishes "first row" from "previous attr was NULL")
+       or any attribute differs null-safely from its lag;
+    2. interval close: ``lead(period)`` over the surviving version rows.
+
+    Scale: both windows partition by the dimension key, so the work is
+    one shuffle of the (already snapshot-grained) input; runs of
+    unchanged snapshots collapse early, keeping the second window's
+    input at version cardinality.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(period_col)
+    changed: Column = F.lag(period_col).over(w).isNull()
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    versions = snapshots.withColumn("_chg", changed).filter(F.col("_chg"))
+    w2 = Window.partitionBy(*keys).orderBy(period_col)
+    valid_to = F.lead(period_col).over(w2)
+    return versions.select(
+        *keys,
+        *attrs,
+        F.col(period_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )

@@ -1575,6 +1575,52 @@ def rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_customer_history",
+    """
+    WITH snap AS (
+      SELECT o_custkey, year(o_orderdate)::INT AS anio,
+             CASE WHEN count(*) >= 2 THEN 'MULTI' ELSE 'SINGLE' END AS band
+      FROM orders GROUP BY 1, 2
+    ),
+    chg AS (
+      SELECT o_custkey, anio, band,
+             (lag(anio) OVER w IS NULL
+              OR band <> lag(band) OVER w) AS is_chg
+      FROM snap WINDOW w AS (PARTITION BY o_custkey ORDER BY anio)
+    ),
+    vers AS (SELECT o_custkey, anio, band FROM chg WHERE is_chg)
+    SELECT o_custkey, band,
+           anio AS valid_from,
+           lead(anio) OVER w2 AS valid_to,
+           CASE WHEN lead(anio) OVER w2 IS NULL THEN 1 ELSE 0 END
+               AS is_current
+    FROM vers WINDOW w2 AS (PARTITION BY o_custkey ORDER BY anio)
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version history (operators.star.scd2_history): each
+    customer's yearly activity band (MULTI = ≥2 orders that year) as
+    type-2 versions with valid_from/valid_to/is_current.  The reference
+    only does SCD1 (first write wins); this is the upgrade path every
+    warehouse eventually needs.  Two key-partitioned windows, one
+    shuffle of the snapshot-grained input."""
+    from ..operators.star import scd2_history
+
+    snap = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").cast("int").alias("anio")
+        )
+        .agg(
+            F.when(F.count("*") >= 2, F.lit("MULTI"))
+            .otherwise(F.lit("SINGLE"))
+            .alias("band")
+        )
+    )
+    return scd2_history(snap, ["o_custkey"], ["band"], "anio")
+
+
 def _ensure_extensions() -> None:
     """Late-import the extension registry (it imports ``register`` from this
     module, so a top-level import here would be circular)."""

@@ -132,3 +132,53 @@ def test_append_fact_idempotent(spark):
     assert {(r.k, str(r.m)) for r in f2.collect()} == {
         (1, "8.0000"), (2, "1.0000")
     }
+
+
+def test_scd2_history_versions(spark):
+    snap = spark.createDataFrame(
+        [
+            # key 1: A, A, B, A  -> versions A@1, B@3, A@4
+            (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "A"),
+            # key 2: constant -> one version, current
+            (2, 1, "X"), (2, 2, "X"),
+            # key 3: NULL attr first (lag-on-period must flag first row)
+            (3, 2, None), (3, 3, "Z"),
+        ],
+        "k INT, t INT, a STRING",
+    )
+    out = star.scd2_history(snap, ["k"], ["a"], "t")
+    rows = {(r.k, r.a, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, "A", 1, 3, 0),
+        (1, "B", 3, 4, 0),
+        (1, "A", 4, None, 1),
+        (2, "X", 1, None, 1),
+        (3, None, 2, 3, 0),
+        (3, "Z", 3, None, 1),
+    }
+
+
+def test_scd2_history_exactly_one_current_per_key(spark):
+    import random
+
+    random.seed(7)
+    data = [
+        (k, t, random.choice(["A", "B"]))
+        for k in range(20)
+        for t in range(1, 9)
+    ]
+    snap = spark.createDataFrame(data, "k INT, t INT, a STRING")
+    out = star.scd2_history(snap, ["k"], ["a"], "t").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    assert set(by_key) == set(range(20))
+    for k, vs in by_key.items():
+        assert sum(r.is_current for r in vs) == 1
+        vs = sorted(vs, key=lambda r: r.valid_from)
+        # intervals tile: each valid_to equals the next valid_from
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev.valid_to == nxt.valid_from
+            assert prev.a != nxt.a  # only changes open versions
+        assert vs[-1].valid_to is None
