@@ -398,3 +398,63 @@ def test_expression_heavy_queries_fully_codegen(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_approx_distinct_within_rsd_bound(spark):
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators import approx
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "anio", F.year("o_orderdate")
+    )
+    est = {
+        r.anio: r.approx_distinct
+        for r in approx.approx_distinct(
+            orders, ["anio"], "o_custkey", rsd=0.02
+        ).collect()
+    }
+    exact = {
+        r.anio: r.n
+        for r in orders.groupBy("anio")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for anio, n in exact.items():
+        # 5 sigma of the configured 2% rsd
+        assert abs(est[anio] - n) <= max(2, 0.10 * n)
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators import approx
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.year("o_orderdate").alias("anio"), "o_totalprice"
+    )
+    res = {
+        r.anio: (r.p50, r.p95)
+        for r in approx.approx_percentiles(
+            orders, ["anio"], "o_totalprice", (0.5, 0.95), accuracy=10_000
+        ).collect()
+    }
+    groups = {r.anio: r.vals for r in orders.groupBy("anio")
+              .agg(F.sort_array(F.collect_list("o_totalprice")).alias("vals"))
+              .collect()}
+    for anio, vals in groups.items():
+        n = len(vals)
+        p50, p95 = res[anio]
+        # rank error bound: position of returned value within n/accuracy
+        # of the target rank (percentile_approx returns a real data value)
+        import bisect
+
+        for p, got in ((0.5, p50), (0.95, p95)):
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = p * n
+            slack = n / 10_000 + 1
+            assert lo - slack <= target <= hi + slack, (anio, p, got)
