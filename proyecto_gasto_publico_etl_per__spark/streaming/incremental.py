@@ -141,3 +141,22 @@ def windowed_event_counts(
             "value_sum",
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream without any stream state.
+
+    The static side is re-resolved against its source per micro-batch
+    (so a dim refresh is picked up without restarting the query) and is
+    broadcast — the streaming side never shuffles, which is the whole
+    point: enrichment stays map-side no matter how large the stream
+    grows.  Left join keeps unmatched events (the dim may lag the
+    stream); use inner only when the dim is guaranteed complete.
+    """
+    return stream.join(F.broadcast(dim), keys, how)

@@ -122,3 +122,49 @@ def test_windowed_event_counts_matches_batch_groupby(spark):
         for r in direct.collect()
     }
     assert w == d
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: streamed events pick up dim
+    attributes per micro-batch, matching the batch join exactly."""
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        enrich_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+
+    tiers = spark.createDataFrame(
+        [(uid, "GOLD" if uid % 3 == 0 else "STD")
+         for uid in range(0, 200)],
+        "user_id LONG, tier STRING",
+    )
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    enriched = enrich_stream(stream, tiers, ["user_id"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.event_id, r.tier)
+        for r in spark.sql(
+            "SELECT event_id, tier FROM enriched_events"
+        ).collect()
+    }
+    want = {
+        (r.event_id, r.tier)
+        for r in ev.join(tiers, ["user_id"], "left")
+        .select("event_id", "tier")
+        .collect()
+    }
+    assert got == want and len(got) == ev.count()
