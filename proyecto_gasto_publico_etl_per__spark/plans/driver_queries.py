@@ -1621,6 +1621,44 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(snap, ["o_custkey"], ["band"], "anio")
 
 
+@register(
+    "rolling_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per-user trailing 1-hour count/sum at every
+    event — a VALUE-based frame (all rows within 3600s), not a row-count
+    frame like moving_avg_window.  The frame bound is on event-time
+    micros, so peers at the same timestamp aggregate together in both
+    engines regardless of row order; the sum is decimal-exact.  At scale
+    this is one sort per user partition — same cost shape as any
+    ordered window, no self-join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias(
+            "sum_1h"
+        ),
+    )
+
+
 def _ensure_extensions() -> None:
     """Late-import the extension registry (it imports ``register`` from this
     module, so a top-level import here would be circular)."""
