@@ -1351,11 +1351,13 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmax without a window sort: the latest event per user via
-    max(struct(ts, event_id, payload...)) — a single hash aggregate with
-    map-side partial combine, no per-partition sort and no rank column.
-    Ties are impossible past event_id (unique), so the struct order is
-    total.  At 100 TB this is the cheapest argmax shape Spark has."""
+    """Argmax without a window: the latest event per user via
+    max(struct(ts, event_id, payload...)).  Struct max plans as a
+    SortAggregate (structs aren't hash-agg buffer types), but the
+    partial aggregate still combines MAP-SIDE, so only one row per user
+    crosses the shuffle — the window formulation shuffles every event
+    and then sorts each user's full history.  Ties are impossible past
+    event_id (unique), so the struct order is total."""
     ev = load_table(spark, sf_dir, "events")
     m = ev.groupBy("user_id").agg(
         F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")

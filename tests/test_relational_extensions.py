@@ -148,3 +148,39 @@ def test_full_outer_reconcile_covers_both_sides(spark):
     assert {r.sector_nombre for r in out} == sectors
     for r in out:
         assert abs((r.total_curr - r.total_prev) - r.delta) < 1e-6
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_join_plans_as_hash_join_not_nested_loop(spark):
+    """The scale guarantee: the interval join must compile to a hash
+    join on the hour bucket, never a nested loop over (event, window)."""
+    plan = _plan(REGISTRY["range_join_windows"][0](spark, SF_SMOKE))
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_and_unpivot_plan_single_scan_expand(spark):
+    """GROUPING SETS and UNPIVOT both compile to one scan + Expand
+    (not N scans unioned)."""
+    for name in ("grouping_sets_mix", "unpivot_metrics"):
+        plan = _plan(all_queries()[name](spark, SF_SMOKE))
+        assert "Expand" in plan, name
+        assert plan.count("FileScan parquet") <= 7, name  # star tables once
+
+
+def test_semi_join_plans_as_broadcast_left_semi(spark):
+    plan = _plan(REGISTRY["semi_join_exists"][0](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_argmax_plans_as_partial_aggregate_not_window(spark):
+    """max(struct) argmax must plan as a two-phase aggregate (partial_max
+    combines map-side, one row per user crosses the shuffle) with no
+    Window node anywhere."""
+    plan = _plan(REGISTRY["argmax_latest_event"][0](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "partial_max" in plan
