@@ -1661,6 +1661,70 @@ def rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "first_last_events",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_id, 2) OVER w AS second_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full partition frame
+    — the remaining window value-function family (lag/lead, ranks,
+    bounded frames are covered elsewhere).  The frame must be explicitly
+    UNBOUNDED FOLLOWING: the default frame stops at CURRENT ROW, which
+    silently turns last_value into 'current value' — a classic SQL trap
+    both engines share."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_id", 2).over(w).alias("second_event_id"),
+    ).distinct()
+
+
+@register(
+    "union_years",
+    _star_oracle(
+        f"""
+        SELECT sector_nombre, 'prev' AS src
+        FROM star WHERE anio = {ANIO - 1}
+        UNION
+        SELECT sector_nombre, 'curr' AS src
+        FROM star WHERE anio = {ANIO}
+        """
+    ),
+)
+def union_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — completes the set-operation family alongside
+    EXCEPT and INTERSECT (the reference has none, SURVEY §2.9).  Spark
+    plans union-then-distinct as one hash aggregate over the unioned
+    children; the dedup shuffle is on the (already projected) output
+    columns only."""
+    star = build_star(spark, sf_dir)
+    prev = star.filter(F.col("anio") == ANIO - 1).select(
+        "sector_nombre", F.lit("prev").alias("src")
+    )
+    curr = star.filter(F.col("anio") == ANIO).select(
+        "sector_nombre", F.lit("curr").alias("src")
+    )
+    return prev.union(curr).distinct()
+
+
 def _ensure_extensions() -> None:
     """Late-import the extension registry (it imports ``register`` from this
     module, so a top-level import here would be circular)."""
