@@ -163,12 +163,14 @@ def test_range_join_plans_as_hash_join_not_nested_loop(spark):
 
 
 def test_grouping_sets_and_unpivot_plan_single_scan_expand(spark):
-    """GROUPING SETS and UNPIVOT both compile to one scan + Expand
-    (not N scans unioned)."""
+    """GROUPING SETS and UNPIVOT both compile to one pass + Expand, not
+    N aggregates unioned.  (Scan counts can't be asserted directly: a
+    cached star prints its InMemoryRelation's child plan — FileScans
+    included — inside the plan string.)"""
     for name in ("grouping_sets_mix", "unpivot_metrics"):
         plan = _plan(all_queries()[name](spark, SF_SMOKE))
         assert "Expand" in plan, name
-        assert plan.count("FileScan parquet") <= 7, name  # star tables once
+        assert "Union" not in plan, name
 
 
 def test_semi_join_plans_as_broadcast_left_semi(spark):
