@@ -1577,9 +1577,7 @@ def rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_customer_history",
-    """
+_SCD2_SQL = """
     WITH snap AS (
       SELECT o_custkey, year(o_orderdate)::INT AS anio,
              CASE WHEN count(*) >= 2 THEN 'MULTI' ELSE 'SINGLE' END AS band
@@ -1598,8 +1596,10 @@ def rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN lead(anio) OVER w2 IS NULL THEN 1 ELSE 0 END
                AS is_current
     FROM vers WINDOW w2 AS (PARTITION BY o_custkey ORDER BY anio)
-    """,
-)
+"""
+
+
+@register("scd2_customer_history", _SCD2_SQL)
 def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 version history (operators.star.scd2_history): each
     customer's yearly activity band (MULTI = ≥2 orders that year) as
@@ -1658,6 +1658,55 @@ def rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias(
             "sum_1h"
         ),
+    )
+
+
+@register(
+    "scd2_pit_lookup",
+    f"""
+    WITH hist AS ({_SCD2_SQL}),
+    o AS (
+      SELECT o_orderkey, o_custkey, year(o_orderdate)::INT AS anio
+      FROM orders
+    )
+    SELECT o.anio, h.band, count(*) AS n_orders
+    FROM o JOIN hist h
+      ON o.o_custkey = h.o_custkey
+     AND o.anio >= h.valid_from
+     AND (h.valid_to IS NULL OR o.anio < h.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension lookup — the query SCD2 exists
+    for: each order joins the customer version valid AT ORDER TIME
+    (key equi-join + interval residual), then rolls up by year×band.
+    The equi key carries the join; versions per key are few, so the
+    interval predicate is a cheap residual filter, never a nested loop —
+    same philosophy as the bucketed range join.  At 100 TB the version
+    table is dimension-sized and broadcasts."""
+    from ..operators.star import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("anio")
+    ).agg(
+        F.when(F.count("*") >= 2, F.lit("MULTI"))
+        .otherwise(F.lit("SINGLE"))
+        .alias("band")
+    )
+    hist = scd2_history(snap, ["o_custkey"], ["band"], "anio").alias("h")
+    o = orders.select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("anio")
+    ).alias("o")
+    j = o.join(
+        F.broadcast(hist),
+        (F.col("o.o_custkey") == F.col("h.o_custkey"))
+        & (F.col("o.anio") >= F.col("h.valid_from"))
+        & (F.col("h.valid_to").isNull() | (F.col("o.anio") < F.col("h.valid_to"))),
+    )
+    return j.groupBy(F.col("o.anio").alias("anio"), "band").agg(
+        F.count("*").alias("n_orders")
     )
 
 
