@@ -182,3 +182,45 @@ def test_scd2_history_exactly_one_current_per_key(spark):
             assert prev.valid_to == nxt.valid_from
             assert prev.a != nxt.a  # only changes open versions
         assert vs[-1].valid_to is None
+
+
+def test_scd2_history_matches_python_model(spark):
+    """Exact equality against a direct single-threaded reference model
+    (not just invariants): randomized snapshots, including gaps and
+    NULL attribute values."""
+    import random
+
+    random.seed(23)
+    data = []
+    for k in range(30):
+        periods = sorted(random.sample(range(1, 15), random.randint(1, 10)))
+        for t in periods:
+            data.append((k, t, random.choice(["A", "B", None])))
+
+    def model(rows):
+        out = []
+        by_key = {}
+        for k, t, a in rows:
+            by_key.setdefault(k, []).append((t, a))
+        for k, snaps in by_key.items():
+            snaps.sort()
+            versions = []
+            prev = object()  # sentinel: first snapshot always opens
+            for t, a in snaps:
+                if a is not prev and a != prev:
+                    versions.append([k, a, t, None])
+                    prev = a
+            for v, nxt in zip(versions, versions[1:]):
+                v[3] = nxt[2]
+            out.extend(
+                (k, a, vf, vt, 1 if vt is None else 0)
+                for k, a, vf, vt in versions
+            )
+        return out
+
+    snap = spark.createDataFrame(data, "k INT, t INT, a STRING")
+    got = {
+        (r.k, r.a, r.valid_from, r.valid_to, r.is_current)
+        for r in star.scd2_history(snap, ["k"], ["a"], "t").collect()
+    }
+    assert got == set(model(data))
