@@ -1,0 +1,80 @@
+"""Physical-plan audit: flag scale anti-patterns across ALL declared queries.
+
+Usage: python tools/plan_audit.py [sf_dir]
+
+For every query in the registry, prints any red-flag physical nodes:
+- CartesianProduct / BroadcastNestedLoopJoin — O(N·M) joins;
+- BatchEvalPython / ArrowEvalPython — Python UDFs in the plan
+  (the engine's parity surface is supposed to be UDF-free; only the
+  isolated multimodal path may legitimately show Arrow exec);
+- SortMergeJoin on a side we expected broadcast is NOT flagged here
+  (size-dependent, AQE decides) — this audit is about structural
+  mistakes, not tuning.
+
+Exit code 1 if any unexpected flag fires (multimodal's Arrow nodes are
+allowlisted), so it can run as a gate.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RED_FLAGS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+)
+
+#: queries allowed to carry Python-exec nodes (isolated mapInPandas path)
+PYTHON_OK = {"multimodal_extract"}
+
+#: queries whose nested-loop/cartesian node is BY DESIGN over a
+#: provably tiny side (reviewed 2026-08-13):
+CARTESIAN_OK = {
+    "month_spine_gapfill",  # |sectors| × 12-row generated month spine
+    "sim_topk_brute",  # brute-force baseline: corpus × 10-probe set
+    "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = 0
+    for name, fn in sorted(entry.queries().items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = [f for f in RED_FLAGS if f in plan]
+        if name in PYTHON_OK:
+            hits = [h for h in hits if "EvalPython" not in h]
+        if name in CARTESIAN_OK:
+            hits = [
+                h
+                for h in hits
+                if h not in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            ]
+        if hits:
+            bad += 1
+            print(f"FLAG  {name:30s} {','.join(hits)}")
+        else:
+            print(f"ok    {name}")
+    print(f"\n{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
