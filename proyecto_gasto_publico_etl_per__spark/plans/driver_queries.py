@@ -353,29 +353,53 @@ def star_join_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_monthly_view",
     _star_oracle(
         """
-        SELECT anio, mes,
-               COALESCE(NULLIF(TRIM(sector_nombre), ''), 'SIN SECTOR') AS sector,
-               COALESCE(NULLIF(TRIM(pliego_nombre), ''), 'SIN PLIEGO') AS pliego,
-               COALESCE(NULLIF(TRIM(departamento_nombre), ''), 'SIN DEPARTAMENTO')
-                   AS departamento,
-               'Departamento de ' ||
-                 COALESCE(NULLIF(TRIM(departamento_nombre), ''), 'SIN DEPARTAMENTO')
-                 || ', Perú' AS region_mapa,
-               CAST(SUM(COALESCE(monto_pia, 0)) AS DOUBLE) AS monto_pia,
-               CAST(SUM(COALESCE(monto_pim, 0)) AS DOUBLE) AS monto_pim,
-               CAST(SUM(COALESCE(monto_certificado, 0)) AS DOUBLE) AS monto_certificado,
+        WITH labeled AS (
+            SELECT anio, mes, trimestre,
+                   ejecutora_nombre,
+                   COALESCE(NULLIF(TRIM(sector_nombre), ''), 'SIN SECTOR')
+                       AS sector_nombre,
+                   COALESCE(NULLIF(TRIM(pliego_nombre), ''), 'SIN PLIEGO')
+                       AS pliego_nombre,
+                   COALESCE(NULLIF(TRIM(dep_ejecutora_nombre), ''),
+                            'SIN DEPARTAMENTO') AS dep_ejecutora_nombre,
+                   COALESCE(NULLIF(TRIM(prov_ejecutora_nombre), ''),
+                            'SIN PROVINCIA') AS prov_ejecutora_nombre,
+                   COALESCE(NULLIF(TRIM(dist_ejecutora_nombre), ''),
+                            'SIN DISTRITO') AS dist_ejecutora_nombre,
+                   fuente_financiamiento_nombre, categoria_gasto_nombre,
+                   generica_nombre, especifica_nombre,
+                   monto_pia, monto_pim, monto_certificado,
+                   monto_comprometido_anual, monto_comprometido,
+                   monto_devengado, monto_girado
+            FROM star
+        )
+        SELECT anio, mes, trimestre, ejecutora_nombre, sector_nombre,
+               pliego_nombre, dep_ejecutora_nombre, prov_ejecutora_nombre,
+               dist_ejecutora_nombre,
+               'Departamento de ' || dep_ejecutora_nombre || ', Perú'
+                   AS region_mapa,
+               fuente_financiamiento_nombre, categoria_gasto_nombre,
+               generica_nombre, especifica_nombre,
+               CAST(SUM(COALESCE(monto_pia, 0)) AS DOUBLE) AS pia,
+               CAST(SUM(COALESCE(monto_pim, 0)) AS DOUBLE) AS pim,
+               CAST(SUM(COALESCE(monto_certificado, 0)) AS DOUBLE)
+                   AS certificado,
                CAST(SUM(COALESCE(monto_comprometido_anual, 0)) AS DOUBLE)
-                   AS monto_comprometido_anual,
-               CAST(SUM(COALESCE(monto_comprometido, 0)) AS DOUBLE) AS monto_comprometido,
-               CAST(SUM(COALESCE(monto_devengado, 0)) AS DOUBLE) AS monto_devengado,
-               CAST(SUM(COALESCE(monto_girado, 0)) AS DOUBLE) AS monto_girado
-        FROM star
-        GROUP BY 1, 2, 3, 4, 5, 6
+                   AS comprometido_anual,
+               CAST(SUM(COALESCE(monto_comprometido, 0)) AS DOUBLE)
+                   AS comprometido,
+               CAST(SUM(COALESCE(monto_devengado, 0)) AS DOUBLE) AS devengado,
+               CAST(SUM(COALESCE(monto_girado, 0)) AS DOUBLE) AS girado
+        FROM labeled
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14
         """
     ),
 )
 def agg_monthly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V-aggm/AGG8 — monthly rollup with computed label group keys."""
+    """V-aggm/AGG8 — the full 14-group-column monthly rollup, mirroring
+    sql/CreacionDeUsuariosyVistas.sql:119-179 column-for-column (time +
+    ejecutora + 5 placeholder labels + region_mapa + financiera /
+    clasificador names + 7 un-prefixed metric totals)."""
     return V.vw_gasto_agregado_mensual(build_star(spark, sf_dir))
 
 

@@ -33,25 +33,21 @@ from pyspark.sql import functions as F
 
 from ..operators import normalize, star
 from ..operators.timedim import build_time_dim
-from ..schema import DIMENSIONS, FACT_FKS, METRICS
+from ..schema import DIMENSIONS, FACT_FKS, METRICS, raw_name
 from ..sources.csv_source import read_monthly_csv
 from . import views as V
 
-
-def _snake(raw: str) -> str:
-    return raw.lower()
-
-
 #: raw UPPER column → star snake column.  The reference's PRJ7 rename
-#: (cargar_postgres.py:159-233); generated from the schema so the two can
-#: never drift, with the one irregular mapping spelled out.
+#: (cargar_postgres.py:159-233); generated from the schema (including its
+#: irregular DEPARTAMENTO_*/EJECUTORA raw spellings) so the two can never
+#: drift.
 RENAME_MAP: dict[str, str] = {
     "ANO_EJE": "anio",
     "MES_EJE": "mes",
     "NIVEL_GOBIERNO": "nivel_gobierno_codigo",
     "NIVEL_GOBIERNO_NOMBRE": "nivel_gobierno_nombre",
     **{
-        c.upper(): c
+        raw_name(c): c
         for dim in DIMENSIONS[1:]
         for c in dim.columns
     },

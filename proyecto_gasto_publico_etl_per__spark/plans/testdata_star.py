@@ -17,6 +17,17 @@ Mapping (testdata → MEF star):
                                                    generica_nombre=p_brand)
   supplier                  → proveedor_nombre=s_name
   orders.o_orderpriority    → fuente_financiamiento_nombre
+  orders.o_orderstatus      → categoria_gasto_nombre ('CAT ' prefix; 3
+                              distinct values, the categoria cardinality)
+  customer location analogs → dep_ejecutora_nombre = n_name, blanked every
+                              5th nation; prov_ejecutora_nombre from
+                              c_custkey mod 25, NULL every 11th customer;
+                              dist_ejecutora_nombre from c_custkey mod 10,
+                              whitespace-only every 7th customer.  The
+                              injected ''/NULL/'  ' values exercise the
+                              view's COALESCE(NULLIF(TRIM(x), ''),
+                              'SIN …') placeholder path (V:127-133) on
+                              both engines.
   lineitem numerics         → the 7 monto_* metrics (exact decimal):
       monto_pia                = l_quantity
       monto_pim                = l_extendedprice
@@ -87,7 +98,13 @@ def build_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SF AQE turns it into a broadcast join on its own; at 100 TB it must be
     # a shuffle join on the orderkey (both sides co-partition on that key).
     fact = lineitem.join(
-        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            "o_orderstatus",
+        ),
         lineitem.l_orderkey == orders.o_orderkey,
         "inner",
     )
@@ -105,13 +122,28 @@ def build_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("int").alias("trimestre"),
         F.col("r_name").alias("nivel_gobierno_nombre"),
         F.col("n_name").alias("sector_nombre"),
-        F.col("n_name").alias("departamento_nombre"),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(""))
+        .otherwise(F.col("n_name"))
+        .alias("dep_ejecutora_nombre"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("PROV "), (F.col("c_custkey") % 25).cast("string"))
+        )
+        .alias("prov_ejecutora_nombre"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("  "))
+        .otherwise(
+            F.concat(F.lit("DIST "), (F.col("c_custkey") % 10).cast("string"))
+        )
+        .alias("dist_ejecutora_nombre"),
         F.col("c_name").alias("ejecutora_nombre"),
         F.col("c_mktsegment").alias("pliego_nombre"),
         F.col("p_type").alias("especifica_nombre"),
         F.col("p_brand").alias("generica_nombre"),
         F.col("s_name").alias("proveedor_nombre"),
         F.col("o_orderpriority").alias("fuente_financiamiento_nombre"),
+        F.concat(F.lit("CAT "), F.col("o_orderstatus")).alias(
+            "categoria_gasto_nombre"
+        ),
         "monto_pia",
         "monto_pim",
         "monto_certificado",
@@ -131,13 +163,21 @@ SELECT year(o_orderdate)::INT AS anio,
        quarter(o_orderdate)::INT AS trimestre,
        r_name AS nivel_gobierno_nombre,
        n_name AS sector_nombre,
-       n_name AS departamento_nombre,
+       CASE WHEN n_nationkey % 5 = 0 THEN '' ELSE n_name END
+           AS dep_ejecutora_nombre,
+       CASE WHEN c_custkey % 11 = 0 THEN NULL
+            ELSE 'PROV ' || CAST(c_custkey % 25 AS VARCHAR) END
+           AS prov_ejecutora_nombre,
+       CASE WHEN c_custkey % 7 = 0 THEN '  '
+            ELSE 'DIST ' || CAST(c_custkey % 10 AS VARCHAR) END
+           AS dist_ejecutora_nombre,
        c_name AS ejecutora_nombre,
        c_mktsegment AS pliego_nombre,
        p_type AS especifica_nombre,
        p_brand AS generica_nombre,
        s_name AS proveedor_nombre,
        o_orderpriority AS fuente_financiamiento_nombre,
+       'CAT ' || o_orderstatus AS categoria_gasto_nombre,
        CAST(floor(l_quantity * 10000 + 0.5) / 10000 AS DECIMAL(18,4))
            AS monto_pia,
        CAST(floor(l_extendedprice * 10000 + 0.5) / 10000 AS DECIMAL(18,4))

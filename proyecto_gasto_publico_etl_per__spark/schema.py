@@ -78,16 +78,16 @@ DIMENSIONS: tuple[Dim, ...] = (
         key=("sec_ejec", "ejecutora_codigo"),
         attrs=(
             "ejecutora_nombre",
-            "sector_codigo",
+            "sector",
             "sector_nombre",
-            "pliego_codigo",
+            "pliego",
             "pliego_nombre",
-            "departamento_codigo",
-            "departamento_nombre",
-            "provincia_codigo",
-            "provincia_nombre",
-            "distrito_codigo",
-            "distrito_nombre",
+            "dep_ejecutora_codigo",
+            "dep_ejecutora_nombre",
+            "prov_ejecutora_codigo",
+            "prov_ejecutora_nombre",
+            "dist_ejecutora_codigo",
+            "dist_ejecutora_nombre",
         ),
     ),
     Dim(
@@ -200,8 +200,26 @@ RAW_INT_COLS: tuple[str, ...] = ("ANO_EJE", "MES_EJE", "TIPO_TRANSACCION")
 RAW_METRIC_COLS: tuple[str, ...] = tuple(m.upper() for m in METRICS)
 
 
-def _raw_name(col: str) -> str:
-    return col.upper()
+#: star column → raw MEF header where the loader renames irregularly
+#: (cargar_postgres.py:159-233): the warehouse abbreviates the raw
+#: DEPARTAMENTO/PROVINCIA/DISTRITO prefixes and ``EJECUTORA`` carries no
+#: ``_CODIGO`` suffix in the raw extract.
+RAW_NAME_OVERRIDES: dict[str, str] = {
+    "ejecutora_codigo": "EJECUTORA",
+    "dep_ejecutora_codigo": "DEPARTAMENTO_EJECUTORA",
+    "dep_ejecutora_nombre": "DEPARTAMENTO_EJECUTORA_NOMBRE",
+    "prov_ejecutora_codigo": "PROVINCIA_EJECUTORA",
+    "prov_ejecutora_nombre": "PROVINCIA_EJECUTORA_NOMBRE",
+    "dist_ejecutora_codigo": "DISTRITO_EJECUTORA",
+    "dist_ejecutora_nombre": "DISTRITO_EJECUTORA_NOMBRE",
+    "dep_meta_codigo": "DEPARTAMENTO_META",
+    "dep_meta_nombre": "DEPARTAMENTO_META_NOMBRE",
+}
+
+
+def raw_name(col: str) -> str:
+    """Raw MEF header for a star column (COLS_CLAVE derivation + PRJ7 inverse)."""
+    return RAW_NAME_OVERRIDES.get(col, col.upper())
 
 
 #: The 67 canonical raw columns (transformar_mensual.py:32-69), derived from
@@ -213,7 +231,7 @@ COLS_CLAVE: tuple[str, ...] = (
     "NIVEL_GOBIERNO",
     "NIVEL_GOBIERNO_NOMBRE",
     *(
-        _raw_name(c)
+        raw_name(c)
         for dim in DIMENSIONS[1:]  # dim_nivel_gobierno handled above
         for c in dim.columns
     ),

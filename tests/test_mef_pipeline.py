@@ -14,9 +14,12 @@ from pyspark.sql import functions as F
 from proyecto_gasto_publico_etl_per__spark.plans import mef_pipeline
 from proyecto_gasto_publico_etl_per__spark.plans import queries as Q
 
+#: Reference-true raw headers (transformar_mensual.py:32-69): the ejecutora
+#: code column is ``EJECUTORA`` (no _CODIGO suffix) and the sector code is
+#: ``SECTOR``, exactly as in the MEF extracts.
 HEADER = [
     "ANO_EJE", "MES_EJE", "NIVEL_GOBIERNO", "NIVEL_GOBIERNO_NOMBRE",
-    "SEC_EJEC", "EJECUTORA_CODIGO", "EJECUTORA_NOMBRE", "SECTOR_CODIGO",
+    "SEC_EJEC", "EJECUTORA", "EJECUTORA_NOMBRE", "SECTOR",
     "SECTOR_NOMBRE", "MONTO_PIA", "MONTO_PIM", "MONTO_DEVENGADO",
 ]
 
