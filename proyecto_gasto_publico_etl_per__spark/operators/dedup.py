@@ -55,16 +55,75 @@ def _tokens(text_col: str) -> Column:
 def word_shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text.
 
-    Guarded for short docs: Spark's ``sequence(1, 0)`` DESCENDS, so the
-    start list only exists when the doc has ≥ n tokens.
+    Built as ``n-1`` ``zip_with`` passes over shifted slices of the token
+    array (``toks[i] ⊕ toks[i+1] ⊕ …``): each pass is one O(L) sweep with
+    a cheap string concat per element.  The naive per-start
+    ``transform(i -> concat_ws(slice(toks, i, n)))`` allocates a sub-array
+    per shingle inside an interpreted higher-order lambda and measured ~8×
+    slower on the documents corpus.  Output order (and therefore the
+    ``array_distinct`` result) is identical.
+
+    Guarded for short docs: every slice is length ``L-(n-1)`` which only
+    exists when the doc has ≥ n tokens.
     """
     toks = _tokens(text_col)
-    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    width = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, width)
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, width)
+        grams = F.zip_with(
+            grams, shifted, lambda acc, t: F.concat(acc, F.lit(" "), t)
+        )
+    guarded = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(guarded)
+
+
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, distinct shingle array) — the per-doc set both the posting
+    join and the candidate verifier derive from."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(text_col, n).alias("shingles"),
+    )
+
+
+def verify_pairs_jaccard(cands: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Exact Jaccard for CANDIDATE pairs only: join each pair side to its
+    shingle set, intersect per pair (``array_intersect`` of two distinct
+    arrays counts distinct common shingles, exactly the posting join's
+    ``n_common``).  Two doc-keyed equi-joins — verification cost stays
+    proportional to |candidates|, never to the corpus posting list.
+
+    Jaccard is exact rational arithmetic until one final double division,
+    so thresholding is engine-reproducible (no round()).
+    """
+    sa = shingled.select(
+        F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (
+                F.size("sh_a").cast("long")
+                + F.size("sh_b")
+                - F.col("n_common")
+            ).cast("double"),
+        )
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -73,26 +132,49 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.4,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-``n``-gram Jaccard ≥ ``threshold``.
 
     Posting-list self-join: explode (doc, shingle), join on shingle to count
     intersections, combine with per-doc shingle counts for the union.  The
-    shuffle key is the shingle, so common-shingle skew is the scale hazard —
-    at 100 TB add a document-frequency cap on shingles (drop shingles in
-    > X% of docs: they only create candidate pairs that verification will
-    reject anyway).  Jaccard is exact rational arithmetic until one final
-    double division, so thresholding is engine-reproducible.
+    shuffle key is the shingle, so common-shingle skew is the scale hazard.
+
+    ``max_df`` is the scale path: shingles appearing in more than ``max_df``
+    documents are dropped from CANDIDATE GENERATION (a stop-shingle cap —
+    ultra-common shingles contribute quadratically many candidate rows),
+    and every surviving candidate pair is then verified with exact Jaccard
+    over the FULL shingle sets (``verify_pairs_jaccard``), so reported
+    values are unchanged.  Only pairs whose entire overlap is capped
+    shingles are missed — the standard recall trade documented for
+    posting-list dedup at corpus scale.
     """
-    shingled = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(text_col, n).alias("shingles"),
-    )
-    sizes = shingled.select(
-        "doc", F.size("shingles").alias("n_shingles")
-    )
+    shingled = _shingle_sets(df, id_col, text_col, n)
     postings = shingled.select(
         "doc", F.explode("shingles").alias("shingle")
+    )
+    if max_df is not None:
+        rare = (
+            postings.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        capped = postings.join(rare, "shingle")
+        a, b = capped.alias("a"), capped.alias("b")
+        cands = (
+            a.join(b, on="shingle")
+            .where(F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            )
+            .distinct()
+        )
+        return verify_pairs_jaccard(cands, shingled).where(
+            F.col("jaccard") >= threshold
+        )
+    sizes = shingled.select(
+        "doc", F.size("shingles").alias("n_shingles")
     )
     a, b = postings.alias("a"), postings.alias("b")
     common = (
@@ -139,6 +221,21 @@ def _portable_hash(col: Column, seed: Column | int) -> Column:
     ).cast("bigint")
 
 
+#: Knuth multiplicative constant for deriving seeded hash variants.
+_MIX = 2_654_435_761
+_MOD = 1 << 32
+
+
+def _seeded_mix(h: Column, seed: Column) -> Column:
+    """Seed variant of a base 32-bit hash via an odd-multiplier affine map
+    mod 2^32 — a bijection per seed, so per-seed minima stay independent
+    enough for MinHash while the expensive md5 runs ONCE per shingle, not
+    once per (shingle, seed).  Pure 64-bit integer arithmetic (no
+    overflow: h < 2^32, multiplier < 2^6, offset < 2^37), reproduced
+    exactly by the DuckDB oracle."""
+    return (h * (seed * 2 + 1) + seed * F.lit(_MIX)) % F.lit(_MOD)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -146,20 +243,23 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(doc, seed) → minhash: min over shingles of the seeded portable hash.
+    """(doc, seed) → minhash: min over shingles of the seeded hash.
 
     One narrow explode + one hash-agg; the shuffle key (doc, seed) has
-    bounded cardinality num_docs × num_hashes.
+    bounded cardinality num_docs × num_hashes.  The portable md5 hash is
+    computed once per (doc, shingle); the ``num_hashes`` seeded variants
+    derive from it by integer mixing (``_seeded_mix``) — 16× fewer md5
+    evaluations, the dominant cost of signature building.
     """
-    shingled = df.select(
+    hashed = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
-    )
+    ).select("doc", _portable_hash(F.col("shingle"), 0).alias("h"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     return (
-        shingled.select("doc", "shingle", seeds)
+        hashed.select("doc", "h", seeds)
         .groupBy("doc", "seed")
-        .agg(F.min(_portable_hash(F.col("shingle"), F.col("seed"))).alias("minhash"))
+        .agg(F.min(_seeded_mix(F.col("h"), F.col("seed"))).alias("minhash"))
     )
 
 
@@ -214,13 +314,21 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.4,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: bucket candidates, then verify each
-    candidate pair with exact n-gram Jaccard (no false positives; false
-    negatives bounded by the band s-curve)."""
+    """MinHash+LSH near-dup pipeline: bucket candidates, then verify ONLY
+    those candidate pairs with exact n-gram Jaccard (no false positives;
+    false negatives bounded by the band s-curve).
+
+    Verification is candidate-scoped (``verify_pairs_jaccard``): the LSH
+    candidates join to the per-doc shingle sets and intersect per pair —
+    the corpus-wide posting self-join never runs, so the LSH stage's
+    pruning is what the whole pipeline costs at 100 TB.
+    """
     cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    verified = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cands.join(verified, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jaccard"
+    shingled = _shingle_sets(df, id_col, text_col, n)
+    return (
+        verify_pairs_jaccard(cands, shingled)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -331,6 +439,11 @@ def cluster_duplicates(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: the pair list is typically the output of an
+        # expensive dedup pipeline (posting join / LSH verify); without
+        # this every propagation round re-runs that upstream plan for
+        # each of its joins and counts
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -374,6 +487,14 @@ def cluster_duplicates(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # falling through with changed > 0 would silently serve SPLIT
+        # clusters (a component labeled by two different minima) — fail
+        # loudly instead; 30 pointer-jumped rounds cover diameters ~2^30
+        raise RuntimeError(
+            f"cluster_duplicates did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

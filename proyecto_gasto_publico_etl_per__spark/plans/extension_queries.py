@@ -104,16 +104,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: document-frequency cap for the scale-path candidate generation
+NGRAM_MAX_DF = 5
+
+
+@register(
+    "dedup_ngram_capped",
+    f"""
+    WITH {_DOCS_CTE}, {_JACCARD_CTE},
+    dfreq AS (SELECT shingle, count(*) AS df FROM posts GROUP BY 1),
+    rare AS (SELECT shingle FROM dfreq WHERE df <= {NGRAM_MAX_DF}),
+    cposts AS (SELECT p.doc, p.shingle FROM posts p JOIN rare USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM cposts a JOIN cposts b USING (shingle)
+      WHERE a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, n_common, jaccard
+    FROM cand JOIN jpairs USING (doc_a, doc_b)
+    WHERE jaccard >= {JACCARD_T}
+    """,
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posting join's scale path: stop-shingle DF cap on candidate
+    generation (shingles in > {max_df} docs create quadratic candidate
+    rows and are dropped), then exact Jaccard verified per candidate pair
+    only — the shape that survives common-shingle skew at 100 TB."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=JACCARD_T,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
     WITH {_DOCS_CTE}, {_JACCARD_CTE},
     seeds AS (SELECT unnest(range(16)) AS seed),
+    hashed AS (
+      SELECT doc,
+             CAST(('0x' || substr(md5('0|' || shingle), 1, 8)) AS BIGINT) AS h
+      FROM posts
+    ),
     sigs AS (
       SELECT doc, seed,
-             min(CAST(('0x' || substr(md5(seed::VARCHAR || '|' || shingle), 1, 8))
-                      AS BIGINT)) AS minhash
-      FROM posts CROSS JOIN seeds
+             min((h * (seed * 2 + 1) + seed * 2654435761) % 4294967296)
+                 AS minhash
+      FROM hashed CROSS JOIN seeds
       GROUP BY doc, seed
     ),
     band_sigs AS (

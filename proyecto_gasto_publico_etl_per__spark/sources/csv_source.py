@@ -1,28 +1,57 @@
-"""CSV source with encoding fallback and malformed-line tolerance.
+"""CSV source with per-file encoding detection and malformed-line tolerance.
 
 Reference behavior (ETL Gasto publico Perú/etl/transformar_mensual.py:131-179):
 read ``dtype=str`` in 300k-row chunks with ``sep=","``, ``quotechar='"'``,
 ``on_bad_lines="skip"``, trying encodings utf-8 → utf-8-sig → latin-1 and a
-python-engine fallback per encoding.
+python-engine fallback PER FILE.
 
-Spark restatement: one lazy partitioned scan per encoding attempt — chunking
-is subsumed by the partitioned file scan (no driver-side loop over chunks),
-malformed lines are dropped by ``mode=DROPMALFORMED``, and the BOM case
-(utf-8-sig) is handled natively by Spark's UTF-8 reader.  The encoding retry
-stays a driver-side loop (it is metadata discovery, not dataflow): we probe
-by forcing a tiny action and fall through on decode errors.
+Spark restatement: the encoding choice is driver-side metadata discovery —
+a byte sniff of each file's head (BOM check + strict utf-8 decode), never a
+Spark action.  Spark's CSV reader cannot be probed for a wrong encoding:
+invalid UTF-8 bytes decode to U+FFFD replacement characters instead of
+raising, so a latin-1 'Educación' would silently become mojibake.  Files
+are grouped by detected encoding into one lazy scan per group (chunking is
+subsumed by the partitioned file scan; malformed lines are dropped by
+``mode=DROPMALFORMED``; the utf-8-sig BOM is consumed natively by Spark's
+UTF-8 reader) and the groups union by name — the Spark shape of the
+reference's per-file encoding retry.
 """
 
 from __future__ import annotations
 
 import re
 from collections.abc import Iterable
+from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: transformar_mensual.py:131: utf-8 first, BOM variant, then latin-1.
+#: transformar_mensual.py:131: utf-8 first (BOM variant handled natively),
+#: then latin-1 — the only two encodings MEF extracts arrive in.
 ENCODINGS: tuple[str, ...] = ("UTF-8", "ISO-8859-1")
+
+#: head bytes per file for the driver-side encoding sniff.  4 MiB of
+#: Spanish-language text virtually guarantees an accented byte when the
+#: file is latin-1; at warehouse scale this is one small ranged read per
+#: file of driver-side metadata work, not dataflow.
+SNIFF_BYTES = 4 << 20
+
+
+def detect_encoding(path: str | Path, sample_bytes: int = SNIFF_BYTES) -> str:
+    """Driver-side byte sniff: BOM → UTF-8 (Spark strips it); head decodes
+    as strict utf-8 → UTF-8; otherwise ISO-8859-1 (latin-1 decodes any
+    byte, the reference's last-resort ordering).  A multi-byte sequence
+    cut at the sample boundary is not misread as latin-1."""
+    with Path(path).open("rb") as fh:
+        raw = fh.read(sample_bytes)
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "UTF-8"
+    try:
+        raw.decode("utf-8")
+        return "UTF-8"
+    except UnicodeDecodeError as err:
+        truncated = len(raw) == sample_bytes and err.start >= len(raw) - 4
+        return "UTF-8" if truncated else "ISO-8859-1"
 
 #: transformar_mensual.py:112-118: yearly extract filenames, daily files
 #: excluded.
@@ -51,32 +80,51 @@ def discover_year_files(
     return [p for _, _, p in sorted(found)]
 
 
+def _scan(spark: SparkSession, files: list[str], encoding: str) -> DataFrame:
+    return (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "DROPMALFORMED")
+        .option("encoding", encoding)
+        .option("inferSchema", False)
+        .csv(files)
+    )
+
+
 def read_monthly_csv(
     spark: SparkSession,
     path: str | list[str],
-    encodings: tuple[str, ...] = ENCODINGS,
+    sample_bytes: int = SNIFF_BYTES,
 ) -> DataFrame:
     """All-string CSV scan (SRC1/SRC2): header row, quoted fields, skip
     malformed lines, types deferred to normalization (schema-on-read).
-    ``path`` may be one file or a list — a list scans as one plan."""
-    paths = [str(p) for p in path] if isinstance(path, list) else str(path)
-    last_err: Exception | None = None
-    for enc in encodings:
-        df = (
-            spark.read.option("header", True)
-            .option("quote", '"')
-            .option("escape", '"')
-            .option("mode", "DROPMALFORMED")
-            .option("encoding", enc)
-            .option("inferSchema", False)
-            .csv(paths)
-        )
-        try:
-            df.limit(1).collect()  # probe: decode errors surface here
-            return df
-        except Exception as err:  # noqa: BLE001 - fall through to next encoding
-            last_err = err
-    raise last_err if last_err else ValueError(f"no readable encoding for {path}")
+
+    ``path`` may be one file, a directory, or a list.  Each file's
+    encoding is detected independently (``detect_encoding``) and files
+    group into one lazy scan per encoding; groups union by name with
+    NULL-fill for columns a file set lacks — per-file headers conform
+    independently, exactly like the reference's per-file pandas reads
+    (missing expected columns are later NULL-conformed by
+    ``normalize.conform_schema``).
+    """
+    if isinstance(path, list):
+        files = [str(p) for p in path]
+    elif Path(path).is_dir():
+        files = [str(p) for p in sorted(Path(path).glob("*.csv"))]
+    else:
+        files = [str(path)]
+    if not files:
+        raise ValueError(f"no CSV files under {path}")
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(detect_encoding(f, sample_bytes), []).append(f)
+    scans = [
+        _scan(spark, grp_files, enc) for enc, grp_files in sorted(groups.items())
+    ]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
+    )
 
 
 def sniff_csv(path: str | Path, sample_bytes: int = 64 * 1024) -> list[str]:

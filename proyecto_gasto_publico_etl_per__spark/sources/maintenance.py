@@ -1,4 +1,4 @@
-"""Warehouse maintenance: small-file compaction.
+"""Warehouse maintenance: small-file compaction and range clustering.
 
 Incremental and streaming loads append a few files per micro-batch; at
 scale the accumulated small files dominate scan overhead (one task +
@@ -6,18 +6,70 @@ one open per file).  ``compact_parquet`` rewrites a table (or only
 selected partitions of it) into ~``target_mb`` files while leaving the
 data byte-identical — the Spark-side stand-in for the reference's
 "rebuild indexes after load" guidance (README.md:270-277).
+
+Crash-safety contract (both entry points): the rewrite lands in a
+sibling temp directory first, is verified by row count against the
+source, and only then replaces the source via directory renames.  At no
+point does the data exist only in executor memory — a killed job leaves
+either the intact source (temp discarded) or, in the narrow window
+between the two renames, the complete old copy under ``<name>.gc``.
+This replaces the earlier localCheckpoint-then-overwrite-in-place shape,
+which could lose the table if an executor died mid-overwrite (checkpoint
+blocks are unrecoverable once lineage is truncated and source files are
+deleted).
 """
 
 from __future__ import annotations
 
+import shutil
 from pathlib import Path
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def _dir_bytes(path: Path) -> int:
     return sum(f.stat().st_size for f in path.rglob("*.parquet"))
+
+
+def _tmp_dir(src: Path) -> Path:
+    tmp = src.parent / f"{src.name}.compacting"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    return tmp
+
+
+def _swap_dir(src: Path, new: Path) -> None:
+    """Replace ``src`` with ``new`` by two renames (same filesystem —
+    ``new`` is always a sibling).  The old copy survives as ``.gc``
+    until the new one is in place."""
+    trash = src.parent / f"{src.name}.gc"
+    if trash.exists():
+        shutil.rmtree(trash)
+    if src.exists():
+        src.rename(trash)
+    new.rename(src)
+    if trash.exists():
+        shutil.rmtree(trash)
+
+
+def _write_verified(
+    spark: SparkSession, df: DataFrame, tmp: Path, partition_col: str | None
+) -> None:
+    """Write ``df`` to ``tmp`` and verify the landed row count matches
+    the plan's count before any swap touches the source."""
+    expected = df.count()
+    out = df.write.mode("overwrite")
+    if partition_col:
+        out = out.partitionBy(partition_col)
+    out.parquet(str(tmp))
+    actual = spark.read.parquet(str(tmp)).count()
+    if actual != expected:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction verification failed for {tmp}: wrote {actual} rows, "
+            f"expected {expected}; source left untouched"
+        )
 
 
 def compact_parquet(
@@ -30,13 +82,14 @@ def compact_parquet(
     """Rewrite a parquet table into ~target_mb files; returns the file
     count written.
 
-    With ``partition_col`` the rewrite uses dynamic partition overwrite,
-    so ``partitions`` (e.g. the years a streaming load just touched) can
-    be compacted without rewriting the rest of the table.
+    With ``partition_col`` + ``partitions`` (e.g. the years a streaming
+    load just touched) only those partition directories are rewritten and
+    swapped; the rest of the table keeps its files byte-for-byte.
     """
-    df = spark.read.parquet(path)
     src = Path(path)
-    if partition_col and partitions is not None:
+    df = spark.read.parquet(path)
+    scoped = partition_col is not None and partitions is not None
+    if scoped:
         df = df.filter(F.col(partition_col).isin(partitions))
         size = sum(
             _dir_bytes(src / f"{partition_col}={p}") for p in partitions
@@ -50,13 +103,17 @@ def compact_parquet(
         if partition_col
         else df.repartition(int(n_files))
     )
-    # localCheckpoint: fully materialize before overwriting the source
-    out = writer.localCheckpoint(eager=True).write.mode("overwrite")
-    if partition_col:
-        out = out.option("partitionOverwriteMode", "dynamic").partitionBy(
-            partition_col
-        )
-    out.parquet(path)
+    tmp = _tmp_dir(src)
+    _write_verified(spark, writer, tmp, partition_col)
+    if scoped:
+        for p in partitions:
+            sub = f"{partition_col}={p}"
+            landed = tmp / sub
+            if landed.exists():
+                _swap_dir(src / sub, landed)
+        shutil.rmtree(tmp)
+    else:
+        _swap_dir(src, tmp)
     return int(n_files)
 
 
@@ -73,6 +130,7 @@ def cluster_by(
     Z-ordering, and the right layout for an IVF corpus (cluster by
     centroid id) or a time-keyed fact.
     """
+    src = Path(path)
     df = spark.read.parquet(path)
     parts = (
         df.repartitionByRange(n_files, *cols)
@@ -80,4 +138,6 @@ def cluster_by(
         else df.repartitionByRange(*cols)
     )
     clustered = parts.sortWithinPartitions(*cols)
-    clustered.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    tmp = _tmp_dir(src)
+    _write_verified(spark, clustered, tmp, None)
+    _swap_dir(src, tmp)

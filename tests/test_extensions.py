@@ -53,6 +53,48 @@ def test_minhash_pipeline_recalls_strong_pairs(docs):
     assert (1, 4) in found  # identical docs always share every band
 
 
+def test_minhash_verification_is_candidate_scoped(docs):
+    """The LSH pipeline must never run the corpus-wide posting self-join:
+    no physical join keyed on a shingle column — verification joins on
+    doc ids only (the property that makes LSH pruning worth anything)."""
+    plan = (
+        dedup.minhash_dedup_pairs(docs, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    joins_on_shingle = re.findall(r"Join[^\n]*shingle", plan)
+    assert not joins_on_shingle, joins_on_shingle
+
+
+def test_ngram_capped_subset_with_exact_values(docs):
+    """The DF-capped path returns a subset of the exact pair list with
+    identical jaccard values (candidates shrink, verification is exact)."""
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.4, max_df=2
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert exact[k] == v
+    # a generous cap changes nothing
+    uncapped_equiv = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.4, max_df=10_000
+        ).collect()
+    }
+    assert uncapped_equiv == exact
+
+
 def test_simhash_identical_docs_distance_zero(docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
     keyed = {(r.doc_a, r.doc_b): r.hamming for r in pairs}

@@ -130,3 +130,56 @@ def test_malformed_csv_lines_dropped_not_fatal(spark, tmp_path):
     df = read_monthly_csv(spark, str(p))
     vals = sorted(r.A for r in df.collect() if r.A is not None)
     assert "1" in vals and "2" not in vals
+
+
+def test_latin1_file_reads_correctly(spark, tmp_path):
+    """SRC2 parity: a latin-1 MEF extract (accented bytes appearing only
+    deep in the file, NOT in row 1) must read as real text, never U+FFFD
+    mojibake — the per-file byte sniff decides the encoding before Spark
+    ever scans (transformar_mensual.py:131-179)."""
+    from proyecto_gasto_publico_etl_per__spark.sources.csv_source import (
+        detect_encoding,
+        read_monthly_csv,
+    )
+
+    p = tmp_path / "2023-Gasto.csv"
+    rows = ["SECTOR_NOMBRE,MONTO_PIA"] + [f"PLAIN{i},1" for i in range(50)]
+    rows.append("EDUCACIÓN,2")  # the only accented row, far from row 1
+    p.write_bytes(("\n".join(rows) + "\n").encode("latin-1"))
+    assert detect_encoding(p) == "ISO-8859-1"
+    vals = {r.SECTOR_NOMBRE for r in read_monthly_csv(spark, str(p)).collect()}
+    assert "EDUCACIÓN" in vals
+    assert not any("�" in v for v in vals)
+
+
+def test_mixed_encoding_multifile_scan(spark, tmp_path):
+    """One scan over a utf-8 file and a latin-1 file: each file decodes
+    with its OWN encoding (the reference retries per file; a single-scan
+    probe can't express that)."""
+    from proyecto_gasto_publico_etl_per__spark.sources.csv_source import (
+        read_monthly_csv,
+    )
+
+    utf8 = tmp_path / "2024-Gasto-Mensual.csv"
+    utf8.write_bytes("SECTOR_NOMBRE,MONTO_PIA\nEDUCACIÓN,1\n".encode())
+    lat1 = tmp_path / "2023-Gasto.csv"
+    lat1.write_bytes(
+        "SECTOR_NOMBRE,MONTO_PIA\nSANEAMIENTO Y AÑOS,2\n".encode("latin-1")
+    )
+    df = read_monthly_csv(spark, [str(utf8), str(lat1)])
+    vals = {r.SECTOR_NOMBRE for r in df.collect()}
+    assert vals == {"EDUCACIÓN", "SANEAMIENTO Y AÑOS"}
+
+
+def test_utf8_sig_bom_consumed(spark, tmp_path):
+    """A utf-8-sig BOM must not leak into the first header name
+    (Spark's UTF-8 reader strips it; the sniff maps BOM → UTF-8)."""
+    from proyecto_gasto_publico_etl_per__spark.sources.csv_source import (
+        read_monthly_csv,
+    )
+
+    p = tmp_path / "2025-Gasto-Mensual.csv"
+    p.write_bytes(b"\xef\xbb\xbf" + "ANO_EJE,MES_EJE\n2025,1\n".encode())
+    df = read_monthly_csv(spark, str(p))
+    assert df.columns[0] == "ANO_EJE"
+    assert df.collect()[0].ANO_EJE == "2025"

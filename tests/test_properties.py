@@ -338,3 +338,19 @@ def test_ngram_jaccard_matches_python_model(spark, texts):
         for r in ngram_jaccard_pairs(df, threshold=0.4).collect()
     }
     assert got == expected
+
+
+def test_gsum_overflow_fails_loudly_never_wraps(spark):
+    """functions/money.py documents a 2^63 micros per-group bound; under
+    Spark's ANSI mode an overflowing sum(long) must RAISE, not wrap to a
+    silently-wrong negative total (the failure mode the 100 TB design
+    note promises away)."""
+    import pytest
+
+    from proyecto_gasto_publico_etl_per__spark.functions.money import gsum
+
+    # each value lands near the long-micros cap; three of them overflow
+    big = 9.2e14
+    df = spark.createDataFrame([(1, big), (1, big), (1, big)], "g INT, v DOUBLE")
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+        df.groupBy("g").agg(gsum("v", "t")).collect()

@@ -41,21 +41,13 @@ CARTESIAN_OK = {
 }
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    from pyspark.sql import SparkSession
-
+def audit(spark, sf_dir: str, verbose: bool = False) -> list[tuple[str, list[str]]]:
+    """Audit every declared query's physical plan; returns the flagged
+    (name, red-flag nodes) pairs after allowlisting.  Importable so the
+    pytest suite can run the same gate (tests/test_plan_audit.py)."""
     import __spark_entry__ as entry
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    bad = 0
+    flagged: list[tuple[str, list[str]]] = []
     for name, fn in sorted(entry.queries().items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         hits = [f for f in RED_FLAGS if f in plan]
@@ -68,12 +60,28 @@ def main() -> int:
                 if h not in ("CartesianProduct", "BroadcastNestedLoopJoin")
             ]
         if hits:
-            bad += 1
+            flagged.append((name, hits))
             print(f"FLAG  {name:30s} {','.join(hits)}")
-        else:
+        elif verbose:
             print(f"ok    {name}")
-    print(f"\n{bad} flagged")
-    return 1 if bad else 0
+    return flagged
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    flagged = audit(spark, sf_dir, verbose=True)
+    print(f"\n{len(flagged)} flagged")
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":
