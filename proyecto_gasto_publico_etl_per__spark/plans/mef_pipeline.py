@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..operators import normalize, star
 from ..operators.timedim import build_time_dim
 from ..schema import DIMENSIONS, FACT_FKS, METRICS, raw_name
+from ..schema_comments import with_column_comments
 from ..sources.csv_source import read_monthly_csv
 from . import views as V
 
@@ -108,9 +109,11 @@ def load_frame(
     """The load stage on an already-materialized normalized frame — shared
     by the batch CLI and the streaming loader's per-micro-batch handler."""
     wh = Path(warehouse)
-    records = _star_records(normalized)
+    # business-meaning column comments (CreacionDBOrigen.sql:75-137) ride
+    # along as field metadata into every dim/fact parquet written below
+    records = with_column_comments(_star_records(normalized))
 
-    time_dim = build_time_dim(spark)
+    time_dim = with_column_comments(build_time_dim(spark))
     time_dim.write.mode("overwrite").parquet(str(wh / "dim_tiempo"))
 
     for dim in DIMENSIONS:
