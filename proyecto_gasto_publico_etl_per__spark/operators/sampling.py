@@ -67,3 +67,29 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
         ).otherwise(threshold)
     return df.filter(hash_bucket(key_col, salt) < threshold)
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash.
+
+    The same key lands in the same split forever — across runs,
+    partitionings, engines, and incremental corpus appends (the property
+    that prevents eval-set contamination when a corpus is re-split after
+    new data lands).  Buckets: [0, val) → val, [val, val+test) → test,
+    rest → train.
+    """
+    val_t = int(val_fraction * BUCKETS)
+    test_t = val_t + int(test_fraction * BUCKETS)
+    b = hash_bucket(key_col, salt)
+    return df.withColumn(
+        "split",
+        F.when(b < val_t, F.lit("val"))
+        .when(b < test_t, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

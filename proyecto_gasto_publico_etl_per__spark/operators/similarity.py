@@ -183,6 +183,45 @@ def lsh_topk(
     )
 
 
+def knn_join_lsh(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 8,
+) -> DataFrame:
+    """All-corpus approximate k-NN JOIN: every vector's top-k neighbors
+    from its own LSH bucket.
+
+    The self-join shape where NEITHER side is a broadcastable probe set —
+    both sides shuffle once on the bucket id, so cost is Σ bucket² (2^-
+    planes selectivity), never the N² cross product.  The top-k window
+    partitions by query id, so rank state is per-vector.  Skew note: a
+    degenerate bucket (many near-identical vectors) concentrates one
+    join key — at scale raise n_planes (halves expected bucket size per
+    plane) or pre-split hot buckets with a salt on the SECOND join key.
+    Ties break by neighbor id → deterministic output.
+    """
+    b = hyperplane_buckets(corpus, id_col, vec_col, n_planes)
+    left = b.select(
+        F.col("doc").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+    )
+    right = b.select(
+        F.col("doc").alias("neighbor_id"), F.col("vec").alias("cvec"), "bucket"
+    )
+    scored = (
+        left.join(right, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score_q3", score_q(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q3"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score_q3", "rk")
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -201,3 +201,43 @@ def redact_pii(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, DIGITS_RE, "<NUM>")
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition ratio over word bigrams (with multiplicity)
+    — the Gopher/C4-style quality signal: highly repetitive documents
+    (boilerplate, keyword stuffing, template spam) have few DISTINCT
+    bigrams relative to their total.
+
+    repetition = 1 - n_distinct_bigrams / n_bigrams  (0 for docs with
+    fewer than two tokens).  Pure integer counts with one final double
+    division — engine-reproducible; map-only, no shuffle.
+    """
+    from .dedup import _tokens
+
+    toks = _tokens(text_col)
+    width = F.size(toks) - 1
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, width),
+            F.slice(toks, 2, width),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.select(
+        F.col(id_col).alias("doc"), grams.alias("grams")
+    ).select(
+        "doc",
+        F.size("grams").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+    )
+    return out.withColumn(
+        "repetition",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )

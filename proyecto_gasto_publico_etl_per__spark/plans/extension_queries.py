@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, sampling, similarity, textstats
+from ..operators import (
+    chunking,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textstats,
+)
 from ..sources.tables import load_table
 from ..streaming.incremental import windowed_event_counts
 from .driver_queries import REGISTRY, register
@@ -501,6 +508,26 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_split",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_BUCKET_SQL.format(salt='split')} < 100 THEN 'val'
+                WHEN {_BUCKET_SQL.format(salt='split')} < 200 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1) by doc-id hash —
+    a key keeps its split across runs, partitionings, and incremental
+    appends (no eval-set contamination on re-splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.dataset_split(docs, "doc_id").select(
+        "doc_id", "lang", "split"
+    )
+
+
+@register(
     "hash_sample_stratified",
     f"""
     SELECT doc_id, lang
@@ -940,6 +967,199 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets (cos ≥ 0.35)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(emb, threshold=NEARDUP_T)
+
+
+@register(
+    "knn_join_lsh",
+    f"""
+    WITH {_BUCKETS_SQL.format(n_planes=8)},
+    v AS (
+      SELECT b.vec_id, e.embedding::DOUBLE[] AS vec, b.bucket
+      FROM buckets b JOIN embeddings e USING (vec_id)
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(floor(list_cosine_similarity(a.vec, b.vec) * 1000 + 0.5)
+                  AS BIGINT) AS score_q3
+      FROM v a JOIN v b USING (bucket)
+      WHERE a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score_q3,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+             ) AS INT) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus k-NN join: every vector's approximate top-3 neighbors
+    from its LSH bucket (both sides shuffle on bucket — the kNN-join
+    shape where no side broadcasts)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_join_lsh(emb, k=3)
+
+
+#: chunk window parameters (tokens)
+CHUNK_SIZE = 40
+CHUNK_STRIDE = 30
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH {_DOCS_CTE},
+    starts AS (
+      SELECT doc, toks,
+             unnest(range(1, greatest(len(toks) - {CHUNK_SIZE} + 1, 1) + 1,
+                          {CHUNK_STRIDE})) AS start
+      FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc,
+           CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, start,
+                                      start + {CHUNK_SIZE} - 1), ' ')
+               AS chunk,
+           CAST(len(list_slice(toks, start, start + {CHUNK_SIZE} - 1))
+                AS INT) AS n_tokens
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows with overlap (40-token chunks, stride 30)
+    — the pre-tokenization step of a training-data pipeline."""
+    return chunking.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        size=CHUNK_SIZE,
+        stride=CHUNK_STRIDE,
+    )
+
+
+@register(
+    "repetition_stats",
+    f"""
+    WITH {_DOCS_CTE},
+    grams AS (
+      SELECT doc,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])
+                  ELSE []::VARCHAR[] END AS g
+      FROM toks
+    )
+    SELECT doc,
+           CAST(len(g) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g) > 0
+                THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                           / CAST(len(g) AS DOUBLE)
+                ELSE 0.0 END AS repetition
+    FROM grams
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram repetition ratio (Gopher/C4-style quality signal)."""
+    return textstats.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+#: token budget per packed training sequence
+PACK_BUDGET = 64
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH {_DOCS_CTE},
+    starts AS (
+      SELECT doc, toks,
+             unnest(range(1, greatest(len(toks) - {CHUNK_SIZE} + 1, 1) + 1,
+                          {CHUNK_STRIDE})) AS start
+      FROM toks WHERE len(toks) > 0
+    ),
+    chunks AS (
+      SELECT doc,
+             CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+             CAST(len(list_slice(toks, start, start + {CHUNK_SIZE} - 1))
+                  AS INT) AS n_tokens
+      FROM starts
+    ),
+    runs AS (
+      SELECT doc, chunk_id, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY doc ORDER BY chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM chunks
+    )
+    SELECT doc, chunk_id, n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS INT) AS seq_id,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM runs
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: chunks assign to training sequences by their
+    running token offset within the document ({PACK_BUDGET}-token budget)
+    — a per-doc window cumulative sum, state bounded per partition key.
+    Offset-based (not best-fit) packing so assignment is a pure window
+    function: deterministic, distributed, no iterative bin state."""
+    from pyspark.sql import Window
+
+    chunks = chunking.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        size=CHUNK_SIZE,
+        stride=CHUNK_STRIDE,
+    )
+    w = (
+        Window.partitionBy("doc")
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = chunks.withColumn("cum", F.sum("n_tokens").over(w))
+    return runs.select(
+        "doc",
+        "chunk_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("int")
+        .alias("seq_id"),
+        F.col("cum").cast("long").alias("cum_tokens"),
+    )
+
+
+@register(
+    "lang_sampling_weights",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(1000000.0 / sqrt(CAST(count(*) AS DOUBLE)) + 0.5)
+                AS BIGINT) AS weight_q
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language inverse-sqrt sampling weights (temperature-style
+    rebalancing, alpha=0.5): weight ∝ 1/√n_l, so the sampled corpus
+    upweights low-resource languages.  sqrt is IEEE correctly-rounded
+    (unlike ln/pow) so the quantized weight is engine-reproducible."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.floor(
+                F.lit(1_000_000.0) / F.sqrt(F.col("n_docs").cast("double"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("weight_q"),
+        )
+    )
 
 
 # --- multimodal plumbing -----------------------------------------------------

@@ -500,3 +500,65 @@ def test_approx_percentiles_within_rank_error(spark):
             target = p * n
             slack = n / 10_000 + 1
             assert lo - slack <= target <= hi + slack, (anio, p, got)
+
+
+def test_chunk_documents_windows(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks: 2 chunks
+            (2, "short doc"),                            # < size: 1 chunk
+            (3, ""),                                     # empty: none
+            (4, None),                                   # null: none
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = chunking.chunk_documents(docs, size=6, stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc, []).append(r)
+    assert 3 not in by_doc and 4 not in by_doc
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1]
+    assert c1[0].chunk == "w0 w1 w2 w3 w4 w5" and c1[0].n_tokens == 6
+    # second window starts at token 5 (stride 4) and clamps at the tail
+    assert c1[1].chunk == "w4 w5 w6 w7 w8 w9" and c1[1].n_tokens == 6
+    assert by_doc[2][0].chunk == "short doc" and by_doc[2][0].n_tokens == 2
+
+
+def test_repetition_ratio_orders_docs(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),   # 4 bigrams, 1 distinct
+            (2, "all words here are unique"),  # 4 bigrams, 4 distinct
+            (3, "one"),                        # no bigrams
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r.doc: r for r in textstats.repetition_stats(docs).collect()}
+    assert rows[1].repetition == 0.75
+    assert rows[2].repetition == 0.0
+    assert rows[3].repetition == 0.0 and rows[3].n_bigrams == 0
+
+
+def test_knn_join_is_bucket_scoped(spark):
+    """The kNN self-join must join on the LSH bucket, never cross-join
+    the corpus with itself."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from conftest import SF_SMOKE
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = similarity.knn_join_lsh(emb, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_query.values())
+    assert all(len(v) <= 2 for v in per_query.values())
