@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_text
+from ..sources.tables import fan_out
 from .textstats import fingerprint
 
 # --- exact -------------------------------------------------------------------
@@ -84,7 +85,10 @@ def _shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(doc, distinct shingle array) — the per-doc set both the posting
-    join and the candidate verifier derive from."""
+    join and the candidate verifier derive from.  ``fan_out``: the
+    clean/split/zip_with shingle chain is the dominant per-row cost and
+    must not run on a single small row group's 1-2 scan partitions."""
+    df = fan_out(df)
     return df.select(
         F.col(id_col).alias("doc"),
         word_shingles(text_col, n).alias("shingles"),
@@ -251,7 +255,7 @@ def minhash_signatures(
     derive from it by integer mixing (``_seeded_mix``) — 16× fewer md5
     evaluations, the dominant cost of signature building.
     """
-    hashed = df.select(
+    hashed = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     ).select("doc", _portable_hash(F.col("shingle"), 0).alias("h"))
@@ -343,6 +347,7 @@ def simhash(
 ) -> DataFrame:
     """32-bit SimHash over word tokens (with multiplicity): bit b is the
     sign of Σ ±1 over token-hash bit b."""
+    df = fan_out(df)
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("tok")
     ).withColumn("h", _portable_hash(F.col("tok"), 0))

@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import fan_out
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -77,7 +79,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -107,6 +109,7 @@ def hyperplane_buckets(
     md5 hash of "p:d" — reproducible anywhere, no stored model.  Bucket =
     integer of sign bits of ⟨v, plane_p⟩.
     """
+    df = fan_out(df)
     v = _as_double(F.col("vec"))
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
@@ -264,6 +267,7 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (max quantized cosine,
     ties to the lowest centroid id).  Map-only: argmax over the literal
     centroid array — the inverted-list build never shuffles the corpus."""
+    df = fan_out(df)
     scored = F.transform(
         cent_lit,
         lambda c: F.struct(

@@ -49,8 +49,10 @@ def _count_occurrences(padded: Column, word: str) -> Column:
 
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language marker counts + CJK char count."""
+    from ..sources.tables import fan_out
+
     padded = _padded(F.col(text_col))
-    out = df
+    out = fan_out(df)
     for lang, words in LANG_MARKERS.items():
         score = None
         for w in words:
@@ -111,6 +113,9 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring signals: char/token counts, mean token length,
     punctuation & stopword & uppercase ratios, and a composite flag."""
+    from ..sources.tables import fan_out
+
+    df = fan_out(df)
     c = F.col(text_col)
     cleaned = clean_text(c)
     n_chars = F.length(cleaned)
@@ -213,8 +218,10 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     fewer than two tokens).  Pure integer counts with one final double
     division — engine-reproducible; map-only, no shuffle.
     """
+    from ..sources.tables import fan_out
     from .dedup import _tokens
 
+    df = fan_out(df)
     toks = _tokens(text_col)
     width = F.size(toks) - 1
     grams = F.when(

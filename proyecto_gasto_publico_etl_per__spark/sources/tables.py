@@ -40,9 +40,13 @@ def ensure_engine_confs(spark: SparkSession) -> None:
         != "true"
     ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    # no fallback value here: Spark 4 VALIDATES the fallback string before
+    # checking whether the key is set, and timeZone always has a resolved
+    # session value anyway — conf.get(key, "") raises INVALID_CONF_VALUE
+    # on an otherwise-healthy session.
+    tz = spark.conf.get("spark.sql.session.timeZone")
     if tz != "UTC":
-        if tz not in ("", "Etc/UTC", "Z"):
+        if tz not in ("Etc/UTC", "Z"):
             import warnings
 
             warnings.warn(
@@ -51,6 +55,32 @@ def ensure_engine_confs(spark: SparkSession) -> None:
                 stacklevel=3,
             )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def fan_out(df: DataFrame, floor_fraction: float = 0.5) -> DataFrame:
+    """Widen an under-parallel input before a CPU-dense derivation.
+
+    A parquet ROW GROUP is the unsplittable scan unit: a small
+    single-row-group file scans as 1-2 partitions no matter how
+    ``maxPartitionBytes``/``minPartitionNum`` are tuned, which serializes
+    every expensive expression chain that follows (shingle explodes,
+    per-token md5, vector dot products) onto 1-2 cores.  When the plan's
+    current partitioning is below ``floor_fraction ×`` the session's
+    default parallelism, round-robin repartition up to the default — the
+    rows are tiny relative to the compute they feed, so the extra narrow
+    shuffle is noise.  At warehouse scale row groups vastly outnumber
+    cores, the guard never fires, and this is a structural no-op —
+    downstream results must therefore never depend on partitioning, which
+    the engine's exact/quantized arithmetic already guarantees.
+
+    Batch-only (``df.rdd`` is illegal on streaming frames).
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * floor_fraction)):
+        return df
+    return df.repartition(target)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
