@@ -1,0 +1,218 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond-the-reference surface (the reference ends at warehouse views;
+a 100 TB training pipeline additionally needs curation): Gopher-style
+quality gates, unigram-frequency scoring, eval-set decontamination and
+per-source caps.  All signals are pure JVM expressions (no Python in the
+hot path) and every ratio is a double division of exact integers, so the
+results are bit-identical across engines and deterministic under any
+partitioning / AQE re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_text
+from ..sources.tables import fan_out
+
+#: stopword markers shared with textstats.LANG_MARKERS["en"]; a doc is
+#: expected to contain at least GOPHER_MIN_STOP_HITS distinct ones.
+STOP_MARKERS = ("the", "and", "of", "is", "to")
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 10_000
+GOPHER_MIN_UNIQUE_FRAC = 0.2
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+
+
+def _tokens(c: Column) -> Column:
+    cleaned = clean_text(c)
+    return F.when(F.length(cleaned) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(cleaned), " ")
+    )
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/format quality gates (Rae et al. 2021,
+    §A1.1 of the Gopher paper — public).  Adapted to this corpus:
+
+    - token count within [5, 10k],
+    - distinct-token fraction ≥ 0.2 (catches looped boilerplate),
+    - ≤ 90% of lines bullet-led, ≤ 30% ellipsis-terminated,
+    - ≥ 2 distinct English stop markers present.
+
+    Map-only: every signal is a per-row expression chain; no shuffle,
+    no UDF.  Line signals operate on the RAW text (newlines are exactly
+    what ``clean_text`` collapses); token signals on the cleaned text.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    frac_unique = F.when(n_tokens > 0, n_unique.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0))
+
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+        )
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    bullet_ratio = F.when(n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, n_ellipsis.cast("double") / n_lines.cast("double")).otherwise(F.lit(0.0))
+
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOP_MARKERS])
+        )
+    )
+
+    ok_tokens = (n_tokens >= GOPHER_MIN_TOKENS) & (n_tokens <= GOPHER_MAX_TOKENS)
+    ok_unique = frac_unique >= F.lit(GOPHER_MIN_UNIQUE_FRAC)
+    ok_bullets = bullet_ratio <= F.lit(GOPHER_MAX_BULLET_RATIO)
+    ok_ellipsis = ellipsis_ratio <= F.lit(GOPHER_MAX_ELLIPSIS_RATIO)
+    ok_stops = stop_hits >= GOPHER_MIN_STOP_HITS
+
+    return fan_out(df).select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        frac_unique.alias("frac_unique"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        (ok_tokens & ok_unique & ok_bullets & ok_ellipsis & ok_stops).alias(
+            "gopher_ok"
+        ),
+    )
+
+
+def unigram_freq_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram-LM commonness scoring WITHOUT logarithms.
+
+    The classic CCNet/KenLM signal is mean token log-probability; ln()
+    differs in the last ulp across libm implementations, so this engine
+    scores with the arithmetic-mean token frequency instead — the same
+    ordering signal for boilerplate detection (high mean frequency =
+    very common tokens = template/boilerplate text), but every
+    intermediate is an exact BIGINT and the final score one fixed-order
+    double division chain, reproducible on any engine.
+
+    Plan shape: posting explode → count per token (vocab, shuffled on
+    token — bounded by vocab size, not corpus size) → posting⋈vocab
+    (AQE broadcasts the vocab side at any realistic vocab) → per-doc
+    sum.  The corpus total is a 1-row aggregate broadcast via cross
+    join (the engine's allowlisted scalar pattern).
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("toks")
+    )
+    posts = base.select("doc", F.explode("toks").alias("tok"))
+    vocab = posts.groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+
+    per_doc = (
+        posts.join(vocab, "tok")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_cnt"),
+            F.min("cnt").cast("bigint").alias("min_cnt"),
+        )
+    )
+    return (
+        base.select("doc")
+        .join(per_doc, "doc", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("sum_cnt", F.lit(0)).alias("sum_cnt"),
+            F.coalesce("min_cnt", F.lit(0)).alias("min_cnt"),
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.col("sum_cnt").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.col("total").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_tok_freq"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination by n-gram overlap (the GPT-3/PaLM
+    protocol, public): a training doc is contaminated when it shares at
+    least one word n-gram with any eval document.
+
+    Scale shape: the eval side reduces to its DISTINCT shingle set —
+    small relative to the corpus (eval sets are thousands of docs), so
+    the train-postings ⋈ eval-shingles equi-join broadcasts the eval
+    side under AQE; the corpus is touched exactly once and never
+    self-joins.  Returns every train doc with its count of distinct
+    shared shingles.
+    """
+    from .dedup import _shingle_sets
+
+    train_sh = _shingle_sets(df, id_col, text_col, n)
+    eval_shingles = (
+        _shingle_sets(eval_df, id_col, text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    shared = (
+        train_sh.select("doc", F.explode("shingles").alias("shingle"))
+        .join(eval_shingles, "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        train_sh.select("doc")
+        .join(shared, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` docs per source,
+    chosen by an unbiased deterministic hash order (md5 of the id), so
+    no source dominates the mixture.  One window over ``source`` — the
+    standard per-group top-k plan (partial TakeOrdered per partition
+    under AQE); heavy sources are bounded by the cap itself.
+    """
+    w = (
+        F.row_number()
+        .over(
+            Window.partitionBy(source_col).orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+        )
+        .alias("rn")
+    )
+    return (
+        df.select(F.col(id_col), F.col(source_col), w)
+        .where(F.col("rn") <= cap)
+        .select(id_col, source_col, F.col("rn").cast("int").alias("rn"))
+    )

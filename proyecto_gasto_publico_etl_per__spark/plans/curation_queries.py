@@ -1,0 +1,242 @@
+"""Declared queries for the corpus-curation operators (gopher gates,
+unigram scoring, decontamination, source caps, semantic dedup, exact
+grouped correlation).
+
+Same oracle discipline as extension_queries: every DuckDB oracle mirrors
+the Spark computation expression-for-expression — exact integer counts,
+fixed-order double divisions, quantized score grids, no ln()/round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation, dedup, similarity, stats
+from ..sources.tables import load_table
+from .driver_queries import register
+from .extension_queries import _BUCKETS_SQL, _DOCS_CTE, NEARDUP_T
+
+#: eval-set membership for decontamination (deterministic synthetic split)
+EVAL_MOD = 37
+SOURCE_CAP_N = 20
+
+_STOPLIST_SQL = "['the', 'and', 'of', 'is', 'to']"
+
+
+@register(
+    "gopher_gates",
+    f"""
+    WITH {_DOCS_CTE},
+    sig AS (
+      SELECT t.doc, t.toks,
+             len(t.toks) AS n_tokens,
+             len(list_distinct(t.toks)) AS n_unique,
+             string_split(coalesce(d.rawtext, ''), chr(10)) AS lines
+      FROM toks t
+      JOIN (SELECT doc_id AS doc, text AS rawtext FROM documents) d
+        ON d.doc = t.doc
+    ),
+    m AS (
+      SELECT doc, n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0 END AS frac_unique,
+             len(lines) AS n_lines,
+             len(list_filter(lines,
+                 l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS n_bullet,
+             len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS n_ellipsis,
+             len(list_intersect(list_distinct(toks), {_STOPLIST_SQL}))
+                 AS stop_hits
+      FROM sig
+    ),
+    r AS (
+      SELECT doc, n_tokens, frac_unique, stop_hits,
+             CASE WHEN n_lines > 0
+                  THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                  ELSE 0 END AS bullet_ratio,
+             CASE WHEN n_lines > 0
+                  THEN CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                  ELSE 0 END AS ellipsis_ratio
+      FROM m
+    )
+    SELECT doc AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           frac_unique, bullet_ratio, ellipsis_ratio,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_tokens BETWEEN {curation.GOPHER_MIN_TOKENS}
+                         AND {curation.GOPHER_MAX_TOKENS}
+             AND frac_unique >= {curation.GOPHER_MIN_UNIQUE_FRAC}
+             AND bullet_ratio <= {curation.GOPHER_MAX_BULLET_RATIO}
+             AND ellipsis_ratio <= {curation.GOPHER_MAX_ELLIPSIS_RATIO}
+             AND stop_hits >= {curation.GOPHER_MIN_STOP_HITS}) AS gopher_ok
+    FROM r
+    """,
+)
+def gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style format/repetition quality gates over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.gopher_rules(docs)
+
+
+@register(
+    "unigram_freq_score",
+    f"""
+    WITH {_DOCS_CTE},
+    posts AS (SELECT doc, unnest(toks) AS tok FROM toks),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+              FROM posts GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    per_doc AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+             CAST(min(cnt) AS BIGINT) AS min_cnt
+      FROM posts JOIN vocab USING (tok) GROUP BY doc
+    )
+    SELECT t.doc AS doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.sum_cnt, 0) AS sum_cnt,
+           coalesce(p.min_cnt, 0) AS min_cnt,
+           CASE WHEN p.n_tokens IS NOT NULL
+                THEN CAST(p.sum_cnt AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+                     / CAST(total AS DOUBLE)
+                ELSE 0 END AS mean_tok_freq
+    FROM toks t LEFT JOIN per_doc p ON t.doc = p.doc CROSS JOIN tot
+    """,
+)
+def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-free unigram-LM commonness score (boilerplate detector)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.unigram_freq_score(docs)
+
+
+@register(
+    "decontaminate_eval",
+    f"""
+    WITH {_DOCS_CTE},
+    eval_sh AS (
+      SELECT DISTINCT unnest(shingles) AS shingle
+      FROM sh WHERE doc % {EVAL_MOD} = 0
+    ),
+    train AS (SELECT doc, shingles FROM sh WHERE doc % {EVAL_MOD} <> 0),
+    posts AS (SELECT doc, unnest(shingles) AS shingle FROM train),
+    shared AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_shared
+      FROM posts JOIN eval_sh USING (shingle) GROUP BY doc
+    )
+    SELECT t.doc AS doc_id,
+           coalesce(s.n_shared, 0) AS n_shared,
+           coalesce(s.n_shared, 0) > 0 AS contaminated
+    FROM train t LEFT JOIN shared s ON t.doc = s.doc
+    """,
+)
+def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram-overlap decontamination of the train split against the
+    deterministic eval split (doc_id % 37 == 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.where(F.col("doc_id") % EVAL_MOD != 0)
+    return curation.decontaminate(train, eval_df)
+
+
+@register(
+    "source_cap_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INT) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn FROM ranked WHERE rn <= {SOURCE_CAP_N}
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: at most N docs per source by deterministic hash
+    order (mixture balancing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.source_cap(docs, SOURCE_CAP_N)
+
+
+@register(
+    "semantic_dedup_keep",
+    f"""
+    WITH RECURSIVE {_BUCKETS_SQL.format(n_planes=4)},
+    v AS (
+      SELECT b.vec_id, e.embedding::DOUBLE[] AS vec, b.bucket
+      FROM buckets b JOIN embeddings e USING (vec_id)
+    ),
+    dup_pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+        AND CAST(floor(list_cosine_similarity(a.vec, b.vec) * 1000 + 0.5)
+                 AS BIGINT) >= {int(NEARDUP_T * 1000)}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS vec_id, min(r) AS cluster_id,
+           (id = min(r)) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding near-dup pairs (LSH
+    buckets + exact cosine verify) → connected components → keep the
+    minimum id of each cluster.  Composition of two audited operators;
+    the corpus never all-pairs joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=NEARDUP_T)
+    labels = dedup.cluster_duplicates(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+@register(
+    "corr_qty_price_by_flag",
+    f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * {stats.CORR_GRID} + 0.5) AS HUGEINT) AS x,
+             CAST(floor(l_extendedprice * {stats.CORR_GRID} + 0.5) AS HUGEINT)
+                 AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                THEN CAST(floor(
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       * {stats.CORR_GRID} + 0.5) AS BIGINT)
+           END AS corr_q6
+    FROM m
+    """,
+)
+def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group Pearson correlation (quantity vs price by
+    returnflag) from exact decimal moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.exact_grouped_corr(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )

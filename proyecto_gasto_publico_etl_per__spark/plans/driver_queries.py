@@ -1801,7 +1801,7 @@ def union_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_extensions() -> None:
     """Late-import the extension registry (it imports ``register`` from this
     module, so a top-level import here would be circular)."""
-    from . import extension_queries, pipeline_e2e  # noqa: F401
+    from . import curation_queries, extension_queries, pipeline_e2e  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,159 @@
+"""Tests for the corpus-curation operators: Gopher gates, unigram
+frequency scoring, decontamination, source caps, semantic dedup
+composition, exact grouped correlation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.operators import curation, stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat and the dog is going to the park of wonders"),
+            (2, "spam spam spam spam spam spam spam spam"),  # low unique frac
+            (3, "- one\n- two\n- three\n- four"),  # bullet-led lines
+            (4, "a b"),  # too few tokens
+            (5, "the quick brown fox is to the point and full of grace"),
+            (6, ""),
+            (7, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+
+
+def test_gopher_rules_flags(docs):
+    rows = {r.doc_id: r for r in curation.gopher_rules(docs).collect()}
+    assert rows[1].gopher_ok  # normal english sentence
+    assert rows[5].gopher_ok
+    assert not rows[2].gopher_ok  # frac_unique = 1/8 < 0.2
+    assert rows[2].frac_unique == pytest.approx(1 / 8)
+    assert not rows[3].gopher_ok  # 100% bullet lines + no stop markers
+    assert rows[3].bullet_ratio == 1.0
+    assert not rows[4].gopher_ok  # < 5 tokens
+    assert not rows[6].gopher_ok and not rows[7].gopher_ok  # empty / null
+    assert rows[6].n_tokens == 0
+
+
+def test_unigram_freq_score_orders_commonness(docs):
+    out = {r.doc_id: r for r in curation.unigram_freq_score(docs).collect()}
+    # doc 2 is pure repetition of one token: its mean token frequency is
+    # the highest in the corpus (boilerplate signal)
+    scores = {i: out[i].mean_tok_freq for i in out}
+    assert max(scores, key=scores.get) == 2
+    # empty/null docs score 0 with 0 tokens
+    assert out[6].mean_tok_freq == 0.0 and out[6].n_tokens == 0
+    assert out[7].mean_tok_freq == 0.0
+    # exact accounting: sum_cnt of doc 2 = 8 occurrences × count 8
+    assert out[2].sum_cnt == 64 and out[2].min_cnt == 8
+    # total = sum over all postings; doc4 'a b' both singletons
+    assert out[4].sum_cnt == 2 and out[4].min_cnt == 1
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "alpha beta gamma something else entirely"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta unrelated tail")],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r for r in curation.decontaminate(train, eval_df).collect()}
+    # doc1 shares 'alpha beta gamma' and 'beta gamma delta'
+    assert out[1].contaminated and out[1].n_shared == 2
+    assert out[3].contaminated and out[3].n_shared == 1
+    assert not out[2].contaminated and out[2].n_shared == 0
+
+
+def test_source_cap_keeps_at_most_n_per_source(spark):
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(100)],
+        "doc_id INT, source STRING",
+    )
+    out = curation.source_cap(df, cap=5)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"src0": 5, "src1": 5, "src2": 5}
+    # deterministic under repartitioning
+    a = sorted((r.doc_id, r.rn) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.rn) for r in curation.source_cap(df.repartition(7), 5).collect()
+    )
+    assert a == b
+
+
+def test_exact_grouped_corr_matches_python(spark):
+    rows = [
+        ("A", 1.0, 2.0),
+        ("A", 2.0, 4.1),
+        ("A", 3.0, 5.9),
+        ("A", 4.0, 8.3),
+        ("B", 1.0, 9.0),
+        ("B", 2.0, 7.0),
+        ("B", 3.0, 5.0),
+        ("C", 5.0, 5.0),  # single row -> null corr
+        ("D", 1.0, 7.0),  # constant x within pair -> dx==0 -> null
+        ("D", 1.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    out = {
+        r.g: r
+        for r in stats.exact_grouped_corr(df, "x", "y", ["g"]).collect()
+    }
+
+    def ref_corr(pts):
+        q = [(math.floor(x * 1e6 + 0.5), math.floor(y * 1e6 + 0.5)) for x, y in pts]
+        n = len(q)
+        sx = sum(x for x, _ in q)
+        sy = sum(y for _, y in q)
+        sxx = sum(x * x for x, _ in q)
+        syy = sum(y * y for _, y in q)
+        sxy = sum(x * y for x, y in q)
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            return None
+        c = (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy))
+        return math.floor(c * 1e6 + 0.5)
+
+    for g in "ABCD":
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        assert out[g].corr_q6 == ref_corr(pts), g
+        assert out[g].n == len(pts)
+    # strong positive / negative correlations where expected
+    assert out["A"].corr_q6 > 990_000
+    assert out["B"].corr_q6 == -1_000_000
+
+
+def test_exact_grouped_corr_deterministic_under_partitioning(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (f"g{i % 4}", rnd.uniform(0, 1e4), rnd.uniform(0, 1e5))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    a = sorted(
+        (r.g, r.corr_q6)
+        for r in stats.exact_grouped_corr(df, "x", "y", ["g"]).collect()
+    )
+    b = sorted(
+        (r.g, r.corr_q6)
+        for r in stats.exact_grouped_corr(
+            df.repartition(13), "x", "y", ["g"]
+        ).collect()
+    )
+    assert a == b

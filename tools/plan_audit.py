@@ -38,6 +38,7 @@ CARTESIAN_OK = {
     "month_spine_gapfill",  # |sectors| × 12-row generated month spine
     "sim_topk_brute",  # brute-force baseline: corpus × 10-probe set
     "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
+    "unigram_freq_score",  # 1-row corpus-total scalar broadcast
 }
 
 
