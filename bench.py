@@ -55,6 +55,9 @@ EXTENSIONS = (
     "sim_topk_ivf",
     "corpus_clean_final",
     "tfidf_top_terms",
+    # round 2 additions (baseline starts at r2 for these)
+    "decontaminate_eval",
+    "semantic_dedup_keep",
 )
 
 

@@ -149,6 +149,55 @@ def append_fact(
     return existing.unionByName(new_rows)
 
 
+def scd1_merge(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+) -> DataFrame:
+    """SCD1 MERGE (upsert with update-on-match): the warehouse-standard
+    ``MERGE INTO … WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT``.
+
+    The reference's dim maintenance is insert-only (``ON CONFLICT DO
+    NOTHING``, cargar_postgres.py:127-152) — first-seen attributes stick
+    forever.  This extension completes the pair: update rows overwrite
+    matching keys, new keys append, untouched rows pass through.
+
+    Updates are first consolidated to key grain with a deterministic
+    ``max`` per attribute (same discipline as the dim build — never
+    ``dropDuplicates``, whose survivor is partition-order dependent).
+    Plan: one full-outer shuffle join on the key (dims at 100 TB may
+    exceed broadcast size; AQE downgrades to broadcast when small), then
+    a per-column ``coalesce(update, existing)``.
+    """
+    upd = (
+        updates.groupBy(*keys)
+        .agg(*[F.max(a).alias(a) for a in attrs])
+        # presence marker: a key column may legitimately be NULL (the
+        # join is null-safe), so "matched" must not key off inc.<key>
+        .withColumn("_m", F.lit(1))
+    )
+    ex, inc = existing.alias("ex"), upd.alias("inc")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"inc.{k}").eqNullSafe(F.col(f"ex.{k}")) for k in keys],
+    )
+    joined = ex.join(inc, cond, "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"inc.{k}"), F.col(f"ex.{k}")).alias(k)
+            for k in keys
+        ],
+        *[
+            # matched or insert row -> update attrs win, even when NULL
+            F.when(F.col("inc._m").isNotNull(), F.col(f"inc.{a}"))
+            .otherwise(F.col(f"ex.{a}"))
+            .alias(a)
+            for a in attrs
+        ],
+    )
+
+
 def scd2_history(
     snapshots: DataFrame,
     keys: Sequence[str],

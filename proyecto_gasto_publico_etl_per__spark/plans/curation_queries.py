@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import curation, dedup, similarity, stats
+from ..operators import curation, dedup, similarity, star, stats
 from ..sources.tables import load_table
 from .driver_queries import register
 from .extension_queries import _BUCKETS_SQL, _DOCS_CTE, NEARDUP_T
@@ -202,6 +202,53 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"),
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+@register(
+    "scd1_merge_dim",
+    """
+    WITH upd_raw AS (
+      SELECT c_custkey + 1000000 AS c_custkey,
+             'NEW ' || c_name AS c_name, c_mktsegment
+      FROM customer WHERE c_custkey % 50 = 0
+      UNION ALL
+      SELECT c_custkey, 'UPD ' || c_name AS c_name, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    upd AS (
+      SELECT c_custkey, max(c_name) AS c_name,
+             max(c_mktsegment) AS c_mktsegment
+      FROM upd_raw GROUP BY c_custkey
+    )
+    SELECT coalesce(i.c_custkey, e.c_custkey) AS c_custkey,
+           CASE WHEN i.c_custkey IS NOT NULL THEN i.c_name
+                ELSE e.c_name END AS c_name,
+           CASE WHEN i.c_custkey IS NOT NULL THEN i.c_mktsegment
+                ELSE e.c_mktsegment END AS c_mktsegment
+    FROM (SELECT c_custkey, c_name, c_mktsegment FROM customer) e
+    FULL OUTER JOIN upd i ON e.c_custkey = i.c_custkey
+    """,
+)
+def scd1_merge_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE over the customer dim: every 10th key gets an updated
+    name, every 50th key re-enters shifted as a brand-new key."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    updates = cust.where(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        "c_mktsegment",
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey",
+            F.concat(F.lit("UPD "), F.col("c_name")).alias("c_name"),
+            "c_mktsegment",
+        )
+    )
+    return star.scd1_merge(
+        cust, updates, ["c_custkey"], ["c_name", "c_mktsegment"]
     )
 
 

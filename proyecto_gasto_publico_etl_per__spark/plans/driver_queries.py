@@ -331,7 +331,7 @@ def consolidate_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def star_join_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JN4/V-base — the denormalizing star join (fact × broadcast dims)."""
-    star = build_star(spark, sf_dir)
+    star = build_star(spark, sf_dir, widen_fact=True)
     return star.select(
         "anio",
         "mes",
@@ -400,7 +400,7 @@ def agg_monthly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql/CreacionDeUsuariosyVistas.sql:119-179 column-for-column (time +
     ejecutora + 5 placeholder labels + region_mapa + financiera /
     clasificador names + 7 un-prefixed metric totals)."""
-    return V.vw_gasto_agregado_mensual(build_star(spark, sf_dir))
+    return V.vw_gasto_agregado_mensual(build_star(spark, sf_dir, widen_fact=True))
 
 
 @register(
@@ -418,7 +418,7 @@ def agg_monthly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_annual_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V-agga/AGG9 — annual rollup by sector × pliego."""
-    return V.vw_gasto_agregado_anual(build_star(spark, sf_dir))
+    return V.vw_gasto_agregado_anual(build_star(spark, sf_dir, widen_fact=True))
 
 
 # --- the five analytics queries + README rollups -----------------------------

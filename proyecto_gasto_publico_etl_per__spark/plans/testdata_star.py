@@ -84,9 +84,17 @@ def _metrics(df: DataFrame) -> DataFrame:
     )
 
 
-def build_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The denormalized star frame (V-base analog) over the testdata."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+def build_star(
+    spark: SparkSession, sf_dir: str, widen_fact: bool = False
+) -> DataFrame:
+    """The denormalized star frame (V-base analog) over the testdata.
+
+    ``widen_fact=True`` fans the fact scan out to the session's cores
+    (``load_table(widen=)``) — pass it from consumers that materialize
+    the FULL star (serving views, base denormalization); leave it off
+    for year-slice analytics whose join-pruned remainder is small.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem", widen=widen_fact)
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,7 +85,44 @@ def fan_out(df: DataFrame, floor_fraction: float = 0.5) -> DataFrame:
     return df.repartition(target)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: below this footer-reported size a table is dim-or-broadcast-sized: the
+#: scan task is trivial and downstream ops either broadcast it (an extra
+#: exchange before a BroadcastExchange is two wasted AQE stages) or
+#: `fan_out` it at the operator head — an upfront exchange would be pure
+#: overhead.  Only genuinely fact-sized single-row-group files benefit.
+_FANOUT_MIN_BYTES = 8 * 1024 * 1024
+
+
+def _scan_units(path: str, cap: int = 64) -> tuple[int, int]:
+    """(total row groups, total bytes) from parquet footers, driver-side.
+
+    The ROW GROUP is the real scan-split unit: Spark happily plans 21
+    byte-range splits over a single-row-group file, but 20 of them read
+    nothing — ``rdd.getNumPartitions()`` reports fake parallelism, so
+    any honest under-parallelism check must come from the footers.
+    Stops counting at ``cap`` row groups (beyond that the scan is
+    parallel enough and the exact number is irrelevant).
+    """
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+    rgs = nbytes = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rgs += md.num_row_groups
+        nbytes += sum(
+            md.row_group(i).total_byte_size
+            for i in range(md.num_row_groups)
+        )
+        if rgs >= cap:
+            break
+    return rgs, nbytes
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     """Read one testdata table.
 
     The driver's parquet stores TIMESTAMP(NANOS); Spark 4 reads the
@@ -92,14 +131,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (via the documented session contract, ``ensure_engine_confs``) and
     rebuild the timestamp from the nanos long (micros precision, same
     truncation DuckDB applies).
+
+    ``widen=True`` — for consumers that MATERIALIZE the whole table
+    (full-star denormalization, corpus-wide aggregates): when the
+    footers show fewer real row groups than half the session's cores,
+    round-robin repartition at the source so the downstream join/metric
+    pipeline doesn't run on the scan's 1-2 real tasks (see
+    ``_scan_units``; byte-range split counts are fake on few-row-group
+    files).  Selective consumers (year-slice analytics) must NOT widen:
+    the exchange writes the full table from the one real scan task,
+    which costs more than their filtered remainder.  Predicate pushdown
+    and column pruning survive (Catalyst pushes both through
+    Repartition).  At warehouse scale row groups vastly outnumber cores
+    and this is a structural no-op; results never depend on partitioning
+    (exact/quantized arithmetic discipline).
     """
     ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+    if widen:
+        target = spark.sparkContext.defaultParallelism
+        try:
+            rgs, nbytes = _scan_units(path)
+        except OSError:
+            return df
+        if nbytes >= _FANOUT_MIN_BYTES and rgs < max(1, target // 2):
+            df = df.repartition(target)
     return df
 
 

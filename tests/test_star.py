@@ -224,3 +224,39 @@ def test_scd2_history_matches_python_model(spark):
         for r in star.scd2_history(snap, ["k"], ["a"], "t").collect()
     }
     assert got == set(model(data))
+
+
+def test_scd1_merge_update_insert_passthrough(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (None, "nullkey", 30)],
+        "k INT, name STRING, v INT",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 31), (None, None, 32)],
+        "k INT, name STRING, v INT",
+    )
+    out = {
+        r.k: (r.name, r.v)
+        for r in star.scd1_merge(
+            existing, updates, ["k"], ["name", "v"]
+        ).collect()
+    }
+    assert out[1] == ("a", 10)  # untouched passthrough
+    assert out[2] == ("b2", 21)  # matched -> update wins
+    assert out[3] == ("c", 31)  # new key appended
+    # NULL key matches NULL key (null-safe), and a NULL update attr
+    # OVERWRITES the existing value (MERGE semantics, not coalesce)
+    assert out[None] == (None, 32)
+    assert len(out) == 4
+
+
+def test_scd1_merge_idempotent(spark):
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k INT, name STRING"
+    )
+    updates = spark.createDataFrame([(2, "b2")], "k INT, name STRING")
+    once = star.scd1_merge(existing, updates, ["k"], ["name"])
+    twice = star.scd1_merge(once, updates, ["k"], ["name"])
+    assert sorted((r.k, r.name) for r in once.collect()) == sorted(
+        (r.k, r.name) for r in twice.collect()
+    )
