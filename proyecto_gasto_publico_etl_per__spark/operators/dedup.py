@@ -439,6 +439,13 @@ def cluster_duplicates(
     iterative algorithm would otherwise stack plans).  At 100 TB this is
     the standard large-scale connected-components shape: all state is
     (id, label) pairs, every step an equi-join + min-aggregate.
+
+    The iteration's partitioning is sized to the EDGE COUNT, not the
+    session default: a near-dup pair graph is orders of magnitude
+    smaller than its corpus, and running ~6 shuffles per round at
+    32 partitions over a few hundred edges is pure scheduler overhead
+    (measured 6.4s → ~1.5s at sf0.1).  500k edges per partition keeps
+    a 100 TB-corpus pair graph wide.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -450,6 +457,32 @@ def cluster_duplicates(
         # each of its joins and counts
         .localCheckpoint(eager=True)
     )
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    n_part = max(1, min(
+        spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1
+    ))
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    if n_part == 1:
+        # single-partition rounds gain nothing from AQE, and its
+        # per-shuffle stage materialization multiplies the fixed job
+        # latency that dominates a tiny graph's iteration
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _propagate_min_labels(edges, n_part, max_iter)
+    finally:
+        # every round's state is eagerly checkpointed inside, so
+        # restoring session confs here cannot affect results
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _propagate_min_labels(
+    edges: DataFrame, n_part: int, max_iter: int
+) -> DataFrame:
+    edges = edges.repartition(n_part, "dst").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -466,12 +499,15 @@ def cluster_duplicates(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 F.col("id"),
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
         )
-        # pointer jumping: follow label -> its label once, halving chains
+        # pointer jumping: follow label -> its label once, halving chains.
+        # The old label rides along so convergence detection is a column
+        # compare on the checkpointed result — no extra join + shuffle.
         lbl2 = proposed.select(
             F.col("id").alias("lid"), F.col("label").alias("llabel")
         )
@@ -480,16 +516,16 @@ def cluster_duplicates(
             .select(
                 "id",
                 F.coalesce(F.col("llabel"), F.col("label")).alias("label"),
+                (
+                    ~F.coalesce(F.col("llabel"), F.col("label")).eqNullSafe(
+                        F.col("old_label")
+                    )
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("_chg")).count()
+        labels = jumped.drop("_chg")
         if changed == 0:
             break
     else:
