@@ -154,6 +154,12 @@ def ngram_jaccard_pairs(
     posting-list dedup at corpus scale.
     """
     shingled = _shingle_sets(df, id_col, text_col, n)
+    if max_df is not None and not df.isStreaming:
+        # the capped path references the shingle sets THREE times (df
+        # counts, candidate postings, per-pair verification); Spark does
+        # no common-subplan reuse across DataFrame references, so
+        # materialize the clean/split/shingle chain once
+        shingled = shingled.localCheckpoint(eager=True)
     postings = shingled.select(
         "doc", F.explode("shingles").alias("shingle")
     )

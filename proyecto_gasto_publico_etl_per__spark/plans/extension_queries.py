@@ -263,8 +263,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_clean_final",
     f"""
     WITH RECURSIVE {_DOCS_CTE}, {_JACCARD_CTE},
+    dfreq AS (SELECT shingle, count(*) AS df FROM posts GROUP BY 1),
+    rare AS (SELECT shingle FROM dfreq WHERE df <= {NGRAM_MAX_DF}),
+    cposts AS (SELECT p.doc, p.shingle FROM posts p JOIN rare USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM cposts a JOIN cposts b USING (shingle)
+      WHERE a.doc < b.doc
+    ),
     dup_pairs AS (
-      SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {JACCARD_T}
+      SELECT doc_a, doc_b
+      FROM cand JOIN jpairs USING (doc_a, doc_b)
+      WHERE jaccard >= {JACCARD_T}
     ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
@@ -289,7 +299,10 @@ def corpus_clean_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus build in one declared query:
     quality gate × language gate × token band, then near-duplicate
     removal keeping each Jaccard cluster's minimum-id representative —
-    the composition every large corpus pipeline runs before training."""
+    the composition every large corpus pipeline runs before training.
+    Candidate generation runs the DF-capped scale path (stop-shingle cap
+    ``NGRAM_MAX_DF``): the only posting-join shape that survives
+    common-shingle skew at corpus scale; the oracle mirrors the cap."""
     docs = load_table(spark, sf_dir, "documents")
     q = textstats.quality_stats(docs).select(
         "doc_id", "n_tokens", "quality_ok"
@@ -305,7 +318,9 @@ def corpus_clean_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang_pred", "n_tokens")
     )
     clusters = dedup.cluster_duplicates(
-        dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T)
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=JACCARD_T, max_df=NGRAM_MAX_DF
+        )
     )
     non_representatives = clusters.filter(
         F.col("cluster_id") != F.col("doc_id")
