@@ -190,6 +190,50 @@ def decontaminate(
     )
 
 
+def mixture_fill(
+    df: DataFrame,
+    allocations: dict[str, int],
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize a training mixture: fill each language's TOKEN
+    allocation with documents chosen in deterministic hash order.
+
+    ``allocations`` maps language → token budget (precomputed ints, e.g.
+    ``{lang: floor(total * weight)}``).  Within each language, docs are
+    ordered by (md5(id), id) — an unbiased, reproducible shuffle — and
+    kept while the running token total stays within budget (no partial
+    documents).  Languages absent from the map are dropped.
+
+    One window per language partition over exact integer counts; the
+    standard mixture-construction shape (per-source token quotas) for
+    LLM data pipelines.
+    """
+    alloc_expr = F.lit(0)
+    for lang, budget in sorted(allocations.items()):
+        alloc_expr = F.when(
+            F.col(lang_col) == lang, F.lit(int(budget))
+        ).otherwise(alloc_expr)
+    n_tokens = F.size(_tokens(F.col(text_col))).cast("bigint")
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(lang_col),
+            n_tokens.alias("n_tokens"),
+            alloc_expr.cast("bigint").alias("alloc"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.col("alloc"))
+        .select(id_col, lang_col, "n_tokens", "cum_tokens")
+    )
+
+
 def source_cap(
     df: DataFrame,
     cap: int,

@@ -205,6 +205,56 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mixture construction: total token budget × per-language weights,
+#: precomputed to integer allocations (floor) so both engines agree
+MIXTURE_BUDGET = 10_000
+MIXTURE_WEIGHTS = {"en": 0.6, "es": 0.2, "de": 0.1, "fr": 0.06, "zh": 0.04}
+MIXTURE_ALLOC = {
+    lang: int(MIXTURE_BUDGET * w) for lang, w in MIXTURE_WEIGHTS.items()
+}
+
+
+def _alloc_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {b}"
+        for lang, b in sorted(MIXTURE_ALLOC.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+@register(
+    "mixture_budget_fill",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(regexp_replace(coalesce(text, ''),
+                                        '\\s+', ' ', 'g'))) = 0 THEN 0
+                  ELSE len(string_split(lower(trim(regexp_replace(
+                         coalesce(text, ''), '\\s+', ' ', 'g'))), ' '))
+                  END AS BIGINT) AS n_tokens,
+             CAST({_alloc_case_sql()} AS BIGINT) AS alloc
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens, alloc,
+             sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= alloc
+    """,
+)
+def mixture_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture materialization: fill each language's
+    allocation (budget × weight) in deterministic hash order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.mixture_fill(docs, MIXTURE_ALLOC)
+
+
 @register(
     "scd1_merge_dim",
     """

@@ -157,3 +157,42 @@ def test_exact_grouped_corr_deterministic_under_partitioning(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_mixture_fill_budget_and_determinism(spark):
+    rows = [
+        (i, "en" if i % 2 == 0 else "es", "tok " * (i % 7 + 1))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, l, t.strip()) for i, l, t in rows],
+        "doc_id INT, lang STRING, text STRING",
+    )
+    alloc = {"en": 100, "es": 40}
+    out = curation.mixture_fill(df, alloc).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # budgets respected, no partial docs: max cum <= alloc
+    assert max(r.cum_tokens for r in by_lang["en"]) <= 100
+    assert max(r.cum_tokens for r in by_lang["es"]) <= 40
+    # languages not allocated are absent; selection is non-empty
+    assert set(by_lang) == {"en", "es"} and len(out) > 0
+    # adding one more doc in hash order would overflow the budget
+    # (the fill is maximal): verified by checking the next cum > alloc
+    full = curation.mixture_fill(
+        df, {"en": 10**9, "es": 10**9}
+    ).collect()
+    order = {}
+    for r in full:
+        order.setdefault(r.lang, []).append(r)
+    for lang, budget in alloc.items():
+        kept = [r.doc_id for r in by_lang[lang]]
+        seq = order[lang]  # full hash-ordered fill with cum sums
+        nxt = next((r for r in seq if r.doc_id not in kept), None)
+        assert nxt is None or nxt.cum_tokens > budget
+    # deterministic under repartitioning
+    again = curation.mixture_fill(df.repartition(13), alloc).collect()
+    assert sorted((r.doc_id, r.cum_tokens) for r in again) == sorted(
+        (r.doc_id, r.cum_tokens) for r in out
+    )
