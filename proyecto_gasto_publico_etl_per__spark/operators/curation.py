@@ -35,7 +35,12 @@ def _tokens(c: Column) -> Column:
     )
 
 
-def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
+) -> DataFrame:
     """Gopher-style repetition/format quality gates (Rae et al. 2021,
     §A1.1 of the Gopher paper — public).  Adapted to this corpus:
 
@@ -47,6 +52,9 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     Map-only: every signal is a per-row expression chain; no shuffle,
     no UDF.  Line signals operate on the RAW text (newlines are exactly
     what ``clean_text`` collapses); token signals on the cleaned text.
+
+    ``append=True`` keeps the input columns (composable with the other
+    map-only signal operators into a single-scan curation profile).
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
     toks = _tokens(F.col(text_col))
@@ -78,8 +86,7 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     ok_ellipsis = ellipsis_ratio <= F.lit(GOPHER_MAX_ELLIPSIS_RATIO)
     ok_stops = stop_hits >= GOPHER_MIN_STOP_HITS
 
-    return fan_out(df).select(
-        F.col(id_col),
+    signals = [
         n_tokens.cast("bigint").alias("n_tokens"),
         frac_unique.alias("frac_unique"),
         bullet_ratio.alias("bullet_ratio"),
@@ -88,7 +95,14 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         (ok_tokens & ok_unique & ok_bullets & ok_ellipsis & ok_stops).alias(
             "gopher_ok"
         ),
-    )
+    ]
+    out = fan_out(df)
+    if append:
+        # n_tokens may already exist upstream (quality_stats computes the
+        # identical value) — select-star minus it keeps one copy
+        keep = [c for c in out.columns if c != "n_tokens"]
+        return out.select(*keep, *signals)
+    return out.select(F.col(id_col), *signals)
 
 
 def unigram_freq_score(

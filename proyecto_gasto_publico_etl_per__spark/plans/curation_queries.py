@@ -14,8 +14,15 @@ from pyspark.sql import functions as F
 
 from ..operators import curation, dedup, similarity, star, stats
 from ..sources.tables import load_table
+from ..operators import textstats
 from .driver_queries import register
-from .extension_queries import _BUCKETS_SQL, _DOCS_CTE, NEARDUP_T
+from .extension_queries import (
+    _BUCKETS_SQL,
+    _DOCS_CTE,
+    _QUALITY_SQL,
+    _lang_sql,
+    NEARDUP_T,
+)
 
 #: eval-set membership for decontamination (deterministic synthetic split)
 EVAL_MOD = 37
@@ -24,9 +31,7 @@ SOURCE_CAP_N = 20
 _STOPLIST_SQL = "['the', 'and', 'of', 'is', 'to']"
 
 
-@register(
-    "gopher_gates",
-    f"""
+_GOPHER_SQL = f"""
     WITH {_DOCS_CTE},
     sig AS (
       SELECT t.doc, t.toks,
@@ -71,12 +76,73 @@ _STOPLIST_SQL = "['the', 'and', 'of', 'is', 'to']"
              AND ellipsis_ratio <= {curation.GOPHER_MAX_ELLIPSIS_RATIO}
              AND stop_hits >= {curation.GOPHER_MIN_STOP_HITS}) AS gopher_ok
     FROM r
-    """,
-)
+    """
+
+
+@register("gopher_gates", _GOPHER_SQL)
 def gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style format/repetition quality gates over documents."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.gopher_rules(docs)
+
+
+@register(
+    "doc_curation_profile",
+    f"""
+    WITH q AS ({_QUALITY_SQL}),
+    l AS ({_lang_sql()}),
+    g AS ({_GOPHER_SQL}),
+    fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(coalesce(text, ''),
+                                           '\\s+', ' ', 'g'))))
+                 AS content_hash,
+             CAST(len(regexp_extract_all(coalesce(text, ''),
+                                         '\\w{{1,4}}|[^\\w\\s]')) AS BIGINT)
+                 AS n_subtokens
+      FROM documents
+    )
+    SELECT q.doc_id, l.lang_pred,
+           q.n_chars_clean, q.n_tokens, q.mean_token_len, q.punct_ratio,
+           q.upper_ratio, q.stopword_ratio, q.quality_ok,
+           g.frac_unique, g.bullet_ratio, g.ellipsis_ratio, g.stop_hits,
+           g.gopher_ok,
+           fp.content_hash, fp.n_subtokens
+    FROM q
+    JOIN l ON l.doc_id = q.doc_id
+    JOIN g ON g.doc_id = q.doc_id
+    JOIN fp ON fp.doc_id = q.doc_id
+    """,
+)
+def doc_curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete per-doc curation record — language, quality signals,
+    Gopher gates, content fingerprint, sub-token count — in ONE map-only
+    pass: the signal operators compose column-append style over a single
+    scan (no self-joins; the oracle joins because SQL must)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prof = curation.gopher_rules(
+        textstats.quality_stats(textstats.lang_id(docs)), append=True
+    )
+    return prof.select(
+        "doc_id",
+        "lang_pred",
+        "n_chars_clean",
+        "n_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "quality_ok",
+        "frac_unique",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "stop_hits",
+        "gopher_ok",
+        textstats.fingerprint("text").alias("content_hash"),
+        textstats.bpe_ish_token_count("text").cast("bigint").alias(
+            "n_subtokens"
+        ),
+    )
 
 
 @register(

@@ -66,3 +66,39 @@ def test_jsonl_roundtrip_and_gzip(spark, tmp_path):
             f.write(json.dumps(r) + "\n")
     total, bad = J.corruption_stats(J.read_jsonl(spark, str(gz)))
     assert (total, bad) == (3, 0)
+
+
+def test_streaming_jsonl_incremental_ingest(spark, tmp_path):
+    """JSONL corpus drops stream in incrementally (AvailableNow), corrupt
+    lines filtered in-flight; re-runs never reprocess a file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        incremental_load,
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    tgt = str(tmp_path / "corpus_parquet")
+    ckp = str(tmp_path / "ckp")
+    full = T.StructType(
+        list(J.DOCUMENTS_SCHEMA.fields)
+        + [T.StructField(J.CORRUPT_COL, T.StringType())]
+    )
+
+    def clean(stream):
+        return stream.filter(F.col(J.CORRUPT_COL).isNull()).drop(J.CORRUPT_COL)
+
+    _write_lines(src / "b0.jsonl", [json.dumps(GOOD[0]), "corrupt line"])
+    incremental_load(spark, str(src), tgt, ckp, full, clean, fmt="json")
+    assert {r.doc_id for r in spark.read.parquet(tgt).collect()} == {1}
+
+    # idempotent re-run: nothing new, nothing duplicated
+    incremental_load(spark, str(src), tgt, ckp, full, clean, fmt="json")
+    assert spark.read.parquet(tgt).count() == 1
+
+    # late-arriving batch picked up incrementally
+    _write_lines(src / "b1.jsonl", [json.dumps(GOOD[1]), json.dumps(GOOD[2])])
+    incremental_load(spark, str(src), tgt, ckp, full, clean, fmt="json")
+    assert {r.doc_id for r in spark.read.parquet(tgt).collect()} == {1, 2, 3}
