@@ -191,6 +191,46 @@ def shingle_fingerprint(col: Column | str, n: int = 8) -> Column:
     return F.array_min(hashes)
 
 
+def winnow_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+):
+    """Windowed winnowing (the MOSS scheme, Schleimer et al. 2003):
+    hash every character ``k``-gram, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum — any shared substring of length
+    ≥ ``w + k - 1`` between two docs is GUARANTEED to surface as a
+    shared fingerprint, while the sketch stays ~|doc|/w.
+
+    Returns the exploded (doc, fp) posting list (distinct per doc).
+    Map-only per-row array expressions (no UDF); md5-prefix hashes keep
+    it engine-portable.  ``shingle_fingerprint`` is the degenerate
+    window=whole-doc variant.
+    """
+    from ..sources.tables import fan_out
+
+    c = F.col(text_col)
+    cleaned = F.lower(clean_text(c))
+    n_kgrams = F.greatest(F.length(cleaned) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_kgrams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(cleaned, i, k)), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+    n_windows = F.greatest(n_kgrams - (w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(wins)).alias("fp"),
+    )
+
+
 # --- PII redaction -----------------------------------------------------------
 
 #: portable regexes (same semantics in Java regex and RE2/DuckDB): emails

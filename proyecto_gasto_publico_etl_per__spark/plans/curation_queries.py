@@ -28,6 +28,13 @@ from .extension_queries import (
 EVAL_MOD = 37
 SOURCE_CAP_N = 20
 
+#: winnowing: char-8-grams, window 4 (guarantee length = w + k - 1 = 11),
+#: stop-fingerprint DF cap, min shared fingerprints per reported pair
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_MAX_DF = 10
+WINNOW_MIN_SHARED = 2
+
 _STOPLIST_SQL = "['the', 'and', 'of', 'is', 'to']"
 
 
@@ -286,6 +293,67 @@ def _alloc_case_sql() -> str:
         for lang, b in sorted(MIXTURE_ALLOC.items())
     )
     return f"CASE lang {whens} ELSE 0 END"
+
+
+@register(
+    "winnow_overlap_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
+                 AS clean
+      FROM documents
+    ),
+    h AS (
+      SELECT doc,
+             list_transform(
+               range(1, greatest(length(clean) - {WINNOW_K - 1}, 1) + 1),
+               i -> CAST(('0x' || substr(md5(substr(clean, i, {WINNOW_K})),
+                                         1, 8)) AS BIGINT)) AS hashes
+      FROM base
+    ),
+    wmin AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(hashes) - {WINNOW_W - 1}, 1) + 1),
+               j -> list_min(hashes[j:j + {WINNOW_W - 1}]))) AS fps
+      FROM h
+    ),
+    posts AS (SELECT doc, unnest(fps) AS fp FROM wmin),
+    dfreq AS (SELECT fp, count(*) AS df FROM posts GROUP BY 1),
+    keep AS (SELECT fp FROM dfreq WHERE df <= {WINNOW_MAX_DF}),
+    cp AS (SELECT p.doc, p.fp FROM posts p JOIN keep USING (fp))
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM cp a JOIN cp b USING (fp)
+    WHERE a.doc < b.doc
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-edit-robust overlap pairs via windowed winnowing: docs
+    sharing ≥ {min_shared} rare winnow fingerprints (any common
+    substring of length ≥ w+k-1 = 11 chars is guaranteed to surface).
+    Same posting-join scale discipline as the n-gram path: stop
+    fingerprints above the DF cap never generate candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    posts = textstats.winnow_fingerprints(
+        docs, k=WINNOW_K, w=WINNOW_W
+    )
+    dfreq = posts.groupBy("fp").agg(F.count("*").alias("df"))
+    keep = dfreq.where(F.col("df") <= WINNOW_MAX_DF).select("fp")
+    cp = posts.join(keep, "fp")
+    a, b = cp.alias("a"), cp.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
 
 
 @register(

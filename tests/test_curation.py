@@ -196,3 +196,30 @@ def test_mixture_fill_budget_and_determinism(spark):
     assert sorted((r.doc_id, r.cum_tokens) for r in again) == sorted(
         (r.doc_id, r.cum_tokens) for r in out
     )
+
+
+def test_winnow_guarantee_and_edit_robustness(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators import textstats
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (1, f"PREFIX A {shared} SUFFIX ONE"),
+            (2, f"completely different opening {shared} and another tail"),
+            (3, "no overlap with anything else at all here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    posts = textstats.winnow_fingerprints(df, k=8, w=4)
+    fps = {}
+    for r in posts.collect():
+        fps.setdefault(r.doc, set()).add(r.fp)
+    # winnowing guarantee: a shared substring of length >= w+k-1 = 11
+    # chars MUST yield at least one shared fingerprint
+    assert fps[1] & fps[2]
+    # docs 1/2 share far more fingerprints with each other than with 3
+    assert len(fps[1] & fps[2]) > len(fps[1] & fps[3])
+    assert len(fps[1] & fps[2]) > len(fps[2] & fps[3])
+    # sketch is compressed: far fewer fingerprints than k-grams
+    n_kgrams = len(f"PREFIX A {shared} SUFFIX ONE") - 7
+    assert len(fps[1]) < n_kgrams / 2
