@@ -390,6 +390,87 @@ def mixture_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention",
+    """
+    WITH am AS (
+      SELECT user_id,
+             (CAST(year(ts) AS INT) * 12 + CAST(month(ts) AS INT)) AS ym
+      FROM events GROUP BY 1, 2
+    ),
+    coh AS (SELECT user_id, min(ym) AS cohort_ym FROM am GROUP BY 1)
+    SELECT coh.cohort_ym, am.ym - coh.cohort_ym AS month_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM am JOIN coh USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: users grouped by
+    first-active month, counted per months-since-cohort offset.  Two
+    hash aggregates + one equi-join on user_id — the distinct-month
+    reduction happens BEFORE the join, so the join input is bounded by
+    |users| × |months|, not |events|."""
+    ev = load_table(spark, sf_dir, "events")
+    ym = (
+        F.year("ts").cast("int") * 12 + F.month("ts").cast("int")
+    ).alias("ym")
+    am = ev.select("user_id", ym).distinct()
+    coh = am.groupBy("user_id").agg(F.min("ym").alias("cohort_ym"))
+    return (
+        am.join(coh, "user_id")
+        .groupBy(
+            "cohort_ym",
+            (F.col("ym") - F.col("cohort_ym")).alias("month_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT l_returnflag AS flag,
+             substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    c AS (SELECT flag, digit, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2),
+    t AS (SELECT flag, sum(n) AS total FROM c GROUP BY 1)
+    SELECT c.flag, c.digit, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS ratio
+    FROM c JOIN t USING (flag)
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of amounts per group — the
+    classic Benford's-law audit profile for spending data.  One hash
+    aggregate; the per-group total rides a window over the (≤ 9-row per
+    group) aggregate, never a second pass over the fact."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") >= 1
+    )
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+    )
+    c = (
+        li.select(F.col("l_returnflag").alias("flag"), digit.alias("digit"))
+        .groupBy("flag", "digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("flag"))
+    return c.select(
+        "flag",
+        "digit",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("ratio"),
+    )
+
+
+@register(
     "scd1_merge_dim",
     """
     WITH upd_raw AS (
