@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import curation, dedup, similarity, star, stats
 from ..sources.tables import load_table
 from ..operators import textstats
-from .driver_queries import register
+from .driver_queries import _star_oracle, register
 from .extension_queries import (
     _BUCKETS_SQL,
     _DOCS_CTE,
@@ -387,6 +387,66 @@ def mixture_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocation (budget × weight) in deterministic hash order."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.mixture_fill(docs, MIXTURE_ALLOC)
+
+
+@register(
+    "ratio_to_parent",
+    _star_oracle(
+        """
+        WITH a AS (
+          SELECT anio, sector_nombre, pliego_nombre,
+                 SUM(monto_devengado) AS dev_dec
+          FROM star GROUP BY 1, 2, 3
+        )
+        SELECT anio, sector_nombre, pliego_nombre,
+               CAST(dev_dec AS DOUBLE) AS devengado,
+               CASE WHEN SUM(dev_dec)
+                         OVER (PARTITION BY anio, sector_nombre) > 0
+                    THEN CAST(dev_dec AS DOUBLE)
+                         / CAST(SUM(dev_dec)
+                                OVER (PARTITION BY anio, sector_nombre)
+                                AS DOUBLE)
+                    ELSE 0 END AS share_in_sector,
+               CASE WHEN SUM(dev_dec) OVER (PARTITION BY anio) > 0
+                    THEN CAST(SUM(dev_dec)
+                              OVER (PARTITION BY anio, sector_nombre)
+                              AS DOUBLE)
+                         / CAST(SUM(dev_dec) OVER (PARTITION BY anio)
+                                AS DOUBLE)
+                    ELSE 0 END AS sector_share_in_year
+        FROM a
+        """
+    ),
+)
+def ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: each pliego's share within its
+    sector and each sector's share within its year, from ONE aggregate
+    + two window totals (no re-scan, no joins).  Sums stay exact long
+    micros through the windows (order-independent); each presented
+    ratio is one double division."""
+    from ..functions.money import GRID, gmicros
+    from ..plans.testdata_star import build_star
+    from pyspark.sql import Window
+
+    star_df = build_star(spark, sf_dir)
+    a = star_df.groupBy("anio", "sector_nombre", "pliego_nombre").agg(
+        F.sum(gmicros("monto_devengado")).alias("mic")
+    )
+    sec_mic = F.sum("mic").over(Window.partitionBy("anio", "sector_nombre"))
+    yr_mic = F.sum("mic").over(Window.partitionBy("anio"))
+    as_dbl = lambda c: (c / GRID).cast("double")  # noqa: E731
+    return a.select(
+        "anio",
+        "sector_nombre",
+        "pliego_nombre",
+        as_dbl(F.col("mic")).alias("devengado"),
+        F.when(sec_mic > 0, as_dbl(F.col("mic")) / as_dbl(sec_mic))
+        .otherwise(F.lit(0.0))
+        .alias("share_in_sector"),
+        F.when(yr_mic > 0, as_dbl(sec_mic) / as_dbl(yr_mic))
+        .otherwise(F.lit(0.0))
+        .alias("sector_share_in_year"),
+    )
 
 
 @register(
