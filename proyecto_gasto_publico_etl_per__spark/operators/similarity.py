@@ -348,6 +348,50 @@ def ivf_topk(
     )
 
 
+def kmeans_step(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """One distributed Lloyd (k-means) iteration in long format:
+    assign every vector to its nearest centroid (map-only argmax over
+    the literal centroid set — no join), then the new centroid means per
+    (centroid, dimension) from EXACT quantized sums — a single partial+
+    final hash aggregate, deterministic under any partitioning (a
+    ``sum(double)`` mean would be merge-order dependent).
+
+    Long format (cid, pos, n, sum_q6, mean_val) keeps every output cell
+    a scalar: oracle-hashable, and trivially pivoted back to vectors.
+    The iterative refinement loop (re-literalize means, repeat) is the
+    offline model-build path; each step is this one shuffle.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+    lit = _centroid_literal(cents, id_col, vec_col)
+    assigned = ivf_assign(df, lit, vec_col)
+    pe = assigned.select(
+        "cid", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val")
+    ).select("cid", (F.col("pos") + 1).alias("pos"), "val")
+    agg = pe.groupBy("cid", "pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.floor(F.col("val") * quant + F.lit(0.5)).cast("long")
+        ).alias("sum_q6"),
+    )
+    return agg.select(
+        "cid",
+        "pos",
+        "n",
+        "sum_q6",
+        (
+            F.col("sum_q6").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(quant))
+        ).alias("mean_val"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

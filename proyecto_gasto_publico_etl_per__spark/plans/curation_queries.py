@@ -234,6 +234,49 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_step_means",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    assign AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT corpus.vec_id, corpus.vec, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY CAST(floor(list_cosine_similarity(vec, cvec) * 1000
+                               + 0.5) AS BIGINT) DESC, cents.cid
+               ) AS ark
+        FROM corpus CROSS JOIN cents
+      ) WHERE ark = 1
+    ),
+    pe AS (
+      SELECT cid, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val
+      FROM assign
+    ),
+    c AS (
+      SELECT cid, pos, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_q6
+      FROM pe GROUP BY 1, 2
+    )
+    SELECT cid, pos, n, sum_q6,
+           CAST(sum_q6 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+               AS mean_val
+    FROM c
+    """,
+)
+def kmeans_step_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration over the embeddings: map-only
+    nearest-centroid assignment, then exact-quantized per-dimension
+    means in long format (one hash aggregate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_step(emb)
+
+
+@register(
     "semantic_dedup_keep",
     f"""
     WITH RECURSIVE {_BUCKETS_SQL.format(n_planes=4)},

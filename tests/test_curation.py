@@ -223,3 +223,40 @@ def test_winnow_guarantee_and_edit_robustness(spark):
     # sketch is compressed: far fewer fingerprints than k-grams
     n_kgrams = len(f"PREFIX A {shared} SUFFIX ONE") - 7
     assert len(fps[1]) < n_kgrams / 2
+
+
+def test_kmeans_step_matches_python_reference(spark):
+    import math
+
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+
+    vecs = [(i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = similarity.kmeans_step(df, n_centroids=4).collect()
+
+    # python reference: same init (4 lowest ids), quantized-cosine argmax
+    cents = {i: v for i, v in vecs[:4]}
+
+    def qcos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        c = 0.0 if na == 0 or nb == 0 else dot / (na * nb)
+        return math.floor(c * 1000 + 0.5)
+
+    assign = {}
+    for i, v in vecs:
+        best = max(cents, key=lambda c: (qcos(v, cents[c]), -c))
+        assign.setdefault(best, []).append(v)
+    ref = {}
+    for cid, members in assign.items():
+        for pos in range(4):
+            q = [math.floor(m[pos] * 1e6 + 0.5) for m in members]
+            ref[(cid, pos + 1)] = (len(q), sum(q))
+    got = {(r.cid, r.pos): (r.n, r.sum_q6) for r in out}
+    assert got == ref
+    # determinism under repartitioning
+    again = {
+        (r.cid, r.pos): (r.n, r.sum_q6)
+        for r in similarity.kmeans_step(df.repartition(7), n_centroids=4).collect()
+    }
+    assert again == got
