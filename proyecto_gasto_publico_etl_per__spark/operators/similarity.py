@@ -392,6 +392,76 @@ def kmeans_step(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization encoding (the IVF-PQ compression path):
+    split each vector into ``m`` subvectors, assign each to its nearest
+    codeword (argmin quantized squared-L2, ties to the lowest code) from
+    a deterministic codebook (the ``n_codes`` lowest-id vectors'
+    slices — same sample-init convention as ``ivf_centroids``).
+
+    Map-only: the codebook is a literal array per subspace, distances
+    are sequential ``F.aggregate`` folds (fixed order — deterministic,
+    unlike a shuffle-dependent sum), and all ``m`` assignments ride one
+    ``posexplode`` — a 100 TB corpus PQ-encodes in a single scan with
+    zero joins.  Long format (vec_id, subspace, code, dist_q6).
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_codes)
+    dim = len(cents[0][vec_col])
+    sub = dim // m
+    v = _as_double(F.col(vec_col))
+
+    def sq_l2(xs: Column, cs: Column) -> Column:
+        diffs = F.zip_with(xs, cs, lambda a, b: (a - b) * (a - b))
+        total = F.aggregate(
+            diffs, F.lit(0.0), lambda acc, x: acc + x
+        )
+        return F.floor(total * quant + F.lit(0.5)).cast("bigint")
+
+    per_sub = []
+    for s in range(m):
+        xs = F.slice(v, s * sub + 1, sub)
+        scored = F.array(
+            *[
+                F.struct(
+                    sq_l2(
+                        xs,
+                        F.array(
+                            *[
+                                F.lit(float(x))
+                                for x in r[vec_col][s * sub : (s + 1) * sub]
+                            ]
+                        ),
+                    ).alias("d"),
+                    F.lit(code).alias("code"),
+                )
+                for code, r in enumerate(cents)
+            ]
+        )
+        best = F.array_min(scored)
+        per_sub.append(
+            F.struct(best["code"].alias("code"), best["d"].alias("d"))
+        )
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col), F.posexplode(F.array(*per_sub)).alias("pos", "b")
+        )
+        .select(
+            id_col,
+            (F.col("pos") + 1).cast("int").alias("subspace"),
+            F.col("b.code").cast("int").alias("code"),
+            F.col("b.d").alias("dist_q6"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -234,6 +234,48 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_encode_codes",
+    """
+    WITH cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             embedding::DOUBLE[] AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    scored AS (
+      SELECT corpus.vec_id, s.subspace, cb.code,
+             CAST(floor(list_reduce(
+               list_transform(range(1, 17),
+                 i -> (vec[(s.subspace - 1) * 16 + i]
+                       - cvec[(s.subspace - 1) * 16 + i])
+                      * (vec[(s.subspace - 1) * 16 + i]
+                         - cvec[(s.subspace - 1) * 16 + i])),
+               (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS dist_q6
+      FROM corpus
+      CROSS JOIN cb
+      CROSS JOIN (SELECT CAST(unnest(range(1, 5)) AS INT) AS subspace) s
+    ),
+    best AS (
+      SELECT vec_id, subspace, code, dist_q6,
+             row_number() OVER (
+               PARTITION BY vec_id, subspace ORDER BY dist_q6, code
+             ) AS rk
+      FROM scored
+    )
+    SELECT vec_id, CAST(subspace AS INT) AS subspace,
+           CAST(code AS INT) AS code, dist_q6
+    FROM best WHERE rk = 1
+    """,
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every embedding: 4 subspaces × 16
+    deterministic codewords, argmin quantized squared-L2 — single scan,
+    zero joins (the codebook is a plan literal)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb)
+
+
+@register(
     "kmeans_step_means",
     """
     WITH cents AS (
@@ -489,6 +531,77 @@ def ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(yr_mic > 0, as_dbl(sec_mic) / as_dbl(yr_mic))
         .otherwise(F.lit(0.0))
         .alias("sector_share_in_year"),
+    )
+
+
+@register(
+    "funnel_stage_times",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS INT) AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_stage_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user,
+    the first time of each stage STRICTLY AFTER the previous stage, and
+    the deepest stage reached.  Three key-grained aggregates chained by
+    user_id equi-joins — each stage's input is already reduced to one
+    row per user before the next join, so the fact never self-joins at
+    event grain."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            )
+            .cast("int")
+            .alias("stage"),
+        )
     )
 
 
