@@ -392,6 +392,66 @@ def kmeans_step(
     )
 
 
+def kmeans_refine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Offline Lloyd refinement loop: run ``kmeans_step``, pivot the
+    long-format means back to centroid vectors driver-side (a few-KB
+    model artifact, same class as ``ivf_centroids``'s collect), reassign
+    against the refined literals, repeat.  Returns the final centroids
+    as (cid, vector) pairs — feed them to ``ivf_assign`` /
+    ``_centroid_literal`` for serving.
+
+    Each iteration is one scan + one hash aggregate; nothing corpus-
+    sized ever reaches the driver.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+    current: list[tuple[int, list[float]]] = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in cents
+    ]
+    for _ in range(iters):
+        lit = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+                )
+                for cid, vec in current
+            ]
+        )
+        assigned = ivf_assign(df, lit, vec_col)
+        pe = assigned.select(
+            "cid",
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+        )
+        rows = (
+            pe.groupBy("cid", "pos")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("val") * 1_000_000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("s"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = (
+                r["s"] / r["n"] / 1_000_000.0
+            )
+        current = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return current
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -260,3 +260,42 @@ def test_kmeans_step_matches_python_reference(spark):
         for r in similarity.kmeans_step(df.repartition(7), n_centroids=4).collect()
     }
     assert again == got
+
+
+def test_kmeans_refine_improves_cosine_fit(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    import random
+
+    rnd = random.Random(3)
+    # three well-separated blobs in 8-d
+    base = [[10, 0, 0, 0, 0, 0, 0, 0], [0, 10, 0, 0, 0, 0, 0, 0],
+            [0, 0, 10, 0, 0, 0, 0, 0]]
+    vecs = [
+        (i, [b + rnd.uniform(-1, 1) for b in base[i % 3]])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    def fit(cents):
+        lit = F.array(*[
+            F.struct(F.lit(cid).alias("cid"),
+                     F.array(*[F.lit(x) for x in v]).alias("cvec"))
+            for cid, v in cents
+        ])
+        a = similarity.ivf_assign(df, lit, "embedding")
+        # mean assigned quantized cosine: higher = tighter clusters
+        scored = a.select(
+            F.array_max(F.transform(
+                lit, lambda c: F.when(c.cid == F.col("cid"),
+                                      similarity.score_q(F.col("embedding"), c.cvec))
+            )).alias("s")
+        )
+        return scored.agg(F.sum("s")).collect()[0][0]
+
+    init = [(int(r.vec_id), [float(x) for x in r.embedding])
+            for r in similarity.ivf_centroids(df, n_centroids=3)]
+    refined = similarity.kmeans_refine(df, n_centroids=3, iters=2)
+    assert len(refined) == 3 and all(len(v) == 8 for _, v in refined)
+    assert fit(refined) >= fit(init)
