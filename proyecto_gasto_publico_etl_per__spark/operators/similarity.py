@@ -522,6 +522,81 @@ def pq_encode(
     )
 
 
+def pq_search(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 5,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: approximate top-k by
+    summing, per corpus vector, the PRECOMPUTED query→codeword
+    subdistances of its 4 PQ codes — the classic IVF-PQ serving path.
+
+    Scale shape: the corpus is touched only through its code table
+    (m ints per vector, built map-only by ``pq_encode``); the
+    distance table (|queries| × m × n_codes rows — hundreds, a model
+    artifact) broadcasts into the join, and the only shuffle is the
+    (query, vector) partial-sum aggregate, bounded by |queries| ×
+    corpus codes, never d-dimensional vectors.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_codes)
+    dim = len(cents[0][vec_col])
+    sub = dim // m
+    codes = pq_encode(df, id_col, vec_col, m, n_codes, quant)
+
+    qv = _as_double(F.col(vec_col))
+
+    def sub_sq_l2(xs: Column, cw: list[float]) -> Column:
+        diffs = F.zip_with(
+            xs,
+            F.array(*[F.lit(float(x)) for x in cw]),
+            lambda a, b: (a - b) * (a - b),
+        )
+        total = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+        return F.floor(total * quant + F.lit(0.5)).cast("bigint")
+
+    # per-query distance table: one row per (subspace, code)
+    entries = []
+    for s in range(m):
+        xs = F.slice(qv, s * sub + 1, sub)
+        for code, r in enumerate(cents):
+            cw = [float(x) for x in r[vec_col][s * sub : (s + 1) * sub]]
+            entries.append(
+                F.struct(
+                    F.lit(s + 1).alias("subspace"),
+                    F.lit(code).alias("code"),
+                    sub_sq_l2(xs, cw).alias("pd_q6"),
+                )
+            )
+    dtable = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select(
+        "query_id",
+        F.col("e.subspace").cast("int").alias("subspace"),
+        F.col("e.code").cast("int").alias("code"),
+        F.col("e.pd_q6").alias("pd_q6"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["subspace", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("pd_q6").cast("bigint").alias("adist_q6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        "adist_q6", "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adist_q6", "rk")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
