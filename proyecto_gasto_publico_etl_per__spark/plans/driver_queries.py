@@ -91,18 +91,25 @@ def filter_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
            try_cast(event_type AS INTEGER) AS junk_int,
-           try_cast(value AS DECIMAL(18,4)) AS value_dec
+           CAST(floor(CAST(value AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+             AS value_mic
     FROM events
     """,
 )
 def cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRJ4 — CAST-with-NULL-on-junk (`to_numeric(errors="coerce")`)."""
+    """PRJ4 — CAST-with-NULL-on-junk (`to_numeric(errors="coerce")`).
+
+    The numeric column is presented as BIGINT micros (1e-4 grid) rather
+    than DECIMAL: double→decimal rounding is exactly where engine
+    versions disagree (two rounds of driver hash FAILs), while
+    floor(x*1e4+0.5) is the same IEEE double expression in both engines
+    and hashes as an integer."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         F.col("event_type").try_cast("int").alias("junk_int"),
-        F.col("value").try_cast(DEC).alias("value_dec"),
+        gmicros("value").alias("value_mic"),
     )
 
 
@@ -1521,10 +1528,10 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       = '1-URGENT' THEN 1 END), 0) AS n_urgent,
                CAST(COALESCE(SUM(CASE WHEN mes <= 6 THEN
                      CAST(floor(CAST(monto_devengado AS DOUBLE) * 10000 + 0.5)
-                          AS BIGINT) END), 0) / 10000 AS DOUBLE) AS dev_h1,
+                          AS BIGINT) END), 0) AS BIGINT) AS dev_h1_mic,
                CAST(COALESCE(SUM(CASE WHEN mes > 6 THEN
                      CAST(floor(CAST(monto_devengado AS DOUBLE) * 10000 + 0.5)
-                          AS BIGINT) END), 0) / 10000 AS DOUBLE) AS dev_h2
+                          AS BIGINT) END), 0) AS BIGINT) AS dev_h2_mic
         FROM star
         GROUP BY 1, 2
         """
@@ -1535,7 +1542,13 @@ def filtered_agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered measures in ONE pass over the fact — the alternative is N
     scans + N joins.  Each conditional sum is a CASE inside the
     aggregate, so the whole thing stays one map-side-combined hash agg
-    at any scale."""
+    at any scale.
+
+    The money measures come back as BIGINT micros — NOT `/ 10000 →
+    DOUBLE`: DuckDB sums CASE…BIGINT into HUGEINT and divides from
+    there, Spark divides from BIGINT, and the two double quotients are
+    not guaranteed bit-identical across versions (driver hash FAIL two
+    rounds running).  Integer outputs hash identically everywhere."""
     star = build_star(spark, sf_dir)
     mic = gmicros("monto_devengado")
     return star.groupBy("anio", "sector_nombre").agg(
@@ -1548,12 +1561,12 @@ def filtered_agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0),
         ).alias("n_urgent"),
-        (F.coalesce(F.sum(F.when(F.col("mes") <= 6, mic)), F.lit(0)) / GRID)
-        .cast("double")
-        .alias("dev_h1"),
-        (F.coalesce(F.sum(F.when(F.col("mes") > 6, mic)), F.lit(0)) / GRID)
-        .cast("double")
-        .alias("dev_h2"),
+        F.coalesce(F.sum(F.when(F.col("mes") <= 6, mic)), F.lit(0))
+        .cast("long")
+        .alias("dev_h1_mic"),
+        F.coalesce(F.sum(F.when(F.col("mes") > 6, mic)), F.lit(0))
+        .cast("long")
+        .alias("dev_h2_mic"),
     )
 
 
