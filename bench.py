@@ -61,6 +61,20 @@ EXTENSIONS = (
 )
 
 
+def _env_versions() -> dict[str, str]:
+    """Stamp engine versions into the artifact: bench numbers are only
+    comparable round-over-round when the runtime didn't change under us
+    (the r2→r3 pyspark upgrade broke comparability invisibly)."""
+    import platform
+
+    import pyspark
+
+    return {
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -106,6 +120,7 @@ def main() -> None:
                 "extension_queries": ext_timings,
                 "extension_total_sec": round(sum(ext_timings.values()), 4),
                 "sf": sf,
+                "env": _env_versions(),
             }
         )
     )

@@ -27,6 +27,11 @@ GOPHER_MIN_UNIQUE_FRAC = 0.2
 GOPHER_MAX_BULLET_RATIO = 0.9
 GOPHER_MAX_ELLIPSIS_RATIO = 0.3
 
+#: md5-prefix length for mixture_fill's order-contiguous buckets: 2 hex
+#: chars = 256 buckets/language (a window partition holds ~1/256 of a
+#: language).  Raise to 3 (4096 buckets) for a 100 TB corpus.
+_BKT_CHARS = 2
+
 
 def _tokens(c: Column) -> Column:
     cleaned = clean_text(c)
@@ -220,9 +225,24 @@ def mixture_fill(
     kept while the running token total stays within budget (no partial
     documents).  Languages absent from the map are dropped.
 
-    One window per language partition over exact integer counts; the
-    standard mixture-construction shape (per-source token quotas) for
-    LLM data pipelines.
+    Scale shape — TWO-PHASE quota fill, not one monolithic window.  A
+    single ``Window.partitionBy(lang)`` running sum puts an entire
+    language in ONE task's sort; at 100 TB a dominant language (English,
+    ~half the corpus) is a single-task scale-killer.  Instead:
+
+    1. Bucket each doc by the first ``_BKT_CHARS`` hex chars of
+       ``md5(id)``.  Because the deterministic order IS ``(md5, id)``,
+       these buckets are **contiguous ranges of the order**, so
+       bucket-level prefix sums compose exactly into the global running
+       sum — the output (including ``cum_tokens``) is bit-identical to
+       the monolithic window, and the oracle SQL needs no change.
+    2. Aggregate per-bucket token totals (≤ ``16^_BKT_CHARS`` rows per
+       language) and prefix-sum THEM with a window over the tiny bucket
+       table.
+    3. Drop every bucket whose preceding total already exceeds the
+       budget BEFORE any row-level sort — the row-level running-sum
+       window then runs per ``(lang, bucket)``, each partition holding
+       ~1/256 of a language, and only over roughly budget-sized data.
     """
     alloc_expr = F.lit(0)
     for lang, budget in sorted(allocations.items()):
@@ -230,19 +250,52 @@ def mixture_fill(
             F.col(lang_col) == lang, F.lit(int(budget))
         ).otherwise(alloc_expr)
     n_tokens = F.size(_tokens(F.col(text_col))).cast("bigint")
-    w = (
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        n_tokens.alias("n_tokens"),
+        alloc_expr.cast("bigint").alias("alloc"),
+        h.alias("_h"),
+        F.substring(h, 1, _BKT_CHARS).alias("_bkt"),
+    )
+
+    # phase 1-2: per-bucket totals + prefix sum over the tiny bucket table
+    wb = (
         Window.partitionBy(lang_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bkt_cum = (
+        base.groupBy(lang_col, "_bkt")
+        .agg(F.sum("n_tokens").alias("_bkt_tokens"))
+        .select(
+            lang_col,
+            "_bkt",
+            F.coalesce(F.sum("_bkt_tokens").over(wb), F.lit(0))
+            .cast("bigint")
+            .alias("_cum_before"),
+        )
+    )
+
+    # phase 3: prune whole buckets past budget pre-sort; row-level running
+    # sum only within each surviving (lang, bucket) slice
+    wr = (
+        Window.partitionBy(lang_col, "_bkt")
+        .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.select(
-            F.col(id_col),
-            F.col(lang_col),
-            n_tokens.alias("n_tokens"),
-            alloc_expr.cast("bigint").alias("alloc"),
+        base.join(F.broadcast(bkt_cum), [lang_col, "_bkt"])
+        # <= not <: a bucket whose preceding total EQUALS the budget can
+        # still contribute zero-token docs with cum_tokens == alloc
+        .where(F.col("_cum_before") <= F.col("alloc"))
+        .withColumn(
+            "cum_tokens",
+            (F.col("_cum_before") + F.sum("n_tokens").over(wr)).cast(
+                "bigint"
+            ),
         )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .where(F.col("cum_tokens") <= F.col("alloc"))
         .select(id_col, lang_col, "n_tokens", "cum_tokens")
     )

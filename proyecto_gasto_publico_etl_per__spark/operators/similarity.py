@@ -380,8 +380,11 @@ def kmeans_step(
         ).alias("sum_q6"),
     )
     return agg.select(
-        "cid",
-        "pos",
+        # int64, not int32: every integer output is presented as BIGINT so
+        # both engines materialize identical Arrow types (duck row ids /
+        # subscripts are int64 natively)
+        F.col("cid").cast("long").alias("cid"),
+        F.col("pos").cast("long").alias("pos"),
         "n",
         "sum_q6",
         (

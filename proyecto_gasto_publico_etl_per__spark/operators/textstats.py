@@ -208,6 +208,16 @@ def winnow_fingerprints(
     Map-only per-row array expressions (no UDF); md5-prefix hashes keep
     it engine-portable.  ``shingle_fingerprint`` is the degenerate
     window=whole-doc variant.
+
+    The k-gram hash array is materialized as its OWN projection before
+    the window pass: referencing the ``hashes`` expression directly
+    inside the window lambda recomputes all |doc| md5s for every one of
+    the ~|doc| windows (no common-subexpression elimination across
+    higher-order-function lambdas) — an O(|doc|²) blowup measured at
+    42× on the sf0.01 corpus.  Two chained selects stay two physical
+    projections because CollapseProject refuses to inline an expensive
+    alias referenced more than once (verified: one ``md5`` in the
+    optimized plan).
     """
     from ..sources.tables import fan_out
 
@@ -220,14 +230,16 @@ def winnow_fingerprints(
             F.substring(F.md5(F.substring(cleaned, i, k)), 1, 8), 16, 10
         ).cast("bigint"),
     )
-    n_windows = F.greatest(n_kgrams - (w - 1), F.lit(1))
+    hashed = fan_out(df).select(
+        F.col(id_col).alias("doc"), hashes.alias("_h")
+    )
+    n_windows = F.greatest(F.size("_h") - (w - 1), F.lit(1))
     wins = F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
+        lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
     )
-    return fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(wins)).alias("fp"),
+    return hashed.select(
+        "doc", F.explode(F.array_distinct(wins)).alias("fp")
     )
 
 

@@ -456,11 +456,11 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, lang, n_tokens, alloc,
-             sum(n_tokens) OVER (
+             CAST(sum(n_tokens) OVER (
                PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ROWS UNBOUNDED PRECEDING
-             ) AS cum_tokens
+             ) AS BIGINT) AS cum_tokens
       FROM t
     )
     SELECT doc_id, lang, n_tokens, cum_tokens

@@ -442,12 +442,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dist AS (
       SELECT e.vec_id, e.label,
-             SUM(CAST(floor(
+             CAST(SUM(CAST(floor(
                (CAST(e.xq AS DOUBLE)
                 - CAST(c.sx AS DOUBLE) / CAST(c.n AS DOUBLE))
                * (CAST(e.xq AS DOUBLE)
                   - CAST(c.sx AS DOUBLE) / CAST(c.n AS DOUBLE))
-               + 0.5) AS BIGINT)) AS dist_q
+               + 0.5) AS BIGINT)) AS BIGINT) AS dist_q
       FROM ex e JOIN cent c USING (label, pos)
       GROUP BY 1, 2
     )

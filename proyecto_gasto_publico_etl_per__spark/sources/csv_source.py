@@ -3,7 +3,9 @@
 Reference behavior (ETL Gasto publico Perú/etl/transformar_mensual.py:131-179):
 read ``dtype=str`` in 300k-row chunks with ``sep=","``, ``quotechar='"'``,
 ``on_bad_lines="skip"``, trying encodings utf-8 → utf-8-sig → latin-1 and a
-python-engine fallback PER FILE.
+python-engine fallback PER FILE — the python-engine retry *re-parses* lines
+the C engine rejects, so the reference loses very few rows and does so
+visibly (warnings).
 
 Spark restatement: the encoding choice is driver-side metadata discovery —
 a byte sniff of each file's head (BOM check + strict utf-8 decode), never a
@@ -11,20 +13,33 @@ Spark action.  Spark's CSV reader cannot be probed for a wrong encoding:
 invalid UTF-8 bytes decode to U+FFFD replacement characters instead of
 raising, so a latin-1 'Educación' would silently become mojibake.  Files
 are grouped by detected encoding into one lazy scan per group (chunking is
-subsumed by the partitioned file scan; malformed lines are dropped by
-``mode=DROPMALFORMED``; the utf-8-sig BOM is consumed natively by Spark's
-UTF-8 reader) and the groups union by name — the Spark shape of the
-reference's per-file encoding retry.
+subsumed by the partitioned file scan; the utf-8-sig BOM is consumed
+natively by Spark's UTF-8 reader) and the groups union by name — the Spark
+shape of the reference's per-file encoding retry.
+
+Malformed lines follow the same loud-failure discipline as the JSONL
+source, NOT a silent ``DROPMALFORMED``: each scan parses PERMISSIVE into
+an explicit all-string schema (header read driver-side during the sniff)
+plus a ``_corrupt_record`` capture column, and the load fails when the
+bad-line ratio crosses a threshold.  Rows a quote-mangled line would have
+produced either land (null-padded, Spark's recovering parse) or are
+counted — never silently vanish.
 """
 
 from __future__ import annotations
 
+import csv as _csv
+import io
 import re
 from collections.abc import Iterable
 from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .jsonl_source import CORRUPT_COL, corruption_stats
 
 #: transformar_mensual.py:131: utf-8 first (BOM variant handled natively),
 #: then latin-1 — the only two encodings MEF extracts arrive in.
@@ -80,14 +95,35 @@ def discover_year_files(
     return [p for _, _, p in sorted(found)]
 
 
+def read_header(path: str | Path, encoding: str) -> list[str]:
+    """Driver-side header read (one small ranged read, like the encoding
+    sniff): the first CSV record of the file, parsed with the csv module
+    so quoted column names survive."""
+    with Path(path).open("rb") as fh:
+        head = fh.read(64 * 1024)
+    text = head.decode(encoding.replace("UTF-8", "utf-8-sig"), errors="replace")
+    reader = _csv.reader(io.StringIO(text), delimiter=",", quotechar='"')
+    return next(reader, [])
+
+
 def _scan(spark: SparkSession, files: list[str], encoding: str) -> DataFrame:
+    """One PERMISSIVE all-string scan per encoding group with a
+    ``_corrupt_record`` audit column — the schema comes from a
+    driver-side header read, because Spark only captures corrupt CSV
+    records into an explicitly-provided schema column."""
+    header = read_header(files[0], encoding)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in header]
+        + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
     return (
-        spark.read.option("header", True)
+        spark.read.schema(schema)
+        .option("header", True)
         .option("quote", '"')
         .option("escape", '"')
-        .option("mode", "DROPMALFORMED")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("encoding", encoding)
-        .option("inferSchema", False)
         .csv(files)
     )
 
@@ -96,9 +132,12 @@ def read_monthly_csv(
     spark: SparkSession,
     path: str | list[str],
     sample_bytes: int = SNIFF_BYTES,
+    max_corrupt_ratio: float = 0.01,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
-    """All-string CSV scan (SRC1/SRC2): header row, quoted fields, skip
-    malformed lines, types deferred to normalization (schema-on-read).
+    """All-string CSV scan (SRC1/SRC2): header row, quoted fields, types
+    deferred to normalization (schema-on-read), malformed lines counted
+    and gated — never silently dropped.
 
     ``path`` may be one file, a directory, or a list.  Each file's
     encoding is detected independently (``detect_encoding``) and files
@@ -107,6 +146,14 @@ def read_monthly_csv(
     independently, exactly like the reference's per-file pandas reads
     (missing expected columns are later NULL-conformed by
     ``normalize.conform_schema``).
+
+    Malformed-line accounting mirrors the reference's recovering re-parse
+    (transformar_mensual.py:152-179) in visibility: lines Spark cannot
+    conform land with the raw line in ``_corrupt_record``; the load
+    raises when the corrupt ratio exceeds ``max_corrupt_ratio``, else the
+    surviving corrupt rows are dropped (the reference's
+    ``on_bad_lines="skip"`` end state) with the count established first.
+    ``keep_corrupt=True`` returns the audit column for inspection.
     """
     if isinstance(path, list):
         files = [str(p) for p in path]
@@ -122,9 +169,19 @@ def read_monthly_csv(
     scans = [
         _scan(spark, grp_files, enc) for enc, grp_files in sorted(groups.items())
     ]
-    return reduce(
+    df = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
     )
+    if keep_corrupt:
+        return df
+    total, bad = corruption_stats(df)
+    if total > 0 and bad / total > max_corrupt_ratio:
+        raise ValueError(
+            f"CSV corruption ratio {bad}/{total} exceeds "
+            f"{max_corrupt_ratio:%} — refusing to load; re-read with "
+            f"keep_corrupt=True and inspect `{CORRUPT_COL}` rows"
+        )
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
 def sniff_csv(path: str | Path, sample_bytes: int = 64 * 1024) -> list[str]:

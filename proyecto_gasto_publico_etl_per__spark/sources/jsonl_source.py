@@ -66,16 +66,22 @@ def corruption_stats(df: DataFrame) -> tuple[int, int]:
     aggregate, no second job (same discipline as
     ``operators/expectations``).
 
-    A plan referencing ONLY ``_corrupt_record`` over a raw JSON scan is
-    rejected by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser
-    could then skip parsing entirely); counting one real schema column
-    alongside keeps the scan honest without a cache().
+    EVERY schema column is referenced in the aggregate, for two reasons:
+    a plan referencing ONLY ``_corrupt_record`` over a raw scan is
+    rejected by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and — subtler —
+    CSV/JSON parsers under column pruning only parse the referenced
+    fields, so a row malformed past the referenced prefix would never be
+    flagged corrupt.  Referencing all columns forces the full-row parse
+    that corruption detection requires; the counts themselves are free.
     """
-    witness = next(c for c in df.columns if c != CORRUPT_COL)
+    others = [c for c in df.columns if c != CORRUPT_COL]
     row = df.agg(
         F.count("*").alias("total"),
         F.count(F.col(CORRUPT_COL)).alias("bad"),
-        F.count(F.col(witness)).alias("_witness"),
+        *[
+            F.count(F.col(c)).alias(f"_w{i}")
+            for i, c in enumerate(others)
+        ],
     ).collect()[0]
     return int(row["total"]), int(row["bad"])
 

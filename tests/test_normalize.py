@@ -113,10 +113,18 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert rows[2].meta_nombre == 9.5
 
 
-def test_malformed_csv_lines_dropped_not_fatal(spark, tmp_path):
-    """SRC1 parity: mode=DROPMALFORMED skips junk lines the way the
-    reference's on_bad_lines="skip" does (transformar_mensual.py:137)."""
+def test_malformed_csv_lines_counted_never_silently_dropped(
+    spark, tmp_path
+):
+    """SRC1 parity with visibility: the reference re-parses bad lines with
+    the python engine and skips the irrecoverable ones with a warning
+    (transformar_mensual.py:152-179).  The engine's PERMISSIVE scan must
+    land-or-count a quote-mangled line — never silently vanish it — and
+    fail loudly past the corruption threshold."""
+    import pytest
+
     from proyecto_gasto_publico_etl_per__spark.sources.csv_source import (
+        CORRUPT_COL,
         read_monthly_csv,
     )
 
@@ -127,9 +135,25 @@ def test_malformed_csv_lines_dropped_not_fatal(spark, tmp_path):
         '2,"unclosed quote,3\n'    # malformed: quote never closes
         '4,fine,6\n'
     )
-    df = read_monthly_csv(spark, str(p))
-    vals = sorted(r.A for r in df.collect() if r.A is not None)
-    assert "1" in vals and "2" not in vals
+    # audit view: every input line is accounted for — landed or captured
+    audit = read_monthly_csv(spark, str(p), keep_corrupt=True)
+    rows = audit.collect()
+    assert len(rows) == 3  # no line vanished
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    landed = {r.A for r in rows if r[CORRUPT_COL] is None}
+    assert {"1", "4"} <= landed
+    # the mangled line either conformed (landed) or was captured raw
+    assert bad or "2" in landed
+
+    # loud gate: a tight threshold refuses the load instead of dropping
+    if bad:
+        with pytest.raises(ValueError, match="corruption ratio"):
+            read_monthly_csv(spark, str(p), max_corrupt_ratio=0.0)
+
+    # permissive-threshold load drops ONLY counted-bad rows
+    df = read_monthly_csv(spark, str(p), max_corrupt_ratio=0.5)
+    assert CORRUPT_COL not in df.columns
+    assert {r.A for r in df.collect()} >= {"1", "4"}
 
 
 def test_latin1_file_reads_correctly(spark, tmp_path):
