@@ -348,6 +348,63 @@ def ivf_topk(
     )
 
 
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Recall@k evaluation of the approximate indexes against exact
+    brute-force ground truth — the quality gate every ANN deployment
+    tunes against (bucket width / nprobe trade recall for cost).
+
+    One row per method with exact integer hit counts and a single
+    final double division (hits/expected — both exact ints, one IEEE
+    op, engine-reproducible).  Scale shape: ground truth over a PROBE
+    SET (queries are broadcast-small, never the corpus), so the brute
+    pass is a single corpus scan; the per-method hit join keys on
+    (query_id, neighbor_id) — probe-set-sized, trivially broadcast.
+    """
+    truth = brute_force_topk(corpus, queries, id_col, vec_col, k)
+    approx = {
+        "lsh": lsh_topk(corpus, queries, id_col, vec_col, k, n_planes),
+        "ivf": ivf_topk(
+            corpus, queries, id_col, vec_col, k, n_centroids, nprobe
+        ),
+    }
+    truth_keys = truth.select("query_id", "neighbor_id")
+    n_expected = truth.agg(
+        F.count("*").cast("bigint").alias("n_expected")
+    )
+    per_method = [
+        res.select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+        .join(F.broadcast(truth_keys.withColumn("_t", F.lit(1))),
+              ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.lit(name).alias("method"),
+            F.count("*").cast("bigint").alias("n_returned"),
+            F.count("_t").cast("bigint").alias("n_hits"),
+        )
+        for name, res in sorted(approx.items())
+    ]
+    unioned = per_method[0]
+    for m in per_method[1:]:
+        unioned = unioned.unionByName(m)
+    return unioned.crossJoin(F.broadcast(n_expected)).select(
+        "method",
+        "n_returned",
+        "n_hits",
+        "n_expected",
+        (F.col("n_hits").cast("double") / F.col("n_expected").cast("double"))
+        .alias("recall_at_k"),
+    )
+
+
 def kmeans_step(
     df: DataFrame,
     id_col: str = "vec_id",

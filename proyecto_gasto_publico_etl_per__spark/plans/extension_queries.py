@@ -865,9 +865,7 @@ _BUCKETS_SQL = """
 """
 
 
-@register(
-    "sim_topk_lsh",
-    f"""
+_LSH_TOPK_SQL = f"""
     WITH {_BUCKETS_SQL.format(n_planes=8)},
     q AS (
       SELECT b.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, b.bucket
@@ -893,8 +891,10 @@ _BUCKETS_SQL = """
       FROM scored
     )
     SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 5
-    """,
-)
+    """
+
+
+@register("sim_topk_lsh", _LSH_TOPK_SQL)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (8 deterministic hyperplanes)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -956,6 +956,50 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < 10),
         k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+    WITH brute AS ({_COSINE_TOPK_SQL}),
+    lsh AS ({_LSH_TOPK_SQL}),
+    ivf AS ({_IVF_SQL.format(n_centroids=16, nprobe=4)}),
+    methods AS (
+      SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+      UNION ALL
+      SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+    ),
+    scored AS (
+      SELECT m.method,
+             CASE WHEN b.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM methods m
+      LEFT JOIN brute b
+        ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+    ),
+    expected AS (SELECT CAST(count(*) AS BIGINT) AS n_expected FROM brute)
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_returned,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           n_expected,
+           CAST(SUM(hit) AS DOUBLE) / CAST(n_expected AS DOUBLE)
+               AS recall_at_k
+    FROM scored CROSS JOIN expected
+    GROUP BY method, n_expected
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH and IVF indexes vs brute-force ground truth
+    over the 10-vector probe set — the tuning gate for every
+    approximate-search knob (n_planes, nprobe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_planes=8,
         n_centroids=16,
         nprobe=4,
     )
@@ -1141,6 +1185,75 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("seq_id"),
         F.col("cum").cast("long").alias("cum_tokens"),
+    )
+
+
+_SEQ_PACK_SQL = f"""
+    WITH {_DOCS_CTE},
+    starts AS (
+      SELECT doc, toks,
+             unnest(range(1, greatest(len(toks) - {CHUNK_SIZE} + 1, 1) + 1,
+                          {CHUNK_STRIDE})) AS start
+      FROM toks WHERE len(toks) > 0
+    ),
+    chunks AS (
+      SELECT doc,
+             CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+             CAST(len(list_slice(toks, start, start + {CHUNK_SIZE} - 1))
+                  AS INT) AS n_tokens
+      FROM starts
+    ),
+    runs AS (
+      SELECT doc, chunk_id, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY doc ORDER BY chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM chunks
+    )
+    SELECT doc, chunk_id, n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS INT) AS seq_id,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM runs
+    """
+
+
+@register(
+    "packing_efficiency",
+    f"""
+    WITH sp AS ({_SEQ_PACK_SQL})
+    SELECT doc,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT seq_id) * {PACK_BUDGET} AS BIGINT)
+               AS capacity,
+           CAST(SUM(n_tokens) AS DOUBLE)
+               / CAST(count(DISTINCT seq_id) * {PACK_BUDGET} AS DOUBLE)
+               AS fill_ratio
+    FROM sp
+    GROUP BY doc
+    """,
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-planning profile over the packed sequences: per document,
+    how full its training sequences are (fill_ratio = tokens /
+    sequence-slots×budget) — the padding-waste signal a pipeline uses to
+    pick chunk/stride/budget before burning cluster time.  One hash agg
+    over the packing output; exact integer counts, one final double
+    division."""
+    sp = sequence_packing(spark, sf_dir)
+    return sp.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.countDistinct("seq_id") * PACK_BUDGET)
+        .cast("bigint")
+        .alias("capacity"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.countDistinct("seq_id") * PACK_BUDGET).cast("double")
+        ).alias("fill_ratio"),
     )
 
 

@@ -198,6 +198,62 @@ def test_mixture_fill_budget_and_determinism(spark):
     )
 
 
+def test_mixture_fill_two_phase_matches_monolithic_reference(spark):
+    """The bucketed two-phase fill must be BIT-IDENTICAL to the spec: a
+    single global running sum in (md5(id), id) order per language —
+    including zero-token docs sitting exactly at the budget boundary
+    (the `<=` whole-bucket prune edge)."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        lang = rng.choice(["en", "es", "qu"])
+        n = rng.randrange(0, 9)  # 0 → empty text (zero tokens)
+        rows.append((i, lang, " ".join(["tok"] * n)))
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING, text STRING")
+
+    def py_fill(alloc):
+        order = sorted(
+            rows,
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        cum = {}
+        keep = []
+        for i, lang, text in order:
+            # unlisted languages carry alloc 0 — a zero-token doc with an
+            # all-zero prefix still satisfies cum <= 0 and is kept, same
+            # as the engine's CASE default
+            budget = alloc.get(lang, 0)
+            n = len(text.split()) if text.strip() else 0
+            c = cum.get(lang, 0) + n
+            cum[lang] = c  # spec: the running sum continues either way
+            if c <= budget:
+                keep.append((i, lang, n, c))
+        return sorted(keep)
+
+    alloc = {"en": 120, "es": 55}
+    got = sorted(
+        (r.doc_id, r.lang, r.n_tokens, r.cum_tokens)
+        for r in curation.mixture_fill(df, alloc).collect()
+    )
+    assert got == py_fill(alloc)
+
+    # boundary case: set a language's budget to an exact prefix sum so the
+    # next bucket starts with _cum_before == alloc (zero-token docs there
+    # must still be kept)
+    en_cums = [c for (_, lang, _, c) in py_fill({"en": 10**9}) if lang == "en"]
+    exact = en_cums[len(en_cums) // 2]
+    alloc2 = {"en": exact}
+    got2 = sorted(
+        (r.doc_id, r.lang, r.n_tokens, r.cum_tokens)
+        for r in curation.mixture_fill(df, alloc2).collect()
+    )
+    assert got2 == py_fill(alloc2)
+    assert max(c for (_, _, _, c) in got2) == exact
+
+
 def test_winnow_guarantee_and_edit_robustness(spark):
     from proyecto_gasto_publico_etl_per__spark.operators import textstats
 

@@ -39,6 +39,8 @@ CARTESIAN_OK = {
     "sim_topk_brute",  # brute-force baseline: corpus × 10-probe set
     "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
     "unigram_freq_score",  # 1-row corpus-total scalar broadcast
+    "ann_recall_eval",  # brute ground truth (corpus × 10 probes) +
+    #                     1-row n_expected scalar broadcast
 }
 
 
