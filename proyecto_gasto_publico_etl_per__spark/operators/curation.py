@@ -209,6 +209,67 @@ def decontaminate(
     )
 
 
+def decontamination_report(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The eval-integrity view of decontamination: per EVAL document, how
+    much of the training corpus leaks into it — which benchmark items are
+    compromised and how badly (``decontaminate`` answers the mirror
+    question per train doc).
+
+    Scale shape: identical to ``decontaminate`` — the corpus posting
+    list is touched once and equi-joins the (eval-sized, broadcastable)
+    eval posting set on shingle; per-eval-doc rollup keys on the small
+    side.  Every eval doc appears (zero-leak rows included) so the
+    report is a complete audit, not just a hit list.
+    """
+    from .dedup import _shingle_sets
+
+    eval_sh = _shingle_sets(eval_df, id_col, text_col, n)
+    eval_posts = eval_sh.select(
+        F.col("doc").alias("eval_doc"), F.explode("shingles").alias("shingle")
+    )
+    train_posts = (
+        _shingle_sets(df, id_col, text_col, n)
+        .select(F.col("doc").alias("train_doc"),
+                F.explode("shingles").alias("shingle"))
+    )
+    hits = train_posts.join(eval_posts, "shingle").groupBy("eval_doc").agg(
+        F.count_distinct("train_doc").cast("bigint").alias("n_leaky_train_docs"),
+        F.count_distinct("shingle").cast("bigint").alias("n_shared_shingles"),
+        F.count("*").cast("bigint").alias("n_posting_hits"),
+    )
+    return (
+        eval_sh.select(
+            F.col("doc").alias("eval_doc"),
+            F.size("shingles").cast("bigint").alias("n_shingles"),
+        )
+        .join(hits, "eval_doc", "left")
+        .select(
+            F.col("eval_doc").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_leaky_train_docs", F.lit(0)).alias(
+                "n_leaky_train_docs"
+            ),
+            F.coalesce("n_shared_shingles", F.lit(0)).alias(
+                "n_shared_shingles"
+            ),
+            F.coalesce("n_posting_hits", F.lit(0)).alias("n_posting_hits"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.coalesce("n_shared_shingles", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("leak_fraction"),
+        )
+    )
+
+
 def mixture_fill(
     df: DataFrame,
     allocations: dict[str, int],

@@ -342,6 +342,64 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_estimator_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Sketch-fidelity audit for the MinHash estimator: per LSH candidate
+    pair, the signature agreement fraction (the sketch's Jaccard
+    estimate) next to the EXACT Jaccard — the measurement that tunes
+    ``num_hashes``/``bands`` before committing a 100 TB dedup pass (the
+    analogue of ``ann_recall`` for the text-dedup stack).
+
+    All outputs are exact integers on the 1e-4 grid: est_q4 is
+    ``n_agree × (10000/num_hashes)`` (exact when num_hashes divides
+    10000), jac_q4 the quantized exact Jaccard, err_q4 their difference.
+    Cost is candidate-scoped: two signature equi-joins plus the existing
+    pair verifier — nothing corpus-quadratic.
+    """
+    if 10000 % num_hashes != 0:
+        raise ValueError("num_hashes must divide 10000 for exact est_q4")
+    step = 10000 // num_hashes
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands
+    )
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sa = sigs.select(
+        F.col("doc").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    sb = sigs.select(
+        F.col("doc").alias("doc_b"), "seed", F.col("minhash").alias("mh_b")
+    )
+    agree = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+            .cast("bigint")
+            .alias("n_agree")
+        )
+    )
+    exact = verify_pairs_jaccard(cands, _shingle_sets(df, id_col, text_col, n))
+    jac_q4 = F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("bigint")
+    return (
+        agree.join(exact.select("doc_a", "doc_b", "jaccard"), ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            (F.col("n_agree") * step).cast("bigint").alias("est_q4"),
+            jac_q4.alias("jac_q4"),
+            ((F.col("n_agree") * step) - jac_q4).cast("bigint").alias("err_q4"),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -213,6 +213,51 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_report",
+    f"""
+    WITH {_DOCS_CTE},
+    eval_sh AS (
+      SELECT doc AS eval_doc, shingles FROM sh WHERE doc % {EVAL_MOD} = 0
+    ),
+    eposts AS (
+      SELECT eval_doc, unnest(shingles) AS shingle FROM eval_sh
+    ),
+    tposts AS (
+      SELECT doc AS train_doc, unnest(shingles) AS shingle
+      FROM sh WHERE doc % {EVAL_MOD} <> 0
+    ),
+    hits AS (
+      SELECT eval_doc,
+             CAST(count(DISTINCT train_doc) AS BIGINT)
+                 AS n_leaky_train_docs,
+             CAST(count(DISTINCT shingle) AS BIGINT) AS n_shared_shingles,
+             CAST(count(*) AS BIGINT) AS n_posting_hits
+      FROM tposts JOIN eposts USING (shingle)
+      GROUP BY eval_doc
+    )
+    SELECT e.eval_doc AS doc_id,
+           CAST(len(e.shingles) AS BIGINT) AS n_shingles,
+           coalesce(h.n_leaky_train_docs, 0) AS n_leaky_train_docs,
+           coalesce(h.n_shared_shingles, 0) AS n_shared_shingles,
+           coalesce(h.n_posting_hits, 0) AS n_posting_hits,
+           CASE WHEN len(e.shingles) > 0
+                THEN CAST(coalesce(h.n_shared_shingles, 0) AS DOUBLE)
+                     / CAST(len(e.shingles) AS DOUBLE)
+                ELSE 0 END AS leak_fraction
+    FROM eval_sh e LEFT JOIN hits h USING (eval_doc)
+    """,
+)
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-document leakage audit (the mirror of decontaminate_eval):
+    which benchmark items the training split compromises, and how badly
+    (operators/curation.decontamination_report)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.where(F.col("doc_id") % EVAL_MOD != 0)
+    return curation.decontamination_report(train, eval_df)
+
+
+@register(
     "source_cap_sample",
     f"""
     WITH ranked AS (

@@ -144,33 +144,39 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB fragment for MinHash(16) signatures + LSH(4 band) candidate
+#: pairs (mirrors operators.dedup.minhash_signatures/_lsh_candidates)
+_MINHASH_CTE = """
+seeds AS (SELECT unnest(range(16)) AS seed),
+hashed AS (
+  SELECT doc,
+         CAST(('0x' || substr(md5('0|' || shingle), 1, 8)) AS BIGINT) AS h
+  FROM posts
+),
+sigs AS (
+  SELECT doc, seed,
+         min((h * (seed * 2 + 1) + seed * 2654435761) % 4294967296)
+             AS minhash
+  FROM hashed CROSS JOIN seeds
+  GROUP BY doc, seed
+),
+band_sigs AS (
+  SELECT doc, seed // 4 AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_sig
+  FROM sigs GROUP BY doc, seed // 4
+),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
+  WHERE a.doc < b.doc
+)
+"""
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH {_DOCS_CTE}, {_JACCARD_CTE},
-    seeds AS (SELECT unnest(range(16)) AS seed),
-    hashed AS (
-      SELECT doc,
-             CAST(('0x' || substr(md5('0|' || shingle), 1, 8)) AS BIGINT) AS h
-      FROM posts
-    ),
-    sigs AS (
-      SELECT doc, seed,
-             min((h * (seed * 2 + 1) + seed * 2654435761) % 4294967296)
-                 AS minhash
-      FROM hashed CROSS JOIN seeds
-      GROUP BY doc, seed
-    ),
-    band_sigs AS (
-      SELECT doc, seed // 4 AS band,
-             md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_sig
-      FROM sigs GROUP BY doc, seed // 4
-    ),
-    cands AS (
-      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-      FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
-      WHERE a.doc < b.doc
-    )
+    WITH {_DOCS_CTE}, {_JACCARD_CTE}, {_MINHASH_CTE}
     SELECT doc_a, doc_b, jaccard
     FROM cands JOIN jpairs USING (doc_a, doc_b)
     WHERE jaccard >= {JACCARD_T}
@@ -180,6 +186,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates verified by exact Jaccard."""
     return dedup.minhash_dedup_pairs(
         load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    )
+
+
+@register(
+    "minhash_est_quality",
+    f"""
+    WITH {_DOCS_CTE}, {_JACCARD_CTE}, {_MINHASH_CTE},
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM cands c
+      JOIN sigs a ON a.doc = c.doc_a
+      JOIN sigs b ON b.doc = c.doc_b AND b.seed = a.seed
+      GROUP BY 1, 2
+    )
+    SELECT g.doc_a, g.doc_b, g.n_agree,
+           CAST(g.n_agree * 625 AS BIGINT) AS est_q4,
+           CAST(floor(COALESCE(j.jaccard, 0) * 10000 + 0.5) AS BIGINT)
+               AS jac_q4,
+           CAST(g.n_agree * 625
+                - floor(COALESCE(j.jaccard, 0) * 10000 + 0.5) AS BIGINT)
+               AS err_q4
+    FROM agree g LEFT JOIN jpairs j USING (doc_a, doc_b)
+    """,
+)
+def minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch fidelity per LSH candidate pair: signature-agreement
+    estimate vs exact Jaccard, both on the 1e-4 integer grid — the
+    num_hashes/bands tuning measurement (operators/dedup.py)."""
+    return dedup.minhash_estimator_quality(
+        load_table(spark, sf_dir, "documents")
     )
 
 
@@ -699,6 +737,59 @@ def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "upper_ratio",
         "stopword_ratio",
         "quality_ok",
+    )
+
+
+#: literal linear-model weights for the classifier-style quality filter —
+#: rational constants (exactly representable doubles), fixed evaluation
+#: order, so the margin is the same IEEE expression chain in both engines
+QC_W_STOP, QC_W_PUNCT, QC_W_LEN, QC_BIAS = 2.0, -1.5, 0.125, -0.25
+QC_THRESHOLD = 0.4
+
+
+@register(
+    "quality_classifier_filter",
+    f"""
+    WITH q AS ({_QUALITY_SQL})
+    SELECT doc_id, n_tokens,
+           (({QC_W_STOP} * stopword_ratio + {QC_W_PUNCT} * punct_ratio)
+            + ({QC_W_LEN} * mean_token_len - upper_ratio)) + {QC_BIAS}
+               AS quality_score,
+           ((({QC_W_STOP} * stopword_ratio + {QC_W_PUNCT} * punct_ratio)
+             + ({QC_W_LEN} * mean_token_len - upper_ratio)) + {QC_BIAS}
+            >= {QC_THRESHOLD} AND n_tokens >= 5) AS keep
+    FROM q
+    """,
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-style quality filtering (the FineWeb-Edu pattern: score
+    every doc with a trained model, keep above threshold) with a LINEAR
+    model over the engine's quality signals standing in for the learned
+    transformer — the Spark-side plumbing (single scan, scoring as a
+    column expression, threshold gate) is exactly the production shape;
+    swap the literal weights for exported model coefficients.
+
+    Determinism: every feature is a double division of exact integers
+    and the margin a fixed-order IEEE multiply-add chain with rational
+    literal weights — bit-identical across engines (no sigmoid: exp()
+    differs in the last ulp across libm implementations, and a monotone
+    transform never changes a threshold decision anyway)."""
+    q = textstats.quality_stats(load_table(spark, sf_dir, "documents"))
+    margin = (
+        (
+            F.lit(QC_W_STOP) * F.col("stopword_ratio")
+            + F.lit(QC_W_PUNCT) * F.col("punct_ratio")
+        )
+        + (
+            F.lit(QC_W_LEN) * F.col("mean_token_len")
+            - F.col("upper_ratio")
+        )
+    ) + F.lit(QC_BIAS)
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        margin.alias("quality_score"),
+        ((margin >= QC_THRESHOLD) & (F.col("n_tokens") >= 5)).alias("keep"),
     )
 
 
