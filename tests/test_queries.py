@@ -66,6 +66,37 @@ def test_running_ytd_monotone_per_group(star):
         assert ytds == sorted(ytds)  # running sum of non-negative monthly
 
 
+def test_ntz_micros_accepts_every_timestamp_flavor(spark):
+    """Regression for the round-3 driver crash: pyspark 4.1 reads the
+    testdata NANOS parquet as TIMESTAMP_NTZ, which `unix_micros` rejects.
+    `ntz_micros` must produce identical naive-epoch micros for NTZ,
+    LTZ-in-UTC, and string inputs."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.plans.driver_queries import (
+        ntz_micros,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [("2024-03-10 01:30:00.123456",)], "s STRING"
+    ).select(
+        ntz_micros(F.col("s").cast("timestamp_ntz")).alias("from_ntz"),
+        ntz_micros(F.col("s").cast("timestamp")).alias("from_ltz"),
+        ntz_micros(F.col("s")).alias("from_str"),
+    )
+    row = df.collect()[0]
+    import datetime as dt
+
+    expect = int(
+        dt.datetime(
+            2024, 3, 10, 1, 30, 0, 123456, tzinfo=dt.timezone.utc
+        ).timestamp()
+        * 1_000_000
+    )
+    assert row.from_ntz == row.from_ltz == row.from_str == expect
+
+
 @pytest.mark.parametrize("name", ["ytd_by_group", "sessionize", "timedim"])
 def test_driver_oracle_spotcheck(spark, name):
     """Fast replica of the driver's hash gate for three representative
