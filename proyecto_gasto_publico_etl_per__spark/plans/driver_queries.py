@@ -1908,13 +1908,56 @@ DRIVER_PRIORITY: list[str] = [
 ]
 
 
+def _driver_green_names() -> set[str]:
+    """Names with a GREEN row in any committed ``CORRECTNESS_r*.json``
+    (the driver's artifacts at the repo root): every recorded check
+    passed and no error.  A red or errored row does NOT count — those
+    queries must re-enter the window until the driver confirms them."""
+    import json
+    from pathlib import Path
+
+    green: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(artifact.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            checks = [
+                row.get(k)
+                for k in ("rows_match", "schema_match", "hash_match")
+            ]
+            if any(c is False for c in checks):
+                continue
+            if any(c is True for c in checks):
+                green.add(name)
+    return green
+
+
 def _ordered_names() -> list[str]:
+    """Registration order for the driver contract.
+
+    The driver hashes only the first 50 entries, so ordering IS the
+    verification budget.  Base order = ``DRIVER_PRIORITY`` then
+    registration order; on top of that, names the driver has never
+    checked green (per the committed CORRECTNESS artifacts) sort FIRST —
+    the window self-rotates each round until every declared query has a
+    green driver row, without hand-editing the priority list.
+    """
     _ensure_extensions()
     missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
     if missing:  # fail loudly: a typo here silently wastes driver slots
         raise KeyError(f"DRIVER_PRIORITY names not registered: {missing}")
     prio = set(DRIVER_PRIORITY)
-    return [*DRIVER_PRIORITY, *(n for n in REGISTRY if n not in prio)]
+    base = [*DRIVER_PRIORITY, *(n for n in REGISTRY if n not in prio)]
+    green = _driver_green_names()
+    return [
+        *(n for n in base if n not in green),
+        *(n for n in base if n in green),
+    ]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -66,6 +66,29 @@ def test_running_ytd_monotone_per_group(star):
         assert ytds == sorted(ytds)  # running sum of non-negative monthly
 
 
+def test_driver_window_rotation_invariant():
+    """The driver hashes only the first 50 registered queries, so no
+    driver-green query may occupy a window slot while an unchecked (or
+    red) one waits outside — the registration order must self-rotate
+    from the committed CORRECTNESS artifacts."""
+    from proyecto_gasto_publico_etl_per__spark.plans import driver_queries as D
+
+    names = list(D.all_queries())
+    green = D._driver_green_names()
+    window, outside = names[:50], names[50:]
+    waiting = [n for n in outside if n not in green]
+    if waiting:  # only binding while >50 queries still need a green row
+        greens_in_window = [n for n in window if n in green]
+        assert not greens_in_window, (
+            f"green {greens_in_window} hold window slots while "
+            f"{waiting} are unchecked"
+        )
+    # deterministic: two computations agree
+    assert names == list(D.all_queries())
+    # every oracle key is registered and ordered identically
+    assert set(D.all_oracles()) <= set(names)
+
+
 def test_ntz_micros_accepts_every_timestamp_flavor(spark):
     """Regression for the round-3 driver crash: pyspark 4.1 reads the
     testdata NANOS parquet as TIMESTAMP_NTZ, which `unix_micros` rejects.
