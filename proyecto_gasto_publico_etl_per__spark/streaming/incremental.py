@@ -143,6 +143,47 @@ def windowed_event_counts(
     )
 
 
+def dedup_ingest(
+    stream: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Corpus ingestion that never re-admits a duplicate: two dedup
+    layers over an arriving document stream, both exact (content-hash)
+    and both bounded.
+
+    1. IN-STREAM: ``dropDuplicatesWithinWatermark`` on the content hash —
+       duplicates arriving within ``delay`` of each other collapse to
+       one, across micro-batch boundaries, with state evicted past the
+       watermark (bounded by arrival rate × delay, never by history).
+    2. AGAINST HISTORY: stream-static LEFT ANTI join on the existing
+       corpus's content hashes — the static side re-resolves per
+       micro-batch, so a compaction/backfill of the warehouse is picked
+       up without restarting the query.  The hash projection of the
+       static side is all the join reads (column pruning), and the
+       per-batch join broadcasts it when small; at 100 TB the static
+       side should be a hash-bucketed table so the anti-join co-locates.
+
+    The streaming twin of the batch pipeline ``exact_dedup_groups →
+    anti-join append`` (the reference's ON CONFLICT DO NOTHING, applied
+    to corpus content instead of warehouse keys).  Returns the deduped
+    stream; attach your sink.
+    """
+    from ..operators.textstats import fingerprint
+
+    hashed = stream.withColumn("content_hash", fingerprint(text_col))
+    fresh = hashed.withWatermark(
+        ts_col, delay
+    ).dropDuplicatesWithinWatermark(["content_hash"])
+    seen = existing.select(
+        fingerprint(text_col).alias("content_hash")
+    ).distinct()
+    return fresh.join(seen, "content_hash", "left_anti")
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,
