@@ -407,14 +407,31 @@ def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 60,
 ) -> DataFrame:
-    """32-bit SimHash over word tokens (with multiplicity): bit b is the
-    sign of Σ ±1 over token-hash bit b."""
+    """SimHash over word tokens (with multiplicity): bit b is the sign
+    of Σ ±1 over token-hash bit b.
+
+    60 bits by default (15 md5 hex chars = the widest hash that casts
+    to a signed BIGINT in both engines without overflow): the pigeonhole
+    candidate chunks need real width — 4 chunks of a 32-bit hash give
+    256 distinct values per position, so at corpus scale every bucket
+    holds ~|corpus|/1024 docs and the candidate join goes quadratic;
+    15-bit chunks give 32k buckets per position, corpus-scale-safe."""
     df = fan_out(df)
+    hex_chars = (bits + 3) // 4
+    if hex_chars > 15:
+        raise ValueError("bits > 60 overflows signed BIGINT hash casts")
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("tok")
-    ).withColumn("h", _portable_hash(F.col("tok"), 0))
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("0|"), F.col("tok"))), 1, hex_chars),
+            16,
+            10,
+        ).cast("bigint"),
+    )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     # shiftright with a *column* shift needs the SQL form (the Python
     # wrapper only takes int numBits)
@@ -442,14 +459,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 60,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
     Candidate generation uses the pigeonhole trick: split the hash into
     ``max_hamming + 1`` chunks; any pair within distance k shares at least
     one exact chunk — bucket-join on (chunk_idx, chunk_value), then verify
-    the full Hamming distance.  No all-pairs product.
+    the full Hamming distance.  No all-pairs product.  Chunk width is the
+    scale knob: 60/4 = 15-bit chunks = 32k buckets per position (a 32-bit
+    hash's 8-bit chunks collapse to 256 buckets and the bucket join goes
+    quadratic at corpus scale).
     """
     chunks = max_hamming + 1
     chunk_bits = bits // chunks

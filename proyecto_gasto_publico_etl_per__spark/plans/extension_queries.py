@@ -228,10 +228,10 @@ def minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok1 AS (SELECT doc, unnest(toks) AS tok FROM toks),
     th AS (
       SELECT doc,
-             CAST(('0x' || substr(md5('0|' || tok), 1, 8)) AS BIGINT) AS h
+             CAST(('0x' || substr(md5('0|' || tok), 1, 15)) AS BIGINT) AS h
       FROM tok1
     ),
-    bits AS (SELECT unnest(range(32)) AS bit),
+    bits AS (SELECT unnest(range(60)) AS bit),
     wsum AS (
       SELECT doc, bit,
              SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -245,7 +245,7 @@ def minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     chunks AS (
       SELECT doc, simhash, c.chunk_idx,
-             (simhash >> (c.chunk_idx * 8)) & 255 AS chunk_val
+             (simhash >> (c.chunk_idx * 15)) & 32767 AS chunk_val
       FROM shh CROSS JOIN (SELECT unnest(range(4)) AS chunk_idx) c
     ),
     cands AS (
@@ -261,7 +261,8 @@ def minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-32 near-dup pairs, Hamming ≤ 3, pigeonhole chunk buckets."""
+    """SimHash-60 near-dup pairs, Hamming ≤ 3, 15-bit pigeonhole chunk
+    buckets (32k buckets per chunk position — corpus-scale-safe)."""
     df = dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
     return df.withColumn("hamming", F.col("hamming").cast("int"))
 
