@@ -108,6 +108,12 @@ def hyperplane_buckets(
     Plane p's weight for dimension d is ±1 by parity of the portable
     md5 hash of "p:d" — reproducible anywhere, no stored model.  Bucket =
     integer of sign bits of ⟨v, plane_p⟩.
+
+    ``n_planes`` is the scale knob, NOT a constant: 2^n_planes buckets
+    must keep the in-bucket candidate join subquadratic, so size it as
+    ~log2(N / target_bucket_size) — 8 planes (256 buckets) fits the
+    test corpus; a billion-vector corpus wants 20+ planes (and multiple
+    hash tables to recover the recall each added plane costs).
     """
     df = fan_out(df)
     v = _as_double(F.col("vec"))

@@ -95,6 +95,42 @@ def test_ngram_capped_subset_with_exact_values(docs):
     assert uncapped_equiv == exact
 
 
+def test_simhash_pigeonhole_candidates_complete(spark):
+    """The pigeonhole guarantee: EVERY pair within Hamming ≤ max_hamming
+    must surface (4 chunks, ≤3 differing bits → some chunk is identical
+    → the bucket join finds it).  Verified against brute-force Hamming
+    over all simhash pairs on a randomized corpus."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    base = [rng.choice(vocab) for _ in range(40)]
+    for i in range(40):
+        doc = list(base)
+        # perturb a few tokens so some pairs are near, some far
+        for _ in range(rng.randrange(0, 8)):
+            doc[rng.randrange(len(doc))] = rng.choice(vocab)
+        rows.append((i, " ".join(doc)))
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    hashes = {
+        r.doc: r.simhash for r in dedup.simhash(df).collect()
+    }
+    expect = {
+        (a, b)
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got == expect  # complete (pigeonhole) AND no false positives
+    assert expect  # the fixture actually exercises near pairs
+
+
 def test_simhash_identical_docs_distance_zero(docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
     keyed = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
