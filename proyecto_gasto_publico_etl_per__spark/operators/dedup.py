@@ -53,16 +53,17 @@ def _tokens(text_col: str) -> Column:
     )
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text.
+def word_grams(text_col: str, n: int) -> Column:
+    """Word n-grams of the normalized text WITH multiplicity (the LM
+    count-table / repetition-stats form; ``word_shingles`` is the
+    distinct set-semantics variant).
 
     Built as ``n-1`` ``zip_with`` passes over shifted slices of the token
     array (``toks[i] ⊕ toks[i+1] ⊕ …``): each pass is one O(L) sweep with
     a cheap string concat per element.  The naive per-start
     ``transform(i -> concat_ws(slice(toks, i, n)))`` allocates a sub-array
     per shingle inside an interpreted higher-order lambda and measured ~8×
-    slower on the documents corpus.  Output order (and therefore the
-    ``array_distinct`` result) is identical.
+    slower on the documents corpus.
 
     Guarded for short docs: every slice is length ``L-(n-1)`` which only
     exists when the doc has ≥ n tokens.
@@ -75,10 +76,15 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
         grams = F.zip_with(
             grams, shifted, lambda acc, t: F.concat(acc, F.lit(" "), t)
         )
-    guarded = F.when(F.size(toks) >= n, grams).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
-    return F.array_distinct(guarded)
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (the dedup /
+    Jaccard set form of ``word_grams``)."""
+    return F.array_distinct(word_grams(text_col, n))
 
 
 def _shingle_sets(

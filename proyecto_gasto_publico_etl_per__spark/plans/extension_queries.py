@@ -397,6 +397,154 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), "tok").limit(20)
 
 
+#: top-N per n-gram order in the LM count table
+NGRAM_TOP = 15
+
+
+@register(
+    "ngram_counts",
+    f"""
+    WITH {_DOCS_CTE},
+    g1 AS (SELECT doc, unnest(toks) AS gram FROM toks),
+    g2 AS (
+      SELECT doc, unnest(
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])
+                    ELSE []::VARCHAR[] END) AS gram
+      FROM toks
+    ),
+    g3 AS (
+      SELECT doc, unnest(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' '
+                                || toks[i+2])
+                    ELSE []::VARCHAR[] END) AS gram
+      FROM toks
+    ),
+    allg AS (
+      SELECT 1 AS n, doc, gram FROM g1 WHERE gram <> ''
+      UNION ALL SELECT 2, doc, gram FROM g2
+      UNION ALL SELECT 3, doc, gram FROM g3
+    ),
+    counts AS (
+      SELECT n, gram,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM allg GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT n, gram, cnt, n_docs,
+             CAST(row_number() OVER (
+               PARTITION BY n ORDER BY cnt DESC, gram
+             ) AS INT) AS rk
+      FROM counts
+    )
+    SELECT n, gram, cnt, n_docs, rk FROM ranked WHERE rk <= {NGRAM_TOP}
+    """,
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1/2/3-gram count tables (top-{NGRAM_TOP} per order) — the raw
+    material of count-based LM smoothing and the corpus-health n-gram
+    profile.  Grams carry MULTIPLICITY (``word_grams``, not the distinct
+    shingle form); one union of three map-only explode passes, one hash
+    agg keyed (order, gram) — vocab-bounded, and the per-order top-k
+    window pushes down as WindowGroupLimit at scale."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = []
+    for n in (1, 2, 3):
+        grams = docs.select(
+            "doc_id", F.explode(dedup.word_grams("text", n)).alias("gram")
+        )
+        if n == 1:
+            grams = grams.filter(F.col("gram") != "")
+        parts.append(grams.select(F.lit(n).alias("n"), "doc_id", "gram"))
+    allg = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    counts = allg.groupBy("n", "gram").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    w = Window.partitionBy("n").orderBy(F.desc("cnt"), "gram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NGRAM_TOP)
+        .select("n", "gram", "cnt", "n_docs", "rk")
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    r"""
+    WITH base AS (
+      SELECT source,
+             lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
+                 AS clean
+      FROM documents
+    ),
+    h AS (
+      SELECT source,
+             list_min(list_transform(
+               range(1, greatest(length(clean) - 7, 1) + 1),
+               i -> CAST(('0x' || substr(md5(substr(clean, i, 8)), 1, 8))
+                         AS BIGINT))) AS content_hash
+      FROM base
+    ),
+    per AS (
+      SELECT content_hash, source, count(*) AS n
+      FROM h GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_hashes,
+           CAST(SUM(a.n * b.n) AS BIGINT) AS n_pair_dups
+    FROM per a JOIN per b USING (content_hash)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    shared contents and how many duplicate doc pairs that implies — the
+    provenance view that decides which source to keep when mixtures
+    overlap (e.g. a web dump re-crawling a curated corpus).  Keyed on the
+    edit-robust shingle fingerprint (``textstats.shingle_fingerprint``,
+    whole-doc winnow), not the exact hash — re-crawls rarely match
+    byte-for-byte.  Scale shape: hash-group first (per-(hash, source)
+    counts), THEN the pair join — join input is bounded by distinct
+    contents × sources, never doc count, and a hash shared by k sources
+    contributes k² source-pair rows, not doc² rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source",
+            textstats.shingle_fingerprint("text").alias("content_hash"),
+        )
+        .groupBy("content_hash", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    a = per.select(
+        "content_hash", F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = per.select(
+        "content_hash", F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, "content_hash")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared_hashes"),
+            F.sum(F.col("n_a") * F.col("n_b"))
+            .cast("bigint")
+            .alias("n_pair_dups"),
+        )
+    )
+
+
 @register(
     "tfidf_top_terms",
     f"""
