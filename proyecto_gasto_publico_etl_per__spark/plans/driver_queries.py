@@ -1909,14 +1909,17 @@ DRIVER_PRIORITY: list[str] = [
 
 
 def _driver_green_names() -> set[str]:
-    """Names with a GREEN row in any committed ``CORRECTNESS_r*.json``
-    (the driver's artifacts at the repo root): every recorded check
-    passed and no error.  A red or errored row does NOT count — those
-    queries must re-enter the window until the driver confirms them."""
+    """Names whose MOST RECENT row across the committed
+    ``CORRECTNESS_r*.json`` artifacts (driver output, repo root) is
+    green: every recorded check passed and no error.  Latest round wins —
+    a query green in round 2 that errored in round 3 (e.g. the
+    sessionize NTZ regression) must RE-ENTER the window until the driver
+    re-confirms it; only the newest signal reflects the current driver
+    environment."""
     import json
     from pathlib import Path
 
-    green: set[str] = set()
+    latest: dict[str, dict] = {}
     root = Path(__file__).resolve().parents[2]
     for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -1924,16 +1927,19 @@ def _driver_green_names() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
-                continue
-            checks = [
-                row.get(k)
-                for k in ("rows_match", "schema_match", "hash_match")
-            ]
-            if any(c is False for c in checks):
-                continue
-            if any(c is True for c in checks):
-                green.add(name)
+            if isinstance(row, dict):
+                latest[name] = row
+    green: set[str] = set()
+    for name, row in latest.items():
+        if row.get("err") is not None:
+            continue
+        checks = [
+            row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+        ]
+        if any(c is False for c in checks):
+            continue
+        if any(c is True for c in checks):
+            green.add(name)
     return green
 
 
