@@ -108,7 +108,7 @@ def filter_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
            try_cast(event_type AS INTEGER) AS junk_int,
-           CAST(floor(CAST(value AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+           CAST(floor(try_cast(value AS DOUBLE) * 10000 + 0.5) AS BIGINT)
              AS value_mic
     FROM events
     """,
@@ -120,13 +120,20 @@ def cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     than DECIMAL: double→decimal rounding is exactly where engine
     versions disagree (two rounds of driver hash FAILs), while
     floor(x*1e4+0.5) is the same IEEE double expression in both engines
-    and hashes as an integer."""
+    and hashes as an integer.
+
+    The cast is ``try_cast`` in BOTH engines — this query's contract is
+    coercion (junk → NULL), unlike the money paths' ``gmicros`` which
+    stays ANSI-fail-loud on purpose (silent nulls in a ledger are data
+    loss; here they are the feature)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         F.col("event_type").try_cast("int").alias("junk_int"),
-        gmicros("value").alias("value_mic"),
+        F.floor(F.col("value").try_cast("double") * GRID + F.lit(0.5))
+        .cast("long")
+        .alias("value_mic"),
     )
 
 
