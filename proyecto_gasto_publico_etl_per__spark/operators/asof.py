@@ -28,14 +28,26 @@ def asof_join(
     keys: Sequence[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance_micros: int | None = None,
 ) -> DataFrame:
-    """Left as-of backward join: every ``left`` row gains the payload of
-    the latest ``right`` row with the same keys and ``right_ts <=
-    left_ts`` (inclusive); NULL payload when no such row exists.
+    """Left as-of join: every ``left`` row gains the payload of the
+    nearest ``right`` row with the same keys — the latest with
+    ``right_ts <= left_ts`` (``direction="backward"``, inclusive) or the
+    earliest with ``right_ts >= left_ts`` (``"forward"``); NULL payload
+    when no such row exists.  With ``tolerance_micros``, a match farther
+    than the tolerance from the left timestamp is treated as no match
+    (the pandas ``merge_asof`` knob — feature-staleness bounds in
+    training pipelines).
 
     ``right`` must be unique per (keys, right_ts) — pre-aggregate if not,
-    or the fill picks an arbitrary row of the tied set.
+    or the fill picks an arbitrary row of the tied set.  Timestamps may
+    be TIMESTAMP or TIMESTAMP_NTZ (tolerance arithmetic normalizes to
+    NTZ).  Forward is the same single-shuffle window plan with the scan
+    order reversed — no extra pass.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     payload = [c for c in right.columns if c not in (*keys, right_ts)]
     clash = set(payload) & set(left.columns)
     if clash:
@@ -46,20 +58,38 @@ def asof_join(
         *keys, F.col(right_ts).alias(_ATS), *payload
     ).withColumn(_MARK, F.lit(0))
     # right rows sort before left rows at equal timestamps (mark 0 < 1),
-    # making the inclusive >= semantics exact
+    # making the inclusive semantics exact in either direction
     u = l2.unionByName(r2, allowMissingColumns=True)
+    order = (
+        [F.col(_ATS).asc(), F.col(_MARK).asc()]
+        if direction == "backward"
+        else [F.col(_ATS).desc(), F.col(_MARK).asc()]
+    )
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(_ATS, _MARK)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # fill ONE struct per right row, not each column independently — a
-    # right row with a legitimately-NULL payload field must not be "seen
-    # through" to an older row's value for that field
+    # fill ONE struct per right row (matched ts included for the
+    # tolerance check), not each column independently — a right row with
+    # a legitimately-NULL payload field must not be "seen through" to an
+    # older row's value for that field
     row_payload = F.when(
-        F.col(_MARK) == 0, F.struct(*[F.col(c) for c in payload])
+        F.col(_MARK) == 0,
+        F.struct(F.col(_ATS).alias("__mts"), *[F.col(c) for c in payload]),
     )
     u = u.withColumn("__asof_p", F.last(row_payload, ignorenulls=True).over(w))
+    if tolerance_micros is not None:
+        ntz = lambda c: c.cast("timestamp_ntz")  # noqa: E731
+        gap = F.timestamp_diff(
+            "MICROSECOND", ntz(F.col("__asof_p")["__mts"]), ntz(F.col(_ATS))
+        )
+        if direction == "forward":
+            gap = -gap
+        u = u.withColumn(
+            "__asof_p",
+            F.when(gap <= F.lit(int(tolerance_micros)), F.col("__asof_p")),
+        )
     out = u.filter(F.col(_MARK) == 1)
     for c in payload:
         out = out.withColumn(c, F.col("__asof_p")[c])

@@ -1016,6 +1016,61 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_forward_tolerance",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, max(event_id) AS next_purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             p.ts AS pts, p.next_purchase_id AS pid
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           CASE WHEN pts IS NOT NULL AND pts - ts <= INTERVAL 1 HOUR
+                THEN pid END AS next_purchase_id
+    FROM m
+    """,
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a staleness bound: each click picks up the
+    user's NEXT purchase, but only within one hour (the merge_asof
+    direction + tolerance knobs; operators/asof.py).  Checked against
+    DuckDB's native forward ASOF JOIN + interval filter."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("next_purchase_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        direction="forward",
+        tolerance_micros=3_600_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "next_purchase_id",
+    )
+
+
+@register(
     "skew_salted_join",
     """
     SELECT l_orderkey, l_linenumber, l_partkey, p_name

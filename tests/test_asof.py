@@ -53,3 +53,55 @@ def test_asof_null_payload_field_not_seen_through(spark):
     out = asof_join(left, right, ["user_id"]).collect()[0]
     assert out.b == "new-b"
     assert out.a is None  # NOT "old-a" — latest row's NULL wins
+
+
+def test_asof_forward_and_tolerance_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(0)), (1, 101, _ts(10)), (1, 102, _ts(30)),
+         (2, 200, _ts(0))],
+        "user_id BIGINT, event_id BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(21), "b")],
+        "user_id BIGINT, ts TIMESTAMP, state STRING",
+    )
+    fwd = {
+        r.event_id: r.state
+        for r in asof_join(
+            left, right, ["user_id"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {
+        100: "a",    # next state after 08:00
+        101: "a",    # exactly at 08:10 — inclusive
+        102: None,   # nothing after 08:30
+        200: None,
+    }
+    # 10-minute staleness bound: 100 -> a is exactly 10 min (kept);
+    # with 9 minutes it must drop
+    tol10 = {
+        r.event_id: r.state
+        for r in asof_join(
+            left, right, ["user_id"], direction="forward",
+            tolerance_micros=10 * 60 * 1_000_000,
+        ).collect()
+    }
+    assert tol10[100] == "a" and tol10[101] == "a"
+    tol9 = {
+        r.event_id: r.state
+        for r in asof_join(
+            left, right, ["user_id"], direction="forward",
+            tolerance_micros=9 * 60 * 1_000_000,
+        ).collect()
+    }
+    assert tol9[100] is None and tol9[101] == "a"
+
+    # backward tolerance: 102 matched b (9 min back) — a 5-min bound drops it
+    back5 = {
+        r.event_id: r.state
+        for r in asof_join(
+            left, right, ["user_id"],
+            tolerance_micros=5 * 60 * 1_000_000,
+        ).collect()
+    }
+    assert back5[102] is None and back5[101] == "a"
