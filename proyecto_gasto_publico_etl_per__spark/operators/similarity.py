@@ -114,6 +114,15 @@ def hyperplane_buckets(
     ~log2(N / target_bucket_size) — 8 planes (256 buckets) fits the
     test corpus; a billion-vector corpus wants 20+ planes (and multiple
     hash tables to recover the recall each added plane costs).
+    Measured: 200k vectors at the default 8 planes OOMed the in-bucket
+    join; at 14 planes the same pass ran in under a minute.
+
+    Degenerate-input hazard: a LOW-RANK embedding collection (vectors
+    confined to a d'-dim subspace, d' ≪ dims — what a collapsed
+    embedding model emits) can only realize a few sign patterns, so the
+    corpus lands in a handful of buckets NO MATTER how many planes you
+    add.  Audit ``count_distinct(bucket)`` against 2^n_planes before
+    committing a bucket-join pass over a new embedding source.
     """
     df = fan_out(df)
     v = _as_double(F.col("vec"))
