@@ -141,3 +141,73 @@ def cluster_by(
     tmp = _tmp_dir(src)
     _write_verified(spark, clustered, tmp, None)
     _swap_dir(src, tmp)
+
+
+def zorder_key(x, y, x_min, x_max, y_min, y_max, bits: int = 12):
+    """Morton (Z-order) key for two numeric columns: each value scales
+    to a ``bits``-bit grid cell, and the cell coordinates bit-interleave
+    into one long.  Nearby (x, y) points get nearby keys, so range
+    clustering ON THE KEY gives locality in BOTH dimensions at once —
+    what plain lexicographic ``cluster_by(x, y)`` cannot (its second
+    column only matters within ties of the first).
+
+    The min/max bounds are plan literals (pass a metadata-sized driver
+    agg's results); layout keys never affect query results, so the
+    double scaling here needs no exact-arithmetic discipline.
+    """
+    def cell(c, lo, hi):
+        span = (hi - lo) or 1
+        scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(float(span))
+        return F.least(
+            F.floor(scaled * ((1 << bits) - 1) + F.lit(0.5)).cast("long"),
+            F.lit((1 << bits) - 1),
+        )
+
+    cx, cy = cell(x, x_min, x_max), cell(y, y_min, y_max)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(cx, b).bitwiseAND(1), 2 * b)
+            + F.shiftleft(F.shiftright(cy, b).bitwiseAND(1), 2 * b + 1)
+        )
+    return z
+
+
+def cluster_by_zorder(
+    spark: SparkSession,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 12,
+    n_files: int | None = None,
+) -> None:
+    """Z-order-cluster a parquet table on two columns: every output file
+    covers a small rectangle of the (x, y) plane, so parquet min/max
+    stats prune files for predicates on EITHER column (or both) — the
+    open-source equivalent of Delta/Iceberg OPTIMIZE ZORDER BY, and the
+    layout for two-dimensional access patterns (year × entity, time ×
+    user, centroid × shard).  Same crash-safe write-verify-swap contract
+    as ``compact_parquet``; the key is derived and dropped, never
+    persisted.
+    """
+    src = Path(path)
+    df = spark.read.parquet(path)
+    bounds = df.agg(
+        F.min(col_x).alias("xl"), F.max(col_x).alias("xh"),
+        F.min(col_y).alias("yl"), F.max(col_y).alias("yh"),
+    ).collect()[0]
+    z = zorder_key(
+        F.col(col_x), F.col(col_y),
+        bounds.xl, bounds.xh, bounds.yl, bounds.yh, bits,
+    )
+    keyed = df.withColumn("__z", z)
+    parts = (
+        keyed.repartitionByRange(n_files, "__z")
+        if n_files
+        else keyed.repartitionByRange("__z")
+    )
+    clustered = parts.sortWithinPartitions("__z").drop("__z")
+    tmp = _tmp_dir(src)
+    _write_verified(spark, clustered, tmp, None)
+    _swap_dir(src, tmp)

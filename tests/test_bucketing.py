@@ -115,3 +115,43 @@ def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, _hi2) in zip(spans2, spans2[1:]):
         assert hi1 < lo2
     assert all(hi - lo < 5_000 for lo, hi in spans2)
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout: every output file covers a small RECTANGLE of the
+    (x, y) plane — both dimensions prune, which lexicographic
+    cluster_by(x, y) cannot give (y only narrows within ties of x)."""
+    from proyecto_gasto_publico_etl_per__spark.sources.maintenance import (
+        cluster_by_zorder,
+    )
+
+    p = str(tmp_path / "zordered")
+    # 64x64 grid in scrambled order: unclustered files span everything
+    spark.range(0, 4096).select(
+        ((F.col("id") * 2654435761) % 64).alias("x"),
+        ((F.col("id") * 7919) % 64).alias("y"),
+        F.col("id").alias("v"),
+    ).repartition(8).write.parquet(p)
+
+    def spans(df):
+        return df.groupBy(F.input_file_name().alias("f")).agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        ).collect()
+
+    before = spans(spark.read.parquet(p))
+    assert all(r.sx > 55 and r.sy > 55 for r in before)  # full-plane files
+
+    cluster_by_zorder(spark, p, "x", "y", bits=6, n_files=16)
+    after = spark.read.parquet(p)
+    assert after.count() == 4096
+    sp = spans(after)
+    assert len(sp) >= 8
+    # mean covered area per file must be a small fraction of the plane;
+    # a perfect 16-file Z-layout covers 1/16 each (0.0625) — allow slack
+    # for boundary files that straddle Z-curve seams
+    areas = [((r.sx + 1) * (r.sy + 1)) / (64.0 * 64.0) for r in sp]
+    assert sum(areas) / len(areas) < 0.35
+    # and BOTH dimensions narrowed on most files (not just the leading one)
+    narrow_both = sum(1 for r in sp if r.sx <= 32 and r.sy <= 32)
+    assert narrow_both >= len(sp) // 2
