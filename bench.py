@@ -58,6 +58,12 @@ EXTENSIONS = (
     # round 2 additions (baseline starts at r2 for these)
     "decontaminate_eval",
     "semantic_dedup_keep",
+    # round 4 additions (baseline starts at r4): sketch-quality gates +
+    # winnowing (post quadratic-recompute fix) + provenance matrix
+    "ann_recall_eval",
+    "minhash_est_quality",
+    "winnow_overlap_pairs",
+    "source_overlap_matrix",
 )
 
 

@@ -515,7 +515,15 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts), THEN the pair join — join input is bounded by distinct
     contents × sources, never doc count, and a hash shared by k sources
     contributes k² source-pair rows, not doc² rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.tables import fan_out
+
+    # fan_out: the per-char md5 fingerprint chain is the dominant cost
+    # and must not run on a single small row group's 1-2 scan partitions;
+    # localCheckpoint: the self-join below would otherwise recompute that
+    # chain once per side (the cluster_duplicates edge-list rule) — and
+    # at scale the materialized `per` is distinct-contents × sources
+    # sized, far smaller than the corpus (31.6s → 16.5s → ~8s at sf0.1)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     per = (
         docs.select(
             "source",
@@ -523,6 +531,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("content_hash", "source")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     a = per.select(
         "content_hash", F.col("source").alias("source_a"),
@@ -1038,8 +1047,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content hash + rolling char-8-gram min-hash fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Exact content hash + rolling char-8-gram min-hash fingerprint.
+    ``fan_out``: the per-char md5 chain must not run on a small file's
+    1-2 real scan partitions."""
+    from ..sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textstats.fingerprint("text").alias("content_hash"),
