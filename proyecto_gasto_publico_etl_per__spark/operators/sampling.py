@@ -93,3 +93,40 @@ def dataset_split(
         .when(b < test_t, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    cluster_labels: DataFrame,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test split: near-duplicate documents land
+    in the SAME split.
+
+    Splitting on the document id puts two near-identical documents on
+    opposite sides of the train/eval fence — the eval set then "tests"
+    memorized training text (the classic contamination path a plain
+    ``dataset_split`` cannot see).  The split key is the document's
+    duplicate-CLUSTER id (``cluster_labels`` = the
+    ``cluster_duplicates`` output, (doc_id, cluster_id)); unpaired
+    documents fall back to their own id, preserving the 98/1/1
+    proportions.  Same deterministic hash-bucket mechanics as
+    ``dataset_split``, so assignments survive re-splits and appends.
+
+    Scale: one left join against the (pairs-sized, far smaller than the
+    corpus) label table, then the map-only bucket expression.
+    """
+    labels = cluster_labels.select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    keyed = df.join(labels, id_col, "left").withColumn(
+        "split_key",
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"),
+    )
+    out = dataset_split(
+        keyed, "split_key", val_fraction, test_fraction, salt
+    )
+    return out.drop("cluster_id")

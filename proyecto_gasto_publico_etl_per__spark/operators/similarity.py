@@ -363,6 +363,50 @@ def ivf_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining: each query vector's top-k most similar
+    corpus vectors with a DIFFERENT label — the negatives that teach an
+    embedding model its decision boundary (random negatives are too easy
+    to separate; contrastive training needs near-misses).
+
+    Exact brute force over a broadcast probe set, like
+    ``brute_force_topk`` plus the label-inequality filter (pushed below
+    the ranking window, so the top-k is over negatives only).  At scale
+    mine from an IVF/LSH candidate set instead of the full corpus — the
+    filter composes the same way.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("qlabel") != F.col("nlabel"))
+        .withColumn("score_q3", score_q(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q3"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "nlabel", "score_q3", "rk")
+    )
+
+
 def ann_recall(
     corpus: DataFrame,
     queries: DataFrame,

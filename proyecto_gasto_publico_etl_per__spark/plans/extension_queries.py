@@ -738,6 +738,68 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_KEY_BUCKET = (
+    "CAST(('0x' || substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 10000"
+)
+
+
+@register(
+    "split_by_cluster",
+    f"""
+    WITH RECURSIVE {_DOCS_CTE}, {_JACCARD_CTE},
+    dfreq AS (SELECT shingle, count(*) AS df FROM posts GROUP BY 1),
+    rare AS (SELECT shingle FROM dfreq WHERE df <= {NGRAM_MAX_DF}),
+    cposts AS (SELECT p.doc, p.shingle FROM posts p JOIN rare USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM cposts a JOIN cposts b USING (shingle)
+      WHERE a.doc < b.doc
+    ),
+    dup_pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN jpairs USING (doc_a, doc_b)
+      WHERE jaccard >= {JACCARD_T}
+    ),
+    cedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION
+      SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM cedges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN cedges e ON reach.r = e.src
+    ),
+    labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    keyed AS (
+      SELECT d.doc_id, d.lang,
+             CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS split_key
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    )
+    SELECT doc_id, lang, split_key,
+           CASE WHEN {_CLUSTER_KEY_BUCKET} < 100 THEN 'val'
+                WHEN {_CLUSTER_KEY_BUCKET} < 200 THEN 'test'
+                ELSE 'train' END AS split
+    FROM keyed
+    """,
+)
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split: near-dup CLUSTERS assign to splits atomically
+    (operators/sampling.cluster_split over the DF-capped Jaccard
+    clusters) — two near-identical docs can never straddle the
+    train/eval fence."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup.cluster_duplicates(
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=JACCARD_T, max_df=NGRAM_MAX_DF
+        )
+    )
+    return sampling.cluster_split(docs, labels).select(
+        "doc_id", "lang", "split_key", "split"
+    )
+
+
 @register(
     "hash_sample_stratified",
     f"""
@@ -1212,6 +1274,44 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         nprobe=4,
     )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             label AS nlabel
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, nlabel,
+             CAST(floor(list_cosine_similarity(qv, cv) * 1000 + 0.5) AS BIGINT)
+                 AS score_q3
+      FROM c CROSS JOIN q
+      WHERE qlabel <> nlabel
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, nlabel, score_q3,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+             ) AS INT) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, nlabel, score_q3, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives per probe vector: most-similar corpus
+    vectors with a DIFFERENT label (operators/similarity.hard_negatives)
+    — the contrastive-training mining step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 10))
 
 
 @register(

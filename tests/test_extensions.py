@@ -598,3 +598,42 @@ def test_knn_join_is_bucket_scoped(spark):
         per_query.setdefault(r.query_id, []).append(r.rk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_query.values())
     assert all(len(v) <= 2 for v in per_query.values())
+
+
+def test_cluster_split_never_straddles_a_cluster(spark):
+    """Leakage invariant: every doc in one near-dup cluster gets the
+    SAME split; unpaired docs still split ~98/1/1 by their own id."""
+    from proyecto_gasto_publico_etl_per__spark.operators import sampling
+
+    # 3 clusters of near-identical docs (distinct base text per cluster,
+    # so Jaccard separates them) + 200 unique docs
+    bases = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "spark engines shuffle data between executors very efficiently",
+        "public spending records aggregate by sector and year monthly",
+    ]
+    rows = []
+    for c, base in enumerate(bases):
+        for j in range(4):
+            rows.append((c * 10 + j, base + f" copy {j}"))
+    rows += [(1000 + i, f"unique document number {i} " * 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    labels = dedup.cluster_duplicates(
+        dedup.ngram_jaccard_pairs(df, threshold=0.4)
+    )
+    out = sampling.cluster_split(df, labels).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.split_key, set()).add(r.split)
+    # every split_key (cluster or singleton) maps to exactly one split
+    assert all(len(s) == 1 for s in by_key.values())
+    # the three clusters collapsed to three keys covering 12 docs
+    clustered = [r for r in out if r.doc_id < 100]
+    assert len(clustered) == 12
+    assert len({r.split_key for r in clustered}) == 3
+    for key, grp in (
+        (k, [r for r in clustered if r.split_key == k])
+        for k in {r.split_key for r in clustered}
+    ):
+        assert len({r.split for r in grp}) == 1

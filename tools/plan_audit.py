@@ -41,6 +41,7 @@ CARTESIAN_OK = {
     "unigram_freq_score",  # 1-row corpus-total scalar broadcast
     "ann_recall_eval",  # brute ground truth (corpus × 10 probes) +
     #                     1-row n_expected scalar broadcast
+    "hard_negative_mining",  # exact mining baseline: corpus × 10 probes
 }
 
 
