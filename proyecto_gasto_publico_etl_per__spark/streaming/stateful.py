@@ -28,7 +28,12 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 SESSION_OUT_SCHEMA = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
@@ -134,5 +139,82 @@ def stateful_sessionize(
             SESSION_STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """StatefulProcessor for ``streaming_running_totals``: typed
+    ValueState (n, mic) per key, optional TTL; module-level class so the
+    worker can unpickle it by reference."""
+
+    def __init__(self, value_scale: int, ttl_ms: int | None):
+        self._scale = value_scale
+        self._ttl = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "totals", "n LONG, mic LONG", self._ttl
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n = 0
+        mic = 0
+        for pdf in rows:
+            n += len(pdf)
+            # exact integer micros, same grid discipline as functions/money
+            mic += sum(
+                int(float(v) * self._scale + 0.5) for v in pdf["value"]
+            )
+        prev = self._state.get()
+        if prev is not None:
+            n += int(prev[0])
+            mic += int(prev[1])
+        self._state.update((n, mic))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_mic": [mic]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_running_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    value_scale: int = 10_000,
+    ttl_ms: int | None = None,
+):
+    """Per-key running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (successor to applyInPandasWithState):
+    typed ValueState with optional TTL, per-key timers available, state
+    in the state store (requires the RocksDB provider,
+    ``spark.sql.streaming.stateStore.providerClass``).
+
+    Emits one updated (key, running count, running value-micros) row per
+    key per micro-batch (update mode).  Values accumulate as exact
+    integer micros — the engine's money-grid discipline carried into
+    streaming state, so totals are replay-deterministic.
+
+    ``ttl_ms`` bounds state lifetime per key — the idle-key eviction
+    policy a 100 TB keyspace needs (without it, state is O(all keys
+    ever seen)).
+
+    Environment note: the transformWithState protocol runs a protobuf
+    state server; this container's protobuf install is broken
+    (``from google.protobuf import descriptor`` fails), so the e2e test
+    is skip-gated on protobuf availability — the operator itself is
+    plain public Spark 4 API and runs anywhere protobuf works.
+    """
+    out_schema = "user_id BIGINT, n_events BIGINT, value_mic BIGINT"
+    return (
+        stream.select(key_col, F.col(value_col).alias("value"))
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotalsProcessor(value_scale, ttl_ms),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
         )
     )
