@@ -397,6 +397,93 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), "tok").limit(20)
 
 
+@register(
+    "vocab_growth",
+    f"""
+    WITH {_DOCS_CTE},
+    d2 AS (
+      SELECT t.doc, d.source, t.toks
+      FROM toks t JOIN documents d ON t.doc = d.doc_id
+    ),
+    words AS (
+      SELECT source, doc, unnest(toks) AS tok FROM d2
+    ),
+    w2 AS (SELECT source, doc, tok FROM words WHERE tok <> '')
+    SELECT source,
+           CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
+           CAST(count(DISTINCT tok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS type_token_ratio
+    FROM w2
+    GROUP BY source
+    """,
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile (the Heaps-law corpus-health view):
+    token volume, distinct vocabulary, and type-token ratio — a source
+    whose vocabulary stops growing with volume is template/boilerplate;
+    one growing too fast is noise/OCR junk.  One explode + one hash agg
+    keyed by source; vocabulary cardinalities are exact (count-distinct
+    expands map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", "doc_id", F.explode(dedup._tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return words.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("n_vocab"),
+        (
+            F.countDistinct("tok").cast("double")
+            / F.count("*").cast("double")
+        ).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    r"""
+    WITH h AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(coalesce(text, ''),
+                                           '\s+', ' ', 'g'))))
+                 AS content_hash
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT content_hash) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT content_hash) AS BIGINT)
+               AS n_dup_docs,
+           CAST(count(*) - count(DISTINCT content_hash) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_rate
+    FROM h
+    GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate — the corpus-health metric that
+    flags a crawler re-fetching itself or a source mirroring another
+    before any expensive fuzzy pass runs.  One hash agg; the content
+    hash is the same normalized-md5 the exact-dedup path keys on."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", textstats.fingerprint("text").alias("content_hash")
+    )
+    return h.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("content_hash").cast("bigint").alias("n_unique"),
+        (F.count("*") - F.countDistinct("content_hash"))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        (
+            (F.count("*") - F.countDistinct("content_hash")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
 #: top-N per n-gram order in the LM count table
 NGRAM_TOP = 15
 
