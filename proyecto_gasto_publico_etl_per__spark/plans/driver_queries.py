@@ -29,7 +29,12 @@ from ..operators import normalize, skew
 from ..operators.timedim import build_time_dim
 from ..plans import queries as Q
 from ..plans import views as V
-from ..plans.testdata_star import STAR_SQL, build_star
+from ..plans.testdata_star import (
+    STAR_SQL,
+    build_agg_annual,
+    build_agg_monthly,
+    build_star,
+)
 from ..sources.tables import load_table
 
 # Fixed parameters for the parameterized queries (the reference's `params`
@@ -431,7 +436,7 @@ def agg_monthly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql/CreacionDeUsuariosyVistas.sql:119-179 column-for-column (time +
     ejecutora + 5 placeholder labels + region_mapa + financiera /
     clasificador names + 7 un-prefixed metric totals)."""
-    return V.vw_gasto_agregado_mensual(build_star(spark, sf_dir, widen_fact=True))
+    return build_agg_monthly(spark, sf_dir)
 
 
 @register(
@@ -449,7 +454,7 @@ def agg_monthly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_annual_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V-agga/AGG9 — annual rollup by sector × pliego."""
-    return V.vw_gasto_agregado_anual(build_star(spark, sf_dir, widen_fact=True))
+    return build_agg_annual(spark, sf_dir)
 
 
 # --- the five analytics queries + README rollups -----------------------------

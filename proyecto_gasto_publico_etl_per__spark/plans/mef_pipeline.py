@@ -211,10 +211,13 @@ def register_views(spark: SparkSession, warehouse: str) -> DataFrame:
     # is identical by construction (tiempo_id = anio*100 + mes)
     base = V.star_denormalize(fact, time_dim.drop("anio"), dims)
     base.createOrReplaceTempView("vw_gasto_mensual")
-    V.vw_gasto_agregado_mensual(base).createOrReplaceTempView(
+    # the aggregate views use the agg-below-join rewrite (exact; see
+    # plans/views.py): fact pre-aggregates on the contributing FK ids, so
+    # the dim joins run on group-cardinality rows, not fact-cardinality
+    V.vw_gasto_agregado_mensual_star(fact, time_dim, dims).createOrReplaceTempView(
         "vw_gasto_agregado_mensual"
     )
-    V.vw_gasto_agregado_anual(base).createOrReplaceTempView(
+    V.vw_gasto_agregado_anual_star(fact, time_dim, dims).createOrReplaceTempView(
         "vw_gasto_agregado_anual"
     )
     return base

@@ -162,6 +162,202 @@ def build_star(
     )
 
 
+def _metric_micros(df: DataFrame) -> DataFrame:
+    """The 7 metrics as exact long micros, skipping the decimal roundtrip.
+
+    ``floor(x*1e4+0.5)::long`` is bit-identical to
+    ``gmicros(_grid(x))``: ``_grid`` lands the double on the 1e-4 grid
+    (integer k micros) and ``gmicros`` recovers exactly k because
+    ``double(k/1e4)*1e4`` stays within 0.5 of k for any |k| < 2^52.
+    Computing k directly keeps the hot pre-aggregation path free of
+    BigDecimal arithmetic (the costliest expression in ``_metrics``).
+    """
+    from .views import micros_col
+
+    def k(x) -> F.Column:
+        return F.floor(x * 10000 + F.lit(0.5)).cast("long")
+
+    zero = F.lit(0).cast("long")
+    qty = k(F.col("l_quantity"))
+    price = k(F.col("l_extendedprice"))
+    net = k(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    gross = k(F.col("l_extendedprice") * (F.lit(1) + F.col("l_tax")))
+    shipped = F.col("l_linestatus") == "F"
+    kept = F.col("l_returnflag") != "R"
+    return (
+        df.withColumn(micros_col("monto_pia"), qty)
+        .withColumn(micros_col("monto_pim"), price)
+        .withColumn(micros_col("monto_certificado"), net)
+        .withColumn(micros_col("monto_comprometido_anual"), gross)
+        .withColumn(
+            micros_col("monto_comprometido"),
+            F.when(kept, gross).otherwise(zero),
+        )
+        .withColumn(
+            micros_col("monto_devengado"),
+            F.when(shipped, net).otherwise(zero),
+        )
+        .withColumn(
+            micros_col("monto_girado"),
+            F.when(shipped & kept, net).otherwise(zero),
+        )
+    )
+
+
+def _customer_labels(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """The customer-side label frame (one row per custkey): every group
+    column of the aggregate views that is a function of
+    customer × nation × region in the testdata mapping."""
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("ejecutora_nombre"),
+            F.col("c_mktsegment").alias("pliego_nombre"),
+            F.col("n_name").alias("sector_nombre"),
+            F.when(F.col("n_nationkey") % 5 == 0, F.lit(""))
+            .otherwise(F.col("n_name"))
+            .alias("dep_ejecutora_nombre"),
+            F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.concat(
+                    F.lit("PROV "), (F.col("c_custkey") % 25).cast("string")
+                )
+            )
+            .alias("prov_ejecutora_nombre"),
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("  "))
+            .otherwise(
+                F.concat(
+                    F.lit("DIST "), (F.col("c_custkey") % 10).cast("string")
+                )
+            )
+            .alias("dist_ejecutora_nombre"),
+        )
+    )
+
+
+def build_agg_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-agga over the testdata via agg-below-join (exact rewrite of
+    ``vw_gasto_agregado_anual(build_star(...))``, see plans/views.py).
+
+    supplier/part contribute no group columns — broadcast LEFT SEMI joins
+    reproduce the inner joins' row set without widening the fact.  The
+    pre-aggregate shrinks the dim-join input from fact-cardinality to
+    |anio × custkey| before the (broadcast) customer labels attach.
+    """
+    from .views import finalize_agg_anual, micros_col
+
+    lineitem = load_table(spark, sf_dir, "lineitem", widen=True)
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    metric_cols = ("monto_pim", "monto_devengado", "monto_girado")
+
+    li = lineitem.join(
+        F.broadcast(supplier.select("s_suppkey")),
+        lineitem.l_suppkey == supplier.s_suppkey,
+        "left_semi",
+    )
+    li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == part.p_partkey,
+        "left_semi",
+    )
+    fact = _metric_micros(
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+    )
+    pre = fact.groupBy(
+        F.year("o_orderdate").cast("int").alias("anio"), "o_custkey"
+    ).agg(
+        *[
+            F.sum(micros_col(m)).alias(micros_col(m))
+            for m in metric_cols
+        ]
+    )
+    cust = _customer_labels(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    ).select("c_custkey", "sector_nombre", "pliego_nombre")
+    joined = pre.join(
+        F.broadcast(cust), pre.o_custkey == cust.c_custkey
+    ).drop("o_custkey", "c_custkey")
+    return finalize_agg_anual(joined)
+
+
+def build_agg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-aggm over the testdata via agg-below-join (exact rewrite of
+    ``vw_gasto_agregado_mensual(build_star(...))``).
+
+    part DOES contribute (generica/especifica = brand/type), so it joins
+    broadcast BEFORE the pre-aggregate and the key carries (brand, type)
+    instead of partkey; supplier stays a semi filter.  The customer-side
+    labels attach after the pre-aggregate.
+    """
+    from .views import finalize_agg_mensual, micros_col
+
+    from ..schema import METRICS
+
+    lineitem = load_table(spark, sf_dir, "lineitem", widen=True)
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+
+    li = lineitem.join(
+        F.broadcast(supplier.select("s_suppkey")),
+        lineitem.l_suppkey == supplier.s_suppkey,
+        "left_semi",
+    )
+    li = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+        li.l_partkey == part.p_partkey,
+    )
+    fact = _metric_micros(
+        li.join(
+            orders.select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderdate",
+                "o_orderpriority",
+                "o_orderstatus",
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+    )
+    pre = fact.groupBy(
+        F.year("o_orderdate").cast("int").alias("anio"),
+        F.month("o_orderdate").cast("int").alias("mes"),
+        F.quarter("o_orderdate").cast("int").alias("trimestre"),
+        F.col("o_custkey"),
+        F.col("o_orderpriority").alias("fuente_financiamiento_nombre"),
+        F.concat(F.lit("CAT "), F.col("o_orderstatus")).alias(
+            "categoria_gasto_nombre"
+        ),
+        F.col("p_brand").alias("generica_nombre"),
+        F.col("p_type").alias("especifica_nombre"),
+    ).agg(
+        *[F.sum(micros_col(m)).alias(micros_col(m)) for m in METRICS]
+    )
+    cust = _customer_labels(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    joined = pre.join(
+        F.broadcast(cust), pre.o_custkey == cust.c_custkey
+    ).drop("o_custkey", "c_custkey")
+    return finalize_agg_mensual(joined)
+
+
 #: DuckDB fragment mirroring build_star exactly — the FROM clause every
 #: oracle query builds on.  Kept adjacent to the Spark builder so the two
 #: definitions can be reviewed side by side.
