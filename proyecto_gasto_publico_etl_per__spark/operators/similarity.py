@@ -246,15 +246,28 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 16,
 ) -> list[Row]:
-    """Coarse-quantizer centroids: the ``n_centroids`` lowest-id vectors.
+    """Coarse-quantizer centroids: a deterministic hash-sample of the
+    corpus — the ``n_centroids`` vectors ranked first by the md5
+    hash-bucket of their id (ties by id).
 
-    Deterministic sample init (the same init k-means starts from); at scale
-    you would refine these offline and store them — the engine only needs
-    SOME small centroid set, and which one is a quality knob, not a
-    correctness one.  The collect is a model artifact a few KB in size,
-    not a data collect.
+    First-N-by-id is biased whenever ids correlate with content (the
+    common case: corpus ingest order), and a degenerate codebook silently
+    wrecks IVF recall even after ``kmeans_refine``.  Hashing the id
+    decorrelates the seed set from ingest order while staying exactly
+    mirrorable in the oracle SQL (same md5-prefix rule as
+    ``sampling.hash_bucket``).  At scale you would refine these offline
+    and store them — the engine only needs SOME small centroid set, and
+    which one is a quality knob, not a correctness one.  The collect is
+    a model artifact a few KB in size, not a data collect.
     """
-    return corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    from .sampling import hash_bucket
+
+    return (
+        corpus.select(id_col, vec_col)
+        .orderBy(hash_bucket(id_col, "ivf"), id_col)
+        .limit(n_centroids)
+        .collect()
+    )
 
 
 def _centroid_literal(

@@ -282,9 +282,9 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq_encode_codes",
     """
     WITH cb AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+      SELECT CAST(row_number() OVER (ORDER BY CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000, vec_id) - 1 AS INT) AS code,
              embedding::DOUBLE[] AS cvec
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+      FROM (SELECT * FROM embeddings ORDER BY CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000, vec_id LIMIT 16)
     ),
     corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     scored AS (
@@ -325,7 +325,8 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cents AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-      FROM embeddings ORDER BY vec_id LIMIT 16
+      FROM embeddings
+      ORDER BY CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000, vec_id LIMIT 16
     ),
     corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     assign AS (

@@ -1306,7 +1306,8 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_SQL = """
     WITH cents AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+      FROM embeddings
+      ORDER BY CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000, vec_id LIMIT {n_centroids}
     ),
     corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     assign AS (

@@ -290,8 +290,15 @@ def test_kmeans_step_matches_python_reference(spark):
     df = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
     out = similarity.kmeans_step(df, n_centroids=4).collect()
 
-    # python reference: same init (4 lowest ids), quantized-cosine argmax
-    cents = {i: v for i, v in vecs[:4]}
+    # python reference: same init (md5 hash-sample, the ivf_centroids
+    # rule), quantized-cosine argmax
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(f"ivf:{i}".encode()).hexdigest()[:8], 16) % 10000
+
+    seed_ids = sorted((i for i, _ in vecs), key=lambda i: (bucket(i), i))[:4]
+    cents = {i: v for i, v in vecs if i in seed_ids}
 
     def qcos(a, b):
         dot = sum(x * y for x, y in zip(a, b))
