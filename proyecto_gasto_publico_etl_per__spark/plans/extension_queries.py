@@ -343,19 +343,16 @@ def corpus_clean_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``NGRAM_MAX_DF``): the only posting-join shape that survives
     common-shingle skew at corpus scale; the oracle mirrors the cap."""
     docs = load_table(spark, sf_dir, "documents")
-    q = textstats.quality_stats(docs).select(
-        "doc_id", "n_tokens", "quality_ok"
-    )
-    l = textstats.lang_id(docs).select("doc_id", "lang_pred")
-    selected = (
-        q.join(l, "doc_id")
-        .where(
-            F.col("quality_ok")
-            & (F.col("lang_pred") == "en")
-            & F.col("n_tokens").between(5, 500)
-        )
-        .select("doc_id", "lang_pred", "n_tokens")
-    )
+    # quality_stats and lang_id are both pure expression chains, so they
+    # compose as column appends on ONE documents scan — the former
+    # two-scans-plus-self-join shape doubled the corpus read for nothing
+    # (the oracle's q JOIN l is 1:1 on doc_id, so the result is identical)
+    profiled = textstats.lang_id(textstats.quality_stats(docs))
+    selected = profiled.where(
+        F.col("quality_ok")
+        & (F.col("lang_pred") == "en")
+        & F.col("n_tokens").between(5, 500)
+    ).select("doc_id", "lang_pred", "n_tokens")
     clusters = dedup.cluster_duplicates(
         dedup.ngram_jaccard_pairs(
             docs, threshold=JACCARD_T, max_df=NGRAM_MAX_DF
@@ -1113,21 +1110,16 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-corpus selection: quality gate × language
     gate × token-length band, composed from the audited signal operators
-    — one broadcast-free join on doc_id (both sides partition-align)."""
+    as column appends on a single documents scan (no join at all)."""
     docs = load_table(spark, sf_dir, "documents")
-    q = textstats.quality_stats(docs).select(
-        "doc_id", "n_tokens", "stopword_ratio", "quality_ok"
-    )
-    l = textstats.lang_id(docs).select("doc_id", "lang_pred")
-    return (
-        q.join(l, "doc_id")
-        .where(
-            F.col("quality_ok")
-            & (F.col("lang_pred") == "en")
-            & F.col("n_tokens").between(5, 500)
-        )
-        .select("doc_id", "lang_pred", "n_tokens", "stopword_ratio")
-    )
+    # single scan: both profilers are pure column chains (see
+    # corpus_clean_final); the oracle's 1:1 doc_id join is unchanged
+    profiled = textstats.lang_id(textstats.quality_stats(docs))
+    return profiled.where(
+        F.col("quality_ok")
+        & (F.col("lang_pred") == "en")
+        & F.col("n_tokens").between(5, 500)
+    ).select("doc_id", "lang_pred", "n_tokens", "stopword_ratio")
 
 
 @register(
