@@ -52,6 +52,14 @@ def asof_join(
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"right payload columns collide with left: {clash}")
+    reserved = {_MARK, _ATS, "__asof_p", "__mts"}
+    taken = reserved & (set(payload) | set(left.columns))
+    if taken:
+        # "__mts" inside the fill struct and the working columns below
+        # would silently produce duplicate-field structs / overwrites
+        raise ValueError(
+            f"columns use reserved as-of names: {sorted(taken)}"
+        )
 
     l2 = left.withColumn(_ATS, F.col(left_ts)).withColumn(_MARK, F.lit(1))
     r2 = right.select(

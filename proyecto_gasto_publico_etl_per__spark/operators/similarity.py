@@ -467,13 +467,25 @@ def ann_recall(
     unioned = per_method[0]
     for m in per_method[1:]:
         unioned = unioned.unionByName(m)
-    return unioned.crossJoin(F.broadcast(n_expected)).select(
-        "method",
-        "n_returned",
-        "n_hits",
-        "n_expected",
-        (F.col("n_hits").cast("double") / F.col("n_expected").cast("double"))
-        .alias("recall_at_k"),
+    return (
+        unioned.crossJoin(F.broadcast(n_expected))
+        # a method with zero candidates has no group under the oracle's
+        # GROUP BY method — drop its global-agg row so both engines agree
+        # on degenerate corpora (e.g. every vector in pruned buckets);
+        # guard the recall division the same way (empty probe set →
+        # n_expected = 0 → NULL, not NaN)
+        .where(F.col("n_returned") > 0)
+        .select(
+            "method",
+            "n_returned",
+            "n_hits",
+            "n_expected",
+            F.when(
+                F.col("n_expected") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_expected").cast("double"),
+            ).alias("recall_at_k"),
+        )
     )
 
 

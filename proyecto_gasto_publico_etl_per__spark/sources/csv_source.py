@@ -98,20 +98,43 @@ def discover_year_files(
 def read_header(path: str | Path, encoding: str) -> list[str]:
     """Driver-side header read (one small ranged read, like the encoding
     sniff): the first CSV record of the file, parsed with the csv module
-    so quoted column names survive."""
+    so quoted column names survive.  Reads in 64 KiB steps until a
+    newline lands (8 MiB cap) so an oversized header record is never
+    silently truncated mid-column."""
+    chunks: list[bytes] = []
+    size = 0
     with Path(path).open("rb") as fh:
-        head = fh.read(64 * 1024)
-    text = head.decode(encoding.replace("UTF-8", "utf-8-sig"), errors="replace")
+        while True:
+            chunk = fh.read(64 * 1024)
+            if not chunk:
+                break
+            chunks.append(chunk)
+            size += len(chunk)
+            if b"\n" in chunk or size >= (8 << 20):
+                break
+    text = b"".join(chunks).decode(
+        encoding.replace("UTF-8", "utf-8-sig"), errors="replace"
+    )
     reader = _csv.reader(io.StringIO(text), delimiter=",", quotechar='"')
     return next(reader, [])
 
 
-def _scan(spark: SparkSession, files: list[str], encoding: str) -> DataFrame:
-    """One PERMISSIVE all-string scan per encoding group with a
+def _scan(
+    spark: SparkSession,
+    files: list[str],
+    encoding: str,
+    header: list[str] | None = None,
+) -> DataFrame:
+    """One PERMISSIVE all-string scan per (encoding, header) group with a
     ``_corrupt_record`` audit column — the schema comes from a
     driver-side header read, because Spark only captures corrupt CSV
-    records into an explicitly-provided schema column."""
-    header = read_header(files[0], encoding)
+    records into an explicitly-provided schema column.  Callers that
+    scan multiple files must group them by header first (header rows are
+    skipped positionally, not matched by name, so a shared schema applied
+    to a file with a different column ORDER lands values in the wrong
+    columns)."""
+    if header is None:
+        header = read_header(files[0], encoding)
     schema = T.StructType(
         [T.StructField(c, T.StringType()) for c in header]
         + [T.StructField(CORRUPT_COL, T.StringType())]
@@ -163,11 +186,18 @@ def read_monthly_csv(
         files = [str(path)]
     if not files:
         raise ValueError(f"no CSV files under {path}")
-    groups: dict[str, list[str]] = {}
+    # group by (encoding, header): header rows are skipped positionally
+    # by the CSV reader, so two files sharing an encoding but differing
+    # in column ORDER must scan separately (they then conform BY NAME in
+    # the union) — one shared schema would land values in wrong columns
+    groups: dict[tuple[str, tuple[str, ...]], list[str]] = {}
     for f in files:
-        groups.setdefault(detect_encoding(f, sample_bytes), []).append(f)
+        enc = detect_encoding(f, sample_bytes)
+        hdr = tuple(read_header(f, enc))
+        groups.setdefault((enc, hdr), []).append(f)
     scans = [
-        _scan(spark, grp_files, enc) for enc, grp_files in sorted(groups.items())
+        _scan(spark, grp_files, enc, list(hdr))
+        for (enc, hdr), grp_files in sorted(groups.items())
     ]
     df = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), scans

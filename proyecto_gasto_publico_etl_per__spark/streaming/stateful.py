@@ -23,6 +23,8 @@ store (RocksDB at scale), not the driver.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Iterator
 from typing import Any
 
@@ -143,6 +145,14 @@ def stateful_sessionize(
     )
 
 
+def grid_micros(v: float, scale: int) -> int:
+    """Python twin of ``functions.money.gmicros``: floor(x*scale+0.5).
+    Used by the stateful processors so streaming totals replay
+    bit-identically to batch for either sign (int() truncates toward
+    zero and would diverge on negative amounts at half-grid points)."""
+    return math.floor(float(v) * scale + 0.5)
+
+
 class _RunningTotalsProcessor(StatefulProcessor):
     """StatefulProcessor for ``streaming_running_totals``: typed
     ValueState (n, mic) per key, optional TTL; module-level class so the
@@ -162,10 +172,11 @@ class _RunningTotalsProcessor(StatefulProcessor):
         mic = 0
         for pdf in rows:
             n += len(pdf)
-            # exact integer micros, same grid discipline as functions/money
-            mic += sum(
-                int(float(v) * self._scale + 0.5) for v in pdf["value"]
-            )
+            # exact integer micros, same grid discipline as functions/
+            # money: floor(x*scale+0.5), NOT int() — int() truncates
+            # toward zero, so negative amounts (refunds/reversals) would
+            # diverge from batch gmicros replays by one micro at half-grid
+            mic += sum(grid_micros(v, self._scale) for v in pdf["value"])
         prev = self._state.get()
         if prev is not None:
             n += int(prev[0])

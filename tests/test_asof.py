@@ -40,6 +40,18 @@ def test_asof_rejects_payload_collision(spark):
         asof_join(left, right, ["k"])
 
 
+def test_asof_rejects_reserved_names(spark):
+    """A right payload (or left) column named like the operator's
+    working columns (__mts, __asof_p, ...) would corrupt the fill
+    struct — must be rejected, not silently mangled."""
+    left = spark.createDataFrame([(1, _ts(0))], "k BIGINT, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(1, _ts(0), "y")], "k BIGINT, ts TIMESTAMP, __mts STRING"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, ["k"])
+
+
 def test_asof_null_payload_field_not_seen_through(spark):
     """A right row whose payload field is NULL must deliver that NULL —
     not an older row's value for the same field (row-atomic fill)."""

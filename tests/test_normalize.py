@@ -195,6 +195,25 @@ def test_mixed_encoding_multifile_scan(spark, tmp_path):
     assert vals == {"EDUCACIÓN", "SANEAMIENTO Y AÑOS"}
 
 
+def test_same_encoding_different_column_order(spark, tmp_path):
+    """Two files with the same encoding but swapped column ORDER must
+    conform by NAME, not position: headers are skipped positionally, so
+    a shared schema would silently land values in the wrong columns."""
+    from proyecto_gasto_publico_etl_per__spark.sources.csv_source import (
+        read_monthly_csv,
+    )
+
+    a = tmp_path / "2024-Gasto-Mensual.csv"
+    a.write_bytes(b"SECTOR_NOMBRE,MONTO_PIA\nSALUD,1\n")
+    b = tmp_path / "2023-Gasto.csv"
+    b.write_bytes(b"MONTO_PIA,SECTOR_NOMBRE\n2,EDUCACION\n")
+    rows = {
+        r.SECTOR_NOMBRE: r.MONTO_PIA
+        for r in read_monthly_csv(spark, [str(a), str(b)]).collect()
+    }
+    assert rows == {"SALUD": "1", "EDUCACION": "2"}
+
+
 def test_utf8_sig_bom_consumed(spark, tmp_path):
     """A utf-8-sig BOM must not leak into the first header name
     (Spark's UTF-8 reader strips it; the sniff maps BOM → UTF-8)."""

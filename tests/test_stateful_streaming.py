@@ -251,3 +251,23 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+def test_grid_micros_matches_batch_gmicros_for_either_sign(spark):
+    """Streaming micros must replay bit-identically to the batch money
+    grid, including negative amounts (refunds/reversals): int() truncation
+    toward zero yields -2499 for -0.2499... cases where floor gives -2500."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.functions.money import gmicros
+    from proyecto_gasto_publico_etl_per__spark.streaming.stateful import (
+        grid_micros,
+    )
+
+    vals = [0.0, 0.25, -0.25, 1.00005, -1.00005, -0.00005, 123.4567,
+            -123.4567, -0.24995]
+    df = spark.createDataFrame([(v,) for v in vals], "value DOUBLE")
+    batch = [
+        r.m for r in df.select(gmicros(F.col("value")).alias("m")).collect()
+    ]
+    streamed = [grid_micros(v, 10_000) for v in vals]
+    assert streamed == batch
