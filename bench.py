@@ -64,6 +64,13 @@ EXTENSIONS = (
     "minhash_est_quality",
     "winnow_overlap_pairs",
     "source_overlap_matrix",
+    # round 5 additions (baseline starts at r5): the analytics/audit layer
+    "boilerplate_removal",
+    "containment_pairs",
+    "pmi_bigram_lift",
+    "token_entropy",
+    "editdist_neardup",
+    "dup_token_inflation",
 )
 
 

@@ -1,0 +1,1009 @@
+"""Round-5 analytics extensions: data-quality auditing, corpus statistics,
+and fuzzy-matching queries (all oracle-backed).
+
+Same registry/oracle conventions as extension_queries:
+
+- every float that reaches the result is either ONE exact-integer division
+  cast to DOUBLE (bit-identical in any engine) or an explicitly mirrored
+  IEEE expression chain (identical op order in Spark and DuckDB),
+- log-based statistics (entropy, Zipf) are quantized to integer micro
+  grids PER TERM before any summation, so the aggregate is an exact
+  BIGINT sum and never depends on floating-point addition order,
+- hashing is md5-prefix (portable), ties always broken by a total order.
+
+These queries extend the training-data-pipeline surface with the audit /
+reporting layer a corpus build needs around the core dedup/curation ops:
+rule-based data-quality gates, per-column profiling, fuzzy entity
+resolution, collocation mining, redundancy economics, and rolling reach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup, textstats
+from ..operators.dedup import _tokens, word_grams
+from ..sources.tables import fan_out, load_table
+from .driver_queries import register
+from .extension_queries import _DOCS_CTE, JACCARD_T, _lang_sql
+
+#: cross-doc repeated-window threshold: a 3-token line seen in ≥ this many
+#: distinct docs is treated as boilerplate (CCNet/RefinedWeb-style
+#: line-level dedup; tuned so the synthetic corpus has a real boiler set)
+BOILER_DF = 3
+
+#: blocked edit-distance verify: prefix length bound + distance threshold
+EDIT_PREFIX = 120
+EDIT_T = 30
+
+#: containment (subset-duplicate) gates
+CONTAIN_T = 0.8
+CONTAIN_MIN_SH = 10
+
+
+# --- data-quality auditing ---------------------------------------------------
+
+
+@register(
+    "dq_rule_violations",
+    """
+    WITH li AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS neg_price,
+             sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+               AS bad_qty,
+             sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+               AS bad_disc,
+             sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS neg_tax
+      FROM lineitem
+    ),
+    o AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date,
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS neg_total
+      FROM orders
+    ),
+    orphan AS (
+      SELECT count(*) AS v FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    childless AS (
+      SELECT count(*) AS v FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    ),
+    early_ship AS (
+      SELECT count(*) AS v, (SELECT count(*) FROM lineitem) AS n
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate < o.o_orderdate
+    ),
+    rules AS (
+      SELECT 'lineitem_negative_price' AS rule, neg_price AS n_violations,
+             n AS n_checked FROM li
+      UNION ALL SELECT 'lineitem_quantity_out_of_range', bad_qty, n FROM li
+      UNION ALL SELECT 'lineitem_discount_out_of_range', bad_disc, n FROM li
+      UNION ALL SELECT 'lineitem_negative_tax', neg_tax, n FROM li
+      UNION ALL SELECT 'orders_null_orderdate', null_date, n FROM o
+      UNION ALL SELECT 'orders_nonpositive_totalprice', neg_total, n FROM o
+      UNION ALL SELECT 'lineitem_orphan_orderkey', v,
+                       (SELECT count(*) FROM lineitem) FROM orphan
+      UNION ALL SELECT 'orders_without_lineitems', v,
+                       (SELECT count(*) FROM orders) FROM childless
+      UNION ALL SELECT 'lineitem_shipped_before_order', v, n FROM early_ship
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           CASE WHEN n_checked > 0
+                THEN CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE)
+                ELSE 0 END AS violation_rate
+    FROM rules
+    """,
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rulebook over the fact tables: row-local
+    range/null rules in ONE conditional-aggregate scan per table (never a
+    scan per rule), plus three referential rules (orphan FK both
+    directions, ship-before-order) as key-joins.
+
+    Scale: the row-local block is a map-side partial aggregate — 100 TB
+    costs one scan.  The referential rules shuffle on the join key once
+    each; at warehouse scale they would share one bucketed layout with
+    every other orderkey join.  Output is a fixed 9-row report.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def one(x):
+        return F.sum(F.when(x, 1).otherwise(0)).cast("long")
+
+    li_agg = li.agg(
+        F.count("*").alias("n"),
+        one(F.col("l_extendedprice") <= 0).alias("neg_price"),
+        one((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "bad_qty"
+        ),
+        one((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "bad_disc"
+        ),
+        one(F.col("l_tax") < 0).alias("neg_tax"),
+    )
+    o_agg = o.agg(
+        F.count("*").alias("n"),
+        one(F.col("o_orderdate").isNull()).alias("null_date"),
+        one(F.col("o_totalprice") <= 0).alias("neg_total"),
+    )
+    # referential rules carry their denominator via a broadcast scalar
+    # aggregate (1 row) — never a driver-side .count() round-trip
+    n_li = li.agg(F.count("*").alias("n"))
+    n_o = o.agg(F.count("*").alias("n"))
+    orphan = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("v"))
+        .crossJoin(F.broadcast(n_li))
+    )
+    childless = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti")
+        .agg(F.count("*").alias("v"))
+        .crossJoin(F.broadcast(n_o))
+    )
+    early = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count("*").alias("v"))
+        .crossJoin(F.broadcast(n_li))
+    )
+
+    def row(src, rule, vcol):
+        return src.select(
+            F.lit(rule).alias("rule"),
+            F.col(vcol).cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+
+    out = (
+        row(li_agg, "lineitem_negative_price", "neg_price")
+        .unionByName(row(li_agg, "lineitem_quantity_out_of_range", "bad_qty"))
+        .unionByName(row(li_agg, "lineitem_discount_out_of_range", "bad_disc"))
+        .unionByName(row(li_agg, "lineitem_negative_tax", "neg_tax"))
+        .unionByName(row(o_agg, "orders_null_orderdate", "null_date"))
+        .unionByName(row(o_agg, "orders_nonpositive_totalprice", "neg_total"))
+        .unionByName(row(orphan, "lineitem_orphan_orderkey", "v"))
+        .unionByName(row(childless, "orders_without_lineitems", "v"))
+        .unionByName(row(early, "lineitem_shipped_before_order", "v"))
+    )
+    return out.withColumn(
+        "violation_rate",
+        F.when(
+            F.col("n_checked") > 0,
+            F.col("n_violations").cast("double")
+            / F.col("n_checked").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@register(
+    "table_profile",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS null_frac
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of a table (null count, exact distinct count,
+    null fraction) — the metadata-completeness report a catalog crawler
+    publishes per snapshot.
+
+    ONE scan: all per-column null counts are conditional sums and the
+    distinct counts ride the same aggregate (Spark expands multi-distinct
+    into one Expand+Aggregate — a single pass producing ``n_cols``
+    streams, not ``n_cols`` scans).  Scale note: exact multi-distinct
+    Expand multiplies shuffle rows by the column count; at 100 TB the
+    profile would switch the distinct counts to ``approx_count_distinct``
+    (HLL) and keep this exact form for audit samples — documented here
+    because the ORACLE must stay exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = []
+    for c in _PROFILE_COLS:
+        stack_args.extend(
+            [F.lit(c), F.col(f"nulls_{c}"), F.col(f"dist_{c}")]
+        )
+    out = wide.select(
+        F.col("n_rows"),
+        F.stack(
+            F.lit(len(_PROFILE_COLS)).cast("int"), *stack_args
+        ).alias("column_name", "n_nulls", "n_distinct"),
+    )
+    return out.select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (
+            F.col("n_nulls").cast("double") / F.col("n_rows").cast("double")
+        ).alias("null_frac"),
+    )
+
+
+# --- fuzzy matching ----------------------------------------------------------
+
+
+@register(
+    "editdist_neardup",
+    rf"""
+    WITH {_DOCS_CTE},
+    blk AS (
+      SELECT doc, clean, toks[1] || ' ' || toks[2] AS k
+      FROM toks WHERE len(toks) >= 2
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(levenshtein(substr(a.clean, 1, {EDIT_PREFIX}),
+                            substr(b.clean, 1, {EDIT_PREFIX})) AS INT)
+             AS edit_dist
+    FROM blk a JOIN blk b ON a.k = b.k AND a.doc < b.doc
+    WHERE levenshtein(substr(a.clean, 1, {EDIT_PREFIX}),
+                      substr(b.clean, 1, {EDIT_PREFIX})) <= {EDIT_T}
+    """,
+)
+def editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-blocked edit-distance near-dup verify: candidate pairs from
+    a cheap equi-join block (first two normalized tokens), then exact
+    Levenshtein over a BOUNDED prefix (O(P²) per pair, P=120) — the
+    sorted-neighborhood / blocking shape of classic entity resolution.
+
+    Scale: the only shuffle is the equi-join on the block key; distance
+    is never computed outside a block, and the prefix bound caps per-pair
+    cost regardless of document length.  Skewed blocks (a very common
+    2-token prefix) are the hazard — the remedy is widening the block key
+    (3 tokens) or salting, same playbook as the posting-join dedup.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = _tokens("text")
+    base = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.lower(F.trim(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " "))).alias("clean"),
+        toks.alias("toks"),
+    ).where(F.size("toks") >= 2)
+    blk = base.select(
+        "doc",
+        "clean",
+        F.concat(
+            F.element_at("toks", 1), F.lit(" "), F.element_at("toks", 2)
+        ).alias("k"),
+    )
+    a = blk.select(
+        F.col("doc").alias("doc_a"), F.col("clean").alias("ca"), "k"
+    )
+    b = blk.select(
+        F.col("doc").alias("doc_b"), F.col("clean").alias("cb"), "k"
+    )
+    return (
+        a.join(b, "k")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(
+                F.substring("ca", 1, EDIT_PREFIX),
+                F.substring("cb", 1, EDIT_PREFIX),
+            ).cast("int"),
+        )
+        .where(F.col("edit_dist") <= EDIT_T)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+@register(
+    "fuzzy_dim_match",
+    """
+    WITH s AS (
+      SELECT s_suppkey, s_name, s_nationkey, length(s_name) AS ln
+      FROM supplier
+    )
+    SELECT a.s_nationkey AS nationkey,
+           a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+           a.s_name AS name_a, b.s_name AS name_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+    FROM s a JOIN s b
+      ON a.s_nationkey = b.s_nationkey AND a.ln = b.ln
+     AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def fuzzy_dim_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension-label duplicate candidates: supplier names within
+    edit distance ≤ 2, blocked by (nation, name length) — the MEF-dim
+    use case is near-identical ejecutora labels from inconsistent manual
+    entry (reference dims are TRIM-normalized only,
+    cargar_postgres.py:120-123; this adds the fuzzy layer a steward
+    reviews before merging labels).
+
+    Scale: dims are small by definition — the block join broadcasts; the
+    length-equality block bounds Levenshtein's cost and prunes most
+    pairs before it runs.
+    """
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.length("s_name").alias("ln")
+    )
+    a = s.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey").alias("suppkey_a"),
+        F.col("s_name").alias("name_a"),
+        "ln",
+    )
+    b = s.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey").alias("suppkey_b"),
+        F.col("s_name").alias("name_b"),
+        "ln",
+    )
+    return (
+        a.join(F.broadcast(b), ["nationkey", "ln"])
+        .where(F.col("suppkey_a") < F.col("suppkey_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .where(F.col("edit_dist") <= 2)
+        .select(
+            "nationkey",
+            "suppkey_a",
+            "suppkey_b",
+            "name_a",
+            "name_b",
+            "edit_dist",
+        )
+    )
+
+
+# --- corpus statistics -------------------------------------------------------
+
+
+@register(
+    "pmi_bigram_lift",
+    rf"""
+    WITH {_DOCS_CTE},
+    uni AS (
+      SELECT unnest(toks) AS tok FROM toks
+    ),
+    ucnt AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+    utot AS (SELECT sum(n) AS n_uni FROM ucnt),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM toks WHERE len(toks) >= 2
+    ),
+    bcnt AS (SELECT bigram, count(*) AS n_ab FROM bi GROUP BY bigram),
+    btot AS (SELECT sum(n_ab) AS n_bi FROM bcnt),
+    lift AS (
+      SELECT b.bigram,
+             string_split(b.bigram, ' ')[1] AS w1,
+             string_split(b.bigram, ' ')[2] AS w2,
+             b.n_ab, ua.n AS n_a, ub.n AS n_b,
+             (CAST(b.n_ab AS DOUBLE) * CAST(ut.n_uni AS DOUBLE)
+                * CAST(ut.n_uni AS DOUBLE))
+               / (CAST(bt.n_bi AS DOUBLE) * CAST(ua.n AS DOUBLE)
+                  * CAST(ub.n AS DOUBLE)) AS lift
+      FROM bcnt b
+      JOIN ucnt ua ON ua.tok = string_split(b.bigram, ' ')[1]
+      JOIN ucnt ub ON ub.tok = string_split(b.bigram, ' ')[2]
+      CROSS JOIN utot ut CROSS JOIN btot bt
+      WHERE b.n_ab >= 5
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, lift
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rn
+      FROM lift
+    ) WHERE rn <= 50
+    """,
+)
+def pmi_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent-token bigrams by PMI *lift*
+    ``p(ab) / (p(a)·p(b))`` — computed log-free so the score is a pure
+    IEEE multiply/divide chain (identical bits in any engine); the
+    ranking is identical to PMI because log is monotone.
+
+    Scale: unigram and bigram count tables are vocab-bounded (tiny
+    relative to the corpus), so the two resolution joins broadcast; the
+    corpus itself is touched by exactly two explode+count passes with
+    map-side partial aggregation.  Totals ride a broadcast scalar, not a
+    collect.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(_tokens("text").alias("toks"))
+    uni = toks.select(F.explode("toks").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").alias("n"))
+    bi = toks.select(F.explode(word_grams_from_tokens("toks", 2)).alias("bigram"))
+    bcnt = bi.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    utot = ucnt.agg(F.sum("n").alias("n_uni"))
+    btot = bcnt.agg(F.sum("n_ab").alias("n_bi"))
+    parts = F.split("bigram", " ")
+    scored = (
+        bcnt.where(F.col("n_ab") >= 5)
+        .withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(
+            F.broadcast(ucnt.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(ucnt.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn(
+            "lift",
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+            )
+            / (
+                F.col("n_bi").cast("double")
+                * F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+            ),
+        )
+    )
+    # top-50 via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge of 50-row heads), not a single-partition
+    # row_number window; the (lift, w1, w2) key is a total order so the
+    # cut is deterministic
+    return (
+        scored.orderBy(F.desc("lift"), "w1", "w2")
+        .limit(50)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "lift",
+        )
+    )
+
+
+def word_grams_from_tokens(toks_col: str, n: int):
+    """``word_grams`` but over an already-materialized token array (the
+    PMI query tokenizes once and feeds both the unigram and bigram
+    passes)."""
+    toks = F.col(toks_col)
+    width = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, width)
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, width)
+        grams = F.zip_with(
+            grams, shifted, lambda acc, t: F.concat(acc, F.lit(" "), t)
+        )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@register(
+    "token_entropy",
+    rf"""
+    WITH {_DOCS_CTE},
+    uni AS (SELECT doc, unnest(toks) AS tok FROM toks),
+    cnt AS (SELECT doc, tok, count(*) AS k FROM uni GROUP BY doc, tok),
+    terms AS (
+      SELECT doc,
+             CAST(floor(log2(CAST(k AS DOUBLE)) * CAST(k AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS term_micro,
+             k
+      FROM cnt
+    ),
+    agg AS (
+      SELECT doc, sum(k) AS n_tokens, count(*) AS n_distinct,
+             sum(term_micro) AS sum_term_micro
+      FROM terms GROUP BY doc
+    )
+    SELECT doc AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(floor(
+             (log2(CAST(n_tokens AS DOUBLE))
+              - (CAST(sum_term_micro AS DOUBLE) / 1000000.0)
+                / CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5
+           ) AS BIGINT) AS entropy_micro
+    FROM agg
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (bits, 1e-6 grid) — the
+    repetition/diversity quality signal: low entropy = looping or
+    boilerplate text, high = diverse vocabulary.
+
+    Determinism design: entropy's inner sum Σ k·log2(k) is quantized to
+    integer micros PER TERM and summed as BIGINT — floating-point
+    addition order (which differs between Spark's partial aggregates and
+    any other engine) can never change the result.  The closed form
+    ``log2(n) − Σk·log2(k)/n`` needs one log per distinct token, not per
+    token.
+
+    Scale: explode + two hash aggregates keyed by (doc, token) then doc —
+    both map-side combinable; no joins, no windows.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    uni = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(_tokens("text")).alias("tok")
+    )
+    cnt = uni.groupBy("doc", "tok").agg(F.count("*").alias("k"))
+    terms = cnt.select(
+        "doc",
+        "k",
+        F.floor(
+            F.log2(F.col("k").cast("double"))
+            * F.col("k").cast("double")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("term_micro"),
+    )
+    agg = terms.groupBy("doc").agg(
+        F.sum("k").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum("term_micro").alias("sum_term_micro"),
+    )
+    return agg.select(
+        F.col("doc").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.floor(
+            (
+                F.log2(F.col("n_tokens").cast("double"))
+                - (F.col("sum_term_micro").cast("double") / 1000000.0)
+                / F.col("n_tokens").cast("double")
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("entropy_micro"),
+    )
+
+
+@register(
+    "zipf_slope",
+    rf"""
+    WITH {_DOCS_CTE},
+    uni AS (SELECT unnest(toks) AS tok FROM toks),
+    freq AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+    ranked AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rnk
+      FROM freq
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+      FROM ranked WHERE rnk <= 300
+    ),
+    s AS (
+      SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS n_ranks,
+           CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+           CAST(m * sxy - sx * sy AS DOUBLE)
+             / CAST(m * sxx - sx * sx AS DOUBLE) AS slope
+    FROM s
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: least-squares slope of ln(freq) vs
+    ln(rank) over the top-300 token ranks — natural text sits near −1;
+    synthetic or templated corpora deviate hard (a corpus-health gate).
+
+    Determinism design: each point's logs are quantized to a 1e-4
+    integer grid FIRST; the regression's Σx, Σy, Σxy, Σx² are then exact
+    BIGINT sums (order-free), and the slope is one exact-integer
+    division.  ``regr_slope`` was rejected exactly because its double
+    accumulation order differs between engines.  Overflow headroom:
+    x,y ≤ ~1e5 → m·Σxy ≤ ~1e15 at any corpus size (logs grow, counts
+    don't enter the sums).
+
+    Scale: one explode+count pass (map-side combinable); the ranked top
+    slice is vocab-bounded, the final stats are a scalar aggregate.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    uni = docs.select(F.explode(_tokens("text")).alias("tok"))
+    freq = uni.groupBy("tok").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), "tok")
+    pts = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 300)
+        .select(
+            F.floor(F.log(F.col("rnk").cast("double")) * 10000 + 0.5)
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("n").cast("double")) * 10000 + 0.5)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("m").cast("long").alias("n_ranks"),
+        F.col("sx").cast("long").alias("sum_x"),
+        F.col("sy").cast("long").alias("sum_y"),
+        (
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("slope"),
+    )
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH pred AS ({_lang_sql()}),
+    conf AS (
+      SELECT lang, lang_pred, count(*) AS n
+      FROM pred GROUP BY lang, lang_pred
+    ),
+    tot AS (SELECT lang, sum(n) AS n_lang FROM conf GROUP BY lang)
+    SELECT c.lang, c.lang_pred, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS frac
+    FROM conf c JOIN tot t ON c.lang = t.lang
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled ``lang`` vs n-gram-predicted
+    ``lang_pred`` with per-label share — the audit that decides whether
+    the cheap marker classifier is trustworthy enough to gate a corpus.
+
+    Scale: the classifier is a pure expression chain; the matrix is a
+    two-key aggregate of language-pair cardinality (tiny), and the
+    per-label total rides a broadcast join of that tiny table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pred = textstats.lang_id(docs).select("lang", "lang_pred")
+    conf = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    tot = conf.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    return (
+        conf.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.col("n").cast("double") / F.col("n_lang").cast("double")
+            ).alias("frac"),
+        )
+    )
+
+
+# --- cross-document structure ------------------------------------------------
+
+
+@register(
+    "boilerplate_removal",
+    rf"""
+    WITH {_DOCS_CTE},
+    lines AS (
+      SELECT doc, i AS pos,
+             toks[3*i+1] || ' ' || toks[3*i+2] || ' ' || toks[3*i+3] AS line
+      FROM toks, unnest(range(0, len(toks) // 3)) AS t(i)
+    ),
+    ldf AS (
+      SELECT line, count(DISTINCT doc) AS df FROM lines GROUP BY line
+    ),
+    marked AS (
+      SELECT l.doc, l.pos, l.line, (d.df >= {BOILER_DF}) AS boiler
+      FROM lines l JOIN ldf d ON l.line = d.line
+    )
+    SELECT doc AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           substr(md5(coalesce(
+             string_agg(line, ' ' ORDER BY pos)
+               FILTER (WHERE NOT boiler), '')), 1, 16) AS kept_hash
+    FROM marked GROUP BY doc
+    """,
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-line removal (CCNet/RefinedWeb-style
+    boilerplate dedup): split each doc into non-overlapping 3-token
+    lines, count each line's document frequency across the corpus, drop
+    lines appearing in ≥ BOILER_DF docs, and emit the kept-text
+    fingerprint per doc.
+
+    Scale: the line-DF table is the only shuffle (keyed by line hash,
+    map-side combinable); the boiler mark joins postings back on the
+    line key.  Reassembly sorts WITHIN each doc's lines only
+    (array_sort of a per-doc collected list — no global sort).  Hot
+    lines are the skew hazard: exactly the stop-shingle situation, and
+    the same DF-cap remedy applies if a line's posting list explodes.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.col("doc_id").alias("doc"), _tokens("text").alias("toks"))
+    nwin = F.floor(F.size("toks") / 3).cast("int")
+    lines = toks.where(F.size("toks") >= 3).select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nwin - 1),
+                lambda i: F.concat(
+                    F.element_at(F.col("toks"), i * 3 + 1),
+                    F.lit(" "),
+                    F.element_at(F.col("toks"), i * 3 + 2),
+                    F.lit(" "),
+                    F.element_at(F.col("toks"), i * 3 + 3),
+                ),
+            )
+        ).alias("pos", "line"),
+    )
+    ldf = lines.groupBy("line").agg(
+        F.count_distinct("doc").alias("df")
+    )
+    marked = lines.join(ldf, "line").withColumn(
+        "boiler", F.col("df") >= BOILER_DF
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("boiler"), F.struct(F.col("pos"), F.col("line"))
+                )
+            )
+        ),
+        lambda x: x["line"],
+    )
+    return marked.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boiler"),
+        F.substring(
+            F.md5(F.concat_ws(" ", kept_sorted)), 1, 16
+        ).alias("kept_hash"),
+    ).select(
+        F.col("doc").alias("doc_id"), "n_lines", "n_boiler", "kept_hash"
+    )
+
+
+@register(
+    "containment_pairs",
+    rf"""
+    WITH {_DOCS_CTE},
+    sizes AS (SELECT doc, len(shingles) AS n_sh FROM sh),
+    posts AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc AS doc_sub, b.doc AS doc_super, count(*) AS n_common
+      FROM posts a JOIN posts b USING (shingle)
+      WHERE a.doc <> b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_sub, doc_super, CAST(n_common AS BIGINT) AS n_common,
+           CAST(s.n_sh AS BIGINT) AS n_sh_sub,
+           CAST(n_common AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS containment
+    FROM common JOIN sizes s ON s.doc = doc_sub
+    WHERE s.n_sh >= {CONTAIN_MIN_SH}
+      AND CAST(n_common AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= {CONTAIN_T}
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups: pairs where ≥ 80% of one doc's
+    shingles appear in another — catches subset duplication (quoting,
+    inclusion, page-within-crawl) that symmetric Jaccard misses because
+    the union denominator dilutes small-in-large overlaps.
+
+    Scale: the identical posting self-join as the Jaccard family (one
+    shuffle on the shingle key, Σ posting² bounded by the DF cap
+    playbook); containment just swaps the denominator, so the marginal
+    cost over a Jaccard pass is zero when computed together.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = dedup._shingle_sets(docs, "doc_id", "text", 3)
+    sizes = shingled.select("doc", F.size("shingles").alias("n_sh"))
+    posts = shingled.select("doc", F.explode("shingles").alias("shingle"))
+    a = posts.select(F.col("doc").alias("doc_sub"), "shingle")
+    b = posts.select(F.col("doc").alias("doc_super"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_sub") != F.col("doc_super"))
+        .groupBy("doc_sub", "doc_super")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc").alias("doc_sub"), "n_sh"), "doc_sub"
+        )
+        .where(F.col("n_sh") >= CONTAIN_MIN_SH)
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_sh").cast("double"),
+        )
+        .where(F.col("containment") >= CONTAIN_T)
+        .select(
+            "doc_sub",
+            "doc_super",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_sh").cast("long").alias("n_sh_sub"),
+            "containment",
+        )
+    )
+
+
+@register(
+    "dup_token_inflation",
+    rf"""
+    WITH RECURSIVE {_DOCS_CTE},
+    sizes AS (SELECT doc, len(shingles) AS n_sh FROM sh),
+    posts AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM posts a JOIN posts b USING (shingle)
+      WHERE a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    jpairs2 AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jpairs2
+      UNION SELECT doc_b, doc_a FROM jpairs2
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    tk AS (
+      SELECT doc, len(toks) AS n_tokens FROM toks
+    )
+    SELECT CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(t.n_tokens)
+             FILTER (WHERE c.cluster_id IS NOT NULL
+                       AND c.cluster_id <> t.doc), 0) AS BIGINT)
+             AS dup_tokens,
+           CAST(coalesce(sum(CASE WHEN c.cluster_id IS NOT NULL
+                       AND c.cluster_id <> t.doc THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_dup_docs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(t.n_tokens)
+             FILTER (WHERE c.cluster_id IS NOT NULL
+                       AND c.cluster_id <> t.doc), 0) AS DOUBLE)
+             / CAST(sum(t.n_tokens) AS DOUBLE) AS inflation
+    FROM tk t LEFT JOIN comp c ON c.id = t.doc
+    """,
+)
+def dup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication economics: the fraction of corpus TOKENS held by
+    non-representative members of near-dup clusters — the number that
+    says how much compute a training run wastes re-reading duplicates
+    (doc-count dup rates understate it when long docs duplicate).
+
+    Scale: reuses the Jaccard + connected-components pipeline (bucketed
+    posting join, log-round CC); the inflation sum itself is one
+    broadcast-joined aggregate over per-doc token counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T)
+    clusters = dedup.cluster_duplicates(pairs)  # (doc_id, cluster_id)
+    tk = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    joined = tk.join(
+        clusters.select(
+            F.col("doc_id").alias("doc"), F.col("cluster_id")
+        ),
+        "doc",
+        "left",
+    ).withColumn(
+        "is_dup",
+        F.col("cluster_id").isNotNull()
+        & (F.col("cluster_id") != F.col("doc")),
+    )
+    return joined.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_dup"), F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("dup_tokens"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("is_dup"), F.col("n_tokens"))), F.lit(0)
+            ).cast("double")
+            / F.sum("n_tokens").cast("double")
+        ).alias("inflation"),
+    )
+
+
+# --- rolling reach -----------------------------------------------------------
+
+
+@register(
+    "rolling_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    covered AS (
+      SELECT CAST(day + i * INTERVAL 1 DAY AS DATE) AS cover_day, user_id
+      FROM du, unnest(range(0, 7)) AS t(i)
+    )
+    SELECT cover_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+    FROM covered GROUP BY cover_day
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (rolling reach /
+    WAU) — COUNT(DISTINCT) over a sliding range frame, which no engine's
+    window operator supports directly.  Rewritten as: distinct
+    (day, user) pairs → each pair *covers* the next 7 days (bounded
+    explode) → distinct count per covered day.
+
+    Scale: the (day,user) distinct is the big shuffle and is exactly the
+    dedup the raw data needs anyway; the ×7 expansion is constant-factor
+    and map-side; the final count groups by (day,user) hash — never a
+    per-day self-join (the naive SQL form is O(days × events)).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.col("ts").cast("timestamp_ntz")).alias("day"), "user_id"
+    ).distinct()
+    covered = du.select(
+        F.explode(
+            F.array(*[F.date_add("day", i) for i in range(7)])
+        ).alias("cover_day"),
+        "user_id",
+    )
+    return covered.groupBy("cover_day").agg(
+        F.count_distinct("user_id").cast("long").alias("n_active_7d")
+    )

@@ -1900,7 +1900,12 @@ def union_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_extensions() -> None:
     """Late-import the extension registry (it imports ``register`` from this
     module, so a top-level import here would be circular)."""
-    from . import curation_queries, extension_queries, pipeline_e2e  # noqa: F401
+    from . import (  # noqa: F401
+        analytics_queries,
+        curation_queries,
+        extension_queries,
+        pipeline_e2e,
+    )
 
 
 #: The driver hashes exactly the FIRST 50 entries of ``queries()`` in

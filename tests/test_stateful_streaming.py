@@ -167,8 +167,9 @@ def test_dedup_ingest_two_layers(spark, tmp_path):
 
 def _protobuf_usable() -> bool:
     """transformWithState's state-server protocol needs a working
-    protobuf; this container ships a broken one (descriptor import
-    fails).  Gate, don't fake — same honesty rule as the PIL/cv2
+    protobuf; this container ships NO protobuf at all (`import google`
+    raises ModuleNotFoundError; pip install is out of scope — env note
+    2026-08-14, round 5).  Gate, don't fake — same honesty rule as the PIL/cv2
     multimodal stubs."""
     try:
         from google.protobuf import descriptor  # noqa: F401
@@ -183,7 +184,7 @@ import pytest  # noqa: E402
 
 @pytest.mark.skipif(
     not _protobuf_usable(),
-    reason="transformWithState needs protobuf; container's is broken",
+    reason="transformWithState needs protobuf; container has none (external env blocker, round-5 note)",
 )
 def test_transform_with_state_running_totals(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 arbitrary-state API): per-user

@@ -42,6 +42,10 @@ CARTESIAN_OK = {
     "ann_recall_eval",  # brute ground truth (corpus × 10 probes) +
     #                     1-row n_expected scalar broadcast
     "hard_negative_mining",  # exact mining baseline: corpus × 10 probes
+    "dq_rule_violations",  # 1-row denominator scalar broadcast onto
+    #                        1-row referential-rule aggregates
+    "pmi_bigram_lift",  # 1-row corpus-total (n_uni, n_bi) scalar
+    #                     broadcasts onto the vocab-bounded bigram table
 }
 
 
