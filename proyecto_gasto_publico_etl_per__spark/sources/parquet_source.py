@@ -47,3 +47,41 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+#: columnar formats the warehouse round-trips losslessly (both support
+#: predicate pushdown, column pruning, and hive-style partition dirs)
+_COLUMNAR = ("parquet", "orc")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Format-generic columnar sink: Parquet is the house format, ORC the
+    interchange path for warehouses already standardized on it (both are
+    first-class in Spark: vectorized reader, pushdown, partition dirs —
+    the choice is an ecosystem question, not a capability one)."""
+    if fmt not in _COLUMNAR:
+        raise ValueError(f"columnar format required, got {fmt!r}")
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    if fmt not in _COLUMNAR:
+        raise ValueError(f"columnar format required, got {fmt!r}")
+    df = spark.read.format(fmt).load(path)
+    if columns:
+        df = df.select(*columns)
+    return df

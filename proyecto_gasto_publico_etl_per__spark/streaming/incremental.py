@@ -184,6 +184,52 @@ def dedup_ingest(
     return fresh.join(seen, "content_hash", "left_anti")
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join: correlate two event streams on a key within an
+    event-time window (e.g. click → purchase attribution).
+
+    Both sides get a watermark and the join carries an event-time RANGE
+    condition (``right_ts ∈ [left_ts, left_ts + within]``) — the two
+    requirements Structured Streaming imposes so buffered state is
+    evictable: without them the engine must hold every past row forever
+    waiting for a future match.  State per side is therefore bounded by
+    (watermark + within) of data, not history.
+
+    Right-side columns are prefixed ``r_`` (except the key) so the
+    result is unambiguous whatever the payload schemas are.  ``how``
+    supports ``inner`` and ``leftOuter`` (outer emits the unmatched left
+    row only once its window fully expires past the watermark — correct
+    but late by design).
+
+    Works identically on batch frames (watermark is a no-op there), which
+    is how the equivalence test pins semantics to a plain batch join.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    renames = {
+        c: f"r_{c}" for c in rw.columns if c != key
+    }
+    for old, new in renames.items():
+        rw = rw.withColumnRenamed(old, new)
+    r_ts = renames.get(right_ts, right_ts)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[r_ts] >= lw[left_ts])
+        & (rw[r_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[key])
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,
