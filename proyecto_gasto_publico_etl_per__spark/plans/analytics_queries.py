@@ -1007,3 +1007,50 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covered.groupBy("cover_day").agg(
         F.count_distinct("user_id").cast("long").alias("n_active_7d")
     )
+
+
+# --- tokenizer induction -----------------------------------------------------
+
+
+@register(
+    "bpe_merge_step",
+    rf"""
+    WITH {_DOCS_CTE},
+    uni AS (SELECT unnest(toks) AS w FROM toks),
+    vocab AS (SELECT w, count(*) AS freq FROM uni GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM vocab, unnest(range(1, length(w))) AS t(i)
+    ),
+    agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-induction step: count adjacent character pairs
+    weighted by word frequency and emit the top-20 merge candidates.
+
+    The classic BPE trick at scale: after one corpus pass builds the
+    (word, freq) VOCABULARY, every subsequent merge iteration runs over
+    the vocab table — thousands of rows, not terabytes — so tokenizer
+    training cost is corpus-size-independent beyond the first count.
+    This query is exactly that iteration shape: explode each vocab word
+    into its adjacent char pairs, weight by freq, aggregate.
+
+    Determinism: integer counts, (n desc, pair) total order,
+    TakeOrderedAndProject for the cut.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    uni = docs.select(F.explode(_tokens("text")).alias("w"))
+    vocab = uni.groupBy("w").agg(F.count("*").alias("freq"))
+    # sequence(1, 0) would count DOWN in Spark — guard 1-char words
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = vocab.select(F.explode(pair_arr).alias("pair"), "freq")
+    agg = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+    return agg.orderBy(F.desc("n"), "pair").limit(20)

@@ -164,3 +164,11 @@ def test_rolling_distinct_users_window_superset(spark):
     assert daily
     for day, n in daily.items():
         assert rolling[day] >= n
+
+
+def test_bpe_merge_step_pairs_are_char_bigrams(spark):
+    rows = A.bpe_merge_step(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
