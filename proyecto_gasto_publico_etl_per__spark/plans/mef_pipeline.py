@@ -26,6 +26,7 @@ load is the grain consolidation.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -195,6 +196,43 @@ def streaming_load(
     )
     query.awaitTermination()
     return query
+
+
+def materialize_agg_mensual(
+    spark: SparkSession,
+    warehouse: str,
+    agg_path: str,
+    years: Sequence[int] | None = None,
+) -> None:
+    """Materialize ``vw_gasto_agregado_mensual`` as a partitioned table —
+    full build (``years=None``) or INCREMENTAL partition-scoped refresh.
+
+    The reference serves this as a live PostgreSQL view (V:119-179),
+    recomputed per query; at warehouse scale the serving copy is a
+    materialized table refreshed after each load.  The refresh is exact
+    per-partition because ``anio`` is both the fact's partition column
+    and an aggregate group key: no group ever crosses a year boundary,
+    so recomputing only the loaded years from the (pruned) fact and
+    dynamic-partition-overwriting them reproduces byte-for-byte what a
+    full rebuild would put in those partitions — untouched years keep
+    their files.  Cost per load: O(loaded years), never O(warehouse).
+
+    ``load_frame`` already knows the loaded years (its own partition
+    scoping); pass them straight through.
+    """
+    wh = Path(warehouse)
+    fact = spark.read.parquet(str(wh / "fact_gasto_mensual"))
+    if years is not None:
+        # lands on the partition column → file pruning at the scan
+        fact = fact.filter(F.col("anio").isin([int(y) for y in years]))
+    time_dim = spark.read.parquet(str(wh / "dim_tiempo"))
+    dims = {
+        d.name: spark.read.parquet(str(wh / d.name)) for d in DIMENSIONS
+    }
+    agg = V.vw_gasto_agregado_mensual_star(fact, time_dim, dims)
+    agg.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("anio").parquet(str(agg_path))
 
 
 def register_views(spark: SparkSession, warehouse: str) -> DataFrame:

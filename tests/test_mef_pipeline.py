@@ -318,3 +318,49 @@ def test_load_of_all_invalid_month_is_safe_noop(spark, tmp_path):
     mef_pipeline.load_frame(spark, empty, wh)
     fact = spark.read.parquet(f"{wh}/fact_gasto_mensual")
     assert fact.count() == 1  # warehouse untouched
+
+
+def test_materialized_agg_incremental_refresh_equals_full_rebuild(
+    spark, tmp_path
+):
+    """Incremental materialized-aggregate maintenance: refreshing only the
+    loaded year reproduces the full rebuild exactly, and untouched year
+    partitions keep their files byte-for-byte."""
+    import os
+
+    wh = str(tmp_path / "warehouse")
+    agg = str(tmp_path / "agg_mensual")
+
+    def _load_year(year, mes, monto):
+        raw = tmp_path / f"{year}-Gasto-Mensual.csv"
+        _write_csv(
+            raw,
+            [[str(year), mes, "E", "NACIONAL", "001", f"E{year}", "Ej",
+              "01", "SALUD", monto, "1", "1"]],
+        )
+        nd = str(tmp_path / f"magg{year}_{mes}")
+        mef_pipeline.transform(spark, str(raw), nd)
+        mef_pipeline.load(spark, nd, wh)
+
+    _load_year(2023, "1", "10")
+    mef_pipeline.materialize_agg_mensual(spark, wh, agg)  # full build
+    p2023 = Path(agg, "anio=2023")
+    before = {
+        f: os.path.getmtime(p2023 / f) for f in os.listdir(p2023)
+        if f.endswith(".parquet")
+    }
+
+    _load_year(2024, "1", "20")
+    mef_pipeline.materialize_agg_mensual(spark, wh, agg, years=[2024])
+
+    after = {
+        f: os.path.getmtime(p2023 / f) for f in os.listdir(p2023)
+        if f.endswith(".parquet")
+    }
+    assert before == after  # 2023 aggregate partition untouched
+
+    full = str(tmp_path / "agg_full")
+    mef_pipeline.materialize_agg_mensual(spark, wh, full)
+    got = {tuple(r) for r in spark.read.parquet(agg).collect()}
+    want = {tuple(r) for r in spark.read.parquet(full).collect()}
+    assert got == want and got
