@@ -66,6 +66,26 @@ def main(argv: list[str] | None = None) -> None:
     )
     sn.add_argument("raw_csv")
 
+    s = sub.add_parser(
+        "sql",
+        help="run ad-hoc SQL over the registered warehouse views "
+             "(vw_gasto_mensual / vw_gasto_agregado_{mensual,anual}) — the "
+             "reference's psql-against-views workflow "
+             "(CreacionDeUsuariosyVistas.sql grants SELECT on exactly these)",
+    )
+    s.add_argument("warehouse")
+    s.add_argument("statement")
+    s.add_argument("--rows", type=int, default=50)
+
+    r = sub.add_parser(
+        "refresh-agg",
+        help="materialize / incrementally refresh the monthly serving "
+             "aggregate (partition-scoped when years are given)",
+    )
+    r.add_argument("warehouse")
+    r.add_argument("agg_path")
+    r.add_argument("years", nargs="*", type=int)
+
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
     q.add_argument(
@@ -128,6 +148,15 @@ def main(argv: list[str] | None = None) -> None:
             print(f"validated {row.n_rows} rows: all checks pass")
         fact = mef_pipeline.load_frame(spark, normalized, args.warehouse)
         print(f"fact rows: {fact.count()} → {args.warehouse}")
+    elif args.cmd == "sql":
+        mef_pipeline.register_views(spark, args.warehouse)
+        spark.sql(args.statement).show(args.rows, truncate=False)
+    elif args.cmd == "refresh-agg":
+        mef_pipeline.materialize_agg_mensual(
+            spark, args.warehouse, args.agg_path, years=args.years or None
+        )
+        scope = f"years {args.years}" if args.years else "full rebuild"
+        print(f"aggregate refreshed ({scope}) → {args.agg_path}")
     else:
         base = mef_pipeline.register_views(spark, args.warehouse)
         runners = {

@@ -364,3 +364,25 @@ def test_materialized_agg_incremental_refresh_equals_full_rebuild(
     got = {tuple(r) for r in spark.read.parquet(agg).collect()}
     want = {tuple(r) for r in spark.read.parquet(full).collect()}
     assert got == want and got
+
+
+def test_cli_sql_and_refresh_agg(spark, tmp_path, raw_csv, capsys):
+    """`sql` serves ad-hoc SQL over the registered views; `refresh-agg`
+    drives the materialized aggregate from the command line."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    norm = str(tmp_path / "norm")
+    wh = str(tmp_path / "wh")
+    mef_pipeline.transform(spark, raw_csv, norm)
+    mef_pipeline.load(spark, norm, wh)
+
+    cli.main(
+        ["sql", wh,
+         "SELECT count(*) AS n FROM vw_gasto_agregado_mensual"]
+    )
+    out = capsys.readouterr().out
+    assert "n" in out and "| 0" not in out.split("\n")[3]
+
+    agg = str(tmp_path / "agg")
+    cli.main(["refresh-agg", wh, agg])
+    assert spark.read.parquet(agg).count() > 0
