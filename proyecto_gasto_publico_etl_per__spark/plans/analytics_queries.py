@@ -1054,3 +1054,145 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = vocab.select(F.explode(pair_arr).alias("pair"), "freq")
     agg = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
     return agg.orderBy(F.desc("n"), "pair").limit(20)
+
+
+# --- corpus health reporting -------------------------------------------------
+
+
+@register(
+    "ngram_novelty",
+    rf"""
+    WITH {_DOCS_CTE},
+    posts AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+    first_seen AS (
+      SELECT shingle, min(doc) AS first_doc FROM posts GROUP BY shingle
+    )
+    SELECT p.doc AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = p.doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = p.doc THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+    FROM posts p JOIN first_seen f USING (shingle)
+    GROUP BY p.doc
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's shingles whose
+    FIRST appearance (by ingest order = doc id) is this doc — the
+    redundancy-growth curve a crawl operator watches: novelty trending to
+    zero means the crawler is re-fetching what it already has.
+
+    Scale: one posting pass → min-per-shingle aggregate (map-side
+    combinable) → join postings back on the shingle key.  Same bucketed
+    shuffle as every other posting operator; no per-doc history scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = dedup._shingle_sets(docs, "doc_id", "text", 3)
+    posts = shingled.select("doc", F.explode("shingles").alias("shingle"))
+    first_seen = posts.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    joined = posts.join(first_seen, "shingle")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0)
+    )
+    return joined.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        novel.cast("long").alias("n_novel"),
+        (novel.cast("double") / F.count("*").cast("double")).alias("novelty"),
+    ).select(
+        F.col("doc").alias("doc_id"), "n_shingles", "n_novel", "novelty"
+    )
+
+
+@register(
+    "corpus_quality_by_source",
+    # _QUALITY_SQL is importable here (unlike in extension_queries, where
+    # it is defined mid-module and spliced post-hoc)
+    f"""
+    WITH q AS ({{quality}})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN q.quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_ok,
+           CAST(sum(CASE WHEN q.quality_ok THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS ok_rate,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+    FROM q JOIN documents d ON d.doc_id = q.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality report: doc counts, quality-gate pass rate, and
+    token volume — the table a mixture decision starts from (which
+    sources are worth their ingest cost).
+
+    Scale: the quality signals are a pure expression chain on one scan;
+    the report is a single source-keyed aggregate (source cardinality is
+    tiny).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = textstats.quality_stats(docs)
+    ok = F.sum(F.when(F.col("quality_ok"), 1).otherwise(0))
+    return q.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        ok.cast("long").alias("n_quality_ok"),
+        (ok.cast("double") / F.count("*").cast("double")).alias("ok_rate"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "doclen_percentiles_by_source",
+    rf"""
+    WITH {_DOCS_CTE},
+    lens AS (
+      SELECT d.source,
+             CAST(CASE WHEN length(t.clean) = 0 THEN 0
+                  ELSE len(t.toks) END AS BIGINT) AS n_tokens
+      FROM toks t JOIN documents d ON d.doc_id = t.doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_disc(n_tokens, 0.5) AS p50_tokens,
+           quantile_disc(n_tokens, 0.9) AS p90_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM lens GROUP BY source
+    """,
+)
+def doclen_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source (exact discrete p50/p90 —
+    percentile_disc picks real data values, engine-agreement by
+    construction) — the input to chunking/packing budget decisions.
+
+    Scale: length is a per-row expression; exact grouped percentiles
+    sort within source partitions only.  At 100 TB the report would move
+    to t-digest sketches; the oracle needs the exact form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source", textstats.token_count("text").cast("long").alias("n_tokens")
+    )
+    return lens.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        # percentile_disc picks an actual data value but returns DOUBLE in
+        # Spark; the value is an exact integer, so the long cast is lossless
+        # (DuckDB's quantile_disc keeps BIGINT)
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("long")
+        .alias("p50_tokens"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("long")
+        .alias("p90_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+# splice the quality CTE body into corpus_quality_by_source's oracle
+# (same pattern as extension_queries' corpus_clean_final)
+from .driver_queries import REGISTRY as _REG  # noqa: E402
+from .extension_queries import _QUALITY_SQL as _QSQL  # noqa: E402
+
+_REG["corpus_quality_by_source"] = (
+    _REG["corpus_quality_by_source"][0],
+    _REG["corpus_quality_by_source"][1].replace("{quality}", _QSQL),
+)

@@ -172,3 +172,29 @@ def test_bpe_merge_step_pairs_are_char_bigrams(spark):
     ns = [r["n"] for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert all(len(r["pair"]) == 2 for r in rows)
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    rows = sorted(
+        A.ngram_novelty(spark, SF_SMOKE).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows
+    first = rows[0]
+    assert first["n_novel"] == first["n_shingles"]  # nothing precedes it
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+
+
+def test_corpus_quality_by_source_rates(spark):
+    rows = A.corpus_quality_by_source(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_quality_ok"] <= r["n_docs"]
+        assert 0.0 <= r["ok_rate"] <= 1.0
+
+
+def test_doclen_percentiles_ordered(spark):
+    rows = A.doclen_percentiles_by_source(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_tokens"] <= r["p90_tokens"] <= r["max_tokens"]
