@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import dedup, textstats
-from ..operators.dedup import _tokens, word_grams
+from ..operators.dedup import _tokens
 from ..sources.tables import fan_out, load_table
 from .driver_queries import register
 from .extension_queries import _DOCS_CTE, JACCARD_T, _lang_sql
@@ -1196,3 +1196,140 @@ _REG["corpus_quality_by_source"] = (
     _REG["corpus_quality_by_source"][0],
     _REG["corpus_quality_by_source"][1].replace("{quality}", _QSQL),
 )
+
+
+# --- vector compression audit ------------------------------------------------
+
+
+@register(
+    "sq8_encode_audit",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    per_dim AS (
+      SELECT i AS dim, min(vec[i]) AS minv, max(vec[i]) AS maxv
+      FROM corpus, unnest(range(1, 65)) AS t(i)
+      GROUP BY i
+    ),
+    stats AS (
+      SELECT list(minv ORDER BY dim) AS minarr,
+             list(maxv ORDER BY dim) AS maxarr
+      FROM per_dim
+    ),
+    coded AS (
+      SELECT c.vec_id, c.vec, s.minarr, s.maxarr,
+             list_transform(range(1, 65), i ->
+               CASE WHEN maxarr[i] - minarr[i] > 0
+                    THEN GREATEST(0.0, LEAST(255.0,
+                      floor((vec[i] - minarr[i])
+                            / (maxarr[i] - minarr[i]) * 255 + 0.5)))
+                    ELSE 0.0 END) AS codes
+      FROM corpus c CROSS JOIN stats s
+    )
+    SELECT vec_id,
+           CAST(64 AS INT) AS n_dims,
+           CAST(list_reduce(codes, (acc, x) -> acc + x) AS BIGINT)
+             AS code_sum,
+           CAST(floor(list_reduce(
+             list_transform(range(1, 65), i ->
+               (vec[i] - (minarr[i]
+                          + codes[i] * (maxarr[i] - minarr[i]) / 255.0))
+               * (vec[i] - (minarr[i]
+                            + codes[i] * (maxarr[i] - minarr[i]) / 255.0))),
+             (acc, x) -> acc + x) * 1000000000 + 0.5) AS BIGINT)
+             AS recon_err_q9
+    FROM coded
+    """,
+)
+def sq8_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) vector quantization audit: per-dimension min/max
+    trained over the corpus, every embedding encoded to 64 uint8 codes,
+    and the per-vector reconstruction error reported — the SQ companion
+    to PQ (`pq_encode_codes`), closing the standard ANN compression
+    stack (brute / LSH / IVF / PQ / SQ).
+
+    Determinism: codes are exact small integers from one mirrored IEEE
+    expression; the error sum is a LEFT FOLD in array order
+    (``F.aggregate`` ≡ ``list_reduce``) so no shuffle order touches a
+    float, quantized to a 1e-9 grid only at the very end.
+
+    Scale: the trained quantizer is a 64-row aggregate (collected into
+    ONE broadcast row — a model artifact, like IVF centroids); encoding
+    is map-only over the corpus.  Constant dimensions quantize to code 0
+    with zero error by the scale>0 guard.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vec"
+        ),
+    )
+    per_dim = (
+        corpus.select(F.posexplode("vec").alias("dim0", "x"))
+        .groupBy("dim0")
+        .agg(F.min("x").alias("minv"), F.max("x").alias("maxv"))
+    )
+    stats = per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "minv"))),
+            lambda s: s["minv"],
+        ).alias("minarr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "maxv"))),
+            lambda s: s["maxv"],
+        ).alias("maxarr"),
+    )
+
+    j = corpus.crossJoin(F.broadcast(stats))
+
+    def at(arr, i):
+        return F.element_at(F.col(arr), i)
+
+    def code_at(i):
+        scale = at("maxarr", i) - at("minarr", i)
+        raw = F.floor(
+            (at("vec", i) - at("minarr", i)) / scale * 255 + 0.5
+        ).cast("double")
+        return F.when(
+            scale > 0,
+            F.greatest(F.lit(0.0), F.least(F.lit(255.0), raw)),
+        ).otherwise(F.lit(0.0))
+
+    coded = j.select(
+        "vec_id",
+        "vec",
+        "minarr",
+        "maxarr",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)), lambda i: code_at(i)
+        ).alias("codes"),
+    )
+
+    def err_at(i):
+        scale = at("maxarr", i) - at("minarr", i)
+        recon = at("minarr", i) + at("codes", i) * scale / F.lit(255.0)
+        d = at("vec", i) - recon
+        return d * d
+
+    return coded.select(
+        "vec_id",
+        F.lit(64).cast("int").alias("n_dims"),
+        F.aggregate(
+            F.col("codes"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("code_sum"),
+        F.floor(
+            F.aggregate(
+                F.transform(F.sequence(F.lit(1), F.lit(64)), err_at),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1000000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("recon_err_q9"),
+    )

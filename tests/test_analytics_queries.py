@@ -198,3 +198,14 @@ def test_doclen_percentiles_ordered(spark):
     assert rows
     for r in rows:
         assert r["p50_tokens"] <= r["p90_tokens"] <= r["max_tokens"]
+
+
+def test_sq8_codes_bounded_and_errors_small(spark):
+    rows = A.sq8_encode_audit(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_dims"] == 64
+        assert 0 <= r["code_sum"] <= 255 * 64
+        # max per-dim error is (scale/255/2)^2; scales are O(1) for the
+        # synthetic unit-ish embeddings, so total error stays tiny
+        assert 0 <= r["recon_err_q9"] < 10_000_000  # < 0.01 total sq err
