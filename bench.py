@@ -71,6 +71,8 @@ EXTENSIONS = (
     "token_entropy",
     "editdist_neardup",
     "dup_token_inflation",
+    "ngram_novelty",
+    "sq8_encode_audit",
 )
 
 
