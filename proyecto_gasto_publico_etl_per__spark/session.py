@@ -36,6 +36,15 @@ DEFAULT_CONF: dict[str, str] = {
     # small-file end.
     "spark.sql.files.openCostInBytes": str(512 * 1024),
     "spark.sql.shuffle.partitions": "32",
+    # local[N] runs the driver AND all N executor threads in ONE JVM whose
+    # heap defaults to 1g — 32 threads sharing 1g explains GC-locker
+    # stalls and an OOM observed on a 10×-sf0.1 corpus (round 5).  8g is
+    # still conservative on the 128 GiB dev box; a cluster deploy sets
+    # its own driver/executor memory via spark-submit and this only
+    # applies when the session is built by this factory (i.e. local).
+    # NOTE: driver memory is JVM-launch-time config — it has no effect if
+    # a JVM already exists in the process (getOrCreate reuse).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
