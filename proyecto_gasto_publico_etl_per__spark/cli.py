@@ -86,6 +86,17 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("agg_path")
     r.add_argument("years", nargs="*", type=int)
 
+    cb = sub.add_parser(
+        "corpus-build",
+        help="end-to-end training-corpus build: profile -> clean (quality/"
+             "lang/dedup) -> leakage-free splits -> packed sequences",
+    )
+    cb.add_argument("sf_dir")
+    cb.add_argument("out_dir")
+    cb.add_argument("--lang", default="en")
+    cb.add_argument("--val-fraction", type=float, default=0.01)
+    cb.add_argument("--test-fraction", type=float, default=0.01)
+
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
     q.add_argument(
@@ -148,6 +159,16 @@ def main(argv: list[str] | None = None) -> None:
             print(f"validated {row.n_rows} rows: all checks pass")
         fact = mef_pipeline.load_frame(spark, normalized, args.warehouse)
         print(f"fact rows: {fact.count()} → {args.warehouse}")
+    elif args.cmd == "corpus-build":
+        from .plans.corpus_pipeline import build_corpus
+
+        report = build_corpus(
+            spark, args.sf_dir, args.out_dir, lang=args.lang,
+            val_fraction=args.val_fraction,
+            test_fraction=args.test_fraction,
+        )
+        for k, v in report.items():
+            print(f"{k}: {v}")
     elif args.cmd == "sql":
         mef_pipeline.register_views(spark, args.warehouse)
         spark.sql(args.statement).show(args.rows, truncate=False)

@@ -1,0 +1,69 @@
+"""End-to-end corpus build lifecycle (plans/corpus_pipeline.py)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.plans.corpus_pipeline import (
+    build_corpus,
+)
+from proyecto_gasto_publico_etl_per__spark.plans import driver_queries
+
+from conftest import SF_SMOKE
+
+
+def test_build_corpus_stages_consistent(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    report = build_corpus(spark, SF_SMOKE, out)
+
+    # clean stage reproduces the declared corpus_clean_final exactly
+    declared = driver_queries.all_queries()["corpus_clean_final"]
+    want = {r["doc_id"] for r in declared(spark, SF_SMOKE).collect()}
+    got = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/clean").collect()
+    }
+    assert got == want
+    assert report["n_docs_clean"] == len(want)
+
+    # splits: partition dirs exist, proportions accounted
+    splits = spark.read.parquet(f"{out}/splits")
+    assert (
+        report["n_train"] + report["n_val"] + report["n_test"]
+        == report["n_docs_clean"]
+    )
+    assert (Path(out) / "splits" / "split=train").exists()
+
+    # leakage check: every near-dup cluster lives in ONE split
+    from proyecto_gasto_publico_etl_per__spark.operators import dedup
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        JACCARD_T,
+        NGRAM_MAX_DF,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    clusters = dedup.cluster_duplicates(
+        dedup.ngram_jaccard_pairs(
+            load_table(spark, SF_SMOKE, "documents"),
+            threshold=JACCARD_T,
+            max_df=NGRAM_MAX_DF,
+        )
+    )
+    joined = splits.join(clusters, "doc_id")
+    multi = (
+        joined.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+    )
+    assert multi.count() == 0
+
+    # packed: every chunk rides a sequence; token totals line up
+    packed = spark.read.parquet(f"{out}/packed")
+    assert packed.where(F.col("seq_id").isNull()).count() == 0
+    assert report["n_chunks"] == packed.count()
+    assert report["train_tokens"] > 0
+
+    # report zone round-trips
+    rep = spark.read.parquet(f"{out}/report").collect()[0]
+    assert rep["n_docs_in"] == report["n_docs_in"]
