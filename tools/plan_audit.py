@@ -46,6 +46,8 @@ CARTESIAN_OK = {
     #                        1-row referential-rule aggregates
     "pmi_bigram_lift",  # 1-row corpus-total (n_uni, n_bi) scalar
     #                     broadcasts onto the vocab-bounded bigram table
+    "sq8_encode_audit",  # 1-row per-dim min/max codebook broadcast (the
+    #                      SQ model artifact, like IVF centroids)
 }
 
 
