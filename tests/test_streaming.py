@@ -221,3 +221,37 @@ def test_join_streams_matches_batch_range_join(spark, tmp_path):
     want = {(r.click_id, r.r_purchase_id) for r in batch.collect()}
     assert got == want
     assert want  # fixture actually exercises the correlation
+
+
+def test_join_streams_left_outer_keeps_unmatched(spark):
+    """leftOuter semantics pinned in batch mode (streaming outer only
+    emits after watermark expiry — same code path, same predicate)."""
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        join_streams,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    inner = join_streams(clicks, purchases, "user_id", how="inner")
+    outer = join_streams(clicks, purchases, "user_id", how="leftOuter")
+    n_clicks = clicks.count()
+    matched_clicks = inner.select("click_id").distinct().count()
+    outer_rows = outer.count()
+    # every unmatched click appears exactly once with a NULL right side
+    assert (
+        outer_rows == inner.count() + (n_clicks - matched_clicks)
+    )
+    assert (
+        outer.where(F.col("r_purchase_id").isNull()).count()
+        == n_clicks - matched_clicks
+    )
