@@ -1333,3 +1333,95 @@ def sq8_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recon_err_q9"),
     )
+
+
+# --- time-series anomaly detection -------------------------------------------
+
+
+@register(
+    "daily_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      -- x*x sums overflow BIGINT past ~sf0.1: accumulate in HUGEINT
+      -- (mirrors Spark's DECIMAL(38,0) — both are exact integers, and
+      -- both convert to the same nearest-double at the final division)
+      SELECT event_type, count(*) AS n, sum(x) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM daily GROUP BY event_type
+    ),
+    z AS (
+      SELECT d.event_type, d.day, d.x,
+             CAST(s.n * d.x - s.sx AS HUGEINT) AS num,
+             CAST(s.n AS HUGEINT) * s.sxx
+               - CAST(s.sx AS HUGEINT) * s.sx AS den
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+    )
+    SELECT event_type, day, x AS value_mic,
+           CAST(num * num AS DOUBLE) / CAST(den AS DOUBLE) AS zsq
+    FROM z
+    WHERE den > 0
+      AND CAST(num * num AS DOUBLE) / CAST(den AS DOUBLE) >= 4.0
+    """,
+)
+def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly days: per event type, daily value totals whose
+    squared z-score ≥ 4 (|z| ≥ 2 σ) against that type's own daily
+    distribution — the ops-monitoring staple (spend spikes, traffic
+    drops).
+
+    Exactness design: daily totals are exact 1e-4-grid micros (BIGINT);
+    z² is derived WITHOUT a sqrt or any float accumulation —
+    ``z² = (n·x − Σx)² / (n·Σx² − (Σx)²)`` is a ratio of exact integers
+    with ONE final double division, so the ≥ 4 threshold can never flip
+    between engines.  Degenerate series (zero variance) are excluded by
+    the guard, not divided by zero.
+
+    Scale: two grouped aggregates (day-level then type-level stats) and
+    a broadcast join of the tiny per-type stats back onto daily rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp_ntz")).alias("day"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("v_mic"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_mic").cast("long").alias("x"))
+    )
+    # x*x sums overflow BIGINT past ~sf0.1 (measured: n*max_x^2 = 2e19
+    # at sf0.1) and Spark ANSI would raise — accumulate in DECIMAL(38,0)
+    # (DuckDB mirrors with HUGEINT; both exact, both reach the same
+    # nearest-double at the one final division)
+    dec = "decimal(38,0)"
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    num = (F.col("n") * F.col("x") - F.col("sx")).cast(dec)
+    den = (
+        F.col("n").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx")
+    )
+    zsq = (num * num).cast("double") / den.cast("double")
+    return (
+        j.where(den > 0)
+        .withColumn("zsq", zsq)
+        .where(F.col("zsq") >= 4.0)
+        .select(
+            "event_type",
+            "day",
+            F.col("x").alias("value_mic"),
+            "zsq",
+        )
+    )

@@ -209,3 +209,9 @@ def test_sq8_codes_bounded_and_errors_small(spark):
         # max per-dim error is (scale/255/2)^2; scales are O(1) for the
         # synthetic unit-ish embeddings, so total error stays tiny
         assert 0 <= r["recon_err_q9"] < 10_000_000  # < 0.01 total sq err
+
+
+def test_daily_anomalies_exceed_two_sigma(spark):
+    rows = A.daily_anomalies(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["zsq"] >= 4.0
