@@ -1425,3 +1425,254 @@ def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zsq",
         )
     )
+
+
+# --- classic warehouse analytics --------------------------------------------
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', max(o_orderdate),
+                            (SELECT maxd FROM mx)) AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_mic
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary_mic,
+           CAST(ntile(5) OVER (ORDER BY recency_days, custkey) AS INT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_mic DESC, custkey) AS INT)
+             AS m_score
+    FROM per_cust
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order vs the
+    corpus horizon), frequency (order count), monetary (exact micro
+    total), each scored into quintiles — the classic warehouse
+    segmentation the reference's analysts would run over ejecutoras.
+
+    Determinism: all three metrics are exact integers; every ntile
+    ORDER BY carries the custkey tiebreak so quintile boundaries are a
+    total order.  Scale note: global ntile is a single-partition sort of
+    CUSTOMER-cardinality rows (not facts) — at 100 TB the scores switch
+    to percentile_disc cutpoints computed once and joined broadcast;
+    this exact form is what the oracle can mirror.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("monetary_mic"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("maxd"), F.col("lastd")).cast("long"),
+        )
+    )
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy(F.desc("frequency"), "custkey")
+    wm = Window.orderBy(F.desc("monetary_mic"), "custkey")
+    return per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_mic",
+        F.ntile(5).over(wr).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )
+
+
+@register(
+    "basket_brand_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_baskets AS (SELECT count(DISTINCT basket) AS nb FROM items),
+    brand_count AS (
+      SELECT brand, count(*) AS n FROM items GROUP BY brand
+    ),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           (CAST(p.n_ab AS DOUBLE) * CAST(t.nb AS DOUBLE))
+             / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN brand_count ca ON ca.brand = p.brand_a
+    JOIN brand_count cb ON cb.brand = p.brand_b
+    CROSS JOIN n_baskets t
+    WHERE p.n_ab >= 5
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence at brand granularity: for brand pairs
+    sharing an order, support counts and lift
+    ``p(ab) / (p(a)·p(b))`` — the association-rule primitive.
+
+    Scale: the basket self-join shuffles once on the basket key and each
+    basket contributes O(brands-in-basket²) pairs — bounded because
+    baskets are small (TPC-H ≤ 7 items) and the BRAND alphabet caps the
+    aggregate at |brands|² rows.  Brand counts and the basket total ride
+    broadcast joins; lift is a mirrored IEEE multiply/divide chain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    nb = items.agg(F.count_distinct("basket").alias("nb"))
+    brand_count = items.groupBy("brand").agg(F.count("*").alias("n"))
+    a = items.select("basket", F.col("brand").alias("brand_a"))
+    b = items.select("basket", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                brand_count.select(
+                    F.col("brand").alias("brand_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                brand_count.select(
+                    F.col("brand").alias("brand_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                (F.col("n_ab").cast("double") * F.col("nb").cast("double"))
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "hhi_concentration",
+    """
+    WITH per_supp AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    agg AS (
+      SELECT nationkey,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             sum(CAST(v AS HUGEINT)) AS total_v,
+             sum(CAST(v AS HUGEINT) * v) AS sum_v2
+      FROM per_supp GROUP BY nationkey
+    )
+    SELECT nationkey, n_suppliers,
+           CAST(total_v AS BIGINT) AS total_mic,
+           CAST(sum_v2 AS DOUBLE)
+             / (CAST(total_v AS DOUBLE) * CAST(total_v AS DOUBLE)) AS hhi
+    FROM agg
+    WHERE total_v > 0
+    """,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation: Herfindahl–Hirschman index
+    ``Σ share_i²`` computed as the exact-integer ratio
+    ``Σv² / (Σv)²`` — one mirrored double division at the end, never a
+    per-supplier float share.  HHI → 1 means one supplier owns the
+    nation's volume (the procurement-concentration audit the MEF data
+    exists to answer).
+
+    Scale: supplier-grain totals (one shuffle), then a nation-grain
+    aggregate over supplier-cardinality rows.  v² accumulates in
+    DECIMAL(38,0)/HUGEINT (v is micros ~1e11 at sf0.1 → v² ~1e22
+    overflows BIGINT; same remedy as daily_anomalies).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    dec = "decimal(38,0)"
+    per_supp = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == s["s_suppkey"],
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"), F.col("l_suppkey")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    agg = per_supp.groupBy("nationkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum(F.col("v").cast(dec)).alias("total_v"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).alias("sum_v2"),
+    )
+    return agg.where(F.col("total_v") > 0).select(
+        "nationkey",
+        "n_suppliers",
+        F.col("total_v").cast("long").alias("total_mic"),
+        (
+            F.col("sum_v2").cast("double")
+            / (
+                F.col("total_v").cast("double")
+                * F.col("total_v").cast("double")
+            )
+        ).alias("hhi"),
+    )

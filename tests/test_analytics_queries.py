@@ -215,3 +215,29 @@ def test_daily_anomalies_exceed_two_sigma(spark):
     rows = A.daily_anomalies(spark, SF_SMOKE).collect()
     for r in rows:
         assert r["zsq"] >= 4.0
+
+
+def test_rfm_scores_quintiles(spark):
+    rows = A.rfm_segments(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["recency_days"] >= 0
+
+
+def test_basket_pairs_lift_symmetric_support(spark):
+    rows = A.basket_brand_pairs(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["brand_a"] < r["brand_b"]
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"])
+        assert r["lift"] > 0
+
+
+def test_hhi_bounds(spark):
+    rows = A.hhi_concentration(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # 1/n <= HHI <= 1 for n suppliers
+        assert 1.0 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
