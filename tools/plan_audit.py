@@ -48,6 +48,9 @@ CARTESIAN_OK = {
     #                     broadcasts onto the vocab-bounded bigram table
     "sq8_encode_audit",  # 1-row per-dim min/max codebook broadcast (the
     #                      SQ model artifact, like IVF centroids)
+    "rfm_segments",  # 1-row corpus-horizon (max orderdate) scalar broadcast
+    "basket_brand_pairs",  # 1-row basket-total scalar broadcast onto the
+    #                        |brands|²-bounded pair table
 }
 
 
