@@ -348,7 +348,17 @@ def corpus_clean_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-scans-plus-self-join shape doubled the corpus read for nothing
     # (the oracle's q JOIN l is 1:1 on doc_id, so the result is identical)
     profiled = textstats.lang_id(textstats.quality_stats(docs))
-    selected = profiled.where(
+    # BARRIER before filtering on the profile flags: a deterministic
+    # filter pushes below fan_out's exchange and inlines the whole
+    # quality+lang expression chain into a scan-partition filter — the
+    # chain then exceeds the janino method limit (interpreted, re-
+    # evaluated) and runs on the file's 1-2 scan partitions.  Measured
+    # 4.6s -> 0.8s at sf0.1.  The checkpoint materializes only the slim
+    # 4-column profile, not the text.
+    slim = profiled.select(
+        "doc_id", "lang_pred", "n_tokens", "quality_ok"
+    ).localCheckpoint(eager=True)
+    selected = slim.where(
         F.col("quality_ok")
         & (F.col("lang_pred") == "en")
         & F.col("n_tokens").between(5, 500)
@@ -1115,7 +1125,11 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single scan: both profilers are pure column chains (see
     # corpus_clean_final); the oracle's 1:1 doc_id join is unchanged
     profiled = textstats.lang_id(textstats.quality_stats(docs))
-    return profiled.where(
+    # same filter barrier as corpus_clean_final (see the comment there)
+    slim = profiled.select(
+        "doc_id", "lang_pred", "n_tokens", "stopword_ratio", "quality_ok"
+    ).localCheckpoint(eager=True)
+    return slim.where(
         F.col("quality_ok")
         & (F.col("lang_pred") == "en")
         & F.col("n_tokens").between(5, 500)
