@@ -34,7 +34,10 @@ PATTERNS = {
     "n_shuffle": re.compile(r"Exchange (?:hash|range|rangepartitioning|RoundRobin)", re.I),
     "n_broadcast": re.compile(r"BroadcastExchange"),
     "n_scan": re.compile(r"FileScan|Scan parquet"),
-    "n_sort": re.compile(r"^\s*\*?\(?\d*\)?\s*Sort ", re.M),
+    # tree lines are prefixed "+-"/":-"/"*(n)"; match the node name
+    # anywhere after such a prefix ("Sort [" is the operator's print
+    # form; TakeOrderedAndProject deliberately does NOT match)
+    "n_sort": re.compile(r"(?:\+-|:-|^)\s*\*?\(?\d*\)?\s*Sort \[", re.M),
 }
 
 
