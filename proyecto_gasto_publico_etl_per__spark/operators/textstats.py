@@ -112,7 +112,15 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring signals: char/token counts, mean token length,
-    punctuation & stopword & uppercase ratios, and a composite flag."""
+    punctuation & stopword & uppercase ratios, and a composite flag.
+
+    CONSUMER HAZARD: filtering directly on these output columns lets the
+    optimizer push the predicate below ``fan_out``'s exchange, inlining
+    this whole chain into a scan-partition filter — past the janino
+    method limit it runs interpreted on the file's 1-2 scan partitions
+    (12× measured).  Project the flag columns and ``localCheckpoint``
+    BEFORE any ``where`` on them (see corpus_clean_final).
+    """
     from ..sources.tables import fan_out
 
     df = fan_out(df)
