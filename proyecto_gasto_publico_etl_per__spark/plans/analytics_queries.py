@@ -1676,3 +1676,133 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hhi"),
     )
+
+
+# --- ML hygiene + scaling curves --------------------------------------------
+
+_CURVE_BUCKET = (
+    "CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 10000"
+)
+
+
+@register(
+    "kfold_assign",
+    f"""
+    SELECT doc_id, lang, source,
+           CAST(({_CURVE_BUCKET.format(salt='fold')}) % 5 AS INT) AS fold
+    FROM documents
+    """,
+)
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) by key hash — the same
+    deterministic-bucket mechanics as `dataset_split`, generalized:
+    stable across runs, partitionings, engines, and corpus appends, so a
+    fold never silently reshuffles between experiments.
+
+    Scale: one map-only expression; no shuffle at all.
+    """
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (hash_bucket("doc_id", "fold") % 5).cast("int").alias("fold"),
+    )
+
+
+@register(
+    "subsample_curve",
+    f"""
+    WITH {_DOCS_CTE},
+    dec AS (
+      SELECT doc,
+             CAST(({_CURVE_BUCKET.format(salt='curve')}) // 1000 AS INT)
+               AS decile,
+             CASE WHEN length(clean) = 0 THEN 0 ELSE len(toks) END
+               AS n_tokens,
+             toks
+      FROM toks t JOIN documents d ON d.doc_id = t.doc
+    ),
+    doc_stats AS (
+      SELECT decile, count(*) AS n_docs, sum(n_tokens) AS n_toks
+      FROM dec GROUP BY decile
+    ),
+    tok_first AS (
+      SELECT tok, min(decile) AS first_decile
+      FROM (SELECT decile, unnest(toks) AS tok FROM dec)
+      GROUP BY tok
+    ),
+    vocab_new AS (
+      SELECT first_decile AS decile, count(*) AS new_vocab
+      FROM tok_first GROUP BY first_decile
+    ),
+    spine AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS decile)
+    SELECT s.decile,
+           CAST(sum(coalesce(d.n_docs, 0))
+                OVER (ORDER BY s.decile) AS BIGINT) AS n_docs_cum,
+           CAST(sum(coalesce(d.n_toks, 0))
+                OVER (ORDER BY s.decile) AS BIGINT) AS n_tokens_cum,
+           CAST(sum(coalesce(v.new_vocab, 0))
+                OVER (ORDER BY s.decile) AS BIGINT) AS vocab_cum
+    FROM spine s
+    LEFT JOIN doc_stats d ON d.decile = s.decile
+    LEFT JOIN vocab_new v ON v.decile = s.decile
+    """,
+)
+def subsample_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus subsampling curve: cumulative docs / tokens / distinct
+    vocabulary at 10%, 20%, …, 100% deterministic hash-samples — the
+    Heaps-law curve a scaling-law experiment reads before deciding how
+    much corpus to train on (each decile's docs are a SUPERSET sample of
+    the previous, by bucket construction).
+
+    Determinism: the decile is a stable md5 bucket; the cumulative vocab
+    uses each token's FIRST decile (min aggregate) so the union-distinct
+    never recomputes per fraction.  Scale: one doc-level pass + one
+    explode+min per token, then 10-row window arithmetic — the curve is
+    corpus-size-independent past the two counting aggregates.
+    """
+    from ..operators.sampling import hash_bucket
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dec = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.floor(hash_bucket("doc_id", "curve") / 1000).cast("int").alias(
+            "decile"
+        ),
+        _tokens("text").alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    doc_stats = dec.groupBy("decile").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_toks")
+    )
+    tok_first = (
+        dec.select("decile", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    spine = spark.range(10).select(F.col("id").cast("int").alias("decile"))
+    w = Window.orderBy("decile")
+    return (
+        spine.join(F.broadcast(doc_stats), "decile", "left")
+        .join(F.broadcast(tok_first), "decile", "left")
+        .select(
+            "decile",
+            F.sum(F.coalesce("n_docs", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("n_docs_cum"),
+            F.sum(F.coalesce("n_toks", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("n_tokens_cum"),
+            F.sum(F.coalesce("new_vocab", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_cum"),
+        )
+    )

@@ -241,3 +241,31 @@ def test_hhi_bounds(spark):
     for r in rows:
         # 1/n <= HHI <= 1 for n suppliers
         assert 1.0 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
+
+
+def test_kfold_balanced_and_stable(spark):
+    rows = A.kfold_assign(spark, SF_SMOKE).collect()
+    folds = {}
+    for r in rows:
+        assert 0 <= r["fold"] <= 4
+        folds[r["fold"]] = folds.get(r["fold"], 0) + 1
+    assert len(folds) == 5  # every fold populated at 500 docs
+    # rough balance: no fold more than 2x the smallest
+    assert max(folds.values()) <= 2 * min(folds.values())
+    again = {r["doc_id"]: r["fold"] for r in A.kfold_assign(spark, SF_SMOKE).collect()}
+    assert all(again[r["doc_id"]] == r["fold"] for r in rows)  # stable
+
+
+def test_subsample_curve_monotone(spark):
+    rows = sorted(
+        A.subsample_curve(spark, SF_SMOKE).collect(), key=lambda r: r["decile"]
+    )
+    assert len(rows) == 10
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_docs_cum"] >= prev["n_docs_cum"]
+        assert cur["n_tokens_cum"] >= prev["n_tokens_cum"]
+        assert cur["vocab_cum"] >= prev["vocab_cum"]
+    # full-corpus sanity: decile 9 covers everything
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    assert rows[-1]["n_docs_cum"] == load_table(spark, SF_SMOKE, "documents").count()
