@@ -1806,3 +1806,78 @@ def subsample_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_cum"),
         )
     )
+
+
+@register(
+    "events_user_lifetime",
+    """
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('day', CAST(min(ts) AS DATE),
+                          CAST(max(ts) AS DATE)) AS BIGINT) AS lifetime_days
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile: first/last seen, distinct active days,
+    event count, span — the user-level activity table funnels and
+    retention cohorts read from.
+
+    Scale: one user-keyed aggregate; the distinct-day count rides the
+    same shuffle (partial distinct per user key).  Timestamps stringify
+    for the cross-engine hash (both engines print naive timestamps
+    identically).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ntz = F.col("ts").cast("timestamp_ntz")
+    return ev.groupBy("user_id").agg(
+        F.date_format(F.min(ntz), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max(ntz), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.count_distinct(F.to_date(ntz)).cast("long").alias("active_days"),
+        F.count("*").cast("long").alias("n_events"),
+        F.datediff(F.to_date(F.max(ntz)), F.to_date(F.min(ntz)))
+        .cast("long")
+        .alias("lifetime_days"),
+    )
+
+
+@register(
+    "basket_size_histogram",
+    """
+    WITH sizes AS (
+      SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_lines AS INT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM sizes) AS DOUBLE) AS frac
+    FROM sizes GROUP BY n_lines
+    """,
+)
+def basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution: how many orders carry k line items, with
+    exact share — the cardinality profile that sizes the basket
+    self-join (`basket_brand_pairs` is O(Σ k²) in these buckets).
+
+    Scale: two hash aggregates (order-keyed then size-keyed); the total
+    rides a 1-row broadcast scalar.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    total = sizes.agg(F.count("*").alias("total"))
+    return (
+        sizes.groupBy("n_lines")
+        .agg(F.count("*").alias("n_orders"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            (
+                F.col("n_orders").cast("double")
+                / F.col("total").cast("double")
+            ).alias("frac"),
+        )
+    )

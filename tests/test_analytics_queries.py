@@ -269,3 +269,20 @@ def test_subsample_curve_monotone(spark):
     from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
 
     assert rows[-1]["n_docs_cum"] == load_table(spark, SF_SMOKE, "documents").count()
+
+
+def test_user_lifetime_invariants(spark):
+    rows = A.events_user_lifetime(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["first_seen"] <= r["last_seen"]
+        assert 1 <= r["active_days"] <= r["lifetime_days"] + 1
+        assert r["n_events"] >= r["active_days"]
+
+
+def test_basket_histogram_sums_to_one(spark):
+    import pytest as _pt
+
+    rows = A.basket_size_histogram(spark, SF_SMOKE).collect()
+    assert sum(r["frac"] for r in rows) == _pt.approx(1.0)
+    assert sum(r["n_orders"] for r in rows) > 0

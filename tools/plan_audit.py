@@ -51,6 +51,8 @@ CARTESIAN_OK = {
     "rfm_segments",  # 1-row corpus-horizon (max orderdate) scalar broadcast
     "basket_brand_pairs",  # 1-row basket-total scalar broadcast onto the
     #                        |brands|²-bounded pair table
+    "basket_size_histogram",  # 1-row order-total scalar broadcast onto
+    #                           the |sizes|-bounded histogram
 }
 
 
