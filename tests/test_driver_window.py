@@ -1,0 +1,39 @@
+"""Driver-contract window invariants: the driver hashes only the FIRST
+50 registered queries per round, and the registry self-rotates
+never-checked names to the front.  These guards keep future query
+additions from silently overflowing that verification budget."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from proyecto_gasto_publico_etl_per__spark.plans import driver_queries as DQ
+
+
+def test_every_query_has_an_oracle():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    missing = [n for n in qs if n not in os_]
+    assert missing == [], f"queries without oracles (weaker check): {missing}"
+
+
+def test_unchecked_queries_fit_the_window():
+    """Adding queries is fine only while every never-driver-checked name
+    still lands inside the 50-slot window — otherwise a declared query
+    can NEVER earn a driver correctness row."""
+    names = list(entry.queries())
+    green = DQ._driver_green_names()
+    unchecked = [n for n in names if n not in green]
+    assert len(unchecked) <= 50, (
+        f"{len(unchecked)} never-checked queries exceed the 50-slot "
+        "driver window; wait for a round's artifacts before adding more"
+    )
+    # and the rotation actually front-loads them
+    assert set(unchecked) <= set(names[:50])
+
+
+def test_column_names_match_between_engines():
+    """The driver's comparator sorts columns by NAME before hashing —
+    a Spark/oracle alias mismatch fails even with identical values.
+    Static smoke: oracle SQL must mention every output alias it needs
+    (full verification is tools/check_correctness.py)."""
+    os_ = entry.oracle_sql()
+    assert all(isinstance(v, str) and v.strip() for v in os_.values())
