@@ -1980,39 +1980,43 @@ DRIVER_PRIORITY: list[str] = [
 ]
 
 
-def _driver_green_names() -> set[str]:
-    """Names whose MOST RECENT row across the committed
-    ``CORRECTNESS_r*.json`` artifacts (driver output, repo root) is
-    green: every recorded check passed and no error.  Latest round wins —
-    a query green in round 2 that errored in round 3 (e.g. the
-    sessionize NTZ regression) must RE-ENTER the window until the driver
-    re-confirms it; only the newest signal reflects the current driver
-    environment."""
+def _latest_check_rows() -> dict[str, tuple[int, dict]]:
+    """Per query name, the MOST RECENT driver row across the committed
+    ``CORRECTNESS_r*.json`` artifacts (repo root), tagged with the round
+    number it came from.  Latest round wins — a query green in round 2
+    that errored in round 3 (e.g. the sessionize NTZ regression) must
+    RE-ENTER the window until the driver re-confirms it; only the newest
+    signal reflects the current driver environment."""
     import json
+    import re
     from pathlib import Path
 
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     root = Path(__file__).resolve().parents[2]
     for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", artifact.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(artifact.read_text())
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
             if isinstance(row, dict):
-                latest[name] = row
-    green: set[str] = set()
-    for name, row in latest.items():
-        if row.get("err") is not None:
-            continue
-        checks = [
-            row.get(k) for k in ("rows_match", "schema_match", "hash_match")
-        ]
-        if any(c is False for c in checks):
-            continue
-        if any(c is True for c in checks):
-            green.add(name)
-    return green
+                latest[name] = (rnd, row)
+    return latest
+
+
+def _is_green(row: dict) -> bool:
+    if row.get("err") is not None:
+        return False
+    checks = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
+    return not any(c is False for c in checks) and any(c is True for c in checks)
+
+
+def _driver_green_names() -> set[str]:
+    """Names whose most recent driver row is green (all recorded checks
+    passed, no error).  See :func:`_latest_check_rows` for latest-wins."""
+    return {n for n, (_, row) in _latest_check_rows().items() if _is_green(row)}
 
 
 def _ordered_names() -> list[str]:
@@ -2020,10 +2024,17 @@ def _ordered_names() -> list[str]:
 
     The driver hashes only the first 50 entries, so ordering IS the
     verification budget.  Base order = ``DRIVER_PRIORITY`` then
-    registration order; on top of that, names the driver has never
-    checked green (per the committed CORRECTNESS artifacts) sort FIRST —
-    the window self-rotates each round until every declared query has a
-    green driver row, without hand-editing the priority list.
+    registration order; on top of that:
+
+    1. Names the driver has never checked green sort FIRST — the window
+       self-rotates each round until every declared query has a green
+       driver row, without hand-editing the priority list.
+    2. Green names sort OLDEST-CHECK-FIRST (ascending artifact round,
+       ties broken by base order).  Once everything is ever-green the
+       window would otherwise fossilize on a fixed 50 forever while the
+       earliest-verified core (q1–q7, the serving views — last green r3)
+       drifted runtime versions without re-verification.  Staleness
+       rotation keeps every name re-greening every ~3 rounds.
     """
     _ensure_extensions()
     missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
@@ -2031,11 +2042,17 @@ def _ordered_names() -> list[str]:
         raise KeyError(f"DRIVER_PRIORITY names not registered: {missing}")
     prio = set(DRIVER_PRIORITY)
     base = [*DRIVER_PRIORITY, *(n for n in REGISTRY if n not in prio)]
-    green = _driver_green_names()
-    return [
-        *(n for n in base if n not in green),
-        *(n for n in base if n in green),
-    ]
+    latest = _latest_check_rows()
+    green_round = {
+        n: rnd for n, (rnd, row) in latest.items() if _is_green(row)
+    }
+    base_pos = {n: i for i, n in enumerate(base)}
+    never = [n for n in base if n not in green_round]
+    stale_first = sorted(
+        (n for n in base if n in green_round),
+        key=lambda n: (green_round[n], base_pos[n]),
+    )
+    return [*never, *stale_first]
 
 
 def all_queries() -> dict[str, QueryFn]:
