@@ -101,15 +101,18 @@ def main() -> None:
 
     registry = all_queries()
 
-    def time_set(names, rebuild: bool = False) -> dict[str, float]:
+    def time_set(
+        names, rebuild: bool = False
+    ) -> tuple[dict[str, float], dict[str, list[float]]]:
         timings: dict[str, float] = {}
+        spreads: dict[str, list[float]] = {}
         for name in names:
             fn = registry.get(name)
             if fn is None:
                 continue
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm (JIT + IO)
-            best = float("inf")
+            runs: list[float] = []
             for _ in range(2):  # steady-state: min of two measured runs
                 t0 = time.perf_counter()
                 # iterative operators (dedup_clusters) do their real work
@@ -118,12 +121,16 @@ def main() -> None:
                 # write
                 out = fn(spark, sf_dir) if rebuild else df
                 out.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
-        return timings
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 4)
+            # [best, worst] separates a real plan regression (both runs
+            # slow) from box contention (one spike) without a re-measure —
+            # the r5 sessionize question in one artifact field.
+            spreads[name] = [round(min(runs), 4), round(max(runs), 4)]
+        return timings, spreads
 
-    timings = time_set(HEADLINE)
-    ext_timings = time_set(EXTENSIONS, rebuild=True)
+    timings, spreads = time_set(HEADLINE)
+    ext_timings, ext_spreads = time_set(EXTENSIONS, rebuild=True)
 
     print(
         json.dumps(
@@ -132,7 +139,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_minmax": spreads,
                 "extension_queries": ext_timings,
+                "extension_queries_minmax": ext_spreads,
                 "extension_total_sec": round(sum(ext_timings.values()), 4),
                 "sf": sf,
                 "env": _env_versions(),

@@ -214,11 +214,25 @@ def join_streams(
     Works identically on batch frames (watermark is a no-op there), which
     is how the equivalence test pins semantics to a plain batch join.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            f"join_streams supports how='inner'|'leftOuter', got {how!r}: "
+            "other outer modes have untested watermark-eviction semantics "
+            "here and would otherwise surface only as a late runtime error"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
-    renames = {
-        c: f"r_{c}" for c in rw.columns if c != key
-    }
+    taken = set(lw.columns) | set(rw.columns)
+
+    def fresh(c: str) -> str:
+        # uniquify instead of colliding when some side already has r_<c>
+        cand = f"r_{c}"
+        while cand in taken:
+            cand = f"r_{cand}"
+        taken.add(cand)
+        return cand
+
+    renames = {c: fresh(c) for c in rw.columns if c != key}
     for old, new in renames.items():
         rw = rw.withColumnRenamed(old, new)
     r_ts = renames.get(right_ts, right_ts)

@@ -255,3 +255,44 @@ def test_join_streams_left_outer_keeps_unmatched(spark):
         outer.where(F.col("r_purchase_id").isNull()).count()
         == n_clicks - matched_clicks
     )
+
+
+def test_join_streams_rejects_unsupported_how(spark):
+    import pytest
+
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        join_streams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id INT, ts STRING"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="inner.*leftOuter"):
+        join_streams(df, df, "user_id", how="fullOuter")
+
+
+def test_join_streams_uniquifies_prefix_collision(spark):
+    """A left column already named r_<x> (or a right one) must not make
+    the renamed right side ambiguous — the prefix uniquifies instead."""
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        join_streams,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "L")],
+        "user_id INT, ts STRING, r_val STRING",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "r_val"
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "R")],
+        "user_id INT, ts STRING, val STRING",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "val"
+    )
+    out = join_streams(left, right, "user_id")
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    row = out.collect()[0]
+    # left's r_val kept; right's val uniquified past the collision
+    assert row.r_val == "L"
+    assert "r_ts" in out.columns and row.r_r_val == "R"

@@ -13,11 +13,17 @@ For each query, reports:
 - n_sort:      Sort nodes (global sorts outside TakeOrdered are the
                expensive kind)
 
-Two caveats stated so the numbers are read honestly:
+Three caveats stated so the numbers are read honestly:
 - iterative operators (connected components, k-means) build their
   final plan AFTER eagerly checkpointing per-round state — the per-round
   shuffles do not appear in the final plan's counts; SCALE.md documents
   those separately (O(log diameter) rounds × O(1) shuffles).
+- localCheckpoint barriers hide everything upstream of them the same
+  way: corpus_clean_final / corpus_select checkpoint a slim flag
+  projection at build time (a deliberate, measured codegen-limit fix),
+  so their reported counts cover only the post-barrier remainder (e.g.
+  corpus_select shows 0 scans) — and iterating this inventory over all
+  queries EXECUTES those profile scans at plan-build time.
 - AQE may collapse or convert exchanges at runtime (broadcast promotion,
   partition coalescing), so these are static upper bounds.
 """
