@@ -16,7 +16,18 @@ pre-aggregate actually buys there:
 - ``map_reduction``  fact_rows / partial_rows  (the ≥10× claim)
 - wall times (min of 2 post-warm noop writes) for both variants
 
-Usage: python tools/bench_view_cardinality.py [sf_dir] [n_ejec]
+Choosing "realistic": MEF's label space is FIXED (~1,800 ejecutoras, 5
+fuentes, 3 categorías, ~10 genéricas, hierarchical específicas) while
+rows grow with time — real vw_gasto_agregado_mensual sees ~12 rows per
+output group (≈9M rows/yr vs ≈720k groups/yr).  The testdata instead
+scales ejecutora_nombre (c_name) WITH SF and spreads rows over 84
+months, so groups ≈ rows at every SF — adversarial by construction.
+The realistic variant reproduces the MEF rows-per-group shape at the
+measured SF by bucketing ejecutora and the clasificador pair to a fixed
+space; running it at two SFs shows map_reduction growing ~linearly with
+data once the space saturates, which is what holds at 100 TB.
+
+Usage: python tools/bench_view_cardinality.py [sf_dir] [n_ejec] [n_esp]
 """
 
 from __future__ import annotations
@@ -71,7 +82,19 @@ def _fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _group_keys(ejec_expr) -> list:
+def _group_keys(ejec_expr, n_esp: int | None = None) -> list:
+    """The pre-aggregate key. ``n_esp`` buckets the clasificador pair to
+    a fixed hierarchical space (específica determines genérica, as in the
+    real clasificador) — None keeps the raw brand/type columns."""
+    if n_esp is None:
+        gen = F.col("p_brand")
+        esp = F.col("p_type")
+    else:
+        bucket = F.abs(F.hash("p_type")) % n_esp
+        esp = F.concat(F.lit("ESP "), bucket.cast("string"))
+        gen = F.concat(
+            F.lit("GEN "), (bucket % max(1, n_esp // 2)).cast("string")
+        )
     return [
         F.year("o_orderdate").cast("int").alias("anio"),
         F.month("o_orderdate").cast("int").alias("mes"),
@@ -81,8 +104,8 @@ def _group_keys(ejec_expr) -> list:
         F.concat(F.lit("CAT "), F.col("o_orderstatus")).alias(
             "categoria_gasto_nombre"
         ),
-        F.col("p_brand").alias("generica_nombre"),
-        F.col("p_type").alias("especifica_nombre"),
+        gen.alias("generica_nombre"),
+        esp.alias("especifica_nombre"),
     ]
 
 
@@ -90,7 +113,7 @@ def _labels(spark: SparkSession, n_ejec: int) -> DataFrame:
     """Broadcast label frame keyed on the bucketed ejecutora id, with
     MEF-shaped cardinalities: |pliego|=|n_ejec/10|, |sector|=25,
     dep/prov/dist from the id the same way the testdata derives them."""
-    e = F.col("ejec_id")
+    e = F.col("id")
     return spark.range(n_ejec).select(
         e.alias("ejec_id"),
         F.concat(F.lit("EJEC "), e.cast("string")).alias("ejecutora_nombre"),
@@ -111,8 +134,10 @@ def _labels(spark: SparkSession, n_ejec: int) -> DataFrame:
     ).withColumn("ejec_id", F.col("ejec_id").cast("long"))
 
 
-def _view(fact: DataFrame, labels: DataFrame, ejec_expr) -> DataFrame:
-    pre = fact.groupBy(*_group_keys(ejec_expr)).agg(
+def _view(
+    fact: DataFrame, labels: DataFrame, ejec_expr, n_esp: int | None
+) -> DataFrame:
+    pre = fact.groupBy(*_group_keys(ejec_expr, n_esp)).agg(
         *[F.sum(micros_col(m)).alias(micros_col(m)) for m in METRICS]
     )
     return finalize_agg_mensual(
@@ -132,21 +157,41 @@ def _time(df: DataFrame) -> float:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_ejec = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    n_ejec = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_esp = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     spark = get_spark("view-cardinality", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     fact = _fact(spark, sf_dir)
     fact_rows = fact.count()
 
+    # date-clustered input: the on-disk layout at warehouse scale (the
+    # reference ships monthly files; our parquet sink partitions by year)
+    # — a map task then holds a contiguous date range, which is what
+    # makes map-side combine effective.  Round-robin widening (the tiny-
+    # SF scan fix) deliberately destroys that locality, so the bucketed
+    # variant alone understates the reduction the layout delivers.
+    clustered = fact.repartition(
+        32, F.year("o_orderdate"), F.month("o_orderdate")
+    )
     out: dict[str, dict] = {}
-    for name, ejec_expr in (
-        ("adversarial_custkey", F.col("o_custkey").cast("long")),
-        ("realistic_bucketed", (F.col("o_custkey") % n_ejec).cast("long")),
+    for name, use_fact, ejec_expr, esp in (
+        ("adversarial_custkey", fact, F.col("o_custkey").cast("long"), None),
+        (
+            "realistic_bucketed",
+            fact,
+            (F.col("o_custkey") % n_ejec).cast("long"),
+            n_esp,
+        ),
+        (
+            "realistic_clustered",
+            clustered,
+            (F.col("o_custkey") % n_ejec).cast("long"),
+            n_esp,
+        ),
     ):
         if name == "adversarial_custkey":
             # label frame = the real distinct custkeys (near-unique path)
-            labels = _labels(spark, 1).limit(0)  # placeholder, built below
             cust_ids = fact.select(
                 F.col("o_custkey").cast("long").alias("ejec_id")
             ).distinct()
@@ -174,11 +219,12 @@ def main() -> None:
             )
         else:
             labels = _labels(spark, n_ejec)
-        view = _view(fact, labels, ejec_expr)
+        view = _view(use_fact, labels, ejec_expr, esp)
         # map-side combine output: per-input-partition distinct group keys
         partial_rows = (
-            fact.select(
-                F.spark_partition_id().alias("__pid"), *_group_keys(ejec_expr)
+            use_fact.select(
+                F.spark_partition_id().alias("__pid"),
+                *_group_keys(ejec_expr, esp),
             )
             .distinct()
             .count()
