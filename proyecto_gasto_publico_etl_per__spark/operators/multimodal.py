@@ -157,6 +157,69 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     }
 
 
+def _png_encode(
+    width: int, height: int, channels: int, pixels: bytes
+) -> bytes:
+    """Pure-stdlib PNG writer (8-bit gray/gray+A/RGB/RGBA, filter 0).
+    The re-encode half of the stdlib codec path — filter 0 trades a few
+    compressed bytes for zero per-pixel Python work."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
+    """Real decode → resample → re-encode.  Pillow (LANCZOS, any format)
+    when importable; else stdlib decode + nearest-neighbor + stdlib PNG
+    encode.  Output is always PNG on the stdlib path (Pillow keeps PNG
+    too, for determinism across environments)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        d = _png_decode(payload) if payload[:8] == _PNG_MAGIC else None
+        if d is None:
+            raise NotImplementedError(
+                "non-PNG resize requires Pillow, not importable here"
+            ) from None
+        ch, sw, sh = d["channels"], d["width"], d["height"]
+        src = d["pixels"]
+        out = bytearray(width * height * ch)
+        for y in range(height):
+            sy = min(sh - 1, y * sh // height)
+            for x in range(width):
+                sx = min(sw - 1, x * sw // width)
+                so = (sy * sw + sx) * ch
+                do = (y * width + x) * ch
+                out[do : do + ch] = src[so : so + ch]
+        return _png_encode(width, height, ch, bytes(out))
+    img = Image.open(io.BytesIO(payload))
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def image_features(payload: bytes, dim: int = 4) -> list[float]:
     """Real image features: [width, height, channels, mean/255, ...]
     padded with per-channel means (dim > 4) or truncated (dim < 4).
@@ -303,23 +366,30 @@ def _fake_resized(payload: bytes, width: int, height: int) -> bytes:
 
 
 def resize_images(
-    assets: DataFrame, width: int = 64, height: int = 64
+    assets: DataFrame, width: int = 64, height: int = 64,
+    decoder: str = "fake",
 ) -> DataFrame:
     """Resize every image payload to (width, height) — asset schema in,
     asset schema out, so resizes compose with any other asset operator.
 
     Plumbing is real (Arrow batches, meta updated with the new dims,
-    non-image rows pass through untouched); the codec call is the
-    deterministic fake above.
+    non-image rows pass through untouched).  ``decoder="real"`` runs
+    ``resize_image_real`` (Pillow or the stdlib PNG codec path);
+    ``"fake"`` keeps the deterministic md5 stand-in the oracle uses.
     """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
+
+    def one(b: bytes) -> bytes:
+        if decoder == "real":
+            return resize_image_real(bytes(b), width, height)
+        return _fake_resized(bytes(b), width, height)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
             is_img = (out["media_type"] == "image") & out["payload"].notna()
-            out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(
-                lambda b: _fake_resized(bytes(b), width, height)
-            )
+            out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(one)
             out.loc[is_img, "meta"] = out.loc[is_img, "meta"].map(
                 lambda m: {
                     **(dict(m) if m is not None else {}),

@@ -447,6 +447,37 @@ def test_png_filters_roundtrip():
         )
 
 
+def test_resize_image_real_roundtrip():
+    """decode → nearest-neighbor resample → re-encode → decode: a 2×2
+    checkerboard upscaled to 4×4 has each source pixel in a 2×2 block."""
+    red, blue = (255, 0, 0), (0, 0, 255)
+    png = _png_rgb8([[red, blue], [blue, red]])
+    up = multimodal.resize_image_real(png, 4, 4)
+    d = multimodal.decode_image(up)
+    assert (d["width"], d["height"]) == (4, 4)
+    px = d["pixels"]
+
+    def at(x, y):
+        o = (y * 4 + x) * d["channels"]
+        return tuple(px[o : o + 3])
+
+    assert at(0, 0) == red and at(1, 1) == red
+    assert at(2, 0) == blue and at(3, 1) == blue
+    assert at(0, 2) == blue and at(2, 2) == red
+
+
+def test_resize_images_real_decoder(spark):
+    png = _png_rgb8([[(255, 0, 0)]])
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png), None)], multimodal.ASSET_SCHEMA
+    )
+    out = multimodal.resize_images(assets, 2, 2, decoder="real").collect()[0]
+    d = multimodal.decode_image(bytes(out.payload))
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["pixels"] == b"\xff\x00\x00" * 4
+    assert out.meta["width"] == "2" and out.meta["height"] == "2"
+
+
 def test_decode_audio_real_wav():
     d = multimodal.decode_audio(_wav_pcm16([0, 16384, -16384, 0]))
     assert d["sample_rate"] == 8000 and d["n_channels"] == 1
