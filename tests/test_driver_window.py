@@ -30,6 +30,27 @@ def test_unchecked_queries_fit_the_window():
     assert set(unchecked) <= set(names[:50])
 
 
+def test_green_names_rotate_stalest_first():
+    """Once every name is ever-green the window must not fossilize: green
+    names sort by ascending last-checked artifact round, so the
+    earliest-verified core re-greens under the current runtime every few
+    rounds (round-5 verdict task 2)."""
+    names = list(entry.queries())
+    latest = DQ._latest_check_rows()
+    green_round = {
+        n: rnd for n, (rnd, row) in latest.items() if DQ._is_green(row)
+    }
+    rounds_in_order = [green_round[n] for n in names if n in green_round]
+    assert rounds_in_order == sorted(rounds_in_order), (
+        "green names are not ordered oldest-check-first"
+    )
+    # never-green names (if any) still precede every green name
+    first_green_pos = next(
+        (i for i, n in enumerate(names) if n in green_round), len(names)
+    )
+    assert all(n in green_round for n in names[first_green_pos:])
+
+
 def test_column_names_match_between_engines():
     """The driver's comparator sorts columns by NAME before hashing —
     a Spark/oracle alias mismatch fails even with identical values.
