@@ -184,6 +184,50 @@ def dedup_ingest(
     return fresh.join(seen, "content_hash", "left_anti")
 
 
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via the NATIVE ``session_window``
+    aggregate — Catalyst's merging-session-window exec, fully JVM-side.
+
+    The third sessionize in the engine, by execution strategy:
+
+    1. ``sessionize`` (declared query): two window functions + groupBy —
+       batch-only, oracle-checkable in plain SQL.
+    2. ``stateful_sessionize``: ``applyInPandasWithState`` — streaming
+       with custom per-key state, the template for arbitrary stateful
+       logic.
+    3. this — the built-in operator: one shuffle on the key, sessions
+       merged by the dedicated exec node, and the SAME code runs batch
+       or streaming (pass ``watermark`` on a stream; required there for
+       state eviction).
+
+    Boundary semantics match the declared query: an event exactly
+    ``gap`` after the previous one EXTENDS the session (Spark merges
+    adjacent windows; the query's ``new_session`` fires only on
+    ``gap_us > gap``).
+
+    At 100 TB: state/shuffle is one (key, open-session) pair per key —
+    the same bound as the hand-built state store path, without Python.
+    """
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if watermark is not None:
+        ev = ev.withWatermark(ts_col, watermark)
+    return (
+        ev.groupBy(key_col, F.session_window(ts_col, gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events")
+    )
+
+
 def join_streams(
     left: DataFrame,
     right: DataFrame,

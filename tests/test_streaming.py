@@ -257,6 +257,78 @@ def test_join_streams_left_outer_keeps_unmatched(spark):
     )
 
 
+def test_session_window_agg_matches_declared_sessionize(spark):
+    """The native session_window operator must produce the same sessions
+    as the declared lag/sum sessionize query (same gap, same events):
+    identical (user, start, end, n_events) multisets."""
+    from proyecto_gasto_publico_etl_per__spark.plans.driver_queries import (
+        all_queries,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        session_window_agg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    native = session_window_agg(load_table(spark, sf, "events"))
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in native.collect()
+    }
+    declared = all_queries()["sessionize"](spark, sf)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in declared.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        ).collect()
+    }
+    # normalize native timestamps to the same second-precision render
+    got = {(u, s[:19], e[:19], n) for u, s, e, n in got}
+    assert got == want
+
+
+def test_session_window_agg_streaming_runs(spark, tmp_path):
+    """Same operator on a stream: watermarked, append-mode, sessions
+    closed by the watermark — smoke the streaming path end-to-end."""
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        session_window_agg,
+    )
+
+    src = str(tmp_path / "src")
+    load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = session_window_agg(stream, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_native")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits sessions the watermark has closed; with
+    # AvailableNow the final watermark still holds back the tail — the
+    # smoke check is that the query ran and the sink is queryable
+    assert spark.table("sess_native").columns == [
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+    ]
+
+
 def test_join_streams_rejects_unsupported_how(spark):
     import pytest
 
