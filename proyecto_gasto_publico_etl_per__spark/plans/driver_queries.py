@@ -1233,6 +1233,52 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sessionize_native",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate
+    (the merging-session-window exec) — the built-in-operator twin of
+    the window-function ``sessionize`` above, same 30-min gap, same
+    session set.  The oracle is the same gap/lag SQL (DuckDB has no
+    session windows), which is exactly the semantic claim: one shuffle
+    + a dedicated exec node ≡ two windows + a groupBy."""
+    from ..streaming.incremental import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return session_window_agg(ev).select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 # --- relational coverage extensions ------------------------------------------
 # Operators the reference lacks outright (SURVEY §2.5 "no right/full-outer,
 # semi, range joins"; §2.6 "no GROUPING SETS") but any warehouse user of the
