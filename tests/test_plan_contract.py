@@ -1,0 +1,65 @@
+"""Structural plan contracts for the headline queries.
+
+Wall-clock on this box swings ±50% run to run (BENCH_NOTES), so perf
+regressions are guarded STRUCTURALLY: each headline query's physical
+plan must not grow new exchanges or sorts beyond its committed shape
+(SHUFFLES.md, regenerated each round).  A refactor that doubles a scan
+or drops a broadcast fails here immediately, with no timing noise.
+
+Bounds are the round-6 counts.  If a deliberate plan change raises one,
+update the bound in the same commit with a note — the test is a
+tripwire, not a freeze.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from proyecto_gasto_publico_etl_per__spark.plans.driver_queries import (
+    all_queries,
+)
+
+SF = "/root/testdata/sf0.001"
+
+#: name -> (max shuffles, max sorts).  Broadcasts/scans are not capped:
+#: they vary with AQE/stats decisions; exchanges and sorts are the
+#: network/CPU cost drivers the engine promises to hold.
+HEADLINE_BOUNDS: dict[str, tuple[int, int]] = {
+    "star_join_base": (6, 0),
+    "agg_monthly_view": (8, 0),
+    "agg_annual_view": (8, 0),
+    "ytd_by_group": (8, 1),
+    "topk_by_group": (7, 0),
+    "share_of_total": (7, 1),
+    "backlog_having": (7, 0),
+    "quarterly_evolution": (8, 1),
+    "rollup_year_sector": (8, 1),
+    "topn_year": (7, 0),
+    "consolidate_grain": (1, 0),
+    "running_ytd_window": (9, 2),
+    "events_window_agg": (1, 0),
+    "sessionize": (1, 1),
+    "sessionize_native": (1, 1),
+}
+
+_SHUFFLE = re.compile(
+    r"Exchange (?:hash|range|rangepartitioning|RoundRobin)", re.I
+)
+_SORT = re.compile(r"(?:\+-|:-|^)\s*\*?\(?\d*\)?\s*Sort \[", re.M)
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_BOUNDS))
+def test_headline_plan_shape(spark, name):
+    max_shuffles, max_sorts = HEADLINE_BOUNDS[name]
+    df = all_queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = len(_SHUFFLE.findall(plan))
+    sorts = len(_SORT.findall(plan))
+    assert shuffles <= max_shuffles, (
+        f"{name}: {shuffles} shuffles > committed {max_shuffles}"
+    )
+    assert sorts <= max_sorts, (
+        f"{name}: {sorts} sorts > committed {max_sorts}"
+    )
