@@ -279,6 +279,37 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc, band, band_sig): md5 of each ordered minhash band slice —
+    the LSH bucket key.  Shared by the batch candidate join and the
+    streaming ingest filter (the bucket table IS this frame's history)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sigs.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    return banded.groupBy("doc", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("band_sig")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -294,22 +325,7 @@ def minhash_lsh_candidates(
     num_hashes // bands tunes the Jaccard threshold curve
     (s-curve ≈ (1/bands)^(1/rows_per_band)).
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    band_sigs = banded.groupBy("doc", "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "minhash"))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            )
-        ).alias("band_sig")
-    )
+    band_sigs = band_signatures(df, id_col, text_col, n, num_hashes, bands)
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     return (
         a.join(b, on=["band", "band_sig"])

@@ -184,6 +184,94 @@ def dedup_ingest(
     return fresh.join(seen, "content_hash", "left_anti")
 
 
+def streaming_neardup_ingest(
+    stream: DataFrame,
+    corpus_dir: str,
+    buckets_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """NEAR-dup-free corpus ingestion: MinHash-LSH at the door.
+
+    The streaming complement of ``dedup_corpus_stream`` (exact content
+    hash): an arriving document is dropped when any of its LSH band
+    signatures collides with the admitted corpus — so ~same-but-edited
+    re-crawls never enter, not just byte-identical ones.
+
+    ``foreachBatch`` composition, per micro-batch:
+
+    1. band-sign the batch (``dedup.band_signatures`` — the same code
+       path the batch pipeline buckets with);
+    2. drop docs colliding with the HISTORY bucket table (broadcastable
+       left-semi on (band, band_sig); the table holds bands × 1 row per
+       admitted doc, distinct-ed on read so at-least-once replays of a
+       failed epoch stay harmless);
+    3. within the batch, keep the smallest id per colliding bucket
+       (deterministic first-wins, same rule as the batch keeper policy);
+    4. append survivors to the corpus zone and their signatures to the
+       bucket table — the next micro-batch sees them as history.
+
+    Collision = LSH candidate, not verified Jaccard: admission control
+    trades the s-curve's false-positive rate (≈ bands ×
+    jaccard^(num_hashes/bands) for dissimilar docs — tune bands/hashes)
+    for never holding shingle sets in state.  At 100 TB the bucket table
+    is the ONLY state: O(bands) rows per admitted doc, hash-bucketed on
+    (band, band_sig) so the per-batch semi-join co-locates; the full
+    batch MinHash pipeline (verify + clustering) remains the offline
+    compaction pass.
+
+    Returns the started StreamingQuery (AvailableNow trigger).
+    """
+    from ..operators.dedup import band_signatures
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        sigs = band_signatures(
+            batch_df, id_col, text_col, n, num_hashes, bands
+        ).localCheckpoint(eager=True)  # 2 consumers; shingle once
+        try:
+            hist = spark.read.parquet(buckets_dir).select(
+                "band", "band_sig"
+            ).distinct()
+        except Exception:
+            hist = None
+        collide = (
+            sigs.join(hist, ["band", "band_sig"], "left_semi")
+            .select("doc")
+            if hist is not None
+            else sigs.limit(0).select("doc")
+        )
+        keepers = sigs.groupBy("band", "band_sig").agg(
+            F.min("doc").alias("keep")
+        )
+        in_batch = (
+            sigs.join(keepers, ["band", "band_sig"])
+            .where(F.col("doc") != F.col("keep"))
+            .select("doc")
+        )
+        drops = collide.union(in_batch).distinct()
+        admitted = batch_df.join(
+            drops.withColumnRenamed("doc", id_col), id_col, "left_anti"
+        )
+        admitted.write.mode("append").parquet(corpus_dir)
+        sigs.join(drops, "doc", "left_anti").write.mode("append").parquet(
+            buckets_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_window_agg(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -257,6 +257,73 @@ def test_join_streams_left_outer_keeps_unmatched(spark):
     )
 
 
+def test_streaming_neardup_ingest(spark, tmp_path):
+    """LSH admission control across micro-batches: a near-duplicate (one
+    word edited) of an already-admitted doc is dropped in a LATER batch
+    (history bucket table), an in-batch near-dup keeps the smallest id,
+    and distinct docs pass."""
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        streaming_neardup_ingest,
+    )
+
+    base = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    near = base.replace("word7 ", "edited7 ")  # one word changed
+    other = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    other_near = other.replace("beta3 ", "delta3 ")  # one word changed
+    # (trailing spaces: "beta3" alone would also rewrite beta30..beta39
+    # and push similarity below the LSH s-curve)
+    schema = "doc_id LONG, text STRING"
+    src = tmp_path / "src"
+    src.mkdir()
+    # two source files → two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame([(1, base), (2, other)], schema).coalesce(
+        1
+    ).write.parquet(str(src / "batch1"))
+    spark.createDataFrame(
+        [(3, near), (4, "completely unrelated fresh content here"),
+         (5, other_near), (6, other_near)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "batch2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    corpus = str(tmp_path / "corpus")
+    buckets = str(tmp_path / "buckets")
+    q = streaming_neardup_ingest(
+        stream, corpus, buckets, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    )
+    # 3 ≈ 1 (cross-batch drop); 5 ≈ 2 (cross-batch drop); 6 == 5 would
+    # be an in-batch drop but 5 is itself dropped against history, so 6
+    # falls with it (transitive candidate policy); 4 is fresh
+    assert 1 in admitted and 2 in admitted and 4 in admitted
+    assert 3 not in admitted and 5 not in admitted and 6 not in admitted
+    # bucket table holds only admitted docs' signatures
+    bucket_docs = {
+        r.doc for r in spark.read.parquet(buckets).select("doc").collect()
+    }
+    assert bucket_docs == set(admitted)
+    # idempotent re-run with same checkpoint: no new rows
+    n_before = spark.read.parquet(corpus).count()
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q2 = streaming_neardup_ingest(
+        stream2, corpus, buckets, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == n_before
+
+
 def test_session_window_agg_matches_declared_sessionize(spark):
     """The native session_window operator must produce the same sessions
     as the declared lag/sum sessionize query (same gap, same events):
