@@ -122,6 +122,14 @@ def main() -> None:
                 out = fn(spark, sf_dir) if rebuild else df
                 out.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
+            if max(runs) > 2 * min(runs):
+                # a >2× spread means one run hit a box stall (BENCH_NOTES
+                # round 6) — one tiebreak run so `best` isn't a fluke of
+                # which of two samples the stall landed on
+                t0 = time.perf_counter()
+                out = fn(spark, sf_dir) if rebuild else df
+                out.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 4)
             # [best, worst] separates a real plan regression (both runs
             # slow) from box contention (one spike) without a re-measure —
