@@ -78,3 +78,32 @@ def test_empty_frame_raises(spark):
     empty = spark.createDataFrame([], "f0 DOUBLE, f1 DOUBLE, label INT")
     with pytest.raises(ValueError):
         classifier.logreg_train(empty, ["f0", "f1"])
+
+
+def test_quality_filter_end_to_end(spark):
+    """The fastText-style workflow on real engine features: label docs
+    by source affinity, train on quality_stats signals, score the
+    corpus.  Pins that textstats features + the trainer compose (the
+    localCheckpoint-before-filter discipline included) and that the
+    learned filter beats the zero model on held-out loss."""
+    from proyecto_gasto_publico_etl_per__spark.operators.textstats import (
+        quality_stats,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    feats = ["mean_token_len", "punct_ratio", "upper_ratio", "stopword_ratio"]
+    stats = quality_stats(docs).select(
+        "doc_id", "lang", *feats
+    ).localCheckpoint(eager=True)  # consumer-hazard discipline
+    labeled = stats.withColumn(
+        "label", (stats.lang == "en").cast("int")
+    ).cache()
+    train = labeled.where(labeled.doc_id % 5 != 0)
+    held = labeled.where(labeled.doc_id % 5 == 0)
+    w, b = classifier.logreg_train(train, feats, n_iters=40, lr=1.0)
+    zero_loss = classifier.logloss(held, feats, [0.0] * len(feats), 0.0)
+    trained_loss = classifier.logloss(held, feats, w, b)
+    assert trained_loss < zero_loss
+    scored = classifier.logreg_score(held, feats, w, b)
+    assert scored.where("p_keep IS NULL").count() == 0
