@@ -145,7 +145,7 @@ def bpe_encode(
     exploded = docs.select(
         F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w")
     )
-    return (
+    encoded = (
         exploded.join(words, "w")
         .groupBy(id_col)
         .agg(
@@ -158,4 +158,12 @@ def bpe_encode(
                 )
             ).alias("tokens")
         )
+    )
+    # posexplode emits nothing for token-less docs (empty/whitespace
+    # text) — rejoin so they come back as (id, []) instead of vanishing
+    # from what is documented as a pure tokenization step
+    return (
+        docs.select(id_col)
+        .join(encoded, id_col, "left")
+        .withColumn("tokens", F.coalesce("tokens", _empty_syms()))
     )

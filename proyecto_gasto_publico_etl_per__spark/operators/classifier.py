@@ -52,6 +52,20 @@ def logreg_train(
     n = df.count()
     if n == 0:
         raise ValueError("cannot train on an empty frame")
+    # F.sum silently skips NULLs while `n` counts every row, which would
+    # bias every gradient with no error — refuse NULLs up front instead
+    null_counts = df.agg(
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+            for c in [*feature_cols, label_col]
+        ]
+    ).collect()[0]
+    bad = {c: null_counts[c] for c in null_counts.asDict() if null_counts[c]}
+    if bad:
+        raise ValueError(
+            f"NULLs in training columns {bad}: impute or filter before "
+            "training (sum-skips-null would silently bias the gradient)"
+        )
     weights = [0.0] * len(feature_cols)
     bias = 0.0
     y = F.col(label_col).cast("double")

@@ -216,7 +216,9 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
         return _png_encode(width, height, ch, bytes(out))
     img = Image.open(io.BytesIO(payload))
     buf = io.BytesIO()
-    img.resize((width, height)).save(buf, format="PNG")
+    # Resampling.LANCZOS on modern Pillow; the module-level constant on old
+    lanczos = getattr(getattr(Image, "Resampling", Image), "LANCZOS")
+    img.resize((width, height), resample=lanczos).save(buf, format="PNG")
     return buf.getvalue()
 
 
@@ -342,16 +344,19 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
 
 
 def audio_features(payload: bytes, dim: int = 4) -> list[float]:
-    """Real audio features: [sample_rate, n_channels, n_frames, rms, ...]
-    padded with zero-crossing rate.  Deterministic — pytest-oracle-able."""
+    """Real audio features: [sample_rate, n_channels, n_frames, rms] and,
+    at dim >= 5, the zero-crossing rate (its O(samples) scan only runs
+    when the slot survives the cut).  Deterministic — pytest-oracle-able."""
     d = decode_audio(payload)
     s, nch = d["samples"], d["n_channels"]
     n_frames = len(s) // nch if nch else 0
     rms = (sum(x * x for x in s) / len(s)) ** 0.5 if s else 0.0
-    zc = sum(
-        1 for i in range(1, len(s)) if (s[i - 1] < 0) != (s[i] < 0)
-    ) / max(1, len(s) - 1)
-    feats = [float(d["sample_rate"]), float(nch), float(n_frames), rms, zc]
+    feats = [float(d["sample_rate"]), float(nch), float(n_frames), rms]
+    if dim >= 5:
+        zc = sum(
+            1 for i in range(1, len(s)) if (s[i - 1] < 0) != (s[i] < 0)
+        ) / max(1, len(s) - 1)
+        feats.append(zc)
     return (feats + [0.0] * dim)[:dim]
 
 

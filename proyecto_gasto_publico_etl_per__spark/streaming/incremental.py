@@ -212,8 +212,13 @@ def streaming_neardup_ingest(
        failed epoch stay harmless);
     3. within the batch, keep the smallest id per colliding bucket
        (deterministic first-wins, same rule as the batch keeper policy);
-    4. append survivors to the corpus zone and their signatures to the
-       bucket table — the next micro-batch sees them as history.
+    4. write survivors to the corpus zone and their signatures to the
+       bucket table, each under an ``epoch=<id>`` partition with
+       per-epoch OVERWRITE — a replayed epoch (foreachBatch is
+       at-least-once) rewrites its own partitions with identical
+       content instead of appending duplicates, so a crash between the
+       two writes is healed, not amplified, on restart.  The epoch
+       column doubles as ingest provenance in the corpus zone.
 
     Collision = LSH candidate, not verified Jaccard: admission control
     trades the s-curve's false-positive rate (≈ bands ×
@@ -228,6 +233,8 @@ def streaming_neardup_ingest(
     """
     from ..operators.dedup import band_signatures
 
+    from pyspark.errors import AnalysisException
+
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
@@ -236,10 +243,21 @@ def streaming_neardup_ingest(
             batch_df, id_col, text_col, n, num_hashes, bands
         ).localCheckpoint(eager=True)  # 2 consumers; shingle once
         try:
-            hist = spark.read.parquet(buckets_dir).select(
-                "band", "band_sig"
-            ).distinct()
-        except Exception:
+            hist = (
+                spark.read.parquet(buckets_dir)
+                # a replayed epoch must not collide with its own earlier
+                # write: exclude this epoch's partition from history
+                .where(F.col("epoch") != F.lit(epoch_id))
+                .select("band", "band_sig")
+                .distinct()
+            )
+        except AnalysisException as exc:
+            # ONLY first-batch path-missing is expected; anything else
+            # (corrupt footer, IO error) must fail the epoch loudly —
+            # silently admitting with empty history would let near-dups
+            # through for good
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             hist = None
         collide = (
             sigs.join(hist, ["band", "band_sig"], "left_semi")
@@ -259,9 +277,12 @@ def streaming_neardup_ingest(
         admitted = batch_df.join(
             drops.withColumnRenamed("doc", id_col), id_col, "left_anti"
         )
-        admitted.write.mode("append").parquet(corpus_dir)
-        sigs.join(drops, "doc", "left_anti").write.mode("append").parquet(
-            buckets_dir
+        # per-epoch overwrite = idempotent replay (at-least-once safe)
+        admitted.write.mode("overwrite").parquet(
+            f"{corpus_dir}/epoch={epoch_id}"
+        )
+        sigs.join(drops, "doc", "left_anti").write.mode("overwrite").parquet(
+            f"{buckets_dir}/epoch={epoch_id}"
         )
 
     return (

@@ -76,15 +76,18 @@ def test_bpe_encode_applies_learned_merges(spark):
     ref_merges, ref_vocab = _ref_train(WORD_FREQS, 6)
     assert merges == ref_merges
     # encode a NEW doc mixing known words — token stream must be the
-    # per-word reference segmentations in document order
+    # per-word reference segmentations in document order; a token-less
+    # doc must come back as (id, []), not vanish
     new = spark.createDataFrame(
-        [(9, "newest low lower")], "doc_id LONG, text STRING"
+        [(9, "newest low lower"), (10, "   ")], "doc_id LONG, text STRING"
     )
     # checkpoint_every=2 exercises the chain-cut path
-    out = bpe.bpe_encode(new, merges, checkpoint_every=2).collect()
-    assert len(out) == 1
+    out = {
+        r.doc_id: list(r.tokens)
+        for r in bpe.bpe_encode(new, merges, checkpoint_every=2).collect()
+    }
     expect = ref_vocab["newest"] + ref_vocab["low"] + ref_vocab["lower"]
-    assert list(out[0].tokens) == expect
+    assert out == {9: expect, 10: []}
 
 
 def test_apply_merge_overlap_is_leftmost_first(spark):

@@ -80,6 +80,14 @@ def test_empty_frame_raises(spark):
         classifier.logreg_train(empty, ["f0", "f1"])
 
 
+def test_null_features_refused(spark):
+    df = spark.createDataFrame(
+        [(0.1, 0.2, 0), (None, 0.3, 1)], "f0 DOUBLE, f1 DOUBLE, label INT"
+    )
+    with pytest.raises(ValueError, match="NULLs.*f0"):
+        classifier.logreg_train(df, ["f0", "f1"])
+
+
 def test_quality_filter_end_to_end(spark):
     """The fastText-style workflow on real engine features: label docs
     by source affinity, train on quality_stats signals, score the

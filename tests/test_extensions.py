@@ -328,7 +328,7 @@ def test_decode_unsupported_format_raises():
         pytest.skip("Pillow present: JPEG decodes for real")
     except ImportError:
         pass
-    with pytest.raises((NotImplementedError, Exception)):
+    with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0junk")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")

@@ -24,29 +24,33 @@ from proyecto_gasto_publico_etl_per__spark.plans.driver_queries import (
 SF = "/root/testdata/sf0.001"
 
 #: name -> (max shuffles, max sorts).  Broadcasts/scans are not capped:
-#: they vary with AQE/stats decisions; exchanges and sorts are the
-#: network/CPU cost drivers the engine promises to hold.
+#: they vary with AQE/stats decisions; shuffle exchanges and sorts are
+#: the network/CPU cost drivers the engine promises to hold.  A
+#: broadcast join demoted to a shuffle join ADDS a shuffle exchange, so
+#: that regression (the expensive direction) trips the cap.
 HEADLINE_BOUNDS: dict[str, tuple[int, int]] = {
-    "star_join_base": (6, 0),
-    "agg_monthly_view": (8, 0),
-    "agg_annual_view": (8, 0),
-    "ytd_by_group": (8, 1),
-    "topk_by_group": (7, 0),
-    "share_of_total": (7, 1),
-    "backlog_having": (7, 0),
-    "quarterly_evolution": (8, 1),
-    "rollup_year_sector": (8, 1),
-    "topn_year": (7, 0),
+    "star_join_base": (0, 0),   # pure broadcast star: ZERO shuffles
+    "agg_monthly_view": (2, 0),  # preagg + finalize regroup
+    "agg_annual_view": (2, 0),
+    "ytd_by_group": (2, 1),
+    "topk_by_group": (1, 0),
+    "share_of_total": (2, 1),
+    "backlog_having": (1, 0),
+    "quarterly_evolution": (2, 1),
+    "rollup_year_sector": (2, 1),
+    "topn_year": (1, 0),
     "consolidate_grain": (1, 0),
-    "running_ytd_window": (9, 2),
+    "running_ytd_window": (3, 2),
     "events_window_agg": (1, 0),
     "sessionize": (1, 1),
     "sessionize_native": (1, 1),
 }
 
 _SHUFFLE = re.compile(
-    r"Exchange (?:hash|range|rangepartitioning|RoundRobin)", re.I
+    r"(?<!Broadcast)Exchange (?:hashpartitioning|rangepartitioning|"
+    r"RoundRobinPartitioning|SinglePartition)"
 )
+_BROADCAST = re.compile(r"BroadcastExchange")
 _SORT = re.compile(r"(?:\+-|:-|^)\s*\*?\(?\d*\)?\s*Sort \[", re.M)
 
 

@@ -297,9 +297,10 @@ def test_streaming_neardup_ingest(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    admitted = sorted(
-        r.doc_id for r in spark.read.parquet(corpus).collect()
-    )
+    corpus_df = spark.read.parquet(corpus)
+    # per-epoch partitions (idempotent replay) double as provenance
+    assert "epoch" in corpus_df.columns
+    admitted = sorted(r.doc_id for r in corpus_df.collect())
     # 3 ≈ 1 (cross-batch drop); 5 ≈ 2 (cross-batch drop); 6 == 5 would
     # be an in-batch drop but 5 is itself dropped against history, so 6
     # falls with it (transitive candidate policy); 4 is fresh

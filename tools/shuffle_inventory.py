@@ -37,7 +37,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 PATTERNS = {
-    "n_shuffle": re.compile(r"Exchange (?:hash|range|rangepartitioning|RoundRobin)", re.I),
+    # real data-movement exchanges only: 'BroadcastExchange
+    # HashedRelationBroadcastMode' must NOT match (the r6 code review
+    # caught the case-insensitive 'Exchange Hashed' false positive that
+    # double-counted every broadcast as a shuffle)
+    "n_shuffle": re.compile(
+        r"(?<!Broadcast)Exchange (?:hashpartitioning|rangepartitioning|"
+        r"RoundRobinPartitioning|SinglePartition)"
+    ),
     "n_broadcast": re.compile(r"BroadcastExchange"),
     "n_scan": re.compile(r"FileScan|Scan parquet"),
     # tree lines are prefixed "+-"/":-"/"*(n)"; match the node name
