@@ -98,3 +98,33 @@ def test_apply_merge_overlap_is_leftmost_first(spark):
         bpe._apply_merge("symbols", "a", "a").alias("m")
     ).collect()[0].m
     assert list(got) == ["aa", "a"]
+
+
+def test_model_store_roundtrip(spark, tmp_path):
+    from proyecto_gasto_publico_etl_per__spark.operators import model_store
+
+    merges = [("e", "s"), ("es", "t"), ("l", "o")]
+    p = str(tmp_path / "bpe_model")
+    model_store.save_bpe(spark, p, merges)
+    assert model_store.load_bpe(spark, p) == merges
+
+    import pytest
+
+    with pytest.raises(ValueError, match="kind"):
+        model_store.load_model(spark, p, "logreg")
+
+    lp = str(tmp_path / "lr_model")
+    model_store.save_logreg(spark, lp, [0.5, -1.25], 0.75, ["f0", "f1"])
+    w, b, feats = model_store.load_logreg(spark, lp)
+    assert (w, b, feats) == ([0.5, -1.25], 0.75, ["f0", "f1"])
+
+    # encode with reloaded merges == encode with originals
+    from proyecto_gasto_publico_etl_per__spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "test lot")], "doc_id LONG, text STRING")
+    a = {r.doc_id: list(r.tokens) for r in bpe.bpe_encode(docs, merges).collect()}
+    b2 = {
+        r.doc_id: list(r.tokens)
+        for r in bpe.bpe_encode(docs, model_store.load_bpe(spark, p)).collect()
+    }
+    assert a == b2
