@@ -67,3 +67,51 @@ def test_build_corpus_stages_consistent(spark, tmp_path):
     # report zone round-trips
     rep = spark.read.parquet(f"{out}/report").collect()[0]
     assert rep["n_docs_in"] == report["n_docs_in"]
+
+
+def test_build_corpus_with_learned_filter(spark, tmp_path):
+    """The Gopher-then-classifier layering: train a quality classifier
+    on the profile zone (weak labels), persist it, rebuild with it —
+    the clean zone can only shrink, never grow, and the pipeline ends
+    green end-to-end."""
+    from proyecto_gasto_publico_etl_per__spark.plans.corpus_pipeline import (
+        QUALITY_FEATURES,
+        train_quality_classifier,
+    )
+
+    out_plain = str(tmp_path / "plain")
+    plain = build_corpus(spark, SF_SMOKE, out_plain)
+
+    # weak supervision off the plain run's profile zone: long-ish docs
+    # with low punctuation are "reference-like"
+    profile = spark.read.parquet(f"{out_plain}/profile")
+    labeled = profile.withColumn(
+        "label",
+        ((F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.1)).cast(
+            "int"
+        ),
+    ).select(*QUALITY_FEATURES, "label")
+    model_path = str(tmp_path / "qmodel")
+    w, b = train_quality_classifier(
+        spark, labeled, model_path, n_iters=20
+    )
+    assert len(w) == len(QUALITY_FEATURES)
+
+    out_learned = str(tmp_path / "learned")
+    learned = build_corpus(
+        spark, SF_SMOKE, out_learned,
+        classifier_model=model_path, classifier_threshold=0.5,
+    )
+    assert learned["n_docs_clean"] <= plain["n_docs_clean"]
+    assert learned["n_docs_in"] == plain["n_docs_in"]
+    # the learned gate composes: every surviving doc still passes the
+    # heuristic gates (clean ⊆ plain-clean)
+    plain_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out_plain}/clean").select("doc_id").collect()
+    }
+    learned_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out_learned}/clean").select("doc_id").collect()
+    }
+    assert learned_ids <= plain_ids
