@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None) -> None:
     cb.add_argument("--lang", default="en")
     cb.add_argument("--val-fraction", type=float, default=0.01)
     cb.add_argument("--test-fraction", type=float, default=0.01)
+    cb.add_argument(
+        "--classifier-model",
+        default=None,
+        help="model-store path of a trained quality classifier "
+             "(plans.corpus_pipeline.train_quality_classifier); adds a "
+             "learned p_keep gate on top of the heuristic gates",
+    )
+    cb.add_argument("--classifier-threshold", type=float, default=0.5)
 
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
@@ -166,6 +174,8 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.sf_dir, args.out_dir, lang=args.lang,
             val_fraction=args.val_fraction,
             test_fraction=args.test_fraction,
+            classifier_model=args.classifier_model,
+            classifier_threshold=args.classifier_threshold,
         )
         for k, v in report.items():
             print(f"{k}: {v}")
