@@ -895,3 +895,30 @@ def test_ivf_pq_search_composes(spark):
     got_pairs = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(got_pairs & brute5) / max(1, len(brute5))
     assert recall >= 0.5, f"recall@5 {recall:.2f} below floor"
+
+
+def test_pq_train_codebook_improves_quantization(spark):
+    """Lloyd-refined codebook must reduce total quantization distortion
+    vs the sampled init (the monotone-improvement property of k-means),
+    and shapes must hold."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    m, nc = 8, 8
+    sampled = similarity.sampled_codebook(emb, "vec_id", "embedding", m, nc)
+    trained = similarity.pq_train_codebook(
+        emb, m=m, n_codes=nc, n_iters=2
+    )
+    assert len(trained) == m and all(len(s) == nc for s in trained)
+    sub = len(sampled[0][0])
+    assert all(len(cw) == sub for s in trained for cw in s)
+
+    def distortion(cb):
+        codes = similarity.pq_encode(
+            emb, m=m, n_codes=nc, codebook=cb
+        )
+        return codes.agg(F.sum("dist_q6")).collect()[0][0]
+
+    assert distortion(trained) < distortion(sampled)
