@@ -74,3 +74,12 @@ def load_logreg(
 ) -> tuple[list[float], float, list[str]]:
     payload, _ = load_model(spark, path, "logreg")
     return payload["weights"], payload["bias"], payload["features"]
+
+
+def save_pq_codebook(spark: SparkSession, path: str, codebook) -> None:
+    save_model(spark, path, "pq_codebook", codebook)
+
+
+def load_pq_codebook(spark: SparkSession, path: str):
+    payload, _ = load_model(spark, path, "pq_codebook")
+    return payload

@@ -922,3 +922,17 @@ def test_pq_train_codebook_improves_quantization(spark):
         return codes.agg(F.sum("dist_q6")).collect()[0][0]
 
     assert distortion(trained) < distortion(sampled)
+
+
+def test_pq_codebook_persistence(spark, tmp_path):
+    from proyecto_gasto_publico_etl_per__spark.operators import (
+        model_store,
+        similarity,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = similarity.sampled_codebook(emb, "vec_id", "embedding", 4, 4)
+    p = str(tmp_path / "pq")
+    model_store.save_pq_codebook(spark, p, cb)
+    assert model_store.load_pq_codebook(spark, p) == cb
