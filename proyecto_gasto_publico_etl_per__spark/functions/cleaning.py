@@ -54,3 +54,29 @@ def region_map_label(dep_col: Column | str, placeholder: str = "SIN DEPARTAMENTO
         label_or_placeholder(dep_col, placeholder),
         F.lit(", Perú"),
     )
+
+
+#: Spanish/Latin-1 accented characters and their folded forms, aligned
+#: by position for F.translate (JVM-side 1:1 char map, no UDF).  ñ/Ñ
+#: fold to n/N — intentional for MATCH KEYS ONLY (display labels keep
+#: their accents; the reference's limpiar_texto never folds).
+_ACCENTED = "ÁÉÍÓÚÜÑÀÈÌÒÙÂÊÎÔÛÄËÏÖáéíóúüñàèìòùâêîôûäëïö"
+_FOLDED = "AEIOUUNAEIOUAEIOUAEIOaeiouunaeiouaeiouaeio"
+
+
+def fold_accents(col: Column | str) -> Column:
+    """Strip diacritics (á→a, Ñ→N) via a literal translate map.
+
+    For matching/dedup keys over Spanish labels — 'EDUCACIÓN' and the
+    commonly-mistyped 'EDUCACION' must meet in a join.  NOT applied to
+    display columns: the serving views keep the reference's exact label
+    bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ACCENTED, _FOLDED)
+
+
+def match_key(col: Column | str) -> Column:
+    """Canonical label-matching key: clean → fold accents → lowercase.
+    The join key for fuzzy dimension-label matching and cross-source
+    label reconciliation (blocked-Levenshtein's exact-prefilter)."""
+    return F.lower(fold_accents(clean_text(col)))

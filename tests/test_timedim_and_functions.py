@@ -60,3 +60,32 @@ def test_hex_hash32_matches_duckdb(spark):
             "SELECT CAST(('0x' || substr(md5(?),1,8)) AS BIGINT)", [s]
         ).fetchone()[0]
         assert duck == h, s
+
+
+def test_fold_accents_and_match_key(spark):
+    from proyecto_gasto_publico_etl_per__spark.functions.cleaning import (
+        fold_accents,
+        match_key,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "EDUCACIÓN"),
+            (2, "educacion"),
+            (3, "  Año   Fiscal\t"),
+            (4, "GOBIERNO REGIONAL DEL DEPARTAMENTO DE APURÍMAC"),
+        ],
+        "id INT, label STRING",
+    )
+    out = {
+        r.id: (r.folded, r.key)
+        for r in df.select(
+            "id",
+            fold_accents("label").alias("folded"),
+            match_key("label").alias("key"),
+        ).collect()
+    }
+    assert out[1][0] == "EDUCACION"
+    assert out[1][1] == out[2][1] == "educacion"
+    assert out[3][1] == "ano fiscal"
+    assert out[4][1].endswith("apurimac")
