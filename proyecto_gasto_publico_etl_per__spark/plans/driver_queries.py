@@ -1279,6 +1279,86 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "trend_sector_monthly",
+    _star_oracle(
+        """
+    , monthly AS (
+        SELECT sector_nombre, ((anio - 1990) * 12 + mes) AS t,
+               CAST(SUM(monto_devengado) * 10000 AS BIGINT) AS y
+        FROM star GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT sector_nombre,
+               CAST(count(*) AS BIGINT) AS n_months,
+               CAST(SUM(t) AS BIGINT) AS sx,
+               CAST(SUM(t * t) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(t * y) AS BIGINT) AS sxy
+        FROM monthly GROUP BY 1
+    )
+    SELECT sector_nombre, n_months,
+           CASE WHEN n_months >= 2
+                 AND CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN (CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS slope_micros,
+           CASE WHEN n_months >= 2
+                 AND CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN (CAST(sy AS DOUBLE)
+                      - (CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n_months AS DOUBLE)
+           END AS intercept_micros
+    FROM stats
+    """
+    ),
+)
+def trend_sector_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sector OLS spending trend (devengado micros per month-index)
+    — ``operators/trend.group_trend``'s shape made cross-engine
+    EXACT: sufficient statistics are integer sums (month index is
+    centered to 1990 so Σt·y stays under the long bound under ANSI),
+    slope/intercept divide those exact longs in double, where IEEE
+    gives both engines bit-identical results.  r² is omitted here: its
+    Σy² term would need 128-bit sums (see trend.group_trend for the
+    double-math version)."""
+    star = build_star(spark, sf_dir)
+    t = ((F.col("anio") - 1990) * 12 + F.col("mes")).cast("long")
+    monthly = star.groupBy(
+        "sector_nombre", t.alias("t")
+    ).agg(F.sum(gmicros("monto_devengado")).alias("y"))
+    stats = monthly.groupBy("sector_nombre").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n_months").cast("double")
+    sxd, sxxd = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    syd, sxyd = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    varx = nd * sxxd - sxd * sxd
+    cov = nd * sxyd - sxd * syd
+    ok = (F.col("n_months") >= 2) & (varx != 0)
+    slope = F.when(ok, cov / varx)
+    return stats.select(
+        "sector_nombre",
+        "n_months",
+        slope.alias("slope_micros"),
+        F.when(ok, (syd - (cov / varx) * sxd) / nd).alias(
+            "intercept_micros"
+        ),
+    )
+
+
 # --- relational coverage extensions ------------------------------------------
 # Operators the reference lacks outright (SURVEY §2.5 "no right/full-outer,
 # semi, range joins"; §2.6 "no GROUPING SETS") but any warehouse user of the
