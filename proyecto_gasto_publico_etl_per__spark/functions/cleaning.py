@@ -80,3 +80,21 @@ def match_key(col: Column | str) -> Column:
     The join key for fuzzy dimension-label matching and cross-source
     label reconciliation (blocked-Levenshtein's exact-prefilter)."""
     return F.lower(fold_accents(clean_text(col)))
+
+
+def reconcile_on_match_key(
+    left, right, label_col: str, how: str = "inner", key_col: str = "__mk"
+):
+    """Join two frames on the canonical match key of ``label_col`` —
+    the production entry point for cross-source label reconciliation
+    ('EDUCACIÓN' meets 'educacion').  Right-side columns other than the
+    label keep their names; both original labels survive as
+    ``<label_col>`` / ``<label_col>_right`` so the caller can audit
+    what was reconciled.  Exact-canonical matching; for typo-distance
+    matching feed the SURVIVORS of this join's anti-complement to the
+    blocked-Levenshtein path (this is its exact prefilter)."""
+    lk = left.withColumn(key_col, match_key(label_col))
+    rk = right.withColumnRenamed(
+        label_col, f"{label_col}_right"
+    ).withColumn(key_col, match_key(f"{label_col}_right"))
+    return lk.join(rk, key_col, how).drop(key_col)

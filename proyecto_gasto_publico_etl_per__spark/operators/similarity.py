@@ -608,6 +608,11 @@ def sampled_codebook(
     vectors (same sample-init convention as ``ivf_centroids``)."""
     cents = ivf_centroids(df, id_col, vec_col, n_codes)
     dim = len(cents[0][vec_col])
+    if dim % m:
+        raise ValueError(
+            f"PQ requires dim % m == 0: dim={dim}, m={m} would silently "
+            f"drop the trailing {dim % m} dimensions from every distance"
+        )
     sub = dim // m
     return [
         [
@@ -616,6 +621,20 @@ def sampled_codebook(
         ]
         for s in range(m)
     ]
+
+
+def _quant_sq_l2(xs: Column, codeword: list[float], quant: int) -> Column:
+    """Quantized squared-L2 between a slice column and a literal
+    codeword — THE one distance used by encode, training assignment,
+    and the ADC table (they must stay bit-identical for codes and
+    scores to agree; keep a single definition)."""
+    diffs = F.zip_with(
+        xs,
+        F.array(*[F.lit(float(x)) for x in codeword]),
+        lambda a, b: (a - b) * (a - b),
+    )
+    total = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    return F.floor(total * quant + F.lit(0.5)).cast("bigint")
 
 
 def pq_encode(
@@ -641,15 +660,11 @@ def pq_encode(
     """
     if codebook is None:
         codebook = sampled_codebook(df, id_col, vec_col, m, n_codes)
+    # a supplied codebook IS the geometry: derive m/sub from it so a
+    # caller's m/n_codes defaults can never mismatch it (r6 review)
+    m = len(codebook)
     sub = len(codebook[0][0])
     v = _as_double(F.col(vec_col))
-
-    def sq_l2(xs: Column, cs: Column) -> Column:
-        diffs = F.zip_with(xs, cs, lambda a, b: (a - b) * (a - b))
-        total = F.aggregate(
-            diffs, F.lit(0.0), lambda acc, x: acc + x
-        )
-        return F.floor(total * quant + F.lit(0.5)).cast("bigint")
 
     per_sub = []
     for s in range(m):
@@ -657,10 +672,7 @@ def pq_encode(
         scored = F.array(
             *[
                 F.struct(
-                    sq_l2(
-                        xs,
-                        F.array(*[F.lit(float(x)) for x in cw]),
-                    ).alias("d"),
+                    _quant_sq_l2(xs, cw, quant).alias("d"),
                     F.lit(code).alias("code"),
                 )
                 for code, cw in enumerate(codebook[s])
@@ -700,10 +712,16 @@ def pq_train_codebook(
 
     Iterative contract (kmeans/CC/BPE pattern): per iteration the
     distributed work is one encode pass (map-only) plus one
-    (subspace, code, position) mean aggregate whose output is
+    (subspace, code, position) sum/count aggregate whose output is
     m × n_codes × sub rows — the codebook itself, a driver-side model
     artifact collected each round.  Empty cells keep their previous
     codeword (standard Lloyd empty-cluster handling, deterministic).
+
+    Determinism: per-position coordinates are QUANTIZED to the
+    ``quant`` grid before summing (exact long sums, the kmeans_refine
+    pattern), and the mean divides exact integers driver-side — the
+    trained codebook is bit-identical under any partitioning, so a
+    persisted ``save_pq_codebook`` artifact always reproduces.
     """
     codebook = sampled_codebook(df, id_col, vec_col, m, n_codes)
     sub = len(codebook[0][0])
@@ -715,29 +733,16 @@ def pq_train_codebook(
         ).alias("pos", "xs"),
     ).select((F.col("pos") + 1).cast("int").alias("subspace"), "xs")
     for _ in range(n_iters):
-        # assignment expression per subspace over the slice frame (the
-        # same argmin pq_encode uses, inlined so no join is needed)
+        # per-subspace argmin over the slice frame — the SAME distance
+        # expression pq_encode/_pq_dtable use (_quant_sq_l2), inlined
+        # per subspace so no join is needed
         def assign_expr():
             whens = None
             for s in range(m):
                 scored = F.array(
                     *[
                         F.struct(
-                            F.floor(
-                                F.aggregate(
-                                    F.zip_with(
-                                        F.col("xs"),
-                                        F.array(
-                                            *[F.lit(float(x)) for x in cw]
-                                        ),
-                                        lambda a, b: (a - b) * (a - b),
-                                    ),
-                                    F.lit(0.0),
-                                    lambda acc, x: acc + x,
-                                )
-                                * quant
-                                + F.lit(0.5)
-                            ).cast("bigint").alias("d"),
+                            _quant_sq_l2(F.col("xs"), cw, quant).alias("d"),
                             F.lit(code).alias("code"),
                         )
                         for code, cw in enumerate(codebook[s])
@@ -751,18 +756,23 @@ def pq_train_codebook(
                 )
             return whens
 
+        xq = F.floor(F.col("x") * quant + F.lit(0.5)).cast("long")
         stats = (
             slices.withColumn("code", assign_expr())
             .select("subspace", "code", F.posexplode("xs").alias("p", "x"))
             .groupBy("subspace", "code", "p")
-            .agg(F.avg("x").alias("mean"))
+            .agg(
+                F.sum(xq).alias("sum_q"),  # exact long: order-invariant
+                F.count("*").alias("n"),
+            )
             .collect()  # m × n_codes × sub rows: the model artifact
         )
         new_cb = [
             [list(cw) for cw in subspace_cb] for subspace_cb in codebook
         ]
         for r in stats:
-            new_cb[r.subspace - 1][r.code][r.p] = float(r.mean)
+            # exact-integer mean on the quant grid, divided driver-side
+            new_cb[r.subspace - 1][r.code][r.p] = r.sum_q / r.n / quant
         codebook = new_cb
     return codebook
 
@@ -781,15 +791,6 @@ def _pq_dtable(
     sub = len(codebook[0][0])
     qv = _as_double(F.col(vec_col))
 
-    def sub_sq_l2(xs: Column, cw: list[float]) -> Column:
-        diffs = F.zip_with(
-            xs,
-            F.array(*[F.lit(float(x)) for x in cw]),
-            lambda a, b: (a - b) * (a - b),
-        )
-        total = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-        return F.floor(total * quant + F.lit(0.5)).cast("bigint")
-
     entries = []
     for s in range(m):
         xs = F.slice(qv, s * sub + 1, sub)
@@ -798,7 +799,7 @@ def _pq_dtable(
                 F.struct(
                     F.lit(s + 1).alias("subspace"),
                     F.lit(code).alias("code"),
-                    sub_sq_l2(xs, cw).alias("pd_q6"),
+                    _quant_sq_l2(xs, cw, quant).alias("pd_q6"),
                 )
             )
     return queries.select(

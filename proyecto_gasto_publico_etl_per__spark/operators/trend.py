@@ -32,11 +32,15 @@ def group_trend(
     y_col: str,
 ) -> DataFrame:
     """Per-group OLS of ``y_col`` on ``x_col``: (groups..., n, slope,
-    intercept, r2)."""
+    intercept, r2).  Only pairwise-complete rows contribute — a row
+    with exactly one of x/y NULL must not leak into Σx/Σx² while
+    missing from Σxy (inconsistent sufficient statistics = silently
+    wrong slope; r6 review finding)."""
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
-    agg = df.groupBy(*group_cols).agg(
-        F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("n"),
+    complete = x.isNotNull() & y.isNotNull()
+    agg = df.where(complete).groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
         F.sum(x * x).alias("sxx"),

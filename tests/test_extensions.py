@@ -936,3 +936,38 @@ def test_pq_codebook_persistence(spark, tmp_path):
     p = str(tmp_path / "pq")
     model_store.save_pq_codebook(spark, p, cb)
     assert model_store.load_pq_codebook(spark, p) == cb
+
+
+def test_pq_codebook_geometry_guards(spark):
+    """dim % m != 0 fails loudly; a supplied codebook's geometry wins
+    over mismatched m/n_codes defaults (r6 review findings)."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="dim % m"):
+        similarity.sampled_codebook(emb, "vec_id", "embedding", 5, 8)
+    # trained with m=4 defaults, served through ivf_pq_search's m=16
+    # defaults: must run (codebook geometry wins), not IndexError
+    cb = similarity.pq_train_codebook(emb, m=4, n_codes=4, n_iters=1)
+    queries = emb.orderBy("vec_id").limit(2)
+    out = similarity.ivf_pq_search(
+        emb, queries, k=3, n_centroids=4, nprobe=2, codebook=cb
+    )
+    assert out.count() > 0
+
+
+def test_pq_train_codebook_partition_invariant(spark):
+    """Quantized sums make the trained codebook identical under any
+    partitioning (the engine's determinism contract)."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    cb1 = similarity.pq_train_codebook(
+        emb.repartition(1), m=4, n_codes=4, n_iters=2
+    )
+    cb8 = similarity.pq_train_codebook(
+        emb.repartition(8), m=4, n_codes=4, n_iters=2
+    )
+    assert cb1 == cb8

@@ -89,3 +89,24 @@ def test_fold_accents_and_match_key(spark):
     assert out[1][1] == out[2][1] == "educacion"
     assert out[3][1] == "ano fiscal"
     assert out[4][1].endswith("apurimac")
+
+
+def test_reconcile_on_match_key(spark):
+    from proyecto_gasto_publico_etl_per__spark.functions.cleaning import (
+        reconcile_on_match_key,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "EDUCACIÓN"), (2, "SALUD"), (3, "TRANSPORTE")],
+        "id INT, sector STRING",
+    )
+    b = spark.createDataFrame(
+        [("educacion", 100), ("Salud ", 200), ("AGRICULTURA", 300)],
+        "sector STRING, monto INT",
+    )
+    out = reconcile_on_match_key(a, b, "sector")
+    rows = {r.id: (r.sector, r.sector_right, r.monto) for r in out.collect()}
+    assert rows == {
+        1: ("EDUCACIÓN", "educacion", 100),
+        2: ("SALUD", "Salud ", 200),
+    }

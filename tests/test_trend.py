@@ -72,3 +72,16 @@ def test_seasonal_index(spark):
     assert out[12] == pytest.approx(200.0 / overall)
     assert out[1] == pytest.approx(100.0 / overall)
     assert len(out) == 12
+
+
+def test_group_trend_pairwise_complete_only(spark):
+    """A row with exactly one of x/y NULL must not skew the statistics
+    (r6 review): slope over the two complete points is exact."""
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 3.0), ("g", 5, None), ("g", None, 9.0)],
+        "g STRING, x INT, y DOUBLE",
+    )
+    out = trend.group_trend(df, ["g"], "x", "y").collect()[0]
+    assert out.n == 2
+    assert out.slope == pytest.approx(2.0)
+    assert out.intercept == pytest.approx(-1.0)
