@@ -115,3 +115,39 @@ def test_build_corpus_with_learned_filter(spark, tmp_path):
         for r in spark.read.parquet(f"{out_learned}/clean").select("doc_id").collect()
     }
     assert learned_ids <= plain_ids
+
+
+def test_cli_corpus_build_with_classifier(spark, tmp_path, capsys):
+    """corpus-build --classifier-model end-to-end through the CLI."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.plans.corpus_pipeline import (
+        QUALITY_FEATURES,
+        train_quality_classifier,
+    )
+    from proyecto_gasto_publico_etl_per__spark.operators.textstats import (
+        quality_stats,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    profile = quality_stats(
+        load_table(spark, SF_SMOKE, "documents")
+    ).select(*QUALITY_FEATURES, "n_tokens")
+    labeled = profile.withColumn(
+        "label", (F.col("n_tokens") >= 10).cast("int")
+    )
+    model = str(tmp_path / "model")
+    train_quality_classifier(spark, labeled, model, n_iters=10)
+
+    out = str(tmp_path / "corpus")
+    cli.main(
+        [
+            "corpus-build", SF_SMOKE, out,
+            "--classifier-model", model,
+            "--classifier-threshold", "0.5",
+        ]
+    )
+    printed = capsys.readouterr().out
+    assert "n_docs_clean:" in printed
+    assert spark.read.parquet(f"{out}/clean").count() > 0
