@@ -329,6 +329,20 @@ def ivf_probe(
     )
 
 
+def centroid_literal_pairs(pairs: list[tuple[int, list[float]]]) -> Column:
+    """(cid, vector) pairs — e.g. a ``kmeans_refine`` result — as the
+    literal centroid array ``ivf_assign``/``ivf_probe`` consume."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in pairs
+        ]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -337,17 +351,25 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine rank over the ``nprobe``
     inverted lists nearest to each query.
+
+    ``centroids``: optional trained coarse quantizer ((cid, vector)
+    pairs, e.g. from ``kmeans_refine``) — default is the hash-sampled
+    set, same convention as everywhere else.
 
     At 100 TB: assignment is a map-only pass over the corpus (typically
     persisted once, partitioned BY cid so a probe prunes partitions); the
     probe side is small and broadcast, so search touches only
     nprobe/n_centroids of the data and never shuffles the corpus.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    cent_lit = _centroid_literal(cents, id_col, vec_col)
+    if centroids is not None:
+        cent_lit = centroid_literal_pairs(centroids)
+    else:
+        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        cent_lit = _centroid_literal(cents, id_col, vec_col)
     assigned = ivf_assign(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
@@ -866,6 +888,7 @@ def ivf_pq_search(
     rerank: int = 8,
     quant: int = 1_000_000,
     codebook: "Codebook | None" = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """The full production ANN serving path, composed from the audited
     pieces: IVF coarse quantizer restricts candidates to ``nprobe``
@@ -898,9 +921,15 @@ def ivf_pq_search(
 
     Output: (query_id, neighbor_id, score_q3, rk) — same contract as
     ``ivf_topk``/``brute_force_topk`` so recall eval composes.
+
+    ``centroids``: optional trained coarse quantizer (``kmeans_refine``
+    pairs), as in ``ivf_topk``.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    cent_lit = _centroid_literal(cents, id_col, vec_col)
+    if centroids is not None:
+        cent_lit = centroid_literal_pairs(centroids)
+    else:
+        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        cent_lit = _centroid_literal(cents, id_col, vec_col)
     assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
         cent_lit,

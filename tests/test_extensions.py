@@ -971,3 +971,19 @@ def test_pq_train_codebook_partition_invariant(spark):
         emb.repartition(8), m=4, n_codes=4, n_iters=2
     )
     assert cb1 == cb8
+
+
+def test_ivf_trained_centroids_serving(spark):
+    """kmeans_refine output plugs into ivf_topk/ivf_pq_search as the
+    coarse quantizer; results keep the output contract."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    refined = similarity.kmeans_refine(emb, n_centroids=4, iters=2)
+    assert len(refined) <= 4 and all(len(v) == 64 for _, v in refined)
+    queries = emb.orderBy("vec_id").limit(2)
+    out = similarity.ivf_topk(
+        emb, queries, k=3, nprobe=2, centroids=refined
+    ).collect()
+    assert out and all(r.rk <= 3 and r.query_id != r.neighbor_id for r in out)
