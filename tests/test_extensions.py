@@ -987,3 +987,24 @@ def test_ivf_trained_centroids_serving(spark):
         emb, queries, k=3, nprobe=2, centroids=refined
     ).collect()
     assert out and all(r.rk <= 3 and r.query_id != r.neighbor_id for r in out)
+
+
+def test_ivf_pq_search_partition_invariant(spark):
+    """The whole composed path is exact-integer at every cross-row
+    reduction (ADC = sum of long pd_q6; rerank = quantized cosine), so
+    results are identical under any partitioning."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(150)
+    queries = emb.orderBy("vec_id").limit(3)
+
+    def run(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.score_q3, r.rk)
+            for r in similarity.ivf_pq_search(
+                df, queries, k=4, n_centroids=4, nprobe=2, m=8, n_codes=8
+            ).collect()
+        )
+
+    assert run(emb.repartition(1)) == run(emb.repartition(8))
