@@ -73,6 +73,10 @@ EXTENSIONS = (
     "dup_token_inflation",
     "ngram_novelty",
     "sq8_encode_audit",
+    # round 6 additions (baseline starts at r6): the native session
+    # window and the cross-engine-exact OLS trend
+    "sessionize_native",
+    "trend_sector_monthly",
 )
 
 
