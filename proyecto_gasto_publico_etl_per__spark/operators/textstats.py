@@ -308,3 +308,30 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
             / F.col("n_bigrams").cast("double"),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def suppress_small_groups(
+    df,
+    group_cols: list[str],
+    k: int = 5,
+    count_col: str = "__n",
+):
+    """Statistical-disclosure suppression: drop every row whose group
+    has fewer than ``k`` rows — the primary-suppression rule public
+    agencies apply before publishing aggregates (a cell of 2 records
+    identifies its members).  The reference publishes MEF aggregates
+    with no such gate; serving views composed over this are safe to
+    expose at any grain.
+
+    One window count per group (no join, no second scan); at scale the
+    count rides the same hash partitioning the downstream group-by
+    needs, so AQE usually fuses the exchanges.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn(count_col, F.count("*").over(w))
+        .where(F.col(count_col) >= k)
+        .drop(count_col)
+    )

@@ -1008,3 +1008,17 @@ def test_ivf_pq_search_partition_invariant(spark):
         )
 
     assert run(emb.repartition(1)) == run(emb.repartition(8))
+
+
+def test_suppress_small_groups(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)]
+        + [("b", i) for i in range(2)]
+        + [("c", i) for i in range(7)],
+        "g STRING, v INT",
+    )
+    out = textstats.suppress_small_groups(df, ["g"], k=5)
+    got = {r.g for r in out.collect()}
+    assert got == {"a", "c"}
+    assert out.count() == 12
+    assert out.columns == ["g", "v"]  # helper column dropped
