@@ -388,3 +388,73 @@ def source_cap(
         .where(F.col("rn") <= cap)
         .select(id_col, source_col, F.col("rn").cast("int").alias("rn"))
     )
+
+
+def bigram_fluency_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM fluency scoring: per doc, the mean MLE conditional
+    probability count(w1,w2)/count(w1) over its adjacent token pairs —
+    the fluency complement to ``unigram_freq_score``'s commonness
+    (word-salad scores low here even when every word is common).
+
+    Same log-free determinism discipline: each conditional ratio is
+    quantized to an exact 1e-9-grid long BEFORE the per-doc sum (double
+    sums are merge-order dependent; quantized long sums are not), so
+    the score is partition-invariant.  Plan shape: one bigram explode →
+    bigram + context count tables (vocab²-bounded, shuffled on the
+    pair/word key) → posting joins → per-doc exact sum.  Docs with
+    fewer than 2 tokens score NULL (no bigram evidence), not 0.
+    """
+    Q = 1_000_000_000
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("toks")
+    )
+    pairs = base.where(F.size("toks") >= 2).select(
+        "doc",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc", "p.w1", "p.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    # context counts = occurrences of w1 AS A BIGRAM CONTEXT (i.e. all
+    # non-final positions) so Σ_w2 P(w2|w1) = 1 exactly
+    contexts = pairs.groupBy("w1").agg(
+        F.count("*").cast("bigint").alias("c1")
+    )
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"])
+        .join(contexts, "w1")
+        .withColumn(
+            "pq",
+            F.floor(
+                F.col("c12").cast("double")
+                / F.col("c1").cast("double")
+                * Q
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("pq").cast("bigint").alias("sum_pq"),
+    )
+    return (
+        base.select("doc")
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (
+                F.col("sum_pq").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(float(Q))
+            ).alias("mean_cond_prob"),
+        )
+    )
