@@ -87,6 +87,8 @@ def build_corpus(
     test_fraction: float = 0.01,
     classifier_model: str | None = None,
     classifier_threshold: float = 0.5,
+    source_cap_n: int | None = None,
+    mixture_allocations: dict[str, int] | None = None,
 ) -> dict:
     """Run the full corpus build; returns the report row as a dict.
 
@@ -95,7 +97,16 @@ def build_corpus(
     ALSO score ``p_keep >= classifier_threshold`` to survive the clean
     gate — learned filtering composes with (never replaces) the
     heuristic gates, the Gopher-then-classifier layering production
-    pipelines use."""
+    pipelines use.
+
+    ``source_cap_n`` / ``mixture_allocations``: optional mixture
+    controls applied to the TRAIN split before packing (eval splits are
+    never resampled — their job is to represent the cleaned
+    distribution): at most ``source_cap_n`` docs per source
+    (``curation.source_cap``), then per-language token budgets
+    (``curation.mixture_fill``, two-phase quota fill).  Both are
+    deterministic hash-order selections; the chosen ids persist to the
+    ``selected/`` zone for audit."""
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. profile: one scan, expression-chain columns
@@ -138,8 +149,32 @@ def build_corpus(
     )
     split = spark.read.parquet(f"{out_dir}/splits")
 
-    # 4. pack the train split into training sequences
+    # 4. mixture controls on the train split (eval splits untouched),
+    #    then pack into training sequences
     train = split.where(F.col("split") == "train")
+    n_train_presel = None
+    if source_cap_n is not None or mixture_allocations is not None:
+        n_train_presel = train.count()
+        from ..operators import curation
+
+        if source_cap_n is not None:
+            capped = curation.source_cap(train, source_cap_n).select(
+                "doc_id"
+            )
+            train = train.join(capped, "doc_id", "left_semi")
+        if mixture_allocations is not None:
+            filled = curation.mixture_fill(
+                train, mixture_allocations
+            ).select("doc_id")
+            train = train.join(filled, "doc_id", "left_semi")
+        train.select("doc_id", "source", "lang").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/selected")
+        train = split.where(F.col("split") == "train").join(
+            spark.read.parquet(f"{out_dir}/selected").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     chunks = chunking.chunk_documents(
         train, size=CHUNK_SIZE, stride=CHUNK_STRIDE
     )
@@ -179,6 +214,11 @@ def build_corpus(
     report = {
         "n_docs_in": n_docs,
         "n_docs_clean": n_clean,
+        "n_train_selected": (
+            train.count()
+            if n_train_presel is not None
+            else split_counts.get("train", 0)
+        ),
         "n_train": split_counts.get("train", 0),
         "n_val": split_counts.get("val", 0),
         "n_test": split_counts.get("test", 0),

@@ -151,3 +151,39 @@ def test_cli_corpus_build_with_classifier(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "n_docs_clean:" in printed
     assert spark.read.parquet(f"{out}/clean").count() > 0
+
+
+def test_build_corpus_mixture_controls(spark, tmp_path):
+    """source_cap + language token allocations applied to the train
+    split only: selection persists to selected/, caps hold, eval splits
+    untouched, packed sequences come only from selected docs."""
+    out = str(tmp_path / "mix")
+    report = build_corpus(
+        spark, SF_SMOKE, out,
+        source_cap_n=30,
+        mixture_allocations={"en": 3000},
+        val_fraction=0.05, test_fraction=0.05,
+    )
+    assert report["n_train_selected"] <= report["n_train"]
+    sel = spark.read.parquet(f"{out}/selected")
+    # per-source cap holds on the selection
+    per_source = sel.groupBy("source").count().collect()
+    assert all(r["count"] <= 30 for r in per_source)
+    # only english survives the allocation map
+    assert {r.lang for r in sel.select("lang").distinct().collect()} == {"en"}
+    # token budget holds (selection's token total <= allocation)
+    split = spark.read.parquet(f"{out}/splits")
+    toks = (
+        split.join(sel.select("doc_id"), "doc_id", "left_semi")
+        .selectExpr("sum(n_tokens) AS t")
+        .collect()[0]["t"]
+    )
+    assert toks <= 3000
+    # eval splits not resampled
+    assert split.where("split = 'val'").count() == report["n_val"]
+    # packed chunks only from selected docs
+    packed_docs = {
+        r.doc for r in spark.read.parquet(f"{out}/packed").select("doc").distinct().collect()
+    }
+    sel_ids = {r.doc_id for r in sel.collect()}
+    assert packed_docs <= sel_ids
