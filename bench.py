@@ -77,6 +77,8 @@ EXTENSIONS = (
     # window and the cross-engine-exact OLS trend
     "sessionize_native",
     "trend_sector_monthly",
+    "bigram_fluency",
+    "small_group_suppression",
 )
 
 

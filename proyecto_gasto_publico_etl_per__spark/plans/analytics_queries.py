@@ -1881,3 +1881,35 @@ def basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac"),
         )
     )
+
+
+@register(
+    "small_group_suppression",
+    """
+    WITH n AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    kept AS (
+      SELECT o.o_orderpriority, o.o_custkey
+      FROM orders o JOIN n USING (o_custkey) WHERE n.cnt >= 5
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM kept GROUP BY o_orderpriority
+    """,
+)
+def small_group_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disclosure-safe publication gate: primary suppression drops every
+    customer whose order count is below k=5 BEFORE aggregation, then
+    publishes per-priority counts — the k-anonymity rule public
+    agencies apply to MEF-style aggregates (a 2-record cell identifies
+    its members).  One window count per group, no join, no second scan
+    (`textstats.suppress_small_groups`); integer outputs only, so the
+    result is exact in any engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    kept = textstats.suppress_small_groups(orders, ["o_custkey"], k=5)
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )

@@ -814,3 +814,51 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.exact_grouped_corr(
         li, "l_quantity", "l_extendedprice", ["l_returnflag"]
     )
+
+
+@register(
+    "bigram_fluency",
+    f"""
+    WITH {_DOCS_CTE},
+    bi AS (
+      SELECT doc, list_zip(toks[1:len(toks)-1], toks[2:len(toks)]) AS bgs
+      FROM toks WHERE len(toks) >= 2
+    ),
+    pairs AS (
+      SELECT doc, p[1] AS w1, p[2] AS w2
+      FROM (SELECT doc, unnest(bgs) AS p FROM bi)
+    ),
+    bigrams AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM pairs GROUP BY w1, w2
+    ),
+    contexts AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1
+    ),
+    scored AS (
+      SELECT doc,
+             CAST(floor(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                        * 1000000000 + 0.5) AS BIGINT) AS pq
+      FROM pairs JOIN bigrams USING (w1, w2) JOIN contexts USING (w1)
+    ),
+    per_doc AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(pq) AS BIGINT) AS sum_pq
+      FROM scored GROUP BY doc
+    )
+    SELECT t.doc AS doc_id,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           CAST(p.sum_pq AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+             / 1000000000.0 AS mean_cond_prob
+    FROM toks t LEFT JOIN per_doc p ON t.doc = p.doc
+    """,
+)
+def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score: per-doc mean MLE conditional probability
+    P(w2|w1) over adjacent token pairs — the fluency complement to
+    ``unigram_freq_score`` (word salad of common words scores low).
+    Each conditional is quantized to an exact 1e-9 grid BEFORE the
+    per-doc sum, so the score is partition-invariant and cross-engine
+    exact (same discipline as the entropy/Zipf family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.bigram_fluency_score(docs)
