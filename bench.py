@@ -79,6 +79,7 @@ EXTENSIONS = (
     "trend_sector_monthly",
     "bigram_fluency",
     "small_group_suppression",
+    "dsir_importance",
 )
 
 

@@ -458,3 +458,141 @@ def bigram_fluency_score(
             ).alias("mean_cond_prob"),
         )
     )
+
+
+#: DSIR hashed-feature space: unigrams + adjacent bigrams hashed into
+#: this many buckets (Xie et al. 2023 use 10k; 4096 keeps the log-ratio
+#: table broadcast-trivial while leaving <3 expected collisions per
+#: bucket on the synthetic corpus)
+DSIR_BUCKETS = 4096
+_DSIR_Q = 1_000_000
+
+
+def _hashed_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, bucket [, carried cols]) posting list over unigram +
+    adjacent-bigram features, md5-prefix-hashed into ``DSIR_BUCKETS``
+    buckets (the portable-across-engines hash used everywhere else).
+    Every column of ``df`` other than ``text_col`` rides along, so
+    callers never re-join the posting list against the doc table."""
+    toks = _tokens(F.col(text_col))
+    carried = [c for c in df.columns if c not in (id_col, text_col)]
+    base = df.select(
+        F.col(id_col).alias("doc"), toks.alias("toks"), *carried
+    )
+    feats = base.select(
+        "doc",
+        *carried,
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.when(
+                    F.size("toks") >= 2,
+                    F.zip_with(
+                        F.slice("toks", 1, F.size("toks") - 1),
+                        F.slice("toks", 2, F.size("toks") - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("feat"),
+    )
+    return feats.select(
+        "doc",
+        *carried,
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("g|"), F.col("feat"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, public method): score every RAW doc
+    (``NOT is_target``) by how much its hashed n-gram bag looks like the
+    target domain rather than the raw pool —
+    ``w(d) = Σ_b c_b(d) · log2(p_target[b] / p_raw[b])`` with add-one
+    smoothing over ``DSIR_BUCKETS`` buckets.  Downstream, resampling
+    keeps the top-weighted docs (any existing top-k / threshold op).
+
+    Determinism: the bucket log-ratio is computed from EXACT integer
+    counts (one fixed-order double division chain — IEEE ops are
+    bit-identical across engines; only reduction order is not) and
+    quantized to an integer 1e-6 grid PER BUCKET before the per-doc
+    Σ c_b · lr_micro, which is then an exact BIGINT sum — the weight is
+    partition-invariant and cross-engine exact.
+
+    Scale: one scan of the corpus (target flag is a column, not a second
+    scan), two map-combinable hash aggregates, and a 4096-row log-ratio
+    table broadcast into the per-doc join.  No windows, no all-pairs.
+    """
+    B = DSIR_BUCKETS
+    tagged = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("text"),
+        is_target.alias("is_t"),
+    )
+    feats = _hashed_features(tagged, "doc", "text")
+    bc = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1))
+        .cast("long")
+        .alias("c_r"),
+    )
+    tot = bc.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_r").cast("long").alias("n_r"),
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.log2(
+                (
+                    (F.col("c_t") + 1).cast("double")
+                    / (F.col("n_t") + B).cast("double")
+                )
+                / (
+                    (F.col("c_r") + 1).cast("double")
+                    / (F.col("n_r") + B).cast("double")
+                )
+            )
+            * _DSIR_Q
+            + 0.5
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    docfeat = (
+        feats.where(~F.col("is_t"))
+        .groupBy("doc", "bucket")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    w = (
+        docfeat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum("k").cast("long").alias("n_feats"),
+            F.sum(F.col("k") * F.col("lr_micro"))
+            .cast("long")
+            .alias("weight_micro"),
+        )
+    )
+    raw = tagged.where(~F.col("is_t")).select("doc")
+    return raw.join(w, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("weight_micro", F.lit(0)).cast("long").alias(
+            "weight_micro"
+        ),
+    )

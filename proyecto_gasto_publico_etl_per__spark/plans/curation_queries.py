@@ -862,3 +862,81 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (same discipline as the entropy/Zipf family)."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.bigram_fluency_score(docs)
+
+
+#: DSIR target-domain proxy: two of the twenty synthetic sources stand
+#: in for the "high-quality target" sample the method conditions on
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+@register(
+    "dsir_importance",
+    f"""
+    WITH {_DOCS_CTE},
+    tagged AS (
+      SELECT t.doc, t.toks, d.source IN ('src0', 'src1') AS is_t
+      FROM toks t JOIN documents d ON d.doc_id = t.doc
+    ),
+    feats AS (
+      SELECT doc, is_t,
+             CAST(('0x' || substr(md5('g|' || feat), 1, 8)) AS BIGINT)
+               % {curation.DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc, is_t,
+               unnest(list_concat(
+                 toks,
+                 CASE WHEN len(toks) >= 2
+                      THEN [p[1] || ' ' || p[2]
+                            FOR p IN list_zip(toks[1:len(toks)-1],
+                                              toks[2:len(toks)])]
+                      ELSE []::VARCHAR[] END)) AS feat
+        FROM tagged
+      )
+    ),
+    bc AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+      FROM feats GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+             CAST(sum(c_r) AS BIGINT) AS n_r
+      FROM bc
+    ),
+    lr AS (
+      SELECT bucket,
+             CAST(floor(log2(
+               (CAST(c_t + 1 AS DOUBLE)
+                  / CAST(n_t + {curation.DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(c_r + 1 AS DOUBLE)
+                  / CAST(n_r + {curation.DSIR_BUCKETS} AS DOUBLE))
+             ) * 1000000 + 0.5) AS BIGINT) AS lr_micro
+      FROM bc CROSS JOIN tot
+    ),
+    docfeat AS (
+      SELECT doc, bucket, CAST(count(*) AS BIGINT) AS k
+      FROM feats WHERE NOT is_t GROUP BY doc, bucket
+    ),
+    w AS (
+      SELECT doc, CAST(sum(k) AS BIGINT) AS n_feats,
+             CAST(sum(k * lr_micro) AS BIGINT) AS weight_micro
+      FROM docfeat JOIN lr USING (bucket) GROUP BY doc
+    )
+    SELECT t.doc AS doc_id,
+           coalesce(w.n_feats, 0) AS n_feats,
+           coalesce(w.weight_micro, 0) AS weight_micro
+    FROM tagged t LEFT JOIN w ON t.doc = w.doc
+    WHERE NOT t.is_t
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed unigram+bigram bag, add-one
+    smoothing, 1e-6-quantized per-bucket log-ratios → exact BIGINT doc
+    sums): every raw doc scored by target-domain likeness, target =
+    sources src0/src1.  The resampling score a mixture build feeds into
+    its top-k selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_importance(
+        docs, F.col("source").isin(*DSIR_TARGET_SOURCES)
+    )

@@ -401,3 +401,45 @@ def test_bigram_fluency_score(spark):
         or out[k].mean_cond_prob == out8[k]
         for k in out
     )
+
+
+def test_dsir_importance(spark):
+    """Hand-computed DSIR weights on a 2-target / 3-raw corpus."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        dsir_importance,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat", "t"),
+            (2, "the cat ran", "t"),
+            (3, "the cat sat", "r"),  # looks like the target domain
+            (4, "zig zag zog", "r"),  # does not
+            (5, "", "r"),             # no features at all
+        ],
+        "doc_id LONG, text STRING, grp STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(df, F.col("grp") == "t").collect()
+    }
+    assert set(out) == {3, 4, 5}  # only raw docs are scored
+    # N_t = N_r = 10 features (5 per doc: 3 unigrams + 2 bigrams), so the
+    # smoothed ratio reduces to (c_t+1)/(c_r+1).  Doc 3 shares 'the',
+    # 'cat', 'the cat' with both target docs (c_t=2, c_r=1 -> log2(1.5))
+    # and 'sat', 'cat sat' with one (c_t=1, c_r=1 -> log2(1) = 0):
+    # floor(0.5849625·1e6 + .5) = 584963, three times.
+    assert out[3].weight_micro == 3 * 584963
+    # Doc 4's 5 features are raw-only: c_t=0, c_r=1 -> log2(0.5) = -1.
+    assert out[4].weight_micro == 5 * -1_000_000
+    assert out[5].n_feats == 0 and out[5].weight_micro == 0
+    # partition invariance (exact long sums)
+    out8 = {
+        r.doc_id: r.weight_micro
+        for r in dsir_importance(
+            df.repartition(8), F.col("grp") == "t"
+        ).collect()
+    }
+    assert out8 == {k: v.weight_micro for k, v in out.items()}
