@@ -104,6 +104,16 @@ def main(argv: list[str] | None = None) -> None:
              "learned p_keep gate on top of the heuristic gates",
     )
     cb.add_argument("--classifier-threshold", type=float, default=0.5)
+    cb.add_argument(
+        "--dsir-target-source",
+        action="append",
+        default=None,
+        dest="dsir_target_sources",
+        help="repeatable; sources whose docs form the DSIR target-domain "
+             "exemplar — other train docs are importance-scored against "
+             "them and only the top --dsir-keep-frac survive",
+    )
+    cb.add_argument("--dsir-keep-frac", type=float, default=0.5)
 
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
@@ -176,6 +186,12 @@ def main(argv: list[str] | None = None) -> None:
             test_fraction=args.test_fraction,
             classifier_model=args.classifier_model,
             classifier_threshold=args.classifier_threshold,
+            dsir_target_sources=(
+                tuple(args.dsir_target_sources)
+                if args.dsir_target_sources
+                else None
+            ),
+            dsir_keep_frac=args.dsir_keep_frac,
         )
         for k, v in report.items():
             print(f"{k}: {v}")

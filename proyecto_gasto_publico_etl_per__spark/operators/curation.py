@@ -596,3 +596,61 @@ def dsir_importance(
             "weight_micro"
         ),
     )
+
+
+def dsir_threshold_select(
+    weights: DataFrame,
+    keep_frac: float,
+    id_col: str = "doc_id",
+    sample_permille: int = 1000,
+) -> DataFrame:
+    """Select the top ``keep_frac`` of docs by DSIR weight via a
+    sampled-quantile threshold — the scale path for "keep the best X%":
+    a global exact top-k would either range-sort the corpus or pull k
+    rows to the driver, so instead (1) a deterministic md5 hash sample
+    (``sample_permille``/1000 of docs — same seeding pattern as the IVF
+    centroid sampler) is collected, (2) the threshold is the exact
+    ``keep_frac`` quantile OF THE SAMPLE, computed on the driver from a
+    few thousand longs, and (3) the corpus is filtered by
+    ``weight_micro >= threshold`` — one broadcast-free scan.
+
+    Ties at the threshold are kept (selection can exceed ``keep_frac``
+    by the tie mass; the build report records the realized count).  With
+    ``sample_permille=1000`` the sample is the full corpus and the
+    threshold is exact.  Deterministic end-to-end: hash sample + exact
+    driver quantile + integer comparison.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if not 1 <= sample_permille <= 1000:
+        raise ValueError(
+            f"sample_permille must be in [1, 1000], got {sample_permille}"
+        )
+    sample = weights
+    if sample_permille < 1000:
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("dsir|"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+        sample = weights.where(bucket < sample_permille)
+    vals = sorted(
+        (r[0] for r in sample.select("weight_micro").collect()),
+        reverse=True,
+    )
+    if not vals:
+        return weights  # degenerate sample: keep everything
+    n_keep = max(1, int(len(vals) * keep_frac))
+    threshold = vals[n_keep - 1]
+    return weights.where(F.col("weight_micro") >= F.lit(threshold))

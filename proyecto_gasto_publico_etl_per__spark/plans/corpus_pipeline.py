@@ -89,6 +89,9 @@ def build_corpus(
     classifier_threshold: float = 0.5,
     source_cap_n: int | None = None,
     mixture_allocations: dict[str, int] | None = None,
+    dsir_target_sources: tuple[str, ...] | None = None,
+    dsir_keep_frac: float = 0.5,
+    dsir_sample_permille: int = 1000,
 ) -> dict:
     """Run the full corpus build; returns the report row as a dict.
 
@@ -106,7 +109,15 @@ def build_corpus(
     (``curation.source_cap``), then per-language token budgets
     (``curation.mixture_fill``, two-phase quota fill).  Both are
     deterministic hash-order selections; the chosen ids persist to the
-    ``selected/`` zone for audit."""
+    ``selected/`` zone for audit.
+
+    ``dsir_target_sources``: optional DSIR importance resampling on the
+    train split — docs from the named sources act as the target-domain
+    exemplar (kept unconditionally), every other train doc is scored by
+    ``curation.dsir_importance`` and only the top ``dsir_keep_frac`` by
+    weight survive (``curation.dsir_threshold_select``, sampled-quantile
+    threshold at ``dsir_sample_permille``/1000).  Runs before the cap /
+    quota controls so those operate on the domain-matched pool."""
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. profile: one scan, expression-chain columns
@@ -153,10 +164,29 @@ def build_corpus(
     #    then pack into training sequences
     train = split.where(F.col("split") == "train")
     n_train_presel = None
-    if source_cap_n is not None or mixture_allocations is not None:
+    if (
+        source_cap_n is not None
+        or mixture_allocations is not None
+        or dsir_target_sources is not None
+    ):
         n_train_presel = train.count()
         from ..operators import curation
 
+        if dsir_target_sources is not None:
+            weights = curation.dsir_importance(
+                train, F.col("source").isin(*dsir_target_sources)
+            )
+            kept_raw = curation.dsir_threshold_select(
+                weights,
+                dsir_keep_frac,
+                sample_permille=dsir_sample_permille,
+            ).select("doc_id")
+            target_ids = train.where(
+                F.col("source").isin(*dsir_target_sources)
+            ).select("doc_id")
+            train = train.join(
+                kept_raw.unionByName(target_ids), "doc_id", "left_semi"
+            )
         if source_cap_n is not None:
             capped = curation.source_cap(train, source_cap_n).select(
                 "doc_id"

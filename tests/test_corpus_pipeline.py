@@ -187,3 +187,63 @@ def test_build_corpus_mixture_controls(spark, tmp_path):
     }
     sel_ids = {r.doc_id for r in sel.collect()}
     assert packed_docs <= sel_ids
+
+
+def test_dsir_threshold_select(spark):
+    """Threshold selection keeps the top keep_frac by weight (full
+    sample -> exact threshold), ties included."""
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        dsir_threshold_select,
+    )
+
+    w = spark.createDataFrame(
+        [(i, 10, i * 100) for i in range(1, 11)],
+        "doc_id LONG, n_feats LONG, weight_micro LONG",
+    )
+    kept = {
+        r.doc_id for r in dsir_threshold_select(w, 0.3).collect()
+    }
+    assert kept == {8, 9, 10}  # top 3 of 10 by weight
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dsir_threshold_select(w, 0.0)
+    with _pytest.raises(ValueError):
+        dsir_threshold_select(w, 0.5, sample_permille=0)
+
+
+def test_build_corpus_dsir_selection(spark, tmp_path):
+    """DSIR resampling on the train split: target-source docs always
+    survive, raw docs are thinned to ~keep_frac, eval splits untouched."""
+    out = str(tmp_path / "dsir")
+    targets = ("src0", "src1")
+    report = build_corpus(
+        spark, SF_SMOKE, out,
+        dsir_target_sources=targets, dsir_keep_frac=0.4,
+        val_fraction=0.05, test_fraction=0.05,
+    )
+    assert report["n_train_selected"] <= report["n_train"]
+    split = spark.read.parquet(f"{out}/splits")
+    train = split.where("split = 'train'")
+    packed_docs = {
+        r.doc
+        for r in spark.read.parquet(f"{out}/packed")
+        .select("doc")
+        .distinct()
+        .collect()
+    }
+    # every target-source train doc that produced chunks is packed;
+    # more importantly NO non-train doc is packed
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert packed_docs <= train_ids
+    # raw-pool thinning really happened: packed raw docs < raw train docs
+    raw_train = train.where(~F.col("source").isin(*targets))
+    n_raw_train = raw_train.count()
+    n_raw_packed = len(
+        packed_docs
+        & {r.doc_id for r in raw_train.select("doc_id").collect()}
+    )
+    if n_raw_train >= 5:
+        assert n_raw_packed < n_raw_train
+    # eval splits not resampled
+    assert split.where("split = 'val'").count() == report["n_val"]
