@@ -531,9 +531,12 @@ def dsir_importance(
     Σ c_b · lr_micro, which is then an exact BIGINT sum — the weight is
     partition-invariant and cross-engine exact.
 
-    Scale: one scan of the corpus (target flag is a column, not a second
-    scan), two map-combinable hash aggregates, and a 4096-row log-ratio
-    table broadcast into the per-doc join.  No windows, no all-pairs.
+    Scale: two posting passes over the corpus — one building the
+    4096-row bucket count table (collected as the operator's model
+    artifact, like IVF centroids; Catalyst prunes the other pass to the
+    raw docs only) — then the log-ratio table broadcasts into the
+    per-doc join.  All aggregates are map-combinable.  No windows, no
+    all-pairs, no scalar cross join.
     """
     B = DSIR_BUCKETS
     tagged = fan_out(df).select(
@@ -542,29 +545,43 @@ def dsir_importance(
         is_target.alias("is_t"),
     )
     feats = _hashed_features(tagged, "doc", "text")
-    bc = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+    per = feats.groupBy("doc", "is_t", "bucket").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    bc = per.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("k")).otherwise(0))
         .cast("long")
         .alias("c_t"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1))
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("k")))
         .cast("long")
         .alias("c_r"),
     )
-    tot = bc.agg(
-        F.sum("c_t").cast("long").alias("n_t"),
-        F.sum("c_r").cast("long").alias("n_r"),
-    )
-    lr = bc.crossJoin(F.broadcast(tot)).select(
+    # The bucket table is the model artifact of this operator: ≤ 4096
+    # rows at ANY corpus size, so it collects like the IVF centroid /
+    # SQ8 codebook collects do.  Totals are exact Python int sums
+    # (order-free); the log2 stays a JVM expression over the re-created
+    # 4096-row frame, so the quantized ratio is computed by the same
+    # libm as every other scored query.  This costs one bounded collect
+    # and SAVES a full corpus explode (a naive scalar-subquery total
+    # would re-run the posting pass) plus the nested-loop scalar join.
+    bc_rows = bc.collect()
+    n_t = sum(r["c_t"] for r in bc_rows)
+    n_r = sum(r["c_r"] for r in bc_rows)
+    spark = df.sparkSession
+    lr = spark.createDataFrame(
+        [(r["bucket"], r["c_t"], r["c_r"]) for r in bc_rows],
+        "bucket long, c_t long, c_r long",
+    ).select(
         "bucket",
         F.floor(
             F.log2(
                 (
                     (F.col("c_t") + 1).cast("double")
-                    / (F.col("n_t") + B).cast("double")
+                    / F.lit(n_t + B).cast("double")
                 )
                 / (
                     (F.col("c_r") + 1).cast("double")
-                    / (F.col("n_r") + B).cast("double")
+                    / F.lit(n_r + B).cast("double")
                 )
             )
             * _DSIR_Q
@@ -573,11 +590,7 @@ def dsir_importance(
         .cast("long")
         .alias("lr_micro"),
     )
-    docfeat = (
-        feats.where(~F.col("is_t"))
-        .groupBy("doc", "bucket")
-        .agg(F.count("*").cast("long").alias("k"))
-    )
+    docfeat = per.where(~F.col("is_t")).select("doc", "bucket", "k")
     w = (
         docfeat.join(F.broadcast(lr), "bucket")
         .groupBy("doc")

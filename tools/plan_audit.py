@@ -53,8 +53,6 @@ CARTESIAN_OK = {
     #                        |brands|²-bounded pair table
     "basket_size_histogram",  # 1-row order-total scalar broadcast onto
     #                           the |sizes|-bounded histogram
-    "dsir_importance",  # 1-row (n_t, n_r) feature-total scalar broadcast
-    #                     onto the 4096-row bucket log-ratio table
 }
 
 
