@@ -538,6 +538,28 @@ def dsir_importance(
     per-doc join.  All aggregates are map-combinable.  No windows, no
     all-pairs, no scalar cross join.
     """
+    model = dsir_train(df, is_target, id_col=id_col, text_col=text_col)
+    raw = df.where(~is_target)
+    return dsir_score(raw, model, id_col=id_col, text_col=text_col)
+
+
+def dsir_train(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Train the DSIR model: one posting pass over the tagged corpus to
+    the ≤``DSIR_BUCKETS``-row bucket count table — bounded at ANY corpus
+    size, so it collects like the IVF-centroid / SQ8-codebook model
+    artifacts do.  Totals are exact Python int sums (order-free); every
+    log2 runs as a JVM expression over a re-created bounded frame, so
+    the quantized ratios come from the same libm as every other scored
+    query (collecting JVM-computed longs, never re-deriving them with
+    Python's libm).  Returns a JSON-serializable dict
+    (``model_store.save_dsir`` persists it): per-bucket quantized
+    log-ratios plus the smoothed default for buckets unseen in training.
+    """
     B = DSIR_BUCKETS
     tagged = fan_out(df).select(
         F.col(id_col).alias("doc"),
@@ -545,64 +567,109 @@ def dsir_importance(
         is_target.alias("is_t"),
     )
     feats = _hashed_features(tagged, "doc", "text")
-    per = feats.groupBy("doc", "is_t", "bucket").agg(
-        F.count("*").cast("long").alias("k")
+    bc = (
+        feats.groupBy("doc", "is_t", "bucket")
+        .agg(F.count("*").cast("long").alias("k"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_t"), F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("c_t"),
+            F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("k")))
+            .cast("long")
+            .alias("c_r"),
+        )
     )
-    bc = per.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_t"), F.col("k")).otherwise(0))
-        .cast("long")
-        .alias("c_t"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("k")))
-        .cast("long")
-        .alias("c_r"),
-    )
-    # The bucket table is the model artifact of this operator: ≤ 4096
-    # rows at ANY corpus size, so it collects like the IVF centroid /
-    # SQ8 codebook collects do.  Totals are exact Python int sums
-    # (order-free); the log2 stays a JVM expression over the re-created
-    # 4096-row frame, so the quantized ratio is computed by the same
-    # libm as every other scored query.  This costs one bounded collect
-    # and SAVES a full corpus explode (a naive scalar-subquery total
-    # would re-run the posting pass) plus the nested-loop scalar join.
     bc_rows = bc.collect()
     n_t = sum(r["c_t"] for r in bc_rows)
     n_r = sum(r["c_r"] for r in bc_rows)
     spark = df.sparkSession
-    lr = spark.createDataFrame(
-        [(r["bucket"], r["c_t"], r["c_r"]) for r in bc_rows],
-        "bucket long, c_t long, c_r long",
-    ).select(
-        "bucket",
-        F.floor(
-            F.log2(
-                (
-                    (F.col("c_t") + 1).cast("double")
-                    / F.lit(n_t + B).cast("double")
+
+    def _lr_col(c_t, c_r):
+        return (
+            F.floor(
+                F.log2(
+                    ((c_t + 1).cast("double") / F.lit(n_t + B).cast("double"))
+                    / (
+                        (c_r + 1).cast("double")
+                        / F.lit(n_r + B).cast("double")
+                    )
                 )
-                / (
-                    (F.col("c_r") + 1).cast("double")
-                    / F.lit(n_r + B).cast("double")
-                )
+                * _DSIR_Q
+                + 0.5
             )
-            * _DSIR_Q
-            + 0.5
+            .cast("long")
+            .alias("lr_micro")
         )
-        .cast("long")
-        .alias("lr_micro"),
+
+    lr_rows = (
+        spark.createDataFrame(
+            [(r["bucket"], r["c_t"], r["c_r"]) for r in bc_rows],
+            "bucket long, c_t long, c_r long",
+        )
+        .select("bucket", _lr_col(F.col("c_t"), F.col("c_r")))
+        .collect()
     )
-    docfeat = per.where(~F.col("is_t")).select("doc", "bucket", "k")
+    # default log-ratio for a bucket with zero training evidence
+    # (c_t = c_r = 0) — same JVM expression chain, literal zero counts
+    default_micro = (
+        spark.range(1)
+        .select(_lr_col(F.lit(0), F.lit(0)))
+        .collect()[0]["lr_micro"]
+    )
+    return {
+        "n_buckets": B,
+        "n_t": n_t,
+        "n_r": n_r,
+        "default_lr_micro": int(default_micro),
+        "lr": [[int(r["bucket"]), int(r["lr_micro"])] for r in lr_rows],
+    }
+
+
+def dsir_score(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ANY doc frame with a trained DSIR model (train once, score
+    many runs — or score fresh docs at ingest via ``foreachBatch``): the
+    persisted log-ratio table broadcasts (≤4096 rows), features the
+    model never saw score the model's smoothed default, and the per-doc
+    weight is the same exact quantized BIGINT sum as at train time.  A
+    doc with zero features scores (0, 0)."""
+    if model.get("n_buckets") != DSIR_BUCKETS:
+        raise ValueError(
+            f"model was trained with n_buckets={model.get('n_buckets')}, "
+            f"engine uses {DSIR_BUCKETS}"
+        )
+    spark = df.sparkSession
+    lr = spark.createDataFrame(
+        [tuple(p) for p in model["lr"]], "bucket long, lr_micro long"
+    )
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("text")
+    )
+    docfeat = _hashed_features(base, "doc", "text").groupBy(
+        "doc", "bucket"
+    ).agg(F.count("*").cast("long").alias("k"))
     w = (
-        docfeat.join(F.broadcast(lr), "bucket")
+        docfeat.join(F.broadcast(lr), "bucket", "left")
         .groupBy("doc")
         .agg(
             F.sum("k").cast("long").alias("n_feats"),
-            F.sum(F.col("k") * F.col("lr_micro"))
+            F.sum(
+                F.col("k")
+                * F.coalesce(
+                    F.col("lr_micro"),
+                    F.lit(int(model["default_lr_micro"])),
+                )
+            )
             .cast("long")
             .alias("weight_micro"),
         )
     )
-    raw = tagged.where(~F.col("is_t")).select("doc")
-    return raw.join(w, "doc", "left").select(
+    return base.select("doc").join(w, "doc", "left").select(
         F.col("doc").alias(id_col),
         F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce("weight_micro", F.lit(0)).cast("long").alias(

@@ -83,3 +83,13 @@ def save_pq_codebook(spark: SparkSession, path: str, codebook) -> None:
 def load_pq_codebook(spark: SparkSession, path: str):
     payload, _ = load_model(spark, path, "pq_codebook")
     return payload
+
+
+def save_dsir(spark: SparkSession, path: str, model: dict) -> None:
+    """Persist a trained DSIR log-ratio model (curation.dsir_train)."""
+    save_model(spark, path, "dsir_lr", model)
+
+
+def load_dsir(spark: SparkSession, path: str) -> dict:
+    payload, _ = load_model(spark, path, "dsir_lr")
+    return payload

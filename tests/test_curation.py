@@ -443,3 +443,56 @@ def test_dsir_importance(spark):
         ).collect()
     }
     assert out8 == {k: v.weight_micro for k, v in out.items()}
+
+
+def test_dsir_train_score_roundtrip(spark, tmp_path):
+    """dsir_importance == train -> persist -> load -> score on the raw
+    docs; unseen features score the model's smoothed default."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators import model_store
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        dsir_importance,
+        dsir_score,
+        dsir_train,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat", "t"),
+            (2, "the cat ran", "t"),
+            (3, "the cat sat", "r"),
+            (4, "zig zag zog", "r"),
+            (5, "", "r"),
+        ],
+        "doc_id LONG, text STRING, grp STRING",
+    )
+    is_t = F.col("grp") == "t"
+    direct = {
+        r.doc_id: (r.n_feats, r.weight_micro)
+        for r in dsir_importance(df, is_t).collect()
+    }
+    model = dsir_train(df, is_t)
+    path = str(tmp_path / "dsir_model")
+    model_store.save_dsir(spark, path, model)
+    loaded = model_store.load_dsir(spark, path)
+    assert loaded == model
+    scored = {
+        r.doc_id: (r.n_feats, r.weight_micro)
+        for r in dsir_score(df.where(~is_t), loaded).collect()
+    }
+    assert scored == direct
+    # a doc made ONLY of never-seen features scores n * default
+    fresh = spark.createDataFrame(
+        [(99, "quux")], "doc_id LONG, text STRING"
+    )
+    out = dsir_score(fresh, loaded).collect()[0]
+    assert out.n_feats == 1
+    assert out.weight_micro == loaded["default_lr_micro"]
+    # N_t == N_r in this corpus -> the zero-evidence default is log2(1)=0
+    assert loaded["default_lr_micro"] == 0
+    # kind mismatch fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        model_store.load_bpe(spark, path)
