@@ -436,3 +436,75 @@ def test_join_streams_uniquifies_prefix_collision(spark):
     # left's r_val kept; right's val uniquified past the collision
     assert row.r_val == "L"
     assert "r_ts" in out.columns and row.r_r_val == "R"
+
+
+def test_dsir_score_at_ingest(spark, tmp_path):
+    """DSIR scoring composes with streaming ingest: a model trained
+    once (batch) scores arriving micro-batches inside foreachBatch, and
+    the streamed scores are identical to batch-scoring the same docs."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators import model_store
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        dsir_score,
+        dsir_train,
+    )
+
+    train_df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "t"),
+            (2, "the cat ran up the hill", "t"),
+            (3, "zig zag zog grok blorp", "r"),
+            (4, "alpha beta gamma delta", "r"),
+        ],
+        "doc_id LONG, text STRING, grp STRING",
+    )
+    model = dsir_train(train_df, F.col("grp") == "t")
+    path = str(tmp_path / "model")
+    model_store.save_dsir(spark, path, model)
+    loaded = model_store.load_dsir(spark, path)
+
+    schema = "doc_id LONG, text STRING"
+    arrivals = [
+        (10, "the cat sat quietly"),
+        (11, "zig zag unrelated blorp"),
+        (12, "entirely novel words only"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(arrivals[:2], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(arrivals[2:], schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    out_dir = str(tmp_path / "scored")
+
+    def score_batch(batch_df, _epoch):
+        dsir_score(batch_df, loaded).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        r.doc_id: (r.n_feats, r.weight_micro)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_feats, r.weight_micro)
+        for r in dsir_score(
+            spark.createDataFrame(arrivals, schema), loaded
+        ).collect()
+    }
+    assert streamed == batch
+    # target-like arrival outranks the raw-like and the all-novel one
+    assert streamed[10][1] > streamed[11][1]
+    assert streamed[12][0] > 0  # novel words scored via the default
