@@ -567,18 +567,17 @@ def dsir_train(
         is_target.alias("is_t"),
     )
     feats = _hashed_features(tagged, "doc", "text")
-    bc = (
-        feats.groupBy("doc", "is_t", "bucket")
-        .agg(F.count("*").cast("long").alias("k"))
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("is_t"), F.col("k")).otherwise(0))
-            .cast("long")
-            .alias("c_t"),
-            F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("k")))
-            .cast("long")
-            .alias("c_r"),
-        )
+    # straight to per-bucket totals: the map-side partial agg combines
+    # to ≤4096 groups per task, so almost nothing crosses the shuffle
+    # (a per-doc pre-aggregate here would shuffle |docs|×|buckets| rows
+    # for no consumer — training never needs per-doc counts)
+    bc = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1))
+        .cast("long")
+        .alias("c_r"),
     )
     bc_rows = bc.collect()
     n_t = sum(r["c_t"] for r in bc_rows)
@@ -602,27 +601,31 @@ def dsir_train(
             .alias("lr_micro")
         )
 
+    # one bounded local job computes every ratio, including the default
+    # for zero-evidence buckets (the NULL-bucket sentinel row carries
+    # c_t = c_r = 0 through the identical expression chain)
     lr_rows = (
         spark.createDataFrame(
-            [(r["bucket"], r["c_t"], r["c_r"]) for r in bc_rows],
+            [(r["bucket"], r["c_t"], r["c_r"]) for r in bc_rows]
+            + [(None, 0, 0)],
             "bucket long, c_t long, c_r long",
         )
         .select("bucket", _lr_col(F.col("c_t"), F.col("c_r")))
         .collect()
     )
-    # default log-ratio for a bucket with zero training evidence
-    # (c_t = c_r = 0) — same JVM expression chain, literal zero counts
-    default_micro = (
-        spark.range(1)
-        .select(_lr_col(F.lit(0), F.lit(0)))
-        .collect()[0]["lr_micro"]
+    default_micro = next(
+        r["lr_micro"] for r in lr_rows if r["bucket"] is None
     )
     return {
         "n_buckets": B,
         "n_t": n_t,
         "n_r": n_r,
         "default_lr_micro": int(default_micro),
-        "lr": [[int(r["bucket"]), int(r["lr_micro"])] for r in lr_rows],
+        "lr": [
+            [int(r["bucket"]), int(r["lr_micro"])]
+            for r in lr_rows
+            if r["bucket"] is not None
+        ],
     }
 
 
