@@ -247,3 +247,23 @@ def test_build_corpus_dsir_selection(spark, tmp_path):
         assert n_raw_packed < n_raw_train
     # eval splits not resampled
     assert split.where("split = 'val'").count() == report["n_val"]
+
+
+def test_cli_corpus_build_with_dsir(spark, tmp_path, capsys):
+    """corpus-build --dsir-target-source/--dsir-keep-frac end-to-end
+    through the CLI: the train split is resampled toward the target."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    out = str(tmp_path / "corpus")
+    cli.main(
+        [
+            "corpus-build", SF_SMOKE, out,
+            "--dsir-target-source", "src0",
+            "--dsir-target-source", "src1",
+            "--dsir-keep-frac", "0.4",
+        ]
+    )
+    printed = capsys.readouterr().out
+    assert "n_train_selected:" in printed
+    report = spark.read.parquet(f"{out}/report").collect()[0]
+    assert report.n_train_selected <= report.n_train
