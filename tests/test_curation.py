@@ -496,3 +496,52 @@ def test_dsir_train_score_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         model_store.load_bpe(spark, path)
+
+
+def test_dsir_weight_pure_python_identity(spark):
+    """Cross-implementation identity: a pure-Python re-implementation
+    (hashlib md5 bucketing + the persisted model's quantized ratios)
+    reproduces every engine weight EXACTLY — the weight is a function of
+    the model artifact alone, independent of Spark internals."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        DSIR_BUCKETS,
+        dsir_importance,
+        dsir_train,
+    )
+
+    rows = [
+        (i, f"tok{i % 7} tok{(i + 1) % 7} tok{i % 5} filler{i % 3}",
+         "t" if i % 4 == 0 else "r")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, grp STRING")
+    is_t = F.col("grp") == "t"
+    model = dsir_train(df, is_t)
+    lr = {b: v for b, v in model["lr"]}
+
+    def bucket(feat: str) -> int:
+        h = hashlib.md5(f"g|{feat}".encode()).hexdigest()[:8]
+        return int(h, 16) % DSIR_BUCKETS
+
+    def py_weight(text: str) -> tuple[int, int]:
+        toks = text.lower().split()
+        feats = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        w = sum(
+            lr.get(bucket(f), model["default_lr_micro"]) for f in feats
+        )
+        return len(feats), w
+
+    expected = {
+        i: py_weight(text) for i, text, grp in rows if grp == "r"
+    }
+    got = {
+        r.doc_id: (r.n_feats, r.weight_micro)
+        for r in dsir_importance(df, is_t).collect()
+    }
+    assert got == expected

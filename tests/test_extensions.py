@@ -1022,3 +1022,18 @@ def test_suppress_small_groups(spark):
     assert got == {"a", "c"}
     assert out.count() == 12
     assert out.columns == ["g", "v"]  # helper column dropped
+
+
+def test_suppress_small_groups_null_keys_and_k1(spark):
+    """NULL group keys form a group of their own (window partitioning
+    groups NULLs together — they are suppressible like any other cell),
+    and k=1 is an exact no-op."""
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3), ("a", 4), ("a", 5), ("b", 6)],
+        "g STRING, v INT",
+    )
+    out = textstats.suppress_small_groups(df, ["g"], k=3)
+    got = [(r.g, r.v) for r in out.collect()]
+    assert sorted(got, key=lambda t: t[1]) == [("a", 3), ("a", 4), ("a", 5)]
+    # the 2-row NULL group and the 1-row 'b' group are both suppressed
+    assert textstats.suppress_small_groups(df, ["g"], k=1).count() == 6
