@@ -1,8 +1,13 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the FINAL stdout line, sized to survive
+the driver's stdout tail-capture — round-6 verdict #1):
   {"metric": "total_headline_sec", "value": N, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": 0.1}
+   "queries": {"q1": sec, ...}, "extension_total_sec": N, "sf": 0.1,
+   "env": {...}, "detail": "BENCH_DETAIL.json"}
+and writes the full detail (per-query [best, worst] spreads, the
+extension-set timings) to BENCH_DETAIL.json at the repo root, committed
+per round.
 
 Each query is forced end-to-end with the `noop` sink (full distributed
 materialization, no driver collect — the same discipline the engine keeps
@@ -147,22 +152,42 @@ def main() -> None:
     timings, spreads = time_set(HEADLINE)
     ext_timings, ext_spreads = time_set(EXTENSIONS, rebuild=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "queries_minmax": spreads,
-                "extension_queries": ext_timings,
-                "extension_queries_minmax": ext_spreads,
-                "extension_total_sec": round(sum(ext_timings.values()), 4),
-                "sf": sf,
-                "env": _env_versions(),
-            }
+    # Two-artifact emission (round-6 verdict #1): the r6 driver artifact
+    # came back unparseable because the [best, worst] spread fields grew
+    # the single stdout line past the driver's tail-capture window.  The
+    # full detail now goes to a committed file; stdout's FINAL line is a
+    # compact headline-only JSON the driver can always capture and parse.
+    detail = {
+        "metric": "total_headline_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "queries_minmax": spreads,
+        "extension_queries": ext_timings,
+        "extension_queries_minmax": ext_spreads,
+        "extension_total_sec": round(sum(ext_timings.values()), 4),
+        "sf": sf,
+        "env": _env_versions(),
+    }
+    detail_path = Path(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            str(Path(__file__).resolve().parent / "BENCH_DETAIL.json"),
         )
     )
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    compact = {
+        "metric": "total_headline_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "extension_total_sec": detail["extension_total_sec"],
+        "sf": sf,
+        "env": _env_versions(),
+        "detail": detail_path.name,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

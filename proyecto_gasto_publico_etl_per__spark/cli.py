@@ -114,6 +114,15 @@ def main(argv: list[str] | None = None) -> None:
              "them and only the top --dsir-keep-frac survive",
     )
     cb.add_argument("--dsir-keep-frac", type=float, default=0.5)
+    cb.add_argument(
+        "--dsir-sample-permille",
+        type=int,
+        default=None,
+        help="explicit hash-sample permille for the DSIR threshold "
+             "quantile (1000 = exact full-corpus collect, the "
+             "small-scale opt-in); default auto-bounds the driver-side "
+             "sample to ~256k rows regardless of corpus size",
+    )
 
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
@@ -192,6 +201,7 @@ def main(argv: list[str] | None = None) -> None:
                 else None
             ),
             dsir_keep_frac=args.dsir_keep_frac,
+            dsir_sample_permille=args.dsir_sample_permille,
         )
         for k, v in report.items():
             print(f"{k}: {v}")

@@ -428,9 +428,17 @@ def bigram_fluency_score(
     contexts = pairs.groupBy("w1").agg(
         F.count("*").cast("bigint").alias("c1")
     )
+    # broadcast the vocab-bounded contexts table (round-6 verdict #6):
+    # a shuffled equi-join on bare w1 is Zipf-skewed at corpus scale —
+    # the top word's postings all land on one reducer — while the
+    # distinct-w1 table is vocab-sized (≤ a few M rows at any corpus
+    # size), so map-side hash lookup removes both the shuffle and the
+    # hot key.  The (w1, w2) bigram join keeps its shuffle: its key
+    # carries the pair, whose max multiplicity is the max bigram count,
+    # far below the max unigram count.
     scored = (
         pairs.join(bigrams, ["w1", "w2"])
-        .join(contexts, "w1")
+        .join(F.broadcast(contexts), "w1")
         .withColumn(
             "pq",
             F.floor(
@@ -681,11 +689,25 @@ def dsir_score(
     )
 
 
+def _dsir_auto_ppm(n_rows: int, max_sample_rows: int) -> int:
+    """Largest parts-per-million sampling fraction whose expected
+    hash-sample size stays within ``max_sample_rows``: 1e6 (exact,
+    full-corpus quantile) while the corpus itself fits the driver
+    budget, else proportionally smaller — never 0 (a degenerate empty
+    sample keeps everything).  Ppm rather than permille granularity so
+    the bound holds to ~10¹¹ docs (permille's floor of 1/1000 would
+    still collect 10M rows from a 10¹⁰-doc corpus)."""
+    if n_rows <= max_sample_rows:
+        return 1_000_000
+    return max(1, min(999_999, (max_sample_rows * 1_000_000) // n_rows))
+
+
 def dsir_threshold_select(
     weights: DataFrame,
     keep_frac: float,
     id_col: str = "doc_id",
-    sample_permille: int = 1000,
+    sample_permille: int | None = None,
+    max_sample_rows: int = 262_144,
 ) -> DataFrame:
     """Select the top ``keep_frac`` of docs by DSIR weight via a
     sampled-quantile threshold — the scale path for "keep the best X%":
@@ -698,20 +720,28 @@ def dsir_threshold_select(
     ``weight_micro >= threshold`` — one broadcast-free scan.
 
     Ties at the threshold are kept (selection can exceed ``keep_frac``
-    by the tie mass; the build report records the realized count).  With
-    ``sample_permille=1000`` the sample is the full corpus and the
-    threshold is exact.  Deterministic end-to-end: hash sample + exact
-    driver quantile + integer comparison.
+    by the tie mass; the build report records the realized count).
+    Deterministic end-to-end: hash sample + exact driver quantile +
+    integer comparison.
+
+    The DEFAULT (``sample_permille=None``) is the bounded path (round-6
+    verdict #4): one map-side count sizes the corpus, and a
+    parts-per-million sampling fraction is auto-chosen so the driver
+    collect stays within ``max_sample_rows`` rows — exact while the
+    corpus itself fits the budget, so small-SF semantics are unchanged,
+    and a bounded sample above it, so a 10¹⁰-doc corpus never OOMs the
+    driver by default.  Passing ``sample_permille=1000`` explicitly is
+    the small-scale opt-in for an exact full-corpus quantile at any
+    size (explicit permille keeps the original mod-1000 hash buckets
+    for back-compat with recorded selections).
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    if not 1 <= sample_permille <= 1000:
-        raise ValueError(
-            f"sample_permille must be in [1, 1000], got {sample_permille}"
-        )
-    sample = weights
-    if sample_permille < 1000:
-        bucket = (
+    if max_sample_rows < 1:
+        raise ValueError(f"max_sample_rows must be >= 1, got {max_sample_rows}")
+
+    def _bucket(mod: int) -> Column:
+        return (
             F.conv(
                 F.substring(
                     F.md5(
@@ -725,9 +755,21 @@ def dsir_threshold_select(
                 16,
                 10,
             ).cast("long")
-            % 1000
+            % mod
         )
-        sample = weights.where(bucket < sample_permille)
+
+    sample = weights
+    if sample_permille is None:
+        ppm = _dsir_auto_ppm(weights.count(), max_sample_rows)
+        if ppm < 1_000_000:
+            sample = weights.where(_bucket(1_000_000) < ppm)
+    else:
+        if not 1 <= sample_permille <= 1000:
+            raise ValueError(
+                f"sample_permille must be in [1, 1000], got {sample_permille}"
+            )
+        if sample_permille < 1000:
+            sample = weights.where(_bucket(1000) < sample_permille)
     vals = sorted(
         (r[0] for r in sample.select("weight_micro").collect()),
         reverse=True,

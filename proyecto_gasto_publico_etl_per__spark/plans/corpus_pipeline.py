@@ -91,7 +91,7 @@ def build_corpus(
     mixture_allocations: dict[str, int] | None = None,
     dsir_target_sources: tuple[str, ...] | None = None,
     dsir_keep_frac: float = 0.5,
-    dsir_sample_permille: int = 1000,
+    dsir_sample_permille: int | None = None,
 ) -> dict:
     """Run the full corpus build; returns the report row as a dict.
 
@@ -116,8 +116,10 @@ def build_corpus(
     exemplar (kept unconditionally), every other train doc is scored by
     ``curation.dsir_importance`` and only the top ``dsir_keep_frac`` by
     weight survive (``curation.dsir_threshold_select``, sampled-quantile
-    threshold at ``dsir_sample_permille``/1000).  Runs before the cap /
-    quota controls so those operate on the domain-matched pool."""
+    threshold at ``dsir_sample_permille``/1000; the default ``None``
+    auto-bounds the driver-side sample — exact at small corpora, sampled
+    above ~256k docs).  Runs before the cap / quota controls so those
+    operate on the domain-matched pool."""
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. profile: one scan, expression-chain columns

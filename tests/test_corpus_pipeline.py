@@ -212,6 +212,60 @@ def test_dsir_threshold_select(spark):
         dsir_threshold_select(w, 0.5, sample_permille=0)
 
 
+def test_dsir_threshold_select_bounded_default(spark):
+    """Round-6 verdict #4: the DEFAULT path bounds the driver-side
+    sample — exact while the corpus fits max_sample_rows (small-SF
+    semantics unchanged), a proportional hash sample above it (no
+    full-corpus collect by default at any scale)."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        _dsir_auto_ppm,
+        dsir_threshold_select,
+    )
+
+    # sizing rule: exact under the budget, proportionally bounded above,
+    # floored at 1 ppm (never a degenerate 0 = empty sample)
+    assert _dsir_auto_ppm(100, 262_144) == 1_000_000
+    assert _dsir_auto_ppm(262_144, 262_144) == 1_000_000
+    for n in (262_145, 10**6, 10**9, 10**11):
+        p = _dsir_auto_ppm(n, 262_144)
+        assert 1 <= p < 1_000_000
+        assert n * p / 1_000_000 <= 262_144  # expected sample in budget
+
+    n = 2000
+    w = spark.createDataFrame(
+        [(i, 1, i) for i in range(n)],
+        "doc_id LONG, n_feats LONG, weight_micro LONG",
+    )
+    # corpus over the budget: the realized hash sample the driver would
+    # collect (same md5 bucket expression the operator uses) is bounded
+    p = _dsir_auto_ppm(n, 200)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir|"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") % 1_000_000
+    )
+    realized = w.where(bucket < p).count()
+    assert realized <= 2 * 200
+    # sampled threshold still lands the selection near keep_frac
+    kept = dsir_threshold_select(w, 0.5, max_sample_rows=200).count()
+    assert 0.35 * n <= kept <= 0.65 * n
+    # corpus under the budget: default == the exact full-sample path
+    small = dsir_threshold_select(w, 0.3)  # n=2000 <= 262_144 default
+    exact = dsir_threshold_select(w, 0.3, sample_permille=1000)
+    assert {r.doc_id for r in small.collect()} == {
+        r.doc_id for r in exact.collect()
+    }
+    # explicit permille=1000 stays the exact opt-in even over the budget
+    opt_in = dsir_threshold_select(w, 0.5, sample_permille=1000,
+                                   max_sample_rows=1)
+    assert {r.doc_id for r in opt_in.collect()} == set(range(1000, 2000))
+
+
 def test_build_corpus_dsir_selection(spark, tmp_path):
     """DSIR resampling on the train split: target-source docs always
     survive, raw docs are thinned to ~keep_frac, eval splits untouched."""
