@@ -85,6 +85,10 @@ EXTENSIONS = (
     "bigram_fluency",
     "small_group_suppression",
     "dsir_importance",
+    # round 7 addition (baseline starts at r7): the DSIR serving split —
+    # train-once-per-process (the warm run), timed runs = load the
+    # persisted model + score, the path production repeats per ingest
+    "dsir_score_serving",
 )
 
 

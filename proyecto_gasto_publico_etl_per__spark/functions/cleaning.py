@@ -92,9 +92,28 @@ def reconcile_on_match_key(
     ``<label_col>`` / ``<label_col>_right`` so the caller can audit
     what was reconciled.  Exact-canonical matching; for typo-distance
     matching feed the SURVIVORS of this join's anti-complement to the
-    blocked-Levenshtein path (this is its exact prefilter)."""
+    blocked-Levenshtein path (this is its exact prefilter).
+
+    Raises on column collisions instead of silently corrupting the
+    output: ``withColumnRenamed`` to an existing ``<label_col>_right``
+    would duplicate the name, and ``withColumn(key_col, ...)`` would
+    OVERWRITE a caller column named ``key_col``."""
+    renamed = f"{label_col}_right"
+    if renamed in right.columns:
+        raise ValueError(
+            f"right frame already has a column {renamed!r}; rename it "
+            "or pass a different label_col"
+        )
+    clash = [
+        f for f in (left, right) if key_col in f.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"key_col {key_col!r} already exists in an input frame; "
+            "pass an unused key_col"
+        )
     lk = left.withColumn(key_col, match_key(label_col))
-    rk = right.withColumnRenamed(
-        label_col, f"{label_col}_right"
-    ).withColumn(key_col, match_key(f"{label_col}_right"))
+    rk = right.withColumnRenamed(label_col, renamed).withColumn(
+        key_col, match_key(renamed)
+    )
     return lk.join(rk, key_col, how).drop(key_col)

@@ -225,13 +225,17 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
 def image_features(payload: bytes, dim: int = 4) -> list[float]:
     """Real image features: [width, height, channels, mean/255, ...]
     padded with per-channel means (dim > 4) or truncated (dim < 4).
-    Deterministic given the payload — usable as a pytest oracle."""
+    Deterministic given the payload — usable as a pytest oracle.
+
+    Each mean is an O(pixels) scan, so (like ``audio_features``'s
+    zero-crossing gate) a slot's scan only runs when the slot survives
+    the ``dim`` cut — at the default dim=4 no per-channel work happens."""
     d = decode_image(payload)
     px, ch = d["pixels"], d["channels"]
-    mean = (sum(px) / len(px) / 255.0) if px else 0.0
+    mean = (sum(px) / len(px) / 255.0) if px and dim >= 4 else 0.0
     feats = [float(d["width"]), float(d["height"]), float(ch), mean]
-    for c in range(ch):  # per-channel means fill any remaining dims
-        plane = px[c::ch]
+    for c in range(min(ch, max(0, dim - 4))):
+        plane = px[c::ch]  # per-channel means fill any remaining dims
         feats.append((sum(plane) / len(plane) / 255.0) if plane else 0.0)
     return (feats + [0.0] * dim)[:dim]
 
@@ -245,7 +249,8 @@ def fake_features(payload: bytes, dim: int = 4) -> list[float]:
 
 
 def extract_features(
-    assets: DataFrame, dim: int = 4, decoder: str = "fake"
+    assets: DataFrame, dim: int = 4, decoder: str = "fake",
+    strict: bool = False,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -258,6 +263,13 @@ def extract_features(
     ``audio_features`` per ``media_type`` (Pillow/soundfile or the
     stdlib PNG/WAV fallbacks); other media types keep the fake features
     so mixed-modality frames still pass through in one plan.
+
+    A corpus-scale ingest must not abort on one corrupt/truncated/
+    codec-less asset, so real-decode failures quarantine PER ROW by
+    default: the row keeps its n_bytes/byte_md5 audit columns and gets
+    NULL features (downstream filters on ``features IS NULL`` find the
+    quarantined assets).  ``strict=True`` restores loud failure for
+    pipelines that want one bad asset to stop the job.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
@@ -266,10 +278,15 @@ def extract_features(
         if payload is None:
             return None
         payload = bytes(payload)
-        if decoder == "real" and media_type == "image":
-            return image_features(payload, dim)
-        if decoder == "real" and media_type == "audio":
-            return audio_features(payload, dim)
+        try:
+            if decoder == "real" and media_type == "image":
+                return image_features(payload, dim)
+            if decoder == "real" and media_type == "audio":
+                return audio_features(payload, dim)
+        except Exception:
+            if strict:
+                raise
+            return None  # quarantined: bad payload degrades per-asset
         return fake_features(payload, dim)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -372,7 +389,7 @@ def _fake_resized(payload: bytes, width: int, height: int) -> bytes:
 
 def resize_images(
     assets: DataFrame, width: int = 64, height: int = 64,
-    decoder: str = "fake",
+    decoder: str = "fake", strict: bool = False,
 ) -> DataFrame:
     """Resize every image payload to (width, height) — asset schema in,
     asset schema out, so resizes compose with any other asset operator.
@@ -381,27 +398,44 @@ def resize_images(
     non-image rows pass through untouched).  ``decoder="real"`` runs
     ``resize_image_real`` (Pillow or the stdlib PNG codec path);
     ``"fake"`` keeps the deterministic md5 stand-in the oracle uses.
+
+    Real-decode failures quarantine PER ROW by default (same contract
+    as ``extract_features``): the bad asset's payload becomes NULL and
+    its meta gains ``resize_error`` (never silently keeping the
+    original bytes, which would claim a resize that didn't happen);
+    ``strict=True`` restores loud failure.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
 
-    def one(b: bytes) -> bytes:
-        if decoder == "real":
-            return resize_image_real(bytes(b), width, height)
-        return _fake_resized(bytes(b), width, height)
+    def one(b: bytes) -> bytes | None:
+        try:
+            if decoder == "real":
+                return resize_image_real(bytes(b), width, height)
+            return _fake_resized(bytes(b), width, height)
+        except Exception:
+            if strict:
+                raise
+            return None  # quarantined; meta marks the failure below
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
             is_img = (out["media_type"] == "image") & out["payload"].notna()
-            out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(one)
-            out.loc[is_img, "meta"] = out.loc[is_img, "meta"].map(
-                lambda m: {
+            resized = out.loc[is_img, "payload"].map(one)
+            out.loc[is_img, "payload"] = resized
+            ok = resized.notna()
+            out.loc[is_img, "meta"] = [
+                {
                     **(dict(m) if m is not None else {}),
-                    "width": str(width),
-                    "height": str(height),
+                    **(
+                        {"width": str(width), "height": str(height)}
+                        if good
+                        else {"resize_error": "decode_failed"}
+                    ),
                 }
-            )
+                for m, good in zip(out.loc[is_img, "meta"], ok)
+            ]
             yield out
 
     return assets.mapInPandas(batches, ASSET_SCHEMA)

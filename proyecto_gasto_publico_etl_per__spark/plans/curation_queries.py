@@ -869,9 +869,11 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_TARGET_SOURCES = ("src0", "src1")
 
 
-@register(
-    "dsir_importance",
-    f"""
+#: shared oracle for both DSIR entries: dsir_score_serving's persisted-
+#: model path is value-identical to dsir_importance by the train/score
+#: identity (test_dsir_train_score_roundtrip), so one DuckDB logic twin
+#: checks both
+_DSIR_SQL = f"""
     WITH {_DOCS_CTE},
     tagged AS (
       SELECT t.doc, t.toks, d.source IN ('src0', 'src1') AS is_t
@@ -928,8 +930,10 @@ DSIR_TARGET_SOURCES = ("src0", "src1")
            coalesce(w.weight_micro, 0) AS weight_micro
     FROM tagged t LEFT JOIN w ON t.doc = w.doc
     WHERE NOT t.is_t
-    """,
-)
+    """
+
+
+@register("dsir_importance", _DSIR_SQL)
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (hashed unigram+bigram bag, add-one
     smoothing, 1e-6-quantized per-bucket log-ratios → exact BIGINT doc
@@ -939,4 +943,41 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.dsir_importance(
         docs, F.col("source").isin(*DSIR_TARGET_SOURCES)
+    )
+
+
+#: process-local train-once cache for the serving entry: sf_dir ->
+#: model-store path of the persisted DSIR artifact.  Deliberately NOT
+#: cross-process (a fresh process retrains once, so a regenerated
+#: testdata set can never serve a stale model).
+_DSIR_SERVING_MODELS: dict[str, str] = {}
+
+
+@register("dsir_score_serving", _DSIR_SQL)
+def dsir_score_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR path production actually repeats (round-6 verdict #5):
+    train once per target refresh, persist the ≤4096-row log-ratio
+    artifact through the model store, then every scoring run LOADS the
+    model and runs the single posting pass + broadcast join —
+    ``dsir_importance`` by contrast retrains inside every invocation.
+    First call in a process trains + persists (the bench's warm run);
+    timed runs measure load + score, so serving regressions are visible
+    round-over-round.  Scores are value-identical to
+    ``dsir_importance`` by the train/score identity
+    (test_dsir_train_score_roundtrip), so both entries share one
+    oracle."""
+    import tempfile
+
+    from ..operators import model_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_t = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    path = _DSIR_SERVING_MODELS.get(sf_dir)
+    if path is None:
+        model = curation.dsir_train(docs, is_t)
+        path = tempfile.mkdtemp(prefix="dsir_serving_") + "/model"
+        model_store.save_dsir(spark, path, model)
+        _DSIR_SERVING_MODELS[sf_dir] = path
+    return curation.dsir_score(
+        docs.where(~is_t), model_store.load_dsir(spark, path)
     )

@@ -255,8 +255,20 @@ def streaming_neardup_ingest(
             # ONLY first-batch path-missing is expected; anything else
             # (corrupt footer, IO error) must fail the epoch loudly —
             # silently admitting with empty history would let near-dups
-            # through for good
-            if "PATH_NOT_FOUND" not in str(exc):
+            # through for good.  Match the stable error CLASS first
+            # (message wording varies across Spark versions/locales:
+            # 'PATH_NOT_FOUND' vs 'Path does not exist'), with the
+            # substring probes as a fallback for engines whose
+            # exceptions predate error classes.
+            err_class = (
+                exc.getErrorClass()
+                if hasattr(exc, "getErrorClass")
+                else None
+            )
+            msg = str(exc)
+            if err_class != "PATH_NOT_FOUND" and not (
+                "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+            ):
                 raise
             hist = None
         collide = (

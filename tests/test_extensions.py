@@ -509,6 +509,48 @@ def test_extract_features_real_decoder(spark):
     assert feats[3] == multimodal.fake_features(b"hello", 4)
 
 
+def test_real_decoder_quarantines_bad_payloads(spark):
+    """Corpus-scale ingest contract: one corrupt/codec-less asset must
+    degrade PER ROW (NULL features / NULL payload + error meta), not
+    abort the scan; strict=True restores loud failure."""
+    png = _png_rgb8([[(255, 0, 0)]])
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), None),
+            (2, "image", bytearray(b"\x89PNG\r\n\x1a\ntruncated"), None),
+            (3, "image", bytearray(b"\xff\xd8\xff\xe0jpeg-ish"), None),
+        ],
+        multimodal.ASSET_SCHEMA,
+    )
+    feats = {
+        r.asset_id: r.features
+        for r in multimodal.extract_features(assets, decoder="real").collect()
+    }
+    assert feats[1] == multimodal.image_features(png, 4)
+    assert feats[2] is None and feats[3] is None
+    out = {
+        r.asset_id: r
+        for r in multimodal.resize_images(
+            assets, 2, 2, decoder="real"
+        ).collect()
+    }
+    assert out[1].payload is not None and out[1].meta["width"] == "2"
+    assert out[2].payload is None
+    assert out[2].meta["resize_error"] == "decode_failed"
+    assert out[3].payload is None
+    # strict mode: the job fails loudly on the first bad asset
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.extract_features(
+            assets, decoder="real", strict=True
+        ).collect()
+    with _pytest.raises(Exception):
+        multimodal.resize_images(
+            assets, 2, 2, decoder="real", strict=True
+        ).collect()
+
+
 def test_cluster_duplicates_components(spark):
     from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
         cluster_duplicates,

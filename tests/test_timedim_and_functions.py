@@ -110,3 +110,30 @@ def test_reconcile_on_match_key(spark):
         1: ("EDUCACIÓN", "educacion", 100),
         2: ("SALUD", "Salud ", 200),
     }
+
+
+def test_reconcile_on_match_key_rejects_collisions(spark):
+    """Column collisions fail loudly instead of corrupting the join:
+    a pre-existing <label>_right would duplicate the name, and a
+    pre-existing key_col would be silently overwritten."""
+    import pytest
+
+    from proyecto_gasto_publico_etl_per__spark.functions.cleaning import (
+        reconcile_on_match_key,
+    )
+
+    a = spark.createDataFrame([(1, "SALUD")], "id INT, sector STRING")
+    b_dup = spark.createDataFrame(
+        [("salud", "x")], "sector STRING, sector_right STRING"
+    )
+    with pytest.raises(ValueError, match="sector_right"):
+        reconcile_on_match_key(a, b_dup, "sector")
+    a_mk = spark.createDataFrame(
+        [(1, "SALUD", "boom")], "id INT, sector STRING, __mk STRING"
+    )
+    b = spark.createDataFrame([("salud", 1)], "sector STRING, monto INT")
+    with pytest.raises(ValueError, match="__mk"):
+        reconcile_on_match_key(a_mk, b, "sector")
+    # a caller-chosen key_col sidesteps the collision
+    out = reconcile_on_match_key(a_mk, b, "sector", key_col="__mk2")
+    assert out.collect()[0].monto == 1
