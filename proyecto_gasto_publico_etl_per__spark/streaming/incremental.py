@@ -260,11 +260,12 @@ def streaming_neardup_ingest(
             # 'PATH_NOT_FOUND' vs 'Path does not exist'), with the
             # substring probes as a fallback for engines whose
             # exceptions predate error classes.
-            err_class = (
-                exc.getErrorClass()
-                if hasattr(exc, "getErrorClass")
-                else None
+            # getCondition is the Spark 4 name; getErrorClass the
+            # deprecated 3.x one — probe in that order
+            getter = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", None
             )
+            err_class = getter() if getter is not None else None
             msg = str(exc)
             if err_class != "PATH_NOT_FOUND" and not (
                 "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
