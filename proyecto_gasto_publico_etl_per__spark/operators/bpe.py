@@ -124,13 +124,16 @@ def bpe_encode(
     """Tokenize documents with learned merge rules: (id, tokens).
 
     Merge folds run over the frame's DISTINCT words only; documents then
-    join the finished word→tokens map on the word key (AQE broadcasts it
-    when the vocab is small enough — usually; a 10⁸-type vocab falls
-    back to a co-partitioned shuffle join, which is still |corpus|+|vocab|,
-    never |corpus|×merges).  The fold chain is checkpointed every
-    ``checkpoint_every`` merges — each fold is a lambda the codegen
-    inlines, and an unbounded chain overflows janino exactly like the
-    round-5 filter-inlining incident.
+    join the finished word→tokens map on the word key with the map side
+    EXPLICITLY broadcast (round-7 skew audit: the corpus posting side
+    is Zipf-skewed on bare word — a shuffled join lands the top word's
+    postings on one reducer — while the distinct-word map is
+    vocab-bounded at any corpus size; a corpus whose raw vocab outgrows
+    broadcast memory should min-df-prune its vocab before BPE anyway,
+    as every production tokenizer trainer does).  The fold chain is
+    checkpointed every ``checkpoint_every`` merges — each fold is a
+    lambda the codegen inlines, and an unbounded chain overflows janino
+    exactly like the round-5 filter-inlining incident.
     """
     words = (
         fan_out(docs)
@@ -146,7 +149,7 @@ def bpe_encode(
         F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w")
     )
     encoded = (
-        exploded.join(words, "w")
+        exploded.join(F.broadcast(words), "w")
         .groupBy(id_col)
         .agg(
             F.flatten(

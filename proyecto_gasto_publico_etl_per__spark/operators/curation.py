@@ -125,7 +125,12 @@ def unigram_freq_score(
 
     Plan shape: posting explode → count per token (vocab, shuffled on
     token — bounded by vocab size, not corpus size) → posting⋈vocab
-    (AQE broadcasts the vocab side at any realistic vocab) → per-doc
+    with the vocab side EXPLICITLY broadcast (round-7 skew audit, same
+    hazard as bigram_fluency's context join: the posting side is
+    Zipf-skewed on bare token, so a shuffled join lands the top word's
+    entire posting list on one reducer; the vocab count table is
+    vocab-bounded at any corpus size, and a corpus whose raw vocab
+    outgrows broadcast should min-df-prune it first anyway) → per-doc
     sum.  The corpus total is a 1-row aggregate broadcast via cross
     join (the engine's allowlisted scalar pattern).
     """
@@ -137,7 +142,7 @@ def unigram_freq_score(
     total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
 
     per_doc = (
-        posts.join(vocab, "tok")
+        posts.join(F.broadcast(vocab), "tok")
         .groupBy("doc")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
@@ -179,10 +184,13 @@ def decontaminate(
 
     Scale shape: the eval side reduces to its DISTINCT shingle set —
     small relative to the corpus (eval sets are thousands of docs), so
-    the train-postings ⋈ eval-shingles equi-join broadcasts the eval
-    side under AQE; the corpus is touched exactly once and never
-    self-joins.  Returns every train doc with its count of distinct
-    shared shingles.
+    the train-postings ⋈ eval-shingles equi-join EXPLICITLY broadcasts
+    the eval side (round-7 skew audit: shingle frequency is Zipf-like,
+    and broadcasting by construction — rather than trusting AQE's
+    runtime stats — guarantees the corpus-sized posting list never
+    shuffles on a skewed key); the corpus is touched exactly once and
+    never self-joins.  Returns every train doc with its count of
+    distinct shared shingles.
     """
     from .dedup import _shingle_sets
 
@@ -194,7 +202,7 @@ def decontaminate(
     )
     shared = (
         train_sh.select("doc", F.explode("shingles").alias("shingle"))
-        .join(eval_shingles, "shingle")
+        .join(F.broadcast(eval_shingles), "shingle")
         .groupBy("doc")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
@@ -222,10 +230,10 @@ def decontamination_report(
     question per train doc).
 
     Scale shape: identical to ``decontaminate`` — the corpus posting
-    list is touched once and equi-joins the (eval-sized, broadcastable)
-    eval posting set on shingle; per-eval-doc rollup keys on the small
-    side.  Every eval doc appears (zero-leak rows included) so the
-    report is a complete audit, not just a hit list.
+    list is touched once and equi-joins the (eval-sized, explicitly
+    broadcast) eval posting set on shingle; per-eval-doc rollup keys on
+    the small side.  Every eval doc appears (zero-leak rows included)
+    so the report is a complete audit, not just a hit list.
     """
     from .dedup import _shingle_sets
 
@@ -238,7 +246,9 @@ def decontamination_report(
         .select(F.col("doc").alias("train_doc"),
                 F.explode("shingles").alias("shingle"))
     )
-    hits = train_posts.join(eval_posts, "shingle").groupBy("eval_doc").agg(
+    hits = train_posts.join(
+        F.broadcast(eval_posts), "shingle"
+    ).groupBy("eval_doc").agg(
         F.count_distinct("train_doc").cast("bigint").alias("n_leaky_train_docs"),
         F.count_distinct("shingle").cast("bigint").alias("n_shared_shingles"),
         F.count("*").cast("bigint").alias("n_posting_hits"),

@@ -84,27 +84,33 @@ def main() -> None:
     corpus = make_corpus(spark, n_docs, n_toks)
     corpus.cache().count()
 
-    # A: as shipped — contexts broadcast by construction
-    a = time_op(curation.bigram_fluency_score(corpus))
+    def ab(op) -> tuple[float, float]:
+        """(shipped, all-shuffle) walls for one operator."""
+        a = time_op(op(corpus))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        orig = F.broadcast
+        F.broadcast = lambda df: df  # neutralize the operator's hint
+        try:
+            b = time_op(op(corpus))
+        finally:
+            F.broadcast = orig
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
+        return a, b
 
-    # B: pre-fix plan shape — force every join to shuffle
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    orig = F.broadcast
-    F.broadcast = lambda df: df  # neutralize the operator's hint
-    try:
-        b = time_op(curation.bigram_fluency_score(corpus))
-    finally:
-        F.broadcast = orig
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-
-    print(
-        f"n_docs={n_docs} toks/doc={n_toks} hot-key frac=0.5 vocab=10001\n"
-        f"A broadcast-contexts (shipped): {a:.2f}s\n"
-        f"B all-shuffle (pre-fix shape):  {b:.2f}s\n"
-        f"speedup: {b / a:.2f}x"
-    )
+    print(f"n_docs={n_docs} toks/doc={n_toks} hot-key frac=0.5 vocab=10001")
+    for label, op in (
+        ("bigram_fluency_score", curation.bigram_fluency_score),
+        ("unigram_freq_score", curation.unigram_freq_score),
+    ):
+        a, b = ab(op)
+        print(
+            f"{label}: broadcast (shipped) {a:.2f}s | "
+            f"all-shuffle (pre-fix) {b:.2f}s | speedup {b / a:.2f}x"
+        )
 
 
 if __name__ == "__main__":
