@@ -85,10 +85,11 @@ EXTENSIONS = (
     "bigram_fluency",
     "small_group_suppression",
     "dsir_importance",
-    # round 7 addition (baseline starts at r7): the DSIR serving split —
+    # round 7 additions (baseline starts at r7): the serving splits —
     # train-once-per-process (the warm run), timed runs = load the
-    # persisted model + score, the path production repeats per ingest
+    # persisted model + score/search, the paths production repeats
     "dsir_score_serving",
+    "ann_ivf_pq_serving",
 )
 
 

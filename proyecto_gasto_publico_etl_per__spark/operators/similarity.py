@@ -274,16 +274,23 @@ def _centroid_literal(
     cents: Sequence[Row], id_col: str, vec_col: str
 ) -> Column:
     """The centroid set as one literal array<struct<cid,cvec>> column, so
-    assignment below is whole-stage-codegen map work with no join at all."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(r[id_col])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("cvec"),
-            )
-            for r in cents
-        ]
+    assignment below is whole-stage-codegen map work with no join at all.
+    Built as ONE parsed expression (see ``_dlit_array`` — per-element
+    F.lit chains cost seconds of driver-side plan build)."""
+    return _centroid_expr(
+        [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in cents]
     )
+
+
+def _centroid_expr(pairs: list[tuple[int, list[float]]]) -> Column:
+    entries = ",".join(
+        "named_struct('cid',{cid}L,'cvec',array({vec}))".format(
+            cid=int(cid),
+            vec=",".join(f"{float(x)!r}D" for x in vec),
+        )
+        for cid, vec in pairs
+    )
+    return F.expr(f"array({entries})")
 
 
 def ivf_assign(
@@ -331,16 +338,9 @@ def ivf_probe(
 
 def centroid_literal_pairs(pairs: list[tuple[int, list[float]]]) -> Column:
     """(cid, vector) pairs — e.g. a ``kmeans_refine`` result — as the
-    literal centroid array ``ivf_assign``/``ivf_probe`` consume."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in pairs
-        ]
-    )
+    literal centroid array ``ivf_assign``/``ivf_probe`` consume (one
+    parsed expression, see ``_dlit_array``)."""
+    return _centroid_expr(pairs)
 
 
 def ivf_topk(
@@ -645,16 +645,33 @@ def sampled_codebook(
     ]
 
 
-def _quant_sq_l2(xs: Column, codeword: list[float], quant: int) -> Column:
-    """Quantized squared-L2 between a slice column and a literal
-    codeword — THE one distance used by encode, training assignment,
-    and the ADC table (they must stay bit-identical for codes and
-    scores to agree; keep a single definition)."""
-    diffs = F.zip_with(
-        xs,
-        F.array(*[F.lit(float(x)) for x in codeword]),
-        lambda a, b: (a - b) * (a - b),
+def _dlit_array(vals: Sequence[float]) -> Column:
+    """Literal array<double> built in ONE expression parse.
+
+    A per-element ``F.array(*[F.lit(x) ...])`` chain costs a Py4J round
+    trip per element — a 16×16×16-dim codebook plus centroids is
+    thousands of driver-side JVM calls, measured at ~3s of plan-build
+    latency per ivf_pq_search (the serving path pays it on every run).
+    One parsed SQL string is a single call; ``repr(float)`` is the
+    shortest exact round-trip decimal and Java's parseDouble is
+    correctly rounded, so the literal is bit-identical to ``F.lit``'s.
+    """
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
     )
+
+
+def _quant_sq_l2(
+    xs: Column, codeword: "list[float] | Column", quant: int
+) -> Column:
+    """Quantized squared-L2 between a slice column and a codeword
+    (literal list or a column) — THE one distance used by encode,
+    training assignment, and the ADC table (they must stay
+    bit-identical for codes and scores to agree; keep a single
+    definition — IEEE ops are value-deterministic, so literal-vs-column
+    operand sourcing cannot change the result)."""
+    cw = codeword if isinstance(codeword, Column) else _dlit_array(codeword)
+    diffs = F.zip_with(xs, cw, lambda a, b: (a - b) * (a - b))
     total = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
     return F.floor(total * quant + F.lit(0.5)).cast("bigint")
 
@@ -808,30 +825,42 @@ def _pq_dtable(
 ) -> DataFrame:
     """Per-query ADC distance table: one row per (query, subspace, code)
     with the precomputed query-slice → codeword squared-L2 (quantized).
-    |queries| × m × n_codes rows — a broadcastable model artifact."""
+    |queries| × m × n_codes rows — a broadcastable model artifact.
+
+    Built as query-slices ⋈ broadcast codeword FRAME (m × n_codes rows
+    from the driver) rather than m × n_codes inlined literal
+    expressions: the literal form cost one Py4J call per codeword
+    element at plan build (~2s per search for a 16×16×16 codebook —
+    the dominant serving-path latency) and a codebook-sized codegen
+    unit; the join form is one fixed plan shape at any codebook size.
+    The distance values are bit-identical (same ``_quant_sq_l2``
+    expression; IEEE ops don't care whether an operand is literal or
+    column)."""
     m = len(codebook)
     sub = len(codebook[0][0])
+    spark = queries.sparkSession
+    cw = spark.createDataFrame(
+        [
+            (s + 1, code, [float(x) for x in codebook[s][code]])
+            for s in range(m)
+            for code in range(len(codebook[s]))
+        ],
+        "subspace INT, code INT, cvec ARRAY<DOUBLE>",
+    )
     qv = _as_double(F.col(vec_col))
-
-    entries = []
-    for s in range(m):
-        xs = F.slice(qv, s * sub + 1, sub)
-        for code, cw in enumerate(codebook[s]):
-            entries.append(
-                F.struct(
-                    F.lit(s + 1).alias("subspace"),
-                    F.lit(code).alias("code"),
-                    _quant_sq_l2(xs, cw, quant).alias("pd_q6"),
-                )
-            )
-    return queries.select(
+    qslices = queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(F.array(*entries)).alias("e"),
+        F.posexplode(
+            F.array(*[F.slice(qv, s * sub + 1, sub) for s in range(m)])
+        ).alias("pos", "xs"),
     ).select(
+        "query_id", (F.col("pos") + 1).cast("int").alias("subspace"), "xs"
+    )
+    return qslices.join(F.broadcast(cw), "subspace").select(
         "query_id",
-        F.col("e.subspace").cast("int").alias("subspace"),
-        F.col("e.code").cast("int").alias("code"),
-        F.col("e.pd_q6").alias("pd_q6"),
+        "subspace",
+        "code",
+        _quant_sq_l2(F.col("xs"), F.col("cvec"), quant).alias("pd_q6"),
     )
 
 
@@ -875,6 +904,43 @@ def pq_search(
     )
 
 
+def ivf_pq_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    quant: int = 1_000_000,
+    codebook: "Codebook | None" = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The index-build half of IVF-PQ: the two corpus-sized, map-only
+    passes — coarse assignment ``(neighbor_id, cid)`` and PQ codes
+    ``(<id_col>, subspace, code)`` — returned as frames for the caller
+    to persist (parquet zones, like any other derived table).  At 100 TB
+    this runs once per index refresh; every query run then reads the
+    stored index through ``ivf_pq_search(..., index=...)`` instead of
+    re-encoding the corpus.  Artifacts must be persisted together with
+    the centroids/codebook that produced them."""
+    if centroids is not None:
+        cent_lit = centroid_literal_pairs(centroids)
+    else:
+        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        cent_lit = _centroid_literal(cents, id_col, vec_col)
+    if codebook is None:
+        codebook = sampled_codebook(corpus, id_col, vec_col, m, n_codes)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        cent_lit,
+        vec_col,
+    ).select("neighbor_id", "cid")
+    codes = pq_encode(
+        corpus, id_col, vec_col, m, n_codes, quant, codebook
+    ).select(id_col, "subspace", "code")
+    return assigned, codes
+
+
 def ivf_pq_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -889,6 +955,7 @@ def ivf_pq_search(
     quant: int = 1_000_000,
     codebook: "Codebook | None" = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The full production ANN serving path, composed from the audited
     pieces: IVF coarse quantizer restricts candidates to ``nprobe``
@@ -924,17 +991,36 @@ def ivf_pq_search(
 
     ``centroids``: optional trained coarse quantizer (``kmeans_refine``
     pairs), as in ``ivf_topk``.
+
+    ``index``: optional PREBUILT index — ``(assigned, codes)`` frames
+    with schemas ``(neighbor_id, cid)`` and ``(<id_col>, subspace,
+    code)``, e.g. the persisted output of a prior build (see
+    ``ivf_pq_build_index``).  This is the true serving split: in
+    production the corpus-sized assign/encode passes run ONCE at index
+    build and are stored alongside the vectors; a query run reads the
+    index, never re-encodes the corpus.  The codebook/centroids must be
+    the ones the index was built with (same persistence story as the
+    index itself).
     """
     if centroids is not None:
         cent_lit = centroid_literal_pairs(centroids)
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
         cent_lit = _centroid_literal(cents, id_col, vec_col)
-    assigned = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
-        cent_lit,
-        vec_col,
-    ).select("neighbor_id", "cid")
+    # codebook: caller-supplied (pq_train_codebook) or the hash-sample
+    # default; encode and dtable must share it exactly
+    if codebook is None:
+        codebook = sampled_codebook(corpus, id_col, vec_col, m, n_codes)
+    if index is not None:
+        assigned, codes = index
+        assigned = assigned.select("neighbor_id", "cid")
+    else:
+        assigned = ivf_assign(
+            corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+            cent_lit,
+            vec_col,
+        ).select("neighbor_id", "cid")
+        codes = pq_encode(corpus, id_col, vec_col, m, n_codes, quant, codebook)
     probed = ivf_probe(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -948,11 +1034,6 @@ def ivf_pq_search(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    # codebook: caller-supplied (pq_train_codebook) or the hash-sample
-    # default; encode and dtable must share it exactly
-    if codebook is None:
-        codebook = sampled_codebook(corpus, id_col, vec_col, m, n_codes)
-    codes = pq_encode(corpus, id_col, vec_col, m, n_codes, quant, codebook)
     dtable = _pq_dtable(queries, codebook, id_col, vec_col, quant)
     adc = (
         cand.join(
@@ -968,7 +1049,10 @@ def ivf_pq_search(
         .where(F.col("ark") <= rerank * k)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank on the shortlist only
+    # exact re-rank on the shortlist only — the shortlist is
+    # |queries| × rerank×k rows (bounded by the query batch, never the
+    # corpus), so it broadcasts into the vector lookup: the corpus
+    # vector table is probed map-side, not shuffled
     qvecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -976,7 +1060,7 @@ def ivf_pq_search(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
     exact = (
-        shortlist.join(nvecs, "neighbor_id")
+        nvecs.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
         .withColumn("score_q3", score_q(F.col("qvec"), F.col("nvec")))
     )
