@@ -939,6 +939,39 @@ def test_ivf_pq_search_composes(spark):
     assert recall >= 0.5, f"recall@5 {recall:.2f} below floor"
 
 
+def test_ivf_pq_index_path_matches_inline(spark, tmp_path):
+    """The index-vs-serve split: searching through a persisted
+    (assigned, codes) index — parquet round-trip included — returns
+    EXACTLY the inline build's rows (round 7; the contract that lets a
+    100 TB deployment build the index once and serve from it)."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    kw = dict(k=5, n_centroids=8, nprobe=4, m=4, n_codes=16, rerank=8)
+    inline = {
+        (r.query_id, r.neighbor_id, r.score_q3, r.rk)
+        for r in similarity.ivf_pq_search(emb, queries, **kw).collect()
+    }
+    assigned, codes = similarity.ivf_pq_build_index(
+        emb, n_centroids=8, m=4, n_codes=16
+    )
+    assigned.write.parquet(str(tmp_path / "assigned"))
+    codes.write.parquet(str(tmp_path / "codes"))
+    index = (
+        spark.read.parquet(str(tmp_path / "assigned")),
+        spark.read.parquet(str(tmp_path / "codes")),
+    )
+    served = {
+        (r.query_id, r.neighbor_id, r.score_q3, r.rk)
+        for r in similarity.ivf_pq_search(
+            emb, queries, index=index, **kw
+        ).collect()
+    }
+    assert served == inline
+
+
 def test_pq_train_codebook_improves_quantization(spark):
     """Lloyd-refined codebook must reduce total quantization distortion
     vs the sampled init (the monotone-improvement property of k-means),
