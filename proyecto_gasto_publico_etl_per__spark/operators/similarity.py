@@ -580,16 +580,9 @@ def kmeans_refine(
         (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in cents
     ]
     for _ in range(iters):
-        lit = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cid"),
-                    F.array(*[F.lit(x) for x in vec]).alias("cvec"),
-                )
-                for cid, vec in current
-            ]
-        )
-        assigned = ivf_assign(df, lit, vec_col)
+        # one-parse literal (same rationale as _dlit_array: per-element
+        # F.lit chains are O(centroids × dim) Py4J calls per iteration)
+        assigned = ivf_assign(df, _centroid_expr(current), vec_col)
         pe = assigned.select(
             "cid",
             F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
