@@ -124,6 +124,31 @@ def main(argv: list[str] | None = None) -> None:
              "sample to ~256k rows regardless of corpus size",
     )
 
+    ab = sub.add_parser(
+        "ann-build-index",
+        help="build + persist the IVF-PQ serving index over an "
+             "embeddings table: centroids + codebook (model store) and "
+             "coarse-assignment + PQ-code parquet zones",
+    )
+    ab.add_argument("sf_dir")
+    ab.add_argument("index_dir")
+    ab.add_argument("--n-centroids", type=int, default=16)
+    ab.add_argument("--m", type=int, default=4)
+    ab.add_argument("--n-codes", type=int, default=16)
+
+    asr = sub.add_parser(
+        "ann-search",
+        help="serve top-k neighbors for query vector ids from a "
+             "persisted ann-build-index (probe -> ADC -> exact re-rank; "
+             "never re-encodes the corpus)",
+    )
+    asr.add_argument("sf_dir")
+    asr.add_argument("index_dir")
+    asr.add_argument("query_ids", nargs="+", type=int)
+    asr.add_argument("--k", type=int, default=5)
+    asr.add_argument("--nprobe", type=int, default=4)
+    asr.add_argument("--rerank", type=int, default=8)
+
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
     q.add_argument(
@@ -205,6 +230,78 @@ def main(argv: list[str] | None = None) -> None:
         )
         for k, v in report.items():
             print(f"{k}: {v}")
+    elif args.cmd == "ann-build-index":
+        from .operators import model_store, similarity
+        from .sources.tables import load_table
+
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        cents = similarity.ivf_centroids(
+            emb, "vec_id", "embedding", args.n_centroids
+        )
+        pairs = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in cents
+        ]
+        cb = similarity.sampled_codebook(
+            emb, "vec_id", "embedding", args.m, args.n_codes
+        )
+        base = args.index_dir
+        model_store.save_model(
+            spark, f"{base}/centroids", "ivf_centroids",
+            [[c, v] for c, v in pairs],
+        )
+        model_store.save_pq_codebook(spark, f"{base}/codebook", cb)
+        # self-describing index: serve-side geometry comes from the
+        # manifest, never from CLI flags that could drift from the build
+        model_store.save_model(
+            spark, f"{base}/manifest", "ann_index_manifest",
+            {"m": args.m, "n_codes": args.n_codes,
+             "n_centroids": args.n_centroids},
+        )
+        assigned, codes = similarity.ivf_pq_build_index(
+            emb, m=args.m, n_codes=args.n_codes,
+            codebook=cb, centroids=pairs,
+        )
+        assigned.write.mode("overwrite").parquet(f"{base}/index_assigned")
+        codes.write.mode("overwrite").parquet(f"{base}/index_codes")
+        n = spark.read.parquet(f"{base}/index_assigned").count()
+        print(f"indexed {n} vectors → {base}")
+    elif args.cmd == "ann-search":
+        from pyspark.sql import functions as F
+
+        from .operators import model_store, similarity
+        from .sources.tables import load_table
+
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        base = args.index_dir
+        manifest, _ = model_store.load_model(
+            spark, f"{base}/manifest", "ann_index_manifest"
+        )
+        pairs_payload, _ = model_store.load_model(
+            spark, f"{base}/centroids", "ivf_centroids"
+        )
+        pairs = [
+            (int(c), [float(x) for x in v]) for c, v in pairs_payload
+        ]
+        cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+        result = similarity.ivf_pq_search(
+            emb,
+            emb.filter(F.col("vec_id").isin(*args.query_ids)),
+            k=args.k,
+            nprobe=args.nprobe,
+            m=manifest["m"],
+            n_codes=manifest["n_codes"],
+            rerank=args.rerank,
+            codebook=cb,
+            centroids=pairs,
+            index=(
+                spark.read.parquet(f"{base}/index_assigned"),
+                spark.read.parquet(f"{base}/index_codes"),
+            ),
+        )
+        result.orderBy("query_id", "rk").show(
+            args.k * len(args.query_ids), truncate=False
+        )
     elif args.cmd == "sql":
         mef_pipeline.register_views(spark, args.warehouse)
         spark.sql(args.statement).show(args.rows, truncate=False)

@@ -321,3 +321,49 @@ def test_cli_corpus_build_with_dsir(spark, tmp_path, capsys):
     assert "n_train_selected:" in printed
     report = spark.read.parquet(f"{out}/report").collect()[0]
     assert report.n_train_selected <= report.n_train
+
+
+def test_cli_ann_index_lifecycle(spark, tmp_path, capsys):
+    """ann-build-index → ann-search through the CLI: build persists the
+    model-store artifacts + index zones with a self-describing geometry
+    manifest; search serves from them and matches the library call."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.operators import (
+        model_store,
+        similarity,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    idx = str(tmp_path / "annidx")
+    cli.main(
+        ["ann-build-index", SF_SMOKE, idx, "--n-centroids", "8",
+         "--m", "4", "--n-codes", "8"]
+    )
+    assert "indexed" in capsys.readouterr().out
+    manifest, _ = model_store.load_model(
+        spark, f"{idx}/manifest", "ann_index_manifest"
+    )
+    assert manifest == {"m": 4, "n_codes": 8, "n_centroids": 8}
+
+    cli.main(["ann-search", SF_SMOKE, idx, "3", "7", "--k", "3"])
+    printed = capsys.readouterr().out
+    # direct library call with the same persisted artifacts must agree
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pairs_payload, _ = model_store.load_model(
+        spark, f"{idx}/centroids", "ivf_centroids"
+    )
+    pairs = [(int(c), [float(x) for x in v]) for c, v in pairs_payload]
+    cb = model_store.load_pq_codebook(spark, f"{idx}/codebook")
+    expect = similarity.ivf_pq_search(
+        emb, emb.filter(F.col("vec_id").isin(3, 7)), k=3, nprobe=4,
+        m=4, n_codes=8, rerank=8, codebook=cb, centroids=pairs,
+        index=(
+            spark.read.parquet(f"{idx}/index_assigned"),
+            spark.read.parquet(f"{idx}/index_codes"),
+        ),
+    ).collect()
+    assert expect, "library search returned nothing"
+    for r in expect:
+        assert str(r.neighbor_id) in printed

@@ -438,6 +438,84 @@ def test_join_streams_uniquifies_prefix_collision(spark):
     assert "r_ts" in out.columns and row.r_r_val == "R"
 
 
+def test_ann_search_at_ingest(spark, tmp_path):
+    """ANN serving composes with streaming ingest (round 7, the
+    ``dsir_score_at_ingest`` pattern for the vector side): an IVF-PQ
+    index built once (batch, persisted) serves arriving query-vector
+    micro-batches inside foreachBatch, and the streamed results are
+    identical to batch-searching the same queries."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    kw = dict(k=3, n_centroids=8, nprobe=4, m=4, n_codes=16, rerank=4)
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 8)
+    pairs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cents
+    ]
+    cb = similarity.sampled_codebook(emb, "vec_id", "embedding", 4, 16)
+    assigned, codes = similarity.ivf_pq_build_index(
+        emb, n_centroids=8, m=4, n_codes=16, codebook=cb, centroids=pairs
+    )
+    assigned.write.parquet(str(tmp_path / "assigned"))
+    codes.write.parquet(str(tmp_path / "codes"))
+
+    queries = emb.orderBy("vec_id").limit(4).collect()
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    rows = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in queries]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    out_dir = str(tmp_path / "results")
+
+    def search_batch(batch_df, _epoch):
+        index = (
+            spark.read.parquet(str(tmp_path / "assigned")),
+            spark.read.parquet(str(tmp_path / "codes")),
+        )
+        similarity.ivf_pq_search(
+            emb, batch_df, codebook=cb, centroids=pairs, index=index, **kw
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(search_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r.query_id, r.neighbor_id, r.score_q3, r.rk)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.query_id, r.neighbor_id, r.score_q3, r.rk)
+        for r in similarity.ivf_pq_search(
+            emb,
+            spark.createDataFrame(rows, schema),
+            codebook=cb,
+            centroids=pairs,
+            index=(
+                spark.read.parquet(str(tmp_path / "assigned")),
+                spark.read.parquet(str(tmp_path / "codes")),
+            ),
+            **kw,
+        ).collect()
+    }
+    assert streamed == batch
+    assert {q for q, *_ in streamed} == {r[0] for r in rows}
+
+
 def test_dsir_score_at_ingest(spark, tmp_path):
     """DSIR scoring composes with streaming ingest: a model trained
     once (batch) scores arriving micro-batches inside foreachBatch, and
