@@ -383,3 +383,41 @@ def test_png_codec_roundtrip(width, height, channels, seed):
         channels,
     )
     assert d["pixels"] == pixels
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(
+            allow_nan=False, allow_infinity=False,
+            width=64,
+        ),
+        min_size=1, max_size=20,
+    ),
+)
+def test_dlit_array_is_bit_exact(spark, vals):
+    """The one-parse literal array (round 7: _dlit_array replaces
+    per-element F.lit chains in the similarity family) must be
+    BIT-IDENTICAL to the F.lit path for any finite double — repr() is
+    the shortest exact round-trip decimal and Spark's parser is
+    correctly rounded, so the parsed literal is the same IEEE value
+    (denormals, -0.0, huge exponents included)."""
+    import math
+    import struct
+
+    from proyecto_gasto_publico_etl_per__spark.operators.similarity import (
+        _dlit_array,
+    )
+
+    row = (
+        spark.range(1)
+        .select(
+            _dlit_array(vals).alias("parsed"),
+            F.array(*[F.lit(float(x)) for x in vals]).alias("lit"),
+        )
+        .collect()[0]
+    )
+    bits = lambda x: struct.pack(">d", x)  # noqa: E731 — bit compare
+    assert [bits(x) for x in row.parsed] == [bits(x) for x in row.lit]
+    assert [bits(x) for x in row.parsed] == [bits(float(x)) for x in vals]
+    assert not any(math.isnan(x) for x in row.parsed)
