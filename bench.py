@@ -117,6 +117,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
+    missing = [
+        n for n in (*HEADLINE, *EXTENSIONS) if n not in registry
+    ]
+    if missing:
+        # a typo'd entry would otherwise be skipped SILENTLY and the
+        # round's totals would shrink while looking like a speedup
+        raise KeyError(f"bench names not in the registry: {missing}")
 
     def time_set(
         names, rebuild: bool = False
