@@ -749,6 +749,12 @@ def dsir_threshold_select(
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
     if max_sample_rows < 1:
         raise ValueError(f"max_sample_rows must be >= 1, got {max_sample_rows}")
+    # the weights frame is typically a full DSIR scoring pipeline; this
+    # operator consumes it up to three times (count for the auto
+    # sample size, the sample collect, the returned filter).  Pin it
+    # once — (id, n_feats, weight_micro) is ~24B/doc, corpus-posting
+    # passes are what the checkpoint saves (3 passes → 1 at any scale).
+    weights = weights.localCheckpoint(eager=True)
 
     def _bucket(mod: int) -> Column:
         return (

@@ -264,6 +264,14 @@ def test_dsir_threshold_select_bounded_default(spark):
     opt_in = dsir_threshold_select(w, 0.5, sample_permille=1000,
                                    max_sample_rows=1)
     assert {r.doc_id for r in opt_in.collect()} == set(range(1000, 2000))
+    # degenerate inputs: empty corpus keeps everything (no crash on the
+    # auto count), bad budget rejected loudly
+    empty = w.where(F.lit(False))
+    assert dsir_threshold_select(empty, 0.5).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_sample_rows"):
+        dsir_threshold_select(w, 0.5, max_sample_rows=0)
 
 
 def test_build_corpus_dsir_selection(spark, tmp_path):
