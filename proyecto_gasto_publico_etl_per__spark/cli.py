@@ -133,7 +133,11 @@ def main(argv: list[str] | None = None) -> None:
     ab.add_argument("sf_dir")
     ab.add_argument("index_dir")
     ab.add_argument("--n-centroids", type=int, default=16)
-    ab.add_argument("--m", type=int, default=4)
+    ab.add_argument(
+        "--m", type=int, default=16,
+        help="PQ subspaces; narrower subvectors quantize better "
+             "(recall-measured default, see SCALE.md)",
+    )
     ab.add_argument("--n-codes", type=int, default=16)
 
     asr = sub.add_parser(
