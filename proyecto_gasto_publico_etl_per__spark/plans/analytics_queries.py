@@ -634,16 +634,22 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     x,y ≤ ~1e5 → m·Σxy ≤ ~1e15 at any corpus size (logs grow, counts
     don't enter the sums).
 
-    Scale: one explode+count pass (map-side combinable); the ranked top
-    slice is vocab-bounded, the final stats are a scalar aggregate.
+    Scale: one explode+count pass (map-side combinable); the top-300
+    cut is a distributed TakeOrderedAndProject over the vocab table
+    BEFORE the ranking window (round 7 — previously the partition-less
+    window single-partitioned the whole vocab just to discard all but
+    300 rows; at web-scale vocab that one task is a stall).  The
+    window then ranks 300 rows — identical output (the (n desc, tok)
+    order is total, so top-300-then-rank == rank-then-filter), and the
+    final stats are a scalar aggregate.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     uni = docs.select(F.explode(_tokens("text")).alias("tok"))
     freq = uni.groupBy("tok").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.desc("n"), "tok")
     pts = (
-        freq.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 300)
+        freq.orderBy(F.desc("n"), "tok").limit(300)
+        .withColumn("rnk", F.row_number().over(w))
         .select(
             F.floor(F.log(F.col("rnk").cast("double")) * 10000 + 0.5)
             .cast("long")
