@@ -421,3 +421,28 @@ def test_dlit_array_is_bit_exact(spark, vals):
     assert [bits(x) for x in row.parsed] == [bits(x) for x in row.lit]
     assert [bits(x) for x in row.parsed] == [bits(float(x)) for x in vals]
     assert not any(math.isnan(x) for x in row.parsed)
+
+
+@SETTINGS
+@given(
+    n_rows=st.integers(min_value=0, max_value=10**14),
+    budget=st.integers(min_value=1, max_value=10**7),
+)
+def test_dsir_auto_ppm_bounds(spark, n_rows, budget):
+    """The DSIR auto sample-sizing rule (round 7): for any corpus size
+    and driver budget, the fraction is in [1, 1e6] ppm, EXACT when the
+    corpus fits the budget, and the expected sample never exceeds the
+    budget except at the 1-ppm floor (reached only beyond 1e6× the
+    budget, where the floor itself is the bound)."""
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        _dsir_auto_ppm,
+    )
+
+    p = _dsir_auto_ppm(n_rows, budget)
+    assert 1 <= p <= 1_000_000
+    if n_rows <= budget:
+        assert p == 1_000_000  # exact path: small-SF semantics unchanged
+    elif p > 1:
+        assert n_rows * p <= budget * 1_000_000  # sample within budget
+    else:
+        assert n_rows > budget * 500_000  # floor only fires at extremes
