@@ -104,6 +104,12 @@ def reconcile_on_match_key(
             f"right frame already has a column {renamed!r}; rename it "
             "or pass a different label_col"
         )
+    if renamed in left.columns:
+        raise ValueError(
+            f"left frame already has a column {renamed!r}; the join "
+            "output would carry two columns of that name — rename it "
+            "or pass a different label_col"
+        )
     clash = [
         f for f in (left, right) if key_col in f.columns
     ]

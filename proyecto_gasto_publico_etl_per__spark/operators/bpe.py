@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _tokens
+from .skew import broadcast_if_bounded
 from ..sources.tables import fan_out
 
 
@@ -130,7 +131,10 @@ def bpe_encode(
     postings on one reducer — while the distinct-word map is
     vocab-bounded at any corpus size; a corpus whose raw vocab outgrows
     broadcast memory should min-df-prune its vocab before BPE anyway,
-    as every production tokenizer trainer does).  The fold chain is
+    as every production tokenizer trainer does).  The hint is guarded
+    (``skew.broadcast_if_bounded``): a raw web-scale vocab over the row
+    bound falls back to the shuffled AQE plan instead of failing on the
+    8 GB broadcast cap.  The fold chain is
     checkpointed every ``checkpoint_every`` merges — each fold is a
     lambda the codegen inlines, and an unbounded chain overflows janino
     exactly like the round-5 filter-inlining incident.
@@ -149,7 +153,7 @@ def bpe_encode(
         F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w")
     )
     encoded = (
-        exploded.join(F.broadcast(words), "w")
+        exploded.join(broadcast_if_bounded(words), "w")
         .groupBy(id_col)
         .agg(
             F.flatten(

@@ -11,9 +11,11 @@ partitioning / AQE re-plan.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .skew import broadcast_if_bounded
 from ..functions.cleaning import clean_text
 from ..sources.tables import fan_out
 
@@ -142,7 +144,7 @@ def unigram_freq_score(
     total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
 
     per_doc = (
-        posts.join(F.broadcast(vocab), "tok")
+        posts.join(broadcast_if_bounded(vocab), "tok")
         .groupBy("doc")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
@@ -448,7 +450,7 @@ def bigram_fluency_score(
     # far below the max unigram count.
     scored = (
         pairs.join(bigrams, ["w1", "w2"])
-        .join(F.broadcast(contexts), "w1")
+        .join(broadcast_if_bounded(contexts), "w1")
         .withColumn(
             "pq",
             F.floor(
@@ -749,12 +751,16 @@ def dsir_threshold_select(
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
     if max_sample_rows < 1:
         raise ValueError(f"max_sample_rows must be >= 1, got {max_sample_rows}")
-    # the weights frame is typically a full DSIR scoring pipeline; this
-    # operator consumes it up to three times (count for the auto
-    # sample size, the sample collect, the returned filter).  Pin it
-    # once — (id, n_feats, weight_micro) is ~24B/doc, corpus-posting
-    # passes are what the checkpoint saves (3 passes → 1 at any scale).
-    weights = weights.localCheckpoint(eager=True)
+    # the weights frame is typically a full DSIR scoring pipeline; the
+    # AUTO path consumes it three times (count for the auto sample
+    # size, the sample collect, the returned filter).  Pin it once with
+    # persist() — (id, n_feats, weight_micro) is ~24B/doc, and unlike
+    # localCheckpoint the cached blocks are recomputable from lineage
+    # if an executor is lost mid-job.  The explicit-permille path reads
+    # it at most twice and stays lazy (no materialization the caller
+    # didn't opt into).
+    if sample_permille is None:
+        weights = weights.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _bucket(mod: int) -> Column:
         return (

@@ -23,6 +23,7 @@ All cosine math is double-precision, presented on an integer grid
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Row, Window
@@ -286,7 +287,7 @@ def _centroid_expr(pairs: list[tuple[int, list[float]]]) -> Column:
     entries = ",".join(
         "named_struct('cid',{cid}L,'cvec',array({vec}))".format(
             cid=int(cid),
-            vec=",".join(f"{float(x)!r}D" for x in vec),
+            vec=",".join(f"{_finite(x, 'centroid')!r}D" for x in vec),
         )
         for cid, vec in pairs
     )
@@ -650,8 +651,24 @@ def _dlit_array(vals: Sequence[float]) -> Column:
     correctly rounded, so the literal is bit-identical to ``F.lit``'s.
     """
     return F.expr(
-        "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+        "array(" + ",".join(f"{_finite(x, 'codebook')!r}D" for x in vals) + ")"
     )
+
+
+def _finite(x: float, what: str) -> float:
+    """Guard a model value before it is formatted into a SQL literal:
+    a NaN/Inf from degenerate training data would render as ``nanD``
+    and surface as an obscure parser error far from the cause — raise
+    a descriptive error at the source instead."""
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"non-finite value {v!r} in {what}: the trained artifact is "
+            "degenerate (NaN/Inf cannot be a centroid or codeword) — "
+            "check the training input for empty clusters or zero "
+            "vectors"
+        )
+    return v
 
 
 def _quant_sq_l2(
@@ -993,8 +1010,19 @@ def ivf_pq_search(
     build and are stored alongside the vectors; a query run reads the
     index, never re-encodes the corpus.  The codebook/centroids must be
     the ones the index was built with (same persistence story as the
-    index itself).
+    index itself) and are therefore REQUIRED alongside ``index`` — if
+    either were re-derived from the current corpus, ADC distances would
+    silently mismatch the persisted codes whenever the corpus drifted
+    since index build.
     """
+    if index is not None and (codebook is None or centroids is None):
+        raise ValueError(
+            "ivf_pq_search(index=...) requires the explicit `codebook` "
+            "and `centroids` the index was built with; re-deriving "
+            "either from the current corpus would silently mismatch the "
+            "persisted codes. Load them from the same manifest as the "
+            "index."
+        )
     if centroids is not None:
         cent_lit = centroid_literal_pairs(centroids)
     else:

@@ -21,10 +21,35 @@ and a skew-split shuffle join.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__gasto_salt"
+
+
+def broadcast_if_bounded(
+    df: DataFrame, max_rows: int = 8_000_000
+) -> DataFrame:
+    """Guarded broadcast hint for vocab-shaped small sides (round-7
+    advice): count the frame and attach ``F.broadcast`` only below
+    ``max_rows``; above it, return the frame unhinted so the join falls
+    back to a shuffled plan (AQE skew-split handles the hot keys)
+    instead of failing on Spark's 8 GB broadcast hard cap.  The frame
+    is ``persist()``ed first so the guard count feeds the subsequent
+    join rather than being a wasted extra pass (and the cached blocks
+    stay recomputable from lineage on executor loss, unlike a
+    localCheckpoint pin).
+
+    Default 8M rows: a vocab row (short string key + a count long) is
+    ≲100 B serialized, keeping the broadcast well under 1 GB — an order
+    of magnitude inside the hard limit.  Batch-only: the count is an
+    eager action, so never call this on a streaming frame.
+    """
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if pinned.count() <= max_rows:
+        return F.broadcast(pinned)
+    return pinned
 
 
 def salted_join(

@@ -947,15 +947,28 @@ def test_ivf_pq_index_path_matches_inline(spark, tmp_path):
     from proyecto_gasto_publico_etl_per__spark.operators import similarity
     from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
 
+    import pytest
+
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     queries = emb.orderBy("vec_id").limit(5)
-    kw = dict(k=5, n_centroids=8, nprobe=4, m=4, n_codes=16, rerank=8)
+    # explicit artifacts — the contract: an index is only valid with
+    # the codebook/centroids it was built with (round-8 advice guard)
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 8)
+    pairs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cents
+    ]
+    cb = similarity.sampled_codebook(emb, "vec_id", "embedding", 4, 16)
+    kw = dict(
+        k=5, nprobe=4, m=4, n_codes=16, rerank=8,
+        codebook=cb, centroids=pairs,
+    )
     inline = {
         (r.query_id, r.neighbor_id, r.score_q3, r.rk)
         for r in similarity.ivf_pq_search(emb, queries, **kw).collect()
     }
     assigned, codes = similarity.ivf_pq_build_index(
-        emb, n_centroids=8, m=4, n_codes=16
+        emb, m=4, n_codes=16, codebook=cb, centroids=pairs
     )
     assigned.write.parquet(str(tmp_path / "assigned"))
     codes.write.parquet(str(tmp_path / "codes"))
@@ -970,6 +983,28 @@ def test_ivf_pq_index_path_matches_inline(spark, tmp_path):
         ).collect()
     }
     assert served == inline
+    # index without its build artifacts is rejected, not silently
+    # re-derived (corpus drift would mismatch the persisted codes)
+    with pytest.raises(ValueError, match="codebook"):
+        similarity.ivf_pq_search(emb, queries, k=5, index=index)
+
+
+def test_nonfinite_model_values_rejected_at_source(spark):
+    """A NaN/Inf in a codebook or centroid (degenerate training data)
+    raises a descriptive ValueError instead of rendering as 'nanD' in
+    the literal SQL and dying in the parser far from the cause."""
+    import pytest
+
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+
+    with pytest.raises(ValueError, match="non-finite"):
+        similarity.centroid_literal_pairs([(0, [1.0, float("nan")])])
+    bad_cb = [[[1.0, float("inf")], [0.0, 0.0]]]
+    docs = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        similarity.pq_encode(docs, codebook=bad_cb).collect()
 
 
 def test_pq_train_codebook_improves_quantization(spark):

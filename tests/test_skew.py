@@ -58,3 +58,39 @@ def test_salt_column_name_collision_rejected(spark, skewed):
     big, small = skewed
     with pytest.raises(ValueError):
         salted_join(big.withColumn(SALT_COL, F.lit(1)), small, ["k"])
+
+
+def test_broadcast_if_bounded_hints_small_side(spark, skewed):
+    from proyecto_gasto_publico_etl_per__spark.operators.skew import (
+        broadcast_if_bounded,
+    )
+
+    big, small = skewed
+    joined = big.join(broadcast_if_bounded(small), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert joined.count() == 971
+
+
+def test_broadcast_if_bounded_falls_back_over_limit(spark, skewed):
+    """Over the row bound the hint is withheld: the join plans as a
+    shuffle (AQE skew-split territory) instead of dying on the 8 GB
+    broadcast cap — and the result is identical either way."""
+    from proyecto_gasto_publico_etl_per__spark.operators.skew import (
+        broadcast_if_bounded,
+    )
+
+    big, small = skewed
+    guarded = broadcast_if_bounded(small, max_rows=1)  # 2 rows > 1
+    joined = big.join(guarded, "k")
+    # the HINT must be absent (AQE may still auto-broadcast a tiny
+    # side from its own stats — that adaptive path degrades gracefully
+    # at scale, which is the whole point of withholding the hint)
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    hinted = big.join(broadcast_if_bounded(small, max_rows=10), "k")
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    key = lambda r: (r.k, r.payload, r.label)  # noqa: E731
+    assert sorted(map(key, joined.collect())) == sorted(
+        map(key, big.join(small, "k").collect())
+    )

@@ -128,6 +128,11 @@ def test_reconcile_on_match_key_rejects_collisions(spark):
     )
     with pytest.raises(ValueError, match="sector_right"):
         reconcile_on_match_key(a, b_dup, "sector")
+    a_left_dup = spark.createDataFrame(
+        [(1, "SALUD", "x")], "id INT, sector STRING, sector_right STRING"
+    )
+    with pytest.raises(ValueError, match="left frame"):
+        reconcile_on_match_key(a_left_dup, b_dup.drop("sector_right"), "sector")
     a_mk = spark.createDataFrame(
         [(1, "SALUD", "boom")], "id INT, sector STRING, __mk STRING"
     )
