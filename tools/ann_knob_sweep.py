@@ -1,0 +1,84 @@
+"""Recall/latency sweep for the IVF-PQ serving knobs (round-8 task 2).
+
+Measures, at a given sf dir, recall@5 vs brute-force ground truth and
+wall time of ``similarity.ivf_pq_search`` across (n_centroids, nprobe)
+at the serving geometry (m=16, n_codes=16, rerank=16).  One JSON line
+per knob point; paste the ladder into SCALE.md.
+
+Usage: python tools/ann_knob_sweep.py [sf_dir] [--grid c:p,c:p,...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.operators import similarity
+from proyecto_gasto_publico_etl_per__spark.session import get_spark
+from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    grid = [(16, 4), (16, 8), (16, 16), (32, 8), (32, 16)]
+    if "--grid" in sys.argv:
+        raw = sys.argv[sys.argv.index("--grid") + 1]
+        grid = [
+            tuple(int(x) for x in pair.split(":")) for pair in raw.split(",")
+        ]
+    spark: SparkSession = get_spark()
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, probes, k=5).collect()
+    }
+    for n_centroids, nprobe in grid:
+        # serving parity: sample-init centroids + codebook, explicit
+        # artifacts (the post-round-8 index contract)
+        cents = similarity.ivf_centroids(emb, "vec_id", "embedding", n_centroids)
+        pairs = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in cents
+        ]
+        cb = similarity.sampled_codebook(emb, "vec_id", "embedding", 16, 16)
+        t0 = time.monotonic()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_pq_search(
+                emb,
+                probes,
+                k=5,
+                nprobe=nprobe,
+                m=16,
+                n_codes=16,
+                rerank=16,
+                codebook=cb,
+                centroids=pairs,
+            ).collect()
+        }
+        dt = time.monotonic() - t0
+        recall = len(got & truth) / max(1, len(truth))
+        print(
+            json.dumps(
+                {
+                    "n_centroids": n_centroids,
+                    "nprobe": nprobe,
+                    "recall_at_5": round(recall, 4),
+                    "sec": round(dt, 2),
+                    "sf_dir": sf_dir,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
