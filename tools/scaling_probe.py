@@ -1,0 +1,128 @@
+"""Measured-scaling probe for the heaviest extension plans (round-8
+task 3): build a K× replica corpus from an sf dir, run a declared query
+at 1× and K×, and report the scaling exponent log(t_K/t_1)/log(K).
+
+Replica construction keeps the 1× workload's SHAPE constant per
+replica so the exponent measures plan scaling, not a changed problem:
+
+- documents: replica r>0 suffixes every token with ``_r{r}`` — an
+  injective token rename, so each replica's internal shingle-equality
+  (and therefore near-dup/cluster) structure is IDENTICAL to the
+  original while cross-replica shingles are disjoint (no artificial
+  100%-duplication blowup).  doc_id offsets by replica.  Caveat: the
+  renamed replicas' stopword/quality profile differs, so
+  quality-filter selectivity shifts slightly — fine for timing, not
+  for value comparisons.
+- embeddings: replica r rotates the 64 dims by 13·r positions — an
+  orthogonal transform, so within-replica cosines (and the near-dup
+  graph per replica) are bit-identical in structure; cross-replica
+  cosines of the near-uniform synthetic vectors sit far below the
+  near-dup threshold.
+
+Usage: python tools/scaling_probe.py [sf_dir] [K] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.session import get_spark
+from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+DEFAULT_QUERIES = ["corpus_clean_final", "dedup_clusters", "semantic_dedup_keep"]
+
+
+def build_replicated(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    doc_parts = []
+    for r in range(k):
+        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * max_doc))
+        if r > 0:
+            rep = rep.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1_r{r}")
+            )
+        doc_parts.append(rep)
+    out = doc_parts[0]
+    for p in doc_parts[1:]:
+        out = out.unionByName(p)
+    # single file, like the driver's testdata — keeps the 1x and Kx
+    # scan shapes comparable (sf parquet is single-row-group files;
+    # a multi-file Kx dir would get extra scan parallelism for free)
+    out.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    emb_parts = []
+    for r in range(k):
+        rep = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * max_vec))
+        if r > 0:
+            shift = (13 * r) % dim
+            rep = rep.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", shift + 1, dim - shift),
+                    F.slice("embedding", 1, shift),
+                ),
+            )
+        emb_parts.append(rep)
+    out = emb_parts[0]
+    for p in emb_parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    names = sys.argv[3:] or DEFAULT_QUERIES
+    spark = get_spark()
+    big_dir = tempfile.mkdtemp(prefix=f"scale{k}x_")
+    build_replicated(spark, sf_dir, k, big_dir)
+
+    from proyecto_gasto_publico_etl_per__spark.plans import driver_queries
+
+    queries = driver_queries.all_queries()
+    for name in names:
+        fn = queries[name]
+        times = {}
+        for label, d in (("1x", sf_dir), (f"{k}x", big_dir)):
+            # warm once (scan caches, codegen), then min-of-2
+            fn(spark, d).count()
+            runs = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(spark, d).count()
+                runs.append(time.monotonic() - t0)
+            times[label] = min(runs)
+        exp = math.log(times[f"{k}x"] / times["1x"]) / math.log(k)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "t_1x_sec": round(times["1x"], 2),
+                    f"t_{k}x_sec": round(times[f"{k}x"], 2),
+                    "exponent": round(exp, 3),
+                    "sf_dir": sf_dir,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
