@@ -58,3 +58,30 @@ def test_column_names_match_between_engines():
     (full verification is tools/check_correctness.py)."""
     os_ = entry.oracle_sql()
     assert all(isinstance(v, str) and v.strip() for v in os_.values())
+
+
+def test_r8_window_surfaces_the_stalest_greens():
+    """Round-7 verdict task 6: with the committed r7 artifact in place,
+    the 50-slot window must hold exactly the stalest greens — no name
+    checked in a NEWER round may occupy a slot while an older-checked
+    name sits outside.  The specific r8 expectation (zero r7-fresh
+    names in the window, r5-era names at the front) is guarded on the
+    artifact state so the test stays valid in later rounds."""
+    names = list(entry.queries())
+    latest = DQ._latest_check_rows()
+    green_round = {
+        n: rnd for n, (rnd, row) in latest.items() if DQ._is_green(row)
+    }
+    window = [n for n in names[:50] if n in green_round]
+    outside = [n for n in names[50:] if n in green_round]
+    if window and outside:
+        assert max(green_round[n] for n in window) <= min(
+            green_round[n] for n in outside
+        ), "a freshly-checked name occupies a slot a staler name needs"
+    newest = max(green_round.values(), default=0)
+    if newest == 7 and len(green_round) == len(names):
+        # the exact r8 state: every green, r7 artifact committed
+        assert all(green_round[n] < 7 for n in window), (
+            "r7-fresh names must rotate OUT of the r8 window"
+        )
+        assert green_round[names[0]] == min(green_round.values())
