@@ -374,6 +374,63 @@ def mixture_fill(
     )
 
 
+def temperature_allocations(
+    df: DataFrame,
+    budget: int,
+    lang_col: str = "lang",
+    weight_quant: int = 1_000_000,
+) -> dict[str, int]:
+    """Temperature-flattened (α = 0.5) per-language token allocations
+    from corpus counts: ``weight_l ∝ √n_l`` — the multilingual-LM
+    rebalancing that upweights low-resource languages relative to
+    proportional sampling (α = 1 would be proportional; lower α is
+    flatter).  α is FIXED at 0.5 because ``sqrt`` is IEEE
+    correctly-rounded in every engine while ``pow`` is not — an
+    arbitrary-α artifact would not be cross-engine reproducible.
+
+    Determinism: weights quantize to ``floor(√n · weight_quant)`` longs
+    BEFORE summation, and the allocation is pure integer math
+    (``budget · w_q // Σw_q``), so the artifact is identical on any
+    engine and partitioning.  Driver state: |languages| rows (bounded
+    model artifact, the IVF-centroid pattern).
+    """
+    import math
+
+    rows = (
+        df.groupBy(lang_col)
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .collect()
+    )
+    wq = {
+        r[lang_col]: math.floor(math.sqrt(r["n_docs"]) * weight_quant)
+        for r in rows
+    }
+    total = sum(wq.values())
+    if total == 0:
+        return {}
+    return {lang: (budget * w) // total for lang, w in wq.items()}
+
+
+def mixture_temperature_fill(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """``mixture_fill`` with allocations COMPUTED from the corpus via
+    ``temperature_allocations`` (α = 0.5) instead of caller-fixed
+    weights — the self-calibrating mixture the fixed-weight variant
+    approximates by hand.  Same two-phase quota-fill scale shape."""
+    return mixture_fill(
+        df,
+        temperature_allocations(df, budget, lang_col),
+        id_col,
+        lang_col,
+        text_col,
+    )
+
+
 def source_cap(
     df: DataFrame,
     cap: int,

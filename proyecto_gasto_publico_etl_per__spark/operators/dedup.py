@@ -68,7 +68,12 @@ def word_grams(text_col: str, n: int) -> Column:
     Guarded for short docs: every slice is length ``L-(n-1)`` which only
     exists when the doc has ≥ n tokens.
     """
-    toks = _tokens(text_col)
+    return _grams_from_tokens(_tokens(text_col), n)
+
+
+def _grams_from_tokens(toks: Column, n: int) -> Column:
+    """``word_grams`` over an already-tokenized array column — gram at
+    0-based index i covers tokens i+1 … i+n (1-based)."""
     width = F.size(toks) - (n - 1)
     grams = F.slice(toks, 1, width)
     for k in range(1, n):
@@ -644,4 +649,101 @@ def _propagate_min_labels(
         )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# --- duplicated-span scrubbing (sub-document exact-substring dedup) ----------
+
+
+def dup_span_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Exact duplicated-span scrubbing — sub-document dedup, the
+    exact-substring family (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a word ``n``-gram occurring in
+    ≥ 2 DISTINCT documents is a duplicated span.  The minimum-id
+    document containing a gram OWNS it and keeps its occurrences; every
+    other document drops all token positions covered by that gram.
+    Returns, per input document, the scrubbed normalized text plus
+    coverage stats:
+
+    ``(doc_id, n_tokens, n_kept, n_dup_tokens, text_scrubbed)``
+
+    This is the granularity doc-level dedup cannot reach: two documents
+    sharing one boilerplate paragraph are NOT near-dups (Jaccard far
+    below threshold) yet still duplicate training tokens — span
+    scrubbing removes exactly the shared spans and keeps the rest.
+
+    Scale shape (100 TB): gram postings ``(doc, start, gram)`` → ONE
+    hash aggregate keyed on the gram for per-gram metadata (distinct-doc
+    count + keeper id); only grams with ``nd ≥ 2`` — the duplicated
+    minority — join back to postings, so the ×n expansion to covered
+    token positions is bounded by actual duplication, never corpus
+    size.  NO pair join anywhere: unlike Jaccard candidate generation
+    this never multiplies postings by postings, so a boilerplate gram
+    shared by millions of documents costs its (linear) posting count,
+    with AQE skew-splitting spreading a hot gram's postings across
+    reducers.  Reconstruction is one per-document aggregate.  The
+    reference has no sub-document operator; this extends the SURVEY §2
+    dedup family per the LLM-pipeline brief.
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc"), _tokens(text_col).alias("toks")
+    )
+    tokpos = base.select(
+        "doc", F.posexplode("toks").alias("ti0", "tok")
+    ).select("doc", (F.col("ti0") + 1).alias("ti"), "tok")
+    grams = base.select(
+        "doc", F.posexplode(_grams_from_tokens(F.col("toks"), n)).alias(
+            "g0", "gram"
+        )
+    ).select("doc", (F.col("g0") + 1).alias("start"), "gram")
+    meta = (
+        grams.select("gram", "doc")
+        .distinct()
+        .groupBy("gram")
+        .agg(
+            F.count("*").cast("bigint").alias("nd"),
+            F.min("doc").alias("keeper"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("gram", "keeper")
+    )
+    cover = (
+        grams.join(meta, "gram")
+        .where(F.col("doc") != F.col("keeper"))
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("ti"),
+        )
+        .distinct()
+    )
+    kept = tokpos.join(cover, ["doc", "ti"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_scrubbed"),
+    )
+    return (
+        base.select("doc", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_tokens"),
+            F.coalesce("text_scrubbed", F.lit("")).alias("text_scrubbed"),
+        )
     )

@@ -1120,3 +1120,174 @@ def embedding_neardup_pairs(
         .where(F.col("score_q3") >= int(threshold * 1000))
         .distinct()
     )
+
+
+# --- SQ8 scalar quantization (per-dimension int8 codes) ----------------------
+
+
+def sq8_minmax(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus — the SQ8 model
+    artifact.  Driver state is dims×2 doubles (the IVF-centroid bounded
+    pattern): one partial+final hash aggregate keyed on the dimension
+    index, never a corpus collect."""
+    rows = (
+        fan_out(corpus)
+        .select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [(float(r.mn), float(r.mx)) for r in rows]
+
+
+def _sq8_dequant(codes: Column, minmax: list[tuple[float, float]]) -> Column:
+    """Reconstruction values: mid-point of each code's cell —
+    mn + (code+0.5)·(mx−mn)/256 (degenerate dims reconstruct to mn)."""
+    mns = _dlit_array([m for m, _ in minmax])
+    mxs = _dlit_array([m for _, m in minmax])
+    return F.transform(
+        codes,
+        lambda c, i: F.when(
+            F.element_at(mxs, i + 1) > F.element_at(mns, i + 1),
+            F.element_at(mns, i + 1)
+            + (c.cast("double") + F.lit(0.5))
+            * (F.element_at(mxs, i + 1) - F.element_at(mns, i + 1))
+            / F.lit(256.0),
+        ).otherwise(F.element_at(mns, i + 1)),
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    minmax: list[tuple[float, float]] | None = None,
+) -> DataFrame:
+    """SQ8 encoding: each float dimension to an int8 code
+    ``clamp(floor((x−mn)/(mx−mn)·256), 0, 255)`` against the corpus
+    per-dim min/max — 4× (vs float32) / 8× (vs float64) index
+    compression with NO candidate pruning (the orthogonal axis to
+    IVF/PQ: SQ shrinks memory per vector, IVF shrinks vectors
+    touched; production stacks compose them).  Map-only after the
+    dims-sized min/max aggregate: a 100 TB corpus encodes in one scan.
+
+    Output ``(<id_col>, codes array<int>)``; clamping makes encoding
+    total for out-of-range QUERY vectors against a frozen corpus
+    min/max (the serving case).
+
+    Convention note: this is the CELL-BINNING variant (floor into 256
+    cells, reconstruct at the cell midpoint — the FAISS
+    ScalarQuantizer shape), chosen because midpoint reconstruction
+    pairs with binning to bound |x − dq| ≤ cell/2 for in-range x.  The
+    declared ``sq8_encode_audit`` query audits the LEVEL-ROUNDING
+    variant (round to the nearest of 256 levels, reconstruct at the
+    level) — both are standard; each is internally consistent with its
+    own reconstruction rule.
+    """
+    if minmax is None:
+        minmax = sq8_minmax(df, id_col, vec_col)
+    mns = _dlit_array([m for m, _ in minmax])
+    mxs = _dlit_array([m for _, m in minmax])
+    codes = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x, i: F.when(
+            F.element_at(mxs, i + 1) > F.element_at(mns, i + 1),
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (x - F.element_at(mns, i + 1))
+                        / (F.element_at(mxs, i + 1) - F.element_at(mns, i + 1))
+                        * F.lit(256.0)
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return fan_out(df).select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 4,
+    minmax: list[tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Top-k search over SQ8 codes: approximate cosine on the
+    DEQUANTIZED (cell-midpoint) vectors ranks a per-query shortlist of
+    ``rerank × k``, then exact cosine on the original floats orders the
+    final top-k — the same shortlist-then-rerank contract as
+    ``ivf_pq_search`` (codes pick, floats order).
+
+    Determinism: per-vector norms and the per-pair dot are sequential
+    double folds (left-to-right — engine-reproducible, mirrored by
+    DuckDB ``list_reduce``), and the approximate score lands on a 1e-6
+    integer grid before ranking.  Scale: the scan touches every code
+    row (SQ8 compresses, it does not prune) — compose with IVF list
+    restriction when candidates must shrink too; queries broadcast.
+
+    Output: (query_id, neighbor_id, score_q3, rk).
+    """
+    if minmax is None:
+        minmax = sq8_minmax(corpus, id_col, vec_col)
+    ndq = sq8_encode(corpus, id_col, vec_col, minmax).select(
+        F.col(id_col).alias("neighbor_id"),
+        _sq8_dequant(F.col("codes"), minmax).alias("ndq"),
+    )
+    qdq = sq8_encode(queries, id_col, vec_col, minmax).select(
+        F.col(id_col).alias("query_id"),
+        _sq8_dequant(F.col("codes"), minmax).alias("qdq"),
+    )
+    n = ndq.withColumn("nnm", _norm(F.col("ndq")))
+    q = qdq.withColumn("qnm", _norm(F.col("qdq")))
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_q6",
+            F.floor(
+                _dot(F.col("qdq"), F.col("ndq"))
+                / (F.col("qnm") * F.col("nnm"))
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_q6"), "neighbor_id"
+    )
+    shortlist = (
+        scored.withColumn("ark", F.row_number().over(w_a))
+        .where(F.col("ark") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    nvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    exact = (
+        nvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("score_q3", score_q(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q3"), "neighbor_id"
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score_q3", "rk")
+    )

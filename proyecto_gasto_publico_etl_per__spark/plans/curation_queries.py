@@ -521,6 +521,57 @@ def mixture_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_temperature_fill",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(regexp_replace(coalesce(text, ''),
+                                        '\\s+', ' ', 'g'))) = 0 THEN 0
+                  ELSE len(string_split(lower(trim(regexp_replace(
+                         coalesce(text, ''), '\\s+', ' ', 'g'))), ' '))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_q
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS total_q FROM w),
+    alloc AS (
+      SELECT lang,
+             CAST(({MIXTURE_BUDGET} * w_q) // total_q AS BIGINT) AS alloc
+      FROM w CROSS JOIN tot
+    ),
+    c AS (
+      SELECT t.doc_id, t.lang, t.n_tokens, a.alloc,
+             CAST(sum(t.n_tokens) OVER (
+               PARTITION BY t.lang
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens
+      FROM t JOIN alloc a USING (lang)
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= alloc
+    """,
+)
+def mixture_temperature_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-calibrating mixture: temperature-flattened (α=0.5) language
+    allocations computed FROM corpus counts (weight ∝ √n_docs — sqrt is
+    IEEE correctly-rounded, unlike pow, so the artifact is cross-engine
+    exact), then the same two-phase deterministic hash-order quota fill
+    as mixture_budget_fill (operators/curation.mixture_temperature_fill)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.mixture_temperature_fill(docs, MIXTURE_BUDGET)
+
+
+@register(
     "ratio_to_parent",
     _star_oracle(
         """

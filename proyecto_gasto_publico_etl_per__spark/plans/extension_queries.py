@@ -298,6 +298,74 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_duplicates(pairs)
 
 
+#: duplicated-span scrub gram width (tokens)
+SCRUB_N = 5
+
+
+@register(
+    "dup_span_scrub",
+    f"""
+    WITH {{docs_cte}},
+    g AS (
+      SELECT doc, toks,
+             unnest(range(1, greatest(len(toks) - {SCRUB_N - 1}, 0) + 1))
+               AS start
+      FROM toks
+    ),
+    posts AS (
+      SELECT doc, start,
+             array_to_string(toks[start:start+{SCRUB_N - 1}], ' ') AS gram
+      FROM g
+    ),
+    meta AS (
+      SELECT gram, min(doc) AS keeper
+      FROM (SELECT DISTINCT gram, doc FROM posts)
+      GROUP BY gram HAVING count(*) >= 2
+    ),
+    cover AS (
+      SELECT DISTINCT doc, ti FROM (
+        SELECT p.doc, unnest(range(p.start, p.start + {SCRUB_N})) AS ti
+        FROM posts p JOIN meta m USING (gram)
+        WHERE p.doc <> m.keeper
+      )
+    ),
+    tokpos AS (
+      SELECT doc, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS ti
+      FROM toks
+    ),
+    kept AS (
+      SELECT t.doc, t.ti, t.tok
+      FROM tokpos t LEFT JOIN cover c ON t.doc = c.doc AND t.ti = c.ti
+      WHERE c.doc IS NULL
+    ),
+    reb AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY ti) AS text_scrubbed
+      FROM kept GROUP BY doc
+    )
+    SELECT t.doc AS doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT)
+             AS n_dup_tokens,
+           coalesce(r.text_scrubbed, '') AS text_scrubbed
+    FROM toks t LEFT JOIN reb r ON r.doc = t.doc
+    """.format(docs_cte=_DOCS_CTE),
+)
+def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact-substring dedup (Lee et al. 2022 family):
+    scrub every token span covered by a word {SCRUB_N}-gram that occurs
+    in ≥2 distinct documents, keeping the minimum-id document's copy —
+    the granularity doc-level dedup can't reach (shared boilerplate
+    paragraphs inside otherwise-distinct docs).  operators/dedup.
+    dup_span_scrub; no pair join anywhere — per-gram metadata is one
+    hash aggregate and only the duplicated minority of grams expands."""
+    return dedup.dup_span_scrub(
+        load_table(spark, sf_dir, "documents"), n=SCRUB_N
+    )
+
+
 @register(
     "corpus_clean_final",
     f"""
@@ -1367,6 +1435,100 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_centroids=16,
         nprobe=4,
+    )
+
+
+#: SQ8 shortlist depth (rerank × k exact re-ranks per query)
+SQ8_RERANK = 4
+
+
+@register(
+    "sim_topk_sq8",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    mm AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        SELECT unnest(vec) AS val, unnest(range(1, len(vec) + 1)) AS pos
+        FROM corpus
+      ) GROUP BY pos
+    ),
+    mml AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM mm
+    ),
+    enc AS (
+      SELECT vec_id,
+             list_transform(range(1, len(vec) + 1), i ->
+               CASE WHEN mxs[i] > mns[i]
+                    THEN least(255, greatest(0, CAST(floor(
+                           (vec[i] - mns[i]) / (mxs[i] - mns[i]) * 256.0)
+                         AS BIGINT)))
+                    ELSE 0 END) AS codes
+      FROM corpus CROSS JOIN mml
+    ),
+    dq AS (
+      SELECT vec_id,
+             list_transform(range(1, len(codes) + 1), i ->
+               CASE WHEN mxs[i] > mns[i]
+                    THEN mns[i] + (CAST(codes[i] AS DOUBLE) + 0.5)
+                         * (mxs[i] - mns[i]) / 256.0
+                    ELSE mns[i] END) AS dqv
+      FROM enc CROSS JOIN mml
+    ),
+    nrm AS (
+      SELECT vec_id, dqv,
+             sqrt(list_reduce(list_transform(dqv, x -> x * x),
+                              (a, b) -> a + b)) AS nm
+      FROM dq
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(floor(list_reduce(
+                    list_transform(range(1, len(q.dqv) + 1),
+                                   i -> q.dqv[i] * n.dqv[i]),
+                    (a, b) -> a + b)
+                  / (q.nm * n.nm) * 1000000 + 0.5) AS BIGINT) AS approx_q6
+      FROM nrm n CROSS JOIN (SELECT * FROM nrm WHERE vec_id < 10) q
+      WHERE q.vec_id <> n.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY approx_q6 DESC, neighbor_id
+               ) AS ark
+        FROM scored
+      ) WHERE ark <= {SQ8_RERANK * 5}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(floor(list_cosine_similarity(qv.vec, nv.vec) * 1000 + 0.5)
+                  AS BIGINT) AS score_q3
+      FROM short s
+      JOIN corpus nv ON nv.vec_id = s.neighbor_id
+      JOIN corpus qv ON qv.vec_id = s.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score_q3,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+             ) AS INT) AS rk
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized approximate top-5: per-dim int8 codes
+    against the corpus min/max (4×/8× index compression — the memory
+    axis, orthogonal to IVF's candidate pruning), approximate cosine on
+    the dequantized midpoints shortlists rerank×k, exact cosine
+    re-ranks (operators/similarity.sq8_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, rerank=SQ8_RERANK
     )
 
 

@@ -545,3 +545,41 @@ def test_dsir_weight_pure_python_identity(spark):
         for r in dsir_importance(df, is_t).collect()
     }
     assert got == expected
+
+
+def test_temperature_allocations_flatten(spark):
+    """α=0.5 allocations sit between proportional and uniform: the
+    dominant language's share shrinks vs its doc share, the rare
+    language's grows; allocations are exact ints summing ≤ budget."""
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        mixture_temperature_fill,
+        temperature_allocations,
+    )
+
+    rows = [(i, "en", "tok " * 10) for i in range(90)] + [
+        (100 + i, "es", "tok " * 10) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, lang STRING, text STRING")
+    alloc = temperature_allocations(docs, budget=1000)
+    assert set(alloc) == {"en", "es"}
+    assert sum(alloc.values()) <= 1000
+    en_share = alloc["en"] / (alloc["en"] + alloc["es"])
+    assert 0.5 < en_share < 0.9  # flatter than the 0.9 doc share
+    # √90 : √10 = 3 : 1, floored integer math → en 750, es 249
+    assert alloc == {"en": 750, "es": 249}
+    # the fill respects the computed budgets per language
+    filled = mixture_temperature_fill(docs, budget=1000).collect()
+    by_lang = {}
+    for r in filled:
+        by_lang.setdefault(r.lang, 0)
+        by_lang[r.lang] += r.n_tokens
+    assert by_lang["en"] <= 750 and by_lang["es"] <= 249
+
+
+def test_temperature_allocations_degenerate(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        temperature_allocations,
+    )
+
+    empty = spark.createDataFrame([], "doc_id INT, lang STRING, text STRING")
+    assert temperature_allocations(empty, budget=100) == {}

@@ -1147,3 +1147,98 @@ def test_suppress_small_groups_null_keys_and_k1(spark):
     assert sorted(got, key=lambda t: t[1]) == [("a", 3), ("a", 4), ("a", 5)]
     # the 2-row NULL group and the 1-row 'b' group are both suppressed
     assert textstats.suppress_small_groups(df, ["g"], k=1).count() == 6
+
+
+def test_dup_span_scrub_semantics(spark):
+    """The keeper (minimum-id) doc keeps a shared 5-gram span; every
+    other doc containing it loses exactly the covered tokens; unique
+    content and short/empty docs pass through untouched."""
+    boiler = "subscribe to our newsletter for weekly updates"  # 7 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta"),
+            (2, f"{boiler} totally unrelated trailing content here"),
+            (3, "no shared spans anywhere in this document at all"),
+            (4, "tiny doc"),
+            (5, ""),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r for r in dedup.dup_span_scrub(corpus).collect()}
+    # doc 1 is the keeper: everything survives
+    assert out[1].n_dup_tokens == 0
+    assert out[1].text_scrubbed == f"alpha beta gamma {boiler} delta"
+    # doc 2 loses the full 7-token boilerplate (the union of its
+    # duplicated 5-gram windows), keeps its unique tail
+    assert out[2].n_dup_tokens == 7
+    assert out[2].text_scrubbed == "totally unrelated trailing content here"
+    # untouched docs
+    assert out[3].n_dup_tokens == 0 and out[4].n_dup_tokens == 0
+    assert out[5].n_tokens == 0 and out[5].text_scrubbed == ""
+
+
+def test_dup_span_scrub_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"common prefix shared by many docs tail{i} end") for i in range(8)],
+        "doc_id INT, text STRING",
+    )
+    a = sorted(map(tuple, dedup.dup_span_scrub(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, dedup.dup_span_scrub(docs.repartition(8)).collect()))
+    assert a == b
+    # keeper doc 0 intact, all others lose the 6-token shared prefix
+    rows = {r[0]: r for r in a}
+    assert rows[0][3] == 0 and all(rows[i][3] == 6 for i in range(1, 8))
+
+
+def test_sq8_encode_bounds_and_degenerate_dims(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0, 5.0, 7.0]), (2, [10.0, 5.0, 3.0]), (3, [5.0, 5.0, 11.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    rows = {r.vec_id: r.codes for r in similarity.sq8_encode(emb).collect()}
+    for codes in rows.values():
+        assert all(0 <= c <= 255 for c in codes)
+    # dim 2 is constant (5.0 everywhere) -> degenerate, always code 0
+    assert all(rows[i][1] == 0 for i in (1, 2, 3))
+    # min maps to 0, max clamps to 255 on a live dim
+    assert rows[1][0] == 0 and rows[2][0] == 255
+
+
+def test_sq8_topk_recall_and_contract(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute5 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    out = similarity.sq8_topk(emb, queries, k=5, rerank=4).collect()
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    # exact-score contract: every returned score equals brute cosine
+    brute_scores = {
+        (r.query_id, r.neighbor_id): r.score_q3
+        for r in similarity.brute_force_topk(emb, queries, k=2000).collect()
+    }
+    for r in out:
+        assert r.score_q3 == brute_scores[(r.query_id, r.neighbor_id)]
+    recall = len(got & brute5) / max(1, len(brute5))
+    # 8-bit cells are tiny vs the vector spread: SQ8 recall should sit
+    # far above the coarse-index floors
+    assert recall >= 0.9, f"SQ8 recall@5 {recall:.2f} below floor"
+
+
+def test_sq8_topk_partition_invariant(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(
+        map(
+            tuple,
+            similarity.sq8_topk(emb.repartition(1), queries, k=3).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.sq8_topk(emb.repartition(16), queries, k=3).collect(),
+        )
+    )
+    assert a == b

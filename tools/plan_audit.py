@@ -48,6 +48,8 @@ CARTESIAN_OK = {
     #                     broadcasts onto the vocab-bounded bigram table
     "sq8_encode_audit",  # 1-row per-dim min/max codebook broadcast (the
     #                      SQ model artifact, like IVF centroids)
+    "sim_topk_sq8",  # SQ8 scan path: corpus codes × 10-probe broadcast
+    #                  (SQ compresses, it does not prune — reviewed r8)
     "rfm_segments",  # 1-row corpus-horizon (max orderdate) scalar broadcast
     "basket_brand_pairs",  # 1-row basket-total scalar broadcast onto the
     #                        |brands|²-bounded pair table
