@@ -90,6 +90,11 @@ EXTENSIONS = (
     # persisted model + score/search, the paths production repeats
     "dsir_score_serving",
     "ann_ivf_pq_serving",
+    # round 8 additions (baseline starts at r8): sub-document span
+    # scrubbing, SQ8 search, self-calibrating temperature mixture
+    "dup_span_scrub",
+    "sim_topk_sq8",
+    "mixture_temperature_fill",
 )
 
 
