@@ -1291,3 +1291,43 @@ def sq8_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "score_q3", "rk")
     )
+
+
+def ivf_pq_index_append(
+    delta: DataFrame,
+    codebook: "Codebook",
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental IVF-PQ index maintenance: encode ONLY a delta batch
+    with the FROZEN artifacts and return its ``(assigned, codes)``
+    frames for appending to the persisted index zones — the refresh
+    path between full rebuilds (new vectors land in the index at ingest
+    cadence; artifacts retrain on the slow cadence when drift warrants
+    a rebuild).
+
+    Because assignment and encoding are map-only functions of
+    (vector, artifacts), appended frames are row-identical to what a
+    full ``ivf_pq_build_index`` over the grown corpus would emit for
+    those ids under the SAME artifacts — the union of zones IS the full
+    index (test-pinned).  Artifacts are REQUIRED, not derived: deriving
+    them from a delta batch would silently fork the quantizer away from
+    the persisted codes (same contract as ``ivf_pq_search(index=...)``).
+    """
+    if codebook is None or centroids is None:
+        raise ValueError(
+            "ivf_pq_index_append requires the frozen codebook and "
+            "centroids the index was built with; deriving them from a "
+            "delta batch would fork the quantizer away from the "
+            "persisted codes"
+        )
+    return ivf_pq_build_index(
+        delta,
+        id_col=id_col,
+        vec_col=vec_col,
+        quant=quant,
+        codebook=codebook,
+        centroids=centroids,
+    )

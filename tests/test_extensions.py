@@ -1242,3 +1242,53 @@ def test_sq8_topk_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_ivf_pq_index_append_equals_full_rebuild(spark):
+    """Index refresh contract: appending a delta batch encoded with the
+    FROZEN artifacts yields exactly the index a full rebuild over the
+    grown corpus would produce under the same artifacts — and serving
+    over the merged zones equals serving over the rebuilt index."""
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    cents = similarity.ivf_centroids(base, "vec_id", "embedding", 8)
+    pairs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cents
+    ]
+    cb = similarity.sampled_codebook(base, "vec_id", "embedding", 4, 16)
+    a_base, c_base = similarity.ivf_pq_build_index(
+        base, codebook=cb, centroids=pairs
+    )
+    a_delta, c_delta = similarity.ivf_pq_index_append(delta, cb, pairs)
+    a_full, c_full = similarity.ivf_pq_build_index(
+        emb, codebook=cb, centroids=pairs
+    )
+    merged_a = sorted(map(tuple, a_base.unionByName(a_delta).collect()))
+    merged_c = sorted(map(tuple, c_base.unionByName(c_delta).collect()))
+    assert merged_a == sorted(map(tuple, a_full.collect()))
+    assert merged_c == sorted(map(tuple, c_full.collect()))
+    # serving equivalence over the merged index
+    queries = emb.orderBy("vec_id").limit(3)
+    kw = dict(k=3, nprobe=4, m=4, n_codes=16, rerank=8,
+              codebook=cb, centroids=pairs)
+    via_merge = {
+        tuple(r)
+        for r in similarity.ivf_pq_search(
+            emb, queries,
+            index=(a_base.unionByName(a_delta), c_base.unionByName(c_delta)),
+            **kw,
+        ).collect()
+    }
+    via_full = {
+        tuple(r)
+        for r in similarity.ivf_pq_search(
+            emb, queries, index=(a_full, c_full), **kw
+        ).collect()
+    }
+    assert via_merge == via_full
+    with pytest.raises(ValueError, match="frozen"):
+        similarity.ivf_pq_index_append(delta, None, pairs)

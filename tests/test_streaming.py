@@ -586,3 +586,84 @@ def test_dsir_score_at_ingest(spark, tmp_path):
     # target-like arrival outranks the raw-like and the all-novel one
     assert streamed[10][1] > streamed[11][1]
     assert streamed[12][0] > 0  # novel words scored via the default
+
+
+def test_ivf_pq_index_maintenance_at_ingest(spark, tmp_path):
+    """Streaming index maintenance: vector batches arriving on a stream
+    are encoded with the FROZEN artifacts and appended to the index
+    zones (foreachBatch + ivf_pq_index_append); after the stream drains,
+    serving over the accumulated zones equals serving over a one-shot
+    batch build of the full corpus — the production refresh loop where
+    new vectors land in the index at ingest cadence."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 8)
+    pairs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cents
+    ]
+    cb = similarity.sampled_codebook(emb, "vec_id", "embedding", 4, 16)
+
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    third = len(rows) // 3
+    for i, chunk in enumerate(
+        (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    ):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    a_dir = str(tmp_path / "zone_assigned")
+    c_dir = str(tmp_path / "zone_codes")
+
+    def index_batch(batch_df, _epoch):
+        assigned, codes = similarity.ivf_pq_index_append(batch_df, cb, pairs)
+        assigned.write.mode("append").parquet(a_dir)
+        codes.write.mode("append").parquet(c_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    queries = emb.orderBy("vec_id").limit(4)
+    kw = dict(k=3, nprobe=4, m=4, n_codes=16, rerank=8,
+              codebook=cb, centroids=pairs)
+    streamed_index = (
+        spark.read.parquet(a_dir),
+        spark.read.parquet(c_dir),
+    )
+    via_stream = {
+        tuple(r)
+        for r in similarity.ivf_pq_search(
+            emb, queries, index=streamed_index, **kw
+        ).collect()
+    }
+    a_full, c_full = similarity.ivf_pq_build_index(
+        emb, codebook=cb, centroids=pairs
+    )
+    via_batch = {
+        tuple(r)
+        for r in similarity.ivf_pq_search(
+            emb, queries, index=(a_full, c_full), **kw
+        ).collect()
+    }
+    assert via_stream == via_batch
+    # the accumulated zone really holds the whole corpus exactly once
+    n = spark.read.parquet(a_dir).count()
+    assert n == emb.count()
