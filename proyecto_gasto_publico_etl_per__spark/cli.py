@@ -140,6 +140,21 @@ def main(argv: list[str] | None = None) -> None:
     )
     ab.add_argument("--n-codes", type=int, default=16)
 
+    aap = sub.add_parser(
+        "ann-append-index",
+        help="incremental index refresh: encode NEW vectors (vec_id >= "
+             "--from-id) with the index's frozen artifacts and append "
+             "them to the persisted zones — never re-encodes the "
+             "existing corpus, never re-derives the quantizer",
+    )
+    aap.add_argument("sf_dir")
+    aap.add_argument("index_dir")
+    aap.add_argument(
+        "--from-id", type=int, required=True,
+        help="first vec_id of the delta batch (ids below are assumed "
+             "already indexed)",
+    )
+
     asr = sub.add_parser(
         "ann-search",
         help="serve top-k neighbors for query vector ids from a "
@@ -270,6 +285,28 @@ def main(argv: list[str] | None = None) -> None:
         codes.write.mode("overwrite").parquet(f"{base}/index_codes")
         n = spark.read.parquet(f"{base}/index_assigned").count()
         print(f"indexed {n} vectors → {base}")
+    elif args.cmd == "ann-append-index":
+        from pyspark.sql import functions as F
+
+        from .operators import model_store, similarity
+        from .sources.tables import load_table
+
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        delta = emb.filter(F.col("vec_id") >= args.from_id)
+        base = args.index_dir
+        pairs_payload, _ = model_store.load_model(
+            spark, f"{base}/centroids", "ivf_centroids"
+        )
+        pairs = [
+            (int(c), [float(x) for x in v]) for c, v in pairs_payload
+        ]
+        cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+        assigned, codes = similarity.ivf_pq_index_append(delta, cb, pairs)
+        assigned.write.mode("append").parquet(f"{base}/index_assigned")
+        codes.write.mode("append").parquet(f"{base}/index_codes")
+        n = delta.count()
+        total = spark.read.parquet(f"{base}/index_assigned").count()
+        print(f"appended {n} vectors → {base} (index now {total})")
     elif args.cmd == "ann-search":
         from pyspark.sql import functions as F
 

@@ -375,3 +375,34 @@ def test_cli_ann_index_lifecycle(spark, tmp_path, capsys):
     assert expect, "library search returned nothing"
     for r in expect:
         assert str(r.neighbor_id) in printed
+
+
+def test_cli_ann_append_index(spark, tmp_path, capsys):
+    """ann-append-index through the CLI: build over a truncated corpus,
+    append the tail with the frozen artifacts, and the merged zones
+    hold every vector exactly once — identical to a full build."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base_dir = tmp_path / "sf_base"
+    base_dir.mkdir()
+    emb.filter(F.col("vec_id") < 400).write.parquet(
+        str(base_dir / "embeddings.parquet")
+    )
+    idx = str(tmp_path / "annidx")
+    cli.main(
+        ["ann-build-index", str(base_dir), idx, "--n-centroids", "8",
+         "--m", "4", "--n-codes", "8"]
+    )
+    capsys.readouterr()
+    cli.main(["ann-append-index", SF_SMOKE, idx, "--from-id", "400"])
+    out = capsys.readouterr().out
+    assert "appended" in out
+    indexed = spark.read.parquet(f"{idx}/index_assigned")
+    assert indexed.count() == emb.count()
+    assert indexed.select("neighbor_id").distinct().count() == emb.count()
+    cli.main(["ann-search", SF_SMOKE, idx, "3", "--k", "3"])
+    assert capsys.readouterr().out.strip()
