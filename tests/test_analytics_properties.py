@@ -187,3 +187,89 @@ def test_rolling_distinct_users_matches_brute_force(
         if users:
             want[str((base + datetime.timedelta(days=d)).date())] = len(users)
     assert got == want
+
+
+# --- round-8 operators: span scrub + SQ8, pure-Python references -------------
+
+
+def _scrub_ref(docs: list[str], n: int):
+    """Independent reference for dup_span_scrub over already-normalized
+    (lowercase, single-space) texts."""
+    toks = {i: (t.split() if t.strip() else []) for i, t in enumerate(docs)}
+    posts: dict[str, list[tuple[int, int]]] = {}
+    for i, ts in toks.items():
+        for s in range(len(ts) - n + 1):
+            posts.setdefault(" ".join(ts[s : s + n]), []).append((i, s))
+    dup_keeper = {
+        g: min(d for d, _ in occ)
+        for g, occ in posts.items()
+        if len({d for d, _ in occ}) >= 2
+    }
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for s in range(len(ts) - n + 1):
+            g = " ".join(ts[s : s + n])
+            if g in dup_keeper and dup_keeper[g] != i:
+                covered.update(range(s, s + n))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        out[i] = (len(ts), len(kept), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+@SETTINGS
+@given(docs=corpus)
+def test_dup_span_scrub_matches_python_reference(spark, docs):
+    from proyecto_gasto_publico_etl_per__spark.operators import dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id LONG, text STRING"
+    )
+    n = 2  # short grams so duplication actually occurs on tiny corpora
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.n_dup_tokens, r.text_scrubbed)
+        for r in dedup.dup_span_scrub(df, n=n).collect()
+    }
+    assert got == _scrub_ref(docs, n)
+
+
+vec = st.lists(
+    st.floats(
+        min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+
+@SETTINGS
+@given(vecs=st.lists(vec, min_size=1, max_size=12))
+def test_sq8_codes_match_python_reference(spark, vecs):
+    """SQ8 codes are the SAME IEEE expression in Python and Spark —
+    exact integer equality, plus the midpoint-reconstruction error
+    bound ≤ half a cell for in-range values."""
+    import math
+
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    minmax = similarity.sq8_minmax(df)
+    dims = list(zip(*vecs))
+    assert minmax == [(min(d), max(d)) for d in dims]
+
+    def code_ref(x, mn, mx):
+        if not mx > mn:
+            return 0
+        return max(0, min(255, math.floor((x - mn) / (mx - mn) * 256.0)))
+
+    got = {r.vec_id: list(r.codes) for r in similarity.sq8_encode(df).collect()}
+    for i, v in enumerate(vecs):
+        expect = [code_ref(x, mn, mx) for x, (mn, mx) in zip(v, minmax)]
+        assert got[i] == expect
+        # midpoint reconstruction: within half a cell on live dims
+        for x, c, (mn, mx) in zip(v, expect, minmax):
+            if mx > mn:
+                dq = mn + (c + 0.5) * (mx - mn) / 256.0
+                assert abs(x - dq) <= (mx - mn) / 512.0 * (1 + 1e-9)
