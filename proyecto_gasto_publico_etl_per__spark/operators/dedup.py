@@ -677,7 +677,7 @@ def dup_span_scrub(
     below threshold) yet still duplicate training tokens — span
     scrubbing removes exactly the shared spans and keeps the rest.
 
-    Scale shape (100 TB): gram postings ``(doc, start, gram)`` → ONE
+    Scale shape (100 TB): gram postings ``(doc, start, gkey)`` → ONE
     hash aggregate keyed on the gram for per-gram metadata (distinct-doc
     count + keeper id); only grams with ``nd ≥ 2`` — the duplicated
     minority — join back to postings, so the ×n expansion to covered
@@ -686,9 +686,13 @@ def dup_span_scrub(
     this never multiplies postings by postings, so a boilerplate gram
     shared by millions of documents costs its (linear) posting count,
     with AQE skew-splitting spreading a hot gram's postings across
-    reducers.  Reconstruction is one per-document aggregate.  The
-    reference has no sub-document operator; this extends the SURVEY §2
-    dedup family per the LLM-pipeline brief.
+    reducers.  The shuffle key is ``unhex(md5(gram))`` — 16 fixed
+    bytes instead of the n-token gram string (~2× shuffle-byte cut at
+    word-gram widths; 128-bit collisions are negligible at any corpus
+    size and the oracle mirrors the same key).  Reconstruction is one
+    per-document aggregate.  The reference has no sub-document
+    operator; this extends the SURVEY §2 dedup family per the
+    LLM-pipeline brief.
     """
     base = fan_out(df).select(
         F.col(id_col).alias("doc"), _tokens(text_col).alias("toks")
@@ -700,20 +704,24 @@ def dup_span_scrub(
         "doc", F.posexplode(_grams_from_tokens(F.col("toks"), n)).alias(
             "g0", "gram"
         )
-    ).select("doc", (F.col("g0") + 1).alias("start"), "gram")
+    ).select(
+        "doc",
+        (F.col("g0") + 1).alias("start"),
+        F.unhex(F.md5("gram")).alias("gkey"),
+    )
     meta = (
-        grams.select("gram", "doc")
+        grams.select("gkey", "doc")
         .distinct()
-        .groupBy("gram")
+        .groupBy("gkey")
         .agg(
             F.count("*").cast("bigint").alias("nd"),
             F.min("doc").alias("keeper"),
         )
         .where(F.col("nd") >= 2)
-        .select("gram", "keeper")
+        .select("gkey", "keeper")
     )
     cover = (
-        grams.join(meta, "gram")
+        grams.join(meta, "gkey")
         .where(F.col("doc") != F.col("keeper"))
         .select(
             "doc",

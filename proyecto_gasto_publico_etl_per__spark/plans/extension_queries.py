@@ -314,18 +314,19 @@ SCRUB_N = 5
     ),
     posts AS (
       SELECT doc, start,
-             array_to_string(toks[start:start+{SCRUB_N - 1}], ' ') AS gram
+             unhex(md5(array_to_string(toks[start:start+{SCRUB_N - 1}], ' ')))
+               AS gkey
       FROM g
     ),
     meta AS (
-      SELECT gram, min(doc) AS keeper
-      FROM (SELECT DISTINCT gram, doc FROM posts)
-      GROUP BY gram HAVING count(*) >= 2
+      SELECT gkey, min(doc) AS keeper
+      FROM (SELECT DISTINCT gkey, doc FROM posts)
+      GROUP BY gkey HAVING count(*) >= 2
     ),
     cover AS (
       SELECT DISTINCT doc, ti FROM (
         SELECT p.doc, unnest(range(p.start, p.start + {SCRUB_N})) AS ti
-        FROM posts p JOIN meta m USING (gram)
+        FROM posts p JOIN meta m USING (gkey)
         WHERE p.doc <> m.keeper
       )
     ),
