@@ -397,7 +397,10 @@ def temperature_allocations(
     import math
 
     rows = (
-        df.groupBy(lang_col)
+        # NULL languages get no allocation — mirrors SQL `USING (lang)`
+        # semantics (NULL never equi-joins) and keeps the dict sortable
+        df.where(F.col(lang_col).isNotNull())
+        .groupBy(lang_col)
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .collect()
     )

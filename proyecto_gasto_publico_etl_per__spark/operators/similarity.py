@@ -1315,6 +1315,10 @@ def ivf_pq_index_append(
     index (test-pinned).  Artifacts are REQUIRED, not derived: deriving
     them from a delta batch would silently fork the quantizer away from
     the persisted codes (same contract as ``ivf_pq_search(index=...)``).
+    The caller owns id-disjointness: appending ids already present in
+    the zones duplicates their rows (as any append-mode parquet write
+    would) — route re-ingested ids through a rebuild or an anti-join
+    against the assigned zone first.
     """
     if codebook is None or centroids is None:
         raise ValueError(

@@ -583,3 +583,16 @@ def test_temperature_allocations_degenerate(spark):
 
     empty = spark.createDataFrame([], "doc_id INT, lang STRING, text STRING")
     assert temperature_allocations(empty, budget=100) == {}
+
+
+def test_temperature_allocations_null_lang_dropped(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        temperature_allocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, None, "x y z"), (3, "en", "d e f")],
+        "doc_id INT, lang STRING, text STRING",
+    )
+    alloc = temperature_allocations(docs, budget=100)
+    assert set(alloc) == {"en"} and alloc["en"] == 100
