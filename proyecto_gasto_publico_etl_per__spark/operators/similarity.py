@@ -1335,3 +1335,72 @@ def ivf_pq_index_append(
         codebook=codebook,
         centroids=centroids,
     )
+
+
+def ann_rank_quality(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """MRR@k of the approximate indexes vs brute-force ground truth —
+    the rank-sensitive companion to ``ann_recall`` (recall@k treats all
+    k slots equally; MRR rewards putting a true neighbor FIRST, the
+    metric retrieval-augmented pipelines tune for).
+
+    Per query, the reciprocal rank of the first true neighbor in the
+    approximate top-k, as the exact integer ``1000000 DIV first_hit``
+    (integer division — engine-reproducible, no float in any sum);
+    queries with no hit contribute 0.  One row per method with
+    ``(n_queries, sum_rr_micro, mrr)``, the only double being the final
+    sum/n division.  Scale shape mirrors ``ann_recall``: probe-set
+    ground truth, broadcast hit joins, no corpus-sized shuffle.
+    """
+    truth = brute_force_topk(corpus, queries, id_col, vec_col, k)
+    approx = {
+        "lsh": lsh_topk(corpus, queries, id_col, vec_col, k, n_planes),
+        "ivf": ivf_topk(
+            corpus, queries, id_col, vec_col, k, n_centroids, nprobe
+        ),
+    }
+    truth_keys = truth.select("query_id", "neighbor_id")
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    per_method = []
+    for name, res in sorted(approx.items()):
+        first_hit = (
+            res.join(
+                F.broadcast(truth_keys), ["query_id", "neighbor_id"]
+            )
+            .groupBy("query_id")
+            .agg(F.min("rk").cast("bigint").alias("first_hit"))
+        )
+        rr = qids.join(first_hit, "query_id", "left").select(
+            F.coalesce(
+                F.expr("CAST(1000000 DIV first_hit AS BIGINT)"), F.lit(0)
+            ).alias("rr_micro")
+        )
+        per_method.append(
+            rr.agg(
+                F.lit(name).alias("method"),
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.sum("rr_micro").cast("bigint").alias("sum_rr_micro"),
+            )
+        )
+    unioned = per_method[0]
+    for m in per_method[1:]:
+        unioned = unioned.unionByName(m)
+    return unioned.select(
+        "method",
+        "n_queries",
+        "sum_rr_micro",
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("sum_rr_micro").cast("double")
+            / F.col("n_queries").cast("double")
+            / F.lit(1_000_000.0),
+        ).alias("mrr"),
+    )

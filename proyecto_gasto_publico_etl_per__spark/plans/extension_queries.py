@@ -1821,6 +1821,60 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_mrr_eval",
+    f"""
+    WITH brute AS ({_COSINE_TOPK_SQL}),
+    lsh AS ({_LSH_TOPK_SQL}),
+    ivf AS ({_IVF_SQL.format(n_centroids=16, nprobe=4)}),
+    methods AS (
+      SELECT 'ivf' AS method, query_id, neighbor_id, rk FROM ivf
+      UNION ALL
+      SELECT 'lsh' AS method, query_id, neighbor_id, rk FROM lsh
+    ),
+    hits AS (
+      SELECT m.method, m.query_id, CAST(min(m.rk) AS BIGINT) AS first_hit
+      FROM methods m
+      JOIN brute b
+        ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+      GROUP BY 1, 2
+    ),
+    qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+    mm AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'),
+    rr AS (
+      SELECT mm.method, q.query_id,
+             CAST(coalesce(1000000 // h.first_hit, 0) AS BIGINT) AS rr_micro
+      FROM qids q CROSS JOIN mm
+      LEFT JOIN hits h ON h.method = mm.method AND h.query_id = q.query_id
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(rr_micro) AS BIGINT) AS sum_rr_micro,
+           CASE WHEN count(*) > 0
+                THEN CAST(sum(rr_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / 1000000.0
+                END AS mrr
+    FROM rr GROUP BY method
+    """,
+)
+def ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@5 of the LSH and IVF indexes vs brute-force ground truth —
+    the rank-sensitive companion to ann_recall_eval (rewards a true
+    neighbor placed FIRST, the retrieval-pipeline tuning metric).
+    Reciprocal ranks are exact integers (1000000 DIV first_hit, no-hit
+    queries contribute 0); the only double is the final mean
+    (operators/similarity.ann_rank_quality)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_rank_quality(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_planes=8,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
+@register(
     "embedding_neardup",
     f"""
     WITH {_BUCKETS_SQL.format(n_planes=4)},

@@ -1292,3 +1292,21 @@ def test_ivf_pq_index_append_equals_full_rebuild(spark):
     assert via_merge == via_full
     with pytest.raises(ValueError, match="frozen"):
         similarity.ivf_pq_index_append(delta, None, pairs)
+
+
+def test_ann_rank_quality_contract(spark):
+    """MRR is bounded by recall logic: a method whose top-1 equals
+    brute's top-1 for every query has mrr == 1.0; rr integers are exact
+    1000000 DIV rank values; no-hit queries still count in n."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = {r.method: r for r in
+           similarity.ann_rank_quality(emb, queries, k=5).collect()}
+    assert set(out) == {"ivf", "lsh"}
+    for r in out.values():
+        assert r.n_queries == 10
+        assert 0 <= r.sum_rr_micro <= 10 * 1_000_000
+        assert abs(r.mrr - r.sum_rr_micro / 10 / 1_000_000) < 1e-12
+    # sanity: the exact index (brute vs itself) would be mrr=1; the
+    # approximate ones must be in (0, 1]
+    assert 0 < out["ivf"].mrr <= 1.0
