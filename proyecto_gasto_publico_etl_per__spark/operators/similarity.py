@@ -1404,3 +1404,56 @@ def ann_rank_quality(
             / F.lit(1_000_000.0),
         ).alias("mrr"),
     )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query searches its own bucket PLUS
+    every Hamming-1 neighbor bucket (``n_planes`` extra probes per
+    query) — the standard recall lever that avoids maintaining extra
+    hash tables.  A true neighbor separated from the query by ONE
+    flipped hyperplane (the dominant miss mode as planes are added) is
+    recovered by the corresponding flipped-bit probe.
+
+    Scale shape: the probe frame is |queries| × (n_planes+1) rows and
+    broadcasts; the corpus side is the SAME one bucket equi-join as
+    ``lsh_topk`` (each corpus vector still carries exactly one bucket —
+    multi-probe inflates the query side only, never the corpus).
+    Candidate cost grows ~(n_planes+1)× per query at equal plane
+    count; the usual production setting trades it against plane count
+    (more planes = smaller buckets, multi-probe wins the recall back).
+    """
+    cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes)
+    qb = hyperplane_buckets(queries, id_col, vec_col, n_planes)
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(n_planes)
+        ],
+    )
+    probes = qb.select(
+        F.col("doc").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.explode(probe_arr).alias("bucket"),
+    )
+    joined = (
+        cb.withColumnRenamed("doc", "neighbor_id")
+        .join(F.broadcast(probes), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score_q3", score_q(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q3"), "neighbor_id"
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score_q3", "rk")
+    )

@@ -1378,6 +1378,50 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10))
 
 
+@register(
+    "sim_topk_lsh_multiprobe",
+    f"""
+    WITH {_BUCKETS_SQL.format(n_planes=8)},
+    c AS (
+      SELECT b.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv, b.bucket
+      FROM buckets b JOIN embeddings e USING (vec_id)
+    ),
+    qp AS (
+      SELECT b.vec_id AS query_id, e.embedding::DOUBLE[] AS qv,
+             unnest([b.bucket] || list_transform(range(8),
+                      p -> xor(b.bucket, 1::BIGINT << p))) AS bucket
+      FROM buckets b JOIN embeddings e USING (vec_id)
+      WHERE b.vec_id < 10
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(list_cosine_similarity(qv, cv) * 1000 + 0.5)
+                  AS BIGINT) AS score_q3
+      FROM c JOIN qp USING (bucket)
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score_q3,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+             ) AS INT) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH approximate top-5: the query's bucket plus all 8
+    Hamming-1 neighbor buckets — the recall lever that skips extra hash
+    tables (operators/similarity.lsh_multiprobe_topk); the corpus side
+    keeps the single bucket equi-join, only the broadcast probe frame
+    grows (n_planes+1)×."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 10)
+    )
+
+
 _IVF_SQL = """
     WITH cents AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
