@@ -41,6 +41,7 @@ CARTESIAN_OK = {
     "unigram_freq_score",  # 1-row corpus-total scalar broadcast
     "ann_recall_eval",  # brute ground truth (corpus × 10 probes) +
     #                     1-row n_expected scalar broadcast
+    "ann_mrr_eval",  # same brute ground-truth cross product (r8)
     "hard_negative_mining",  # exact mining baseline: corpus × 10 probes
     "dq_rule_violations",  # 1-row denominator scalar broadcast onto
     #                        1-row referential-rule aggregates
