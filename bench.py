@@ -91,10 +91,13 @@ EXTENSIONS = (
     "dsir_score_serving",
     "ann_ivf_pq_serving",
     # round 8 additions (baseline starts at r8): sub-document span
-    # scrubbing, SQ8 search, self-calibrating temperature mixture
+    # scrubbing, SQ8 search, self-calibrating temperature mixture,
+    # MRR rank-quality eval, multi-probe LSH
     "dup_span_scrub",
     "sim_topk_sq8",
     "mixture_temperature_fill",
+    "ann_mrr_eval",
+    "sim_topk_lsh_multiprobe",
 )
 
 
