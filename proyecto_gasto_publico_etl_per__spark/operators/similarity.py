@@ -1457,3 +1457,104 @@ def lsh_multiprobe_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "score_q3", "rk")
     )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    rerank: int = 4,
+    minmax: list[tuple[float, float]] | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF candidate restriction composed with SQ8 scoring — the
+    composition both families' docstrings promise: IVF shrinks the
+    vectors TOUCHED (~nprobe/n_centroids of the corpus), SQ8 shrinks
+    the bytes PER vector (int8 codes, 4-8× vs floats), so the scan
+    cost of the approximate stage is the product of both savings.
+    Candidates come from the probed inverted lists; SQ8
+    dequantized-midpoint cosine ranks them to a rerank×k shortlist;
+    exact cosine on the original floats orders the final top-k (same
+    contract as ``ivf_pq_search`` / ``sq8_topk``).
+
+    The trained artifacts (centroids, per-dim min/max) follow the same
+    frozen-artifact persistence story as IVF-PQ; both default to the
+    deterministic sample-init/corpus-scan derivations for tests.
+    """
+    if centroids is not None:
+        cent_lit = centroid_literal_pairs(centroids)
+    else:
+        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        cent_lit = _centroid_literal(cents, id_col, vec_col)
+    if minmax is None:
+        minmax = sq8_minmax(corpus, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        cent_lit,
+        vec_col,
+    ).select("neighbor_id", "cid")
+    probed = ivf_probe(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        cent_lit,
+        "qvec",
+        nprobe,
+    ).select("query_id", "cid")
+    cand = (
+        assigned.join(F.broadcast(probed), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    ndq = sq8_encode(corpus, id_col, vec_col, minmax).select(
+        F.col(id_col).alias("neighbor_id"),
+        _sq8_dequant(F.col("codes"), minmax).alias("ndq"),
+    ).withColumn("nnm", _norm(F.col("ndq")))
+    qdq = sq8_encode(queries, id_col, vec_col, minmax).select(
+        F.col(id_col).alias("query_id"),
+        _sq8_dequant(F.col("codes"), minmax).alias("qdq"),
+    ).withColumn("qnm", _norm(F.col("qdq")))
+    scored = (
+        cand.join(ndq, "neighbor_id")
+        .join(F.broadcast(qdq), "query_id")
+        .withColumn(
+            "approx_q6",
+            F.floor(
+                _dot(F.col("qdq"), F.col("ndq"))
+                / (F.col("qnm") * F.col("nnm"))
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_q6"), "neighbor_id"
+    )
+    shortlist = (
+        scored.withColumn("ark", F.row_number().over(w_a))
+        .where(F.col("ark") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    nvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    exact = (
+        nvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("score_q3", score_q(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q3"), "neighbor_id"
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score_q3", "rk")
+    )

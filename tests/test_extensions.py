@@ -1339,3 +1339,56 @@ def test_lsh_multiprobe_dominates_plain(spark):
     }
     for r in similarity.lsh_multiprobe_topk(emb, q, k=5).collect():
         assert brute_all[(r.query_id, r.neighbor_id)] == r.score_q3
+
+
+def test_ivf_sq8_composition(spark):
+    """IVF restriction × SQ8 scoring: results carry exact brute scores
+    (shortlist-then-rerank contract), recall tracks the IVF candidate
+    ceiling (SQ8's 8-bit cells lose almost nothing), and the whole
+    path is partition-invariant."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_sq8_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=4, rerank=4
+    ).collect()
+    brute_all = {
+        (r.query_id, r.neighbor_id): r.score_q3
+        for r in similarity.brute_force_topk(emb, queries, k=2000).collect()
+    }
+    for r in out:
+        assert brute_all[(r.query_id, r.neighbor_id)] == r.score_q3
+    # recall floor: the IVF stage alone at these knobs reaches ~0.76 on
+    # this corpus (docstring ladder); the SQ8 scorer should hold most
+    # of it — well above the plain-LSH noise floor
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    ivf_only = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=4
+        ).collect()
+    }
+    recall = len(got & truth) / max(1, len(truth))
+    ivf_recall = len(ivf_only & truth) / max(1, len(truth))
+    assert recall >= ivf_recall - 0.15, (recall, ivf_recall)
+    assert recall >= 0.5
+    a = sorted(
+        map(
+            tuple,
+            similarity.ivf_sq8_topk(
+                emb.repartition(1), queries, k=3, n_centroids=8
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.ivf_sq8_topk(
+                emb.repartition(16), queries, k=3, n_centroids=8
+            ).collect(),
+        )
+    )
+    assert a == b
