@@ -667,3 +667,60 @@ def test_ivf_pq_index_maintenance_at_ingest(spark, tmp_path):
     # the accumulated zone really holds the whole corpus exactly once
     n = spark.read.parquet(a_dir).count()
     assert n == emb.count()
+
+
+def test_sq8_encode_at_ingest(spark, tmp_path):
+    """SQ8 encoding composes with streaming ingest: vectors arriving on
+    a stream encode with the FROZEN corpus min/max artifact
+    (foreachBatch), and the accumulated codes equal a one-shot batch
+    encode — the quantizer is a model artifact, not a per-batch
+    derivation (a per-batch min/max would silently re-scale every
+    batch differently)."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    minmax = similarity.sq8_minmax(emb)
+
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.limit(60).collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:20], rows[20:40], rows[40:])):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    out_dir = str(tmp_path / "codes")
+
+    def encode_batch(batch_df, _epoch):
+        similarity.sq8_encode(batch_df, minmax=minmax).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        r.vec_id: list(r.codes)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r.vec_id: list(r.codes)
+        for r in similarity.sq8_encode(
+            spark.createDataFrame(rows, schema), minmax=minmax
+        ).collect()
+    }
+    assert streamed == batch
