@@ -1558,3 +1558,80 @@ def ivf_sq8_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "score_q3", "rk")
     )
+
+
+def ann_ndcg(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """nDCG@k of the approximate indexes vs brute-force ground truth
+    (binary relevance: a returned neighbor is relevant iff it is in the
+    brute top-k) — completes the rank-metric family with the
+    position-discounted view (MRR sees only the FIRST hit; nDCG
+    rewards every hit, discounted by log2(rank+1)).
+
+    Determinism discipline: each positional gain quantizes to
+    ``floor(1e6 / log2(rank+1))`` BEFORE any summation (integer sums
+    are order-free), and the ideal DCG is the closed-form constant for
+    k all-relevant slots — the final ndcg is one double division.
+    """
+    idcg_micro = sum(
+        math.floor(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)
+    )
+    truth_keys = brute_force_topk(corpus, queries, id_col, vec_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = {
+        "lsh": lsh_topk(corpus, queries, id_col, vec_col, k, n_planes),
+        "ivf": ivf_topk(
+            corpus, queries, id_col, vec_col, k, n_centroids, nprobe
+        ),
+    }
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    per_method = []
+    for name, res in sorted(approx.items()):
+        gains = (
+            res.join(F.broadcast(truth_keys), ["query_id", "neighbor_id"])
+            .withColumn(
+                "gain_micro",
+                F.floor(
+                    F.lit(1_000_000)
+                    / F.log2(F.col("rk").cast("double") + F.lit(1.0))
+                ).cast("bigint"),
+            )
+            .groupBy("query_id")
+            .agg(F.sum("gain_micro").cast("bigint").alias("dcg_micro"))
+        )
+        per_q = qids.join(gains, "query_id", "left").select(
+            F.coalesce("dcg_micro", F.lit(0)).cast("bigint").alias(
+                "dcg_micro"
+            )
+        )
+        per_method.append(
+            per_q.agg(
+                F.lit(name).alias("method"),
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.sum("dcg_micro").cast("bigint").alias("sum_dcg_micro"),
+            )
+        )
+    unioned = per_method[0]
+    for m in per_method[1:]:
+        unioned = unioned.unionByName(m)
+    return unioned.select(
+        "method",
+        "n_queries",
+        "sum_dcg_micro",
+        F.lit(idcg_micro).cast("bigint").alias("idcg_micro"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("sum_dcg_micro").cast("double")
+            / F.col("n_queries").cast("double")
+            / F.lit(float(idcg_micro)),
+        ).alias("ndcg"),
+    )

@@ -1392,3 +1392,34 @@ def test_ivf_sq8_composition(spark):
         )
     )
     assert a == b
+
+
+def test_ann_ndcg_matches_python_reference(spark):
+    import math
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=k).collect()
+    }
+    out = {r.method: r for r in similarity.ann_ndcg(emb, queries, k=k).collect()}
+    idcg = sum(math.floor(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1))
+    for method, fn in (
+        ("lsh", similarity.lsh_topk),
+        ("ivf", similarity.ivf_topk),
+    ):
+        res = fn(emb, queries, k=k).collect()
+        dcg = sum(
+            math.floor(1_000_000 / math.log2(r.rk + 1))
+            for r in res
+            if (r.query_id, r.neighbor_id) in truth
+        )
+        row = out[method]
+        assert row.sum_dcg_micro == dcg, method
+        assert row.idcg_micro == idcg
+        assert 0.0 <= row.ndcg <= 1.0
+        assert abs(row.ndcg - dcg / 10 / idcg) < 1e-12
+    # on this corpus IVF is far stronger than plain LSH
+    assert out["ivf"].ndcg > out["lsh"].ndcg
