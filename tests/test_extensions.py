@@ -1423,3 +1423,47 @@ def test_ann_ndcg_matches_python_reference(spark):
         assert abs(row.ndcg - dcg / 10 / idcg) < 1e-12
     # on this corpus IVF is far stronger than plain LSH
     assert out["ivf"].ndcg > out["lsh"].ndcg
+
+
+def test_dup_span_scrub_against_frozen_meta(spark):
+    """Incremental hygiene: a new batch scrubbed against the FROZEN
+    corpus metadata loses exactly the spans the indexed corpus owns —
+    and equals the full recompute whenever the batch adds no new
+    cross-doc duplication (the metadata-rebuild cadence contract)."""
+    boiler = "subscribe to our newsletter for weekly updates"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta"),
+            (2, f"{boiler} other early content here today"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    meta = dedup.dup_span_meta(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, f"fresh arrival containing {boiler} and more"),
+            (11, "entirely novel text with no shared spans at all"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.dup_span_scrub(batch, meta=meta).collect()
+    }
+    assert out[10].n_dup_tokens == 7  # the owned boilerplate span
+    assert out[10].text_scrubbed == "fresh arrival containing and more"
+    assert out[11].n_dup_tokens == 0
+    # equals the full recompute restricted to the batch docs (no new
+    # intra-batch duplication in this fixture)
+    full = {
+        r.doc_id: r
+        for r in dedup.dup_span_scrub(
+            corpus.unionByName(batch)
+        ).collect()
+        if r.doc_id >= 10
+    }
+    for i in (10, 11):
+        assert (out[i].n_kept, out[i].text_scrubbed) == (
+            full[i].n_kept,
+            full[i].text_scrubbed,
+        )
