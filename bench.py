@@ -25,6 +25,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from proyecto_gasto_publico_etl_per__spark.operators.skew import (  # noqa: E402
+    release_pinned,
+)
 from proyecto_gasto_publico_etl_per__spark.plans.driver_queries import (  # noqa: E402
     all_queries,
 )
@@ -98,6 +101,8 @@ EXTENSIONS = (
     "mixture_temperature_fill",
     "ann_mrr_eval",
     "sim_topk_lsh_multiprobe",
+    # round 9 addition (baseline starts at r9): residual-encoded IVF-PQ
+    "ann_ivf_pq_residual",
 )
 
 
@@ -167,6 +172,10 @@ def main() -> None:
             # slow) from box contention (one spike) without a re-measure —
             # the r5 sessionize question in one artifact field.
             spreads[name] = [round(min(runs), 4), round(max(runs), 4)]
+            # return guarded-broadcast vocab caches at the query
+            # boundary (round-9 lifecycle) so pins don't accumulate
+            # executor memory across the 151-query session
+            release_pinned()
         return timings, spreads
 
     timings, spreads = time_set(HEADLINE)

@@ -690,7 +690,9 @@ def dup_span_meta(
     approximation is the standard incremental one: duplication WITHIN
     the new batch (or between two not-yet-indexed batches) is not seen
     until the metadata's next rebuild — same cadence contract as the
-    ANN index (``ivf_pq_index_append``)."""
+    ANN index (``ivf_pq_index_append``) and the LSH bucket history;
+    stated once in SCALE.md §"Frozen-artifact serving" and pinned by
+    ``tests/test_frozen_contract.py``."""
     base = fan_out(df).select(
         F.col(id_col).alias("doc"), _tokens(text_col).alias("toks")
     )

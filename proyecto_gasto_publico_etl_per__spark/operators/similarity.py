@@ -344,6 +344,41 @@ def centroid_literal_pairs(pairs: list[tuple[int, list[float]]]) -> Column:
     return _centroid_expr(pairs)
 
 
+def _centroid_vec_for(cent_lit: Column, cid_col: Column) -> Column:
+    """The centroid vector for a cid column, looked up INSIDE the
+    literal centroid array — whole-stage-codegen map work, no join.
+    The literal is tiny (n_centroids structs), so the linear
+    ``F.filter`` scan per row is a handful of comparisons."""
+    return F.element_at(
+        F.filter(cent_lit, lambda c: c["cid"] == cid_col.cast("long")), 1
+    )["cvec"]
+
+
+def residualize(
+    df: DataFrame,
+    cent_lit: Column,
+    vec_col: str,
+    cid_col: str = "cid",
+    out: str = "rvec",
+) -> DataFrame:
+    """Attach the coarse-quantizer residual ``x − centroid(cid)`` as
+    ``out`` (array<double>).  Map-only: the centroid rides along as a
+    literal, so residualizing a 100 TB corpus is part of the same
+    single encode scan as assignment — no join, no shuffle.
+
+    This is the standard IVF-PQ trick (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", §IV): PQ-encoding the
+    residual instead of the raw vector removes the coarse cell's mean
+    from every code, concentrating what the codebook must explain into
+    a much smaller ball — measurably higher recall at identical
+    m/n_codes (see the SCALE.md serving ladder)."""
+    cvec = _centroid_vec_for(cent_lit, F.col(cid_col))
+    return df.withColumn(
+        out,
+        F.zip_with(_as_double(F.col(vec_col)), cvec, lambda a, b: a - b),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -846,9 +881,31 @@ def _pq_dtable(
     The distance values are bit-identical (same ``_quant_sq_l2``
     expression; IEEE ops don't care whether an operand is literal or
     column)."""
+    return _pq_dtable_from(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        codebook,
+        vec_col,
+        quant,
+        ["query_id"],
+    )
+
+
+def _pq_dtable_from(
+    qframe: DataFrame,
+    codebook: "Codebook",
+    vec_col: str,
+    quant: int,
+    keys: list[str],
+) -> DataFrame:
+    """ADC distance-table builder over an arbitrary key set: one row
+    per (*keys, subspace, code).  ``keys=["query_id"]`` is the plain
+    PQ table; ``keys=["query_id", "cid"]`` is the residual-encoding
+    table, where each probed centroid gets its own query-residual
+    distances (|queries| × nprobe × m × n_codes rows — still a
+    broadcastable model artifact)."""
     m = len(codebook)
     sub = len(codebook[0][0])
-    spark = queries.sparkSession
+    spark = qframe.sparkSession
     cw = spark.createDataFrame(
         [
             (s + 1, code, [float(x) for x in codebook[s][code]])
@@ -858,16 +915,16 @@ def _pq_dtable(
         "subspace INT, code INT, cvec ARRAY<DOUBLE>",
     )
     qv = _as_double(F.col(vec_col))
-    qslices = queries.select(
-        F.col(id_col).alias("query_id"),
+    qslices = qframe.select(
+        *keys,
         F.posexplode(
             F.array(*[F.slice(qv, s * sub + 1, sub) for s in range(m)])
         ).alias("pos", "xs"),
     ).select(
-        "query_id", (F.col("pos") + 1).cast("int").alias("subspace"), "xs"
+        *keys, (F.col("pos") + 1).cast("int").alias("subspace"), "xs"
     )
     return qslices.join(F.broadcast(cw), "subspace").select(
-        "query_id",
+        *keys,
         "subspace",
         "code",
         _quant_sq_l2(F.col("xs"), F.col("cvec"), quant).alias("pd_q6"),
@@ -924,6 +981,7 @@ def ivf_pq_build_index(
     quant: int = 1_000_000,
     codebook: "Codebook | None" = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    residual: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The index-build half of IVF-PQ: the two corpus-sized, map-only
     passes — coarse assignment ``(neighbor_id, cid)`` and PQ codes
@@ -932,12 +990,33 @@ def ivf_pq_build_index(
     this runs once per index refresh; every query run then reads the
     stored index through ``ivf_pq_search(..., index=...)`` instead of
     re-encoding the corpus.  Artifacts must be persisted together with
-    the centroids/codebook that produced them."""
+    the centroids/codebook that produced them.
+
+    ``residual=True`` PQ-encodes ``x − centroid(cid)`` instead of the
+    raw vector (standard IVF-PQ, see ``residualize``): assignment,
+    residual subtraction, and encoding fuse into the SAME single
+    map-only scan (the centroid set is a literal), so the build cost is
+    unchanged.  The residual flag is part of the index's identity —
+    persist it in the index manifest next to the codebook/centroids,
+    and search with the matching ``ivf_pq_search(..., residual=True)``;
+    a default-codebook residual build samples codewords from residual
+    space, which is where a trained codebook should live too
+    (``pq_train_codebook`` over the residualized frame)."""
     if centroids is not None:
         cent_lit = centroid_literal_pairs(centroids)
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
         cent_lit = _centroid_literal(cents, id_col, vec_col)
+    if residual:
+        base = ivf_assign(corpus.select(id_col, vec_col), cent_lit, vec_col)
+        resid = residualize(base, cent_lit, vec_col)
+        if codebook is None:
+            codebook = sampled_codebook(resid, id_col, "rvec", m, n_codes)
+        assigned = resid.select(F.col(id_col).alias("neighbor_id"), "cid")
+        codes = pq_encode(
+            resid, id_col, "rvec", m, n_codes, quant, codebook
+        ).select(id_col, "subspace", "code")
+        return assigned, codes
     if codebook is None:
         codebook = sampled_codebook(corpus, id_col, vec_col, m, n_codes)
     assigned = ivf_assign(
@@ -966,6 +1045,7 @@ def ivf_pq_search(
     codebook: "Codebook | None" = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     index: tuple[DataFrame, DataFrame] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The full production ANN serving path, composed from the audited
     pieces: IVF coarse quantizer restricts candidates to ``nprobe``
@@ -1014,6 +1094,23 @@ def ivf_pq_search(
     either were re-derived from the current corpus, ADC distances would
     silently mismatch the persisted codes whenever the corpus drifted
     since index build.
+
+    ``residual``: the index's codes are residual-encoded
+    (``ivf_pq_build_index(..., residual=True)``) — the textbook IVF-PQ
+    formulation.  The only serving-plan change is the distance table:
+    each probed (query, cid) pair gets its OWN table row set, built
+    from the query residual ``q − centroid(cid)``, so the table grows
+    by a factor of nprobe (|queries| × nprobe × m × n_codes — still a
+    broadcastable artifact) and the ADC join keys gain ``cid``.  The
+    candidate's probed cid IS its assigned cid (candidates come from
+    the cid-equijoin), so the residual geometries on both sides agree
+    by construction.  The flag must match the index build — it is part
+    of the index identity, persisted in the same manifest as the
+    codebook/centroids.  Measured on the sf0.1 ladder
+    (tools/ann_knob_sweep.py --residual): residual codes lift recall@5
+    over raw codes at identical knobs because no codebook capacity is
+    spent explaining the coarse cell means; see SCALE.md's serving
+    ladder for the numbers.
     """
     if index is not None and (codebook is None or centroids is None):
         raise ValueError(
@@ -1029,12 +1126,33 @@ def ivf_pq_search(
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
         cent_lit = _centroid_literal(cents, id_col, vec_col)
     # codebook: caller-supplied (pq_train_codebook) or the hash-sample
-    # default; encode and dtable must share it exactly
+    # default; encode and dtable must share it exactly — for residual
+    # indexes the default samples from residual space, matching
+    # ivf_pq_build_index's default
+    resid_corpus = None
+    if residual and (codebook is None or index is None):
+        resid_corpus = residualize(
+            ivf_assign(corpus.select(id_col, vec_col), cent_lit, vec_col),
+            cent_lit,
+            vec_col,
+        )
     if codebook is None:
-        codebook = sampled_codebook(corpus, id_col, vec_col, m, n_codes)
+        if residual:
+            codebook = sampled_codebook(
+                resid_corpus, id_col, "rvec", m, n_codes
+            )
+        else:
+            codebook = sampled_codebook(corpus, id_col, vec_col, m, n_codes)
     if index is not None:
         assigned, codes = index
         assigned = assigned.select("neighbor_id", "cid")
+    elif residual:
+        assigned = resid_corpus.select(
+            F.col(id_col).alias("neighbor_id"), "cid"
+        )
+        codes = pq_encode(
+            resid_corpus, id_col, "rvec", m, n_codes, quant, codebook
+        )
     else:
         assigned = ivf_assign(
             corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
@@ -1049,18 +1167,39 @@ def ivf_pq_search(
         cent_lit,
         "qvec",
         nprobe,
-    ).select("query_id", "cid")
-    cand = (
-        assigned.join(F.broadcast(probed), "cid")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
     )
-    dtable = _pq_dtable(queries, codebook, id_col, vec_col, quant)
+    # residual serving: the ADC table is keyed by (query, cid) — the
+    # query residual against EACH probed centroid — and the candidate
+    # rows carry the cid they were probed through, which by the
+    # cid-equijoin below is also the neighbor's assigned (encoding) cid
+    cand_keys = ["query_id", "neighbor_id", "cid"] if residual else [
+        "query_id", "neighbor_id"
+    ]
+    cand = (
+        assigned.join(
+            F.broadcast(probed.select("query_id", "cid")), "cid"
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(*cand_keys)
+    )
+    if residual:
+        qres = residualize(probed, cent_lit, "qvec")
+        dtable = _pq_dtable_from(
+            qres.select("query_id", "cid", "rvec"),
+            codebook,
+            "rvec",
+            quant,
+            ["query_id", "cid"],
+        )
+        adc_keys = ["query_id", "cid", "subspace", "code"]
+    else:
+        dtable = _pq_dtable(queries, codebook, id_col, vec_col, quant)
+        adc_keys = ["query_id", "subspace", "code"]
     adc = (
         cand.join(
             codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
         )
-        .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .join(F.broadcast(dtable), adc_keys)
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pd_q6").cast("bigint").alias("adist_q6"))
     )
@@ -1300,6 +1439,7 @@ def ivf_pq_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 1_000_000,
+    residual: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental IVF-PQ index maintenance: encode ONLY a delta batch
     with the FROZEN artifacts and return its ``(assigned, codes)``
@@ -1318,7 +1458,16 @@ def ivf_pq_index_append(
     The caller owns id-disjointness: appending ids already present in
     the zones duplicates their rows (as any append-mode parquet write
     would) — route re-ingested ids through a rebuild or an anti-join
-    against the assigned zone first.
+    against the assigned zone first.  This is one of the three
+    frozen-artifact serving paths sharing the staleness contract in
+    SCALE.md §"Frozen-artifact serving", pinned by
+    ``tests/test_frozen_contract.py``.
+
+    ``residual`` must match the index being appended to (it is part of
+    the index identity, persisted in the same manifest as the
+    codebook/centroids): delta vectors are then residual-encoded
+    against the SAME frozen centroids the zones were built with, so
+    the appended codes stay row-identical to a full rebuild's.
     """
     if codebook is None or centroids is None:
         raise ValueError(
@@ -1334,6 +1483,7 @@ def ivf_pq_index_append(
         quant=quant,
         codebook=codebook,
         centroids=centroids,
+        residual=residual,
     )
 
 

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__gasto_salt"
 
+#: every frame ``broadcast_if_bounded`` has pinned and not yet released
+#: (round-9 lifecycle: persist() leaked executor memory across long
+#: sessions — the 151-query bench held ~5 vocab frames forever)
+_PINNED: list[DataFrame] = []
+
 
 def broadcast_if_bounded(
     df: DataFrame, max_rows: int = 8_000_000
@@ -45,11 +50,34 @@ def broadcast_if_bounded(
     ≲100 B serialized, keeping the broadcast well under 1 GB — an order
     of magnitude inside the hard limit.  Batch-only: the count is an
     eager action, so never call this on a streaming frame.
+
+    Lifecycle: the pin is registered module-side; call
+    ``release_pinned()`` between queries in a long-lived session to
+    return the cached blocks (the operator itself cannot unpersist —
+    its caller returns a LAZY frame, so the pin must survive until the
+    caller's action has run).
     """
     pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(pinned)
     if pinned.count() <= max_rows:
         return F.broadcast(pinned)
     return pinned
+
+
+def release_pinned() -> int:
+    """Unpersist every frame ``broadcast_if_bounded`` has pinned since
+    the last release and return how many were freed.  Safe to call at
+    any query boundary: a released frame that some still-lazy plan
+    references is simply recomputed from lineage on the next action
+    (correctness is unaffected — only the cache is dropped).  Long
+    sessions (the 151-query bench loop, the correctness gate) call
+    this between queries so vocab caches don't accumulate executor
+    memory for the whole run."""
+    n = 0
+    while _PINNED:
+        _PINNED.pop().unpersist()
+        n += 1
+    return n
 
 
 def salted_join(

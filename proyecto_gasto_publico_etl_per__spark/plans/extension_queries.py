@@ -1705,9 +1705,225 @@ _IVF_PQ_SERVING_SQL = f"""
     SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 5
 """
 
+#: the residual-encoded IVF-PQ oracle (round 9): same pipeline as
+#: _IVF_PQ_SERVING_SQL but PQ codes quantize the coarse residual
+#: x − centroid(cid) (Jégou et al.'s standard formulation).  New CTEs:
+#: rcorpus (per-vector residual against its assigned centroid), cb
+#: drawn from RESIDUAL space (residuals of the same md5-sampled 16),
+#: qres (per probed (query, cid) pair, the query's residual against
+#: THAT centroid), and the ADC join gains cid so each candidate is
+#: scored in its own cell's residual geometry.
+_IVF_PQ_RESIDUAL_SQL = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings ORDER BY {_IVF_ORD} LIMIT 16
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT corpus.vec_id, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY CAST(floor(list_cosine_similarity(vec, cvec) * 1000
+                               + 0.5) AS BIGINT) DESC, cents.cid
+               ) AS ark
+        FROM corpus CROSS JOIN cents
+      ) WHERE ark = 1
+    ),
+    rcorpus AS (
+      SELECT c.vec_id, a.cid,
+             list_transform(range(1, 65), i -> c.vec[i] - ct.cvec[i])
+               AS rvec
+      FROM corpus c JOIN assign a USING (vec_id) JOIN cents ct USING (cid)
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, cents.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(floor(list_cosine_similarity(q.vec, cents.cvec)
+                               * 1000 + 0.5) AS BIGINT) DESC, cents.cid
+               ) AS prk
+        FROM (SELECT * FROM corpus WHERE vec_id < 10) q CROSS JOIN cents
+      ) WHERE prk <= {_PQ_NPROBE}
+    ),
+    cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY {_IVF_ORD}) - 1 AS INT)
+               AS code,
+             r.rvec AS cvec
+      FROM (SELECT vec_id FROM embeddings ORDER BY {_IVF_ORD} LIMIT 16) s
+      JOIN rcorpus r USING (vec_id)
+    ),
+    subs AS (SELECT CAST(unnest(range(1, {_PQ_M + 1})) AS INT) AS subspace),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT r.vec_id, s.subspace, cb.code,
+               row_number() OVER (
+                 PARTITION BY r.vec_id, s.subspace
+                 ORDER BY {_ADC_DIST.format(v='r.rvec')}, cb.code
+               ) AS rk
+        FROM rcorpus r CROSS JOIN cb CROSS JOIN subs s
+      ) WHERE rk = 1
+    ),
+    qres AS (
+      SELECT p.query_id, p.cid,
+             list_transform(range(1, 65), i -> q.vec[i] - ct.cvec[i])
+               AS rvec
+      FROM probes p
+      JOIN corpus q ON q.vec_id = p.query_id
+      JOIN cents ct USING (cid)
+    ),
+    dtable AS (
+      SELECT qr.query_id, qr.cid, s.subspace, cb.code,
+             {_ADC_DIST.format(v='qr.rvec')} AS pd_q6
+      FROM qres qr CROSS JOIN cb CROSS JOIN subs s
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.cid
+      FROM probes p JOIN assign a USING (cid)
+      WHERE p.query_id <> a.vec_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(sum(d.pd_q6) AS BIGINT) AS adist_q6
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN dtable d ON d.query_id = c.query_id AND d.cid = c.cid
+                   AND d.subspace = k.subspace AND d.code = k.code
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY adist_q6, neighbor_id
+               ) AS ark
+        FROM adc
+      ) WHERE ark <= {_PQ_RERANK * 5}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(floor(list_cosine_similarity(qv.vec, nv.vec) * 1000 + 0.5)
+                  AS BIGINT) AS score_q3
+      FROM shortlist s
+      JOIN corpus nv ON nv.vec_id = s.neighbor_id
+      JOIN corpus qv ON qv.vec_id = s.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score_q3,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+             ) AS INT) AS rk
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("ann_ivf_pq_residual", _IVF_PQ_RESIDUAL_SQL)
+def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ top-5 (round 9): identical serving plan
+    to ``ann_ivf_pq_serving`` except PQ codes quantize the coarse
+    residual ``x − centroid(cid)`` — the standard IVF-PQ formulation
+    (``operators/similarity.residualize``).  The ADC distance table is
+    keyed by (query, probed cid) — the query's residual against each
+    probed centroid — and stays a broadcastable artifact at nprobe×
+    the raw table's size; candidates carry their probed cid (which IS
+    their assigned cid, by the cid-equijoin), so every candidate is
+    scored in its own cell's residual geometry.  Declared with
+    sample-init artifacts for oracle mirrorability; the production
+    point trains both the coarse quantizer (``kmeans_refine``) and a
+    residual-space codebook (``pq_train_codebook`` over the
+    residualized frame) on the SAME plan — see SCALE.md's serving
+    ladder for the measured recall deltas (on the structureless
+    synthetic embeddings residual ties raw under trained artifacts;
+    on clustered real-world embeddings it is the standard lever).
+
+    Same serving split as ``ann_ivf_pq_serving``: first call in the
+    process builds and persists centroids + residual-space codebook +
+    residual-encoded index zones + a MANIFEST carrying the residual
+    flag (part of the index identity — search must agree with build);
+    later calls load and only run probe → cid-keyed ADC → re-rank.
+    Value-identical to the build-inline path (sample-init artifacts
+    are deterministic, parquet/JSON round-trips exact — pinned by
+    ``test_ivf_pq_residual_matches_inline_and_append``)."""
+    import tempfile
+
+    from ..operators import model_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _ANN_RESIDUAL_MODELS.get(sf_dir)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="ann_residual_")
+        cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 16)
+        pairs = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in cents
+        ]
+        model_store.save_model(
+            spark,
+            f"{base}/centroids",
+            "ivf_centroids",
+            [[c, v] for c, v in pairs],
+        )
+        cent_lit = similarity.centroid_literal_pairs(pairs)
+        resid = similarity.residualize(
+            similarity.ivf_assign(
+                emb.select("vec_id", "embedding"), cent_lit, "embedding"
+            ),
+            cent_lit,
+            "embedding",
+        )
+        cb = similarity.sampled_codebook(resid, "vec_id", "rvec", _PQ_M, 16)
+        model_store.save_pq_codebook(spark, f"{base}/codebook", cb)
+        model_store.save_model(
+            spark,
+            f"{base}/manifest",
+            "ivf_pq_manifest",
+            {"residual": True, "m": _PQ_M, "n_codes": 16},
+        )
+        assigned, codes = similarity.ivf_pq_build_index(
+            emb, m=_PQ_M, n_codes=16, codebook=cb, centroids=pairs,
+            residual=True,
+        )
+        assigned.write.mode("overwrite").parquet(f"{base}/index_assigned")
+        codes.write.mode("overwrite").parquet(f"{base}/index_codes")
+        _ANN_RESIDUAL_MODELS[sf_dir] = base
+    pairs_payload, _ = model_store.load_model(
+        spark, f"{base}/centroids", "ivf_centroids"
+    )
+    pairs = [(int(c), [float(x) for x in v]) for c, v in pairs_payload]
+    cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+    manifest, _ = model_store.load_model(
+        spark, f"{base}/manifest", "ivf_pq_manifest"
+    )
+    index = (
+        spark.read.parquet(f"{base}/index_assigned"),
+        spark.read.parquet(f"{base}/index_codes"),
+    )
+    return similarity.ivf_pq_search(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=_PQ_NPROBE,
+        m=manifest["m"],
+        n_codes=manifest["n_codes"],
+        rerank=_PQ_RERANK,
+        codebook=cb,
+        centroids=pairs,
+        index=index,
+        residual=manifest["residual"],
+    )
+
+
 #: process-local train-once cache for the ANN serving entry (the DSIR
 #: serving pattern): sf_dir -> model-store base path
 _ANN_SERVING_MODELS: dict[str, str] = {}
+
+#: same train-once cache for the residual-encoded serving entry
+#: (sf_dir -> model-store base path; the manifest under it carries the
+#: residual flag as index identity)
+_ANN_RESIDUAL_MODELS: dict[str, str] = {}
 
 
 @register("ann_ivf_pq_serving", _IVF_PQ_SERVING_SQL)

@@ -227,7 +227,11 @@ def streaming_neardup_ingest(
     is the ONLY state: O(bands) rows per admitted doc, hash-bucketed on
     (band, band_sig) so the per-batch semi-join co-locates; the full
     batch MinHash pipeline (verify + clustering) remains the offline
-    compaction pass.
+    compaction pass.  The bucket table is a frozen-artifact serving
+    path: it shares the staleness contract in SCALE.md
+    §"Frozen-artifact serving" (here narrowed to within-one-micro-batch
+    by the per-epoch signature write + the in-batch keeper policy),
+    pinned by ``tests/test_frozen_contract.py``.
 
     Returns the started StreamingQuery (AvailableNow trigger).
     """

@@ -1467,3 +1467,145 @@ def test_dup_span_scrub_against_frozen_meta(spark):
             full[i].n_kept,
             full[i].text_scrubbed,
         )
+
+
+def test_ivf_pq_residual_matches_inline_and_append(spark):
+    """Residual-encoded IVF-PQ (round 9): (a) searching a persisted
+    residual index equals the inline build-and-search under the same
+    frozen artifacts; (b) the delta-append path residual-encodes
+    against the frozen centroids, so merged zones equal a full rebuild;
+    (c) residual codes genuinely differ from raw codes (the flag is
+    doing something)."""
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 8)
+    pairs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cents
+    ]
+    cent_lit = similarity.centroid_literal_pairs(pairs)
+    resid = similarity.residualize(
+        similarity.ivf_assign(
+            emb.select("vec_id", "embedding"), cent_lit, "embedding"
+        ),
+        cent_lit,
+        "embedding",
+    )
+    cb = similarity.sampled_codebook(resid, "vec_id", "rvec", 4, 16)
+    idx = similarity.ivf_pq_build_index(
+        emb, codebook=cb, centroids=pairs, residual=True
+    )
+    queries = emb.orderBy("vec_id").limit(3)
+    kw = dict(k=3, nprobe=4, m=4, n_codes=16, rerank=8,
+              codebook=cb, centroids=pairs, residual=True)
+    inline = sorted(
+        map(tuple, similarity.ivf_pq_search(emb, queries, **kw).collect())
+    )
+    via_idx = sorted(
+        map(
+            tuple,
+            similarity.ivf_pq_search(
+                emb, queries, index=idx, **kw
+            ).collect(),
+        )
+    )
+    assert inline == via_idx and len(inline) == 9
+    # (b) append == rebuild under frozen artifacts
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    a_base, c_base = similarity.ivf_pq_build_index(
+        base, codebook=cb, centroids=pairs, residual=True
+    )
+    a_delta, c_delta = similarity.ivf_pq_index_append(
+        delta, cb, pairs, residual=True
+    )
+    a_full, c_full = similarity.ivf_pq_build_index(
+        emb, codebook=cb, centroids=pairs, residual=True
+    )
+    assert sorted(map(tuple, a_base.unionByName(a_delta).collect())) == sorted(
+        map(tuple, a_full.collect())
+    )
+    assert sorted(map(tuple, c_base.unionByName(c_delta).collect())) == sorted(
+        map(tuple, c_full.collect())
+    )
+    # (c) residual codes differ from raw codes under a raw codebook of
+    # the same geometry (sanity that the flag changes the encoding)
+    raw_cb = similarity.sampled_codebook(emb, "vec_id", "embedding", 4, 16)
+    _, raw_codes = similarity.ivf_pq_build_index(
+        emb, codebook=raw_cb, centroids=pairs, residual=False
+    )
+    assert sorted(map(tuple, c_full.collect())) != sorted(
+        map(tuple, raw_codes.collect())
+    )
+
+
+def test_residualize_reconstructs(spark):
+    """centroid(cid) + rvec reconstructs the original vector exactly
+    (double arithmetic: (x - c) + c == x is not an IEEE identity, so
+    allow 1e-12; the ADC path never relies on reconstruction — this
+    pins that residualize subtracts the RIGHT centroid per row)."""
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 8)
+    pairs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cents
+    ]
+    by_cid = {c: v for c, v in pairs}
+    cent_lit = similarity.centroid_literal_pairs(pairs)
+    rows = similarity.residualize(
+        similarity.ivf_assign(
+            emb.select("vec_id", "embedding"), cent_lit, "embedding"
+        ),
+        cent_lit,
+        "embedding",
+    ).collect()
+    assert len(rows) == 50
+    for r in rows:
+        c = by_cid[r.cid]
+        for orig, res, cv in zip(r.embedding, r.rvec, c):
+            assert abs((res + cv) - float(orig)) < 1e-12
+
+
+def test_lsh_multiprobe_recall_dominance_property(spark):
+    """Property (round-9 verdict task 6): at EVERY plane count, multi-
+    probe recall@k >= single-probe recall@k on the same deterministic
+    planes — Hamming-1 buckets are a candidate superset, and under the
+    shared total order (score desc, id asc) a superset's top-k can
+    never lose a true neighbor the subset's top-k had.  Pinned across
+    plane counts and two query sets on a 50-vector corpus."""
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).filter(F.col("vec_id") < 50).cache()
+    try:
+        for qlo, qhi in ((0, 6), (20, 26)):
+            q = emb.filter(
+                (F.col("vec_id") >= qlo) & (F.col("vec_id") < qhi)
+            )
+            truth = {
+                (r.query_id, r.neighbor_id)
+                for r in similarity.brute_force_topk(emb, q, k=5).collect()
+            }
+            for n_planes in (4, 6, 8, 10):
+                plain = {
+                    (r.query_id, r.neighbor_id)
+                    for r in similarity.lsh_topk(
+                        emb, q, k=5, n_planes=n_planes
+                    ).collect()
+                }
+                multi = {
+                    (r.query_id, r.neighbor_id)
+                    for r in similarity.lsh_multiprobe_topk(
+                        emb, q, k=5, n_planes=n_planes
+                    ).collect()
+                }
+                assert len(multi & truth) >= len(plain & truth), (
+                    n_planes,
+                    qlo,
+                )
+    finally:
+        emb.unpersist()

@@ -94,3 +94,31 @@ def test_broadcast_if_bounded_falls_back_over_limit(spark, skewed):
     assert sorted(map(key, joined.collect())) == sorted(
         map(key, big.join(small, "k").collect())
     )
+
+
+def test_broadcast_if_bounded_release_lifecycle(spark, skewed):
+    """Round-9 lifecycle: every broadcast_if_bounded pin is registered
+    and release_pinned() frees them all (storage level drops to NONE),
+    returning the freed count; a released frame still recomputes
+    correctly from lineage on the next action."""
+    from proyecto_gasto_publico_etl_per__spark.operators import skew
+    from proyecto_gasto_publico_etl_per__spark.operators.skew import (
+        broadcast_if_bounded,
+        release_pinned,
+    )
+
+    release_pinned()  # clean slate — other tests may have pinned
+    big, small = skewed
+    hinted = broadcast_if_bounded(small)
+    assert len(skew._PINNED) == 1
+    pinned = skew._PINNED[-1]
+    assert pinned.storageLevel.useMemory or pinned.storageLevel.useDisk
+    joined = big.join(hinted, "k")
+    n_before = joined.count()
+    assert release_pinned() == 1
+    assert not skew._PINNED
+    assert not (pinned.storageLevel.useMemory or pinned.storageLevel.useDisk)
+    # lineage recompute after release: same result, no error
+    assert big.join(broadcast_if_bounded(small), "k").count() == n_before
+    assert release_pinned() == 1
+    assert release_pinned() == 0  # idempotent on an empty registry

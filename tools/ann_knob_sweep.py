@@ -1,11 +1,13 @@
-"""Recall/latency sweep for the IVF-PQ serving knobs (round-8 task 2).
+"""Recall/latency sweep for the IVF-PQ serving knobs (rounds 8-9).
 
 Measures, at a given sf dir, recall@5 vs brute-force ground truth and
 wall time of ``similarity.ivf_pq_search`` across (n_centroids, nprobe)
-at the serving geometry (m=16, n_codes=16, rerank=16).  One JSON line
-per knob point; paste the ladder into SCALE.md.
+at the serving geometry (m=16, n_codes=16), for raw- and
+residual-encoded codes, with sample-init or trained artifacts.  One
+JSON line per knob point; paste the ladder into SCALE.md.
 
 Usage: python tools/ann_knob_sweep.py [sf_dir] [--grid c:p,c:p,...]
+           [--residual] [--both] [--trained] [--rerank N]
 """
 
 from __future__ import annotations
@@ -33,6 +35,16 @@ def main() -> None:
         grid = [
             tuple(int(x) for x in pair.split(":")) for pair in raw.split(",")
         ]
+    rerank = 16
+    if "--rerank" in sys.argv:
+        rerank = int(sys.argv[sys.argv.index("--rerank") + 1])
+    if "--both" in sys.argv:
+        residual_modes = [False, True]
+    elif "--residual" in sys.argv:
+        residual_modes = [True]
+    else:
+        residual_modes = [False]
+    trained = "--trained" in sys.argv
     spark: SparkSession = get_spark()
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
@@ -41,43 +53,75 @@ def main() -> None:
         for r in similarity.brute_force_topk(emb, probes, k=5).collect()
     }
     for n_centroids, nprobe in grid:
-        # serving parity: sample-init centroids + codebook, explicit
-        # artifacts (the post-round-8 index contract)
-        cents = similarity.ivf_centroids(emb, "vec_id", "embedding", n_centroids)
+        # serving parity: explicit artifacts (the post-round-8 index
+        # contract); sample-init by default, kmeans/Lloyd with --trained
+        cents = similarity.ivf_centroids(
+            emb, "vec_id", "embedding", n_centroids
+        )
         pairs = [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]])
             for r in cents
         ]
-        cb = similarity.sampled_codebook(emb, "vec_id", "embedding", 16, 16)
-        t0 = time.monotonic()
-        got = {
-            (r.query_id, r.neighbor_id)
-            for r in similarity.ivf_pq_search(
-                emb,
-                probes,
-                k=5,
-                nprobe=nprobe,
-                m=16,
-                n_codes=16,
-                rerank=16,
-                codebook=cb,
-                centroids=pairs,
-            ).collect()
-        }
-        dt = time.monotonic() - t0
-        recall = len(got & truth) / max(1, len(truth))
-        print(
-            json.dumps(
-                {
-                    "n_centroids": n_centroids,
-                    "nprobe": nprobe,
-                    "recall_at_5": round(recall, 4),
-                    "sec": round(dt, 2),
-                    "sf_dir": sf_dir,
-                }
-            ),
-            flush=True,
-        )
+        if trained:
+            pairs = similarity.kmeans_refine(
+                emb, "vec_id", "embedding", n_centroids, iters=3
+            )
+        for residual in residual_modes:
+            if residual:
+                cent_lit = similarity.centroid_literal_pairs(pairs)
+                resid = similarity.residualize(
+                    similarity.ivf_assign(
+                        emb.select("vec_id", "embedding"),
+                        cent_lit,
+                        "embedding",
+                    ),
+                    cent_lit,
+                    "embedding",
+                )
+                cb_src, cb_vec = resid, "rvec"
+            else:
+                cb_src, cb_vec = emb, "embedding"
+            if trained:
+                cb = similarity.pq_train_codebook(
+                    cb_src, "vec_id", cb_vec, 16, 16, n_iters=3
+                )
+            else:
+                cb = similarity.sampled_codebook(
+                    cb_src, "vec_id", cb_vec, 16, 16
+                )
+            t0 = time.monotonic()
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in similarity.ivf_pq_search(
+                    emb,
+                    probes,
+                    k=5,
+                    nprobe=nprobe,
+                    m=16,
+                    n_codes=16,
+                    rerank=rerank,
+                    codebook=cb,
+                    centroids=pairs,
+                    residual=residual,
+                ).collect()
+            }
+            dt = time.monotonic() - t0
+            recall = len(got & truth) / max(1, len(truth))
+            print(
+                json.dumps(
+                    {
+                        "n_centroids": n_centroids,
+                        "nprobe": nprobe,
+                        "rerank": rerank,
+                        "residual": residual,
+                        "trained": trained,
+                        "recall_at_5": round(recall, 4),
+                        "sec": round(dt, 2),
+                        "sf_dir": sf_dir,
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -32,6 +32,9 @@ import pyarrow as pa  # noqa: E402
 import pyspark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from proyecto_gasto_publico_etl_per__spark.operators.skew import (  # noqa: E402
+    release_pinned,
+)
 from proyecto_gasto_publico_etl_per__spark.session import get_spark  # noqa: E402
 from proyecto_gasto_publico_etl_per__spark.sources.tables import TABLES  # noqa: E402
 
@@ -149,6 +152,9 @@ def main() -> int:
         if status == "FAIL":
             failures.append(name)
         print(f"{status:9s} {name:28s} {detail}  ({time.time()-t0:.1f}s)")
+        # query-boundary cache hygiene (round-9 lifecycle): drop any
+        # guarded-broadcast vocab pins this query left behind
+        release_pinned()
 
     print(
         f"\n{checked - len(failures)}/{checked} ok"
