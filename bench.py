@@ -101,8 +101,12 @@ EXTENSIONS = (
     "mixture_temperature_fill",
     "ann_mrr_eval",
     "sim_topk_lsh_multiprobe",
-    # round 9 addition (baseline starts at r9): residual-encoded IVF-PQ
+    # round 9 additions (baseline starts at r9): residual-encoded
+    # IVF-PQ, the composed IVF×SQ8 pruned serving shape, and MMR
+    # diversity selection
     "ann_ivf_pq_residual",
+    "sim_topk_ivf_sq8",
+    "mmr_diverse_topk",
 )
 
 

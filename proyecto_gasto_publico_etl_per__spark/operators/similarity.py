@@ -1785,3 +1785,121 @@ def ann_ndcg(
             / F.lit(float(idcg_micro)),
         ).alias("ndcg"),
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_candidates: int = 10,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998): greedily pick the candidate maximizing
+    ``λ·relevance − (1−λ)·max_similarity_to_already_selected`` — the
+    standard redundancy-aware selection for retrieval-augmented
+    pipelines and for picking diverse exemplars from a near-duplicate
+    cluster (where plain top-k returns k copies of the same content).
+
+    Returns (query_id, neighbor_id, score_q3, mmr_rank 1..k).
+
+    Spark shape, and why it scales: the ONLY corpus-sized stage is
+    candidate generation (brute force here for oracle exactness — swap
+    any index path, ``ivf_pq_search``/``ivf_sq8_topk``, at scale).
+    Everything after operates on |Q|×n_candidates rows: the pairwise
+    candidate-similarity table is |Q|×N² with N a bounded knob (10 →
+    100 rows/query), and each of the k greedy steps is a window argmax
+    plus a broadcast-sized join — the plan is k steps deep but every
+    frame in it is probe-sized, never corpus-sized.
+
+    Determinism: λ is a rational (lam_num/lam_den) applied as integer
+    multipliers over the q3-quantized scores, so the greedy argmax
+    compares exact integers — cross-engine reproducible, ties broken
+    by neighbor_id.
+    """
+    if not (0 < lam_num <= lam_den):
+        raise ValueError("lambda must be a rational in (0, 1]")
+    cand = brute_force_topk(
+        corpus, queries, id_col, vec_col, k=n_candidates
+    ).select("query_id", "neighbor_id", "score_q3")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    cv = cand.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cv"
+    )
+    a = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("cv").alias("av"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("cv").alias("bv"),
+    )
+    pair = (
+        a.join(b, "query_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            score_q(F.col("av"), F.col("bv")).alias("sim_q3"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q3"), "neighbor_id"
+    )
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score_q3",
+            F.lit(1).cast("int").alias("mmr_rank"),
+        )
+    )
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        maxsim = (
+            remaining.join(
+                pair.withColumnRenamed("a_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("b_id")
+                ),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", "neighbor_id", "score_q3")
+            .agg(F.max("sim_q3").alias("maxsim_q3"))
+        )
+        wm = Window.partitionBy("query_id").orderBy(
+            F.desc(
+                F.lit(lam_num) * F.col("score_q3")
+                - F.lit(lam_den - lam_num) * F.col("maxsim_q3")
+            ),
+            "neighbor_id",
+        )
+        pick = (
+            maxsim.withColumn("rn", F.row_number().over(wm))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "score_q3",
+                F.lit(step).cast("int").alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected

@@ -1310,6 +1310,119 @@ _COSINE_TOPK_SQL = """
 """
 
 
+_MMR_SQL = """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, score_q3 FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(floor(list_cosine_similarity(q.vec, c.vec) * 1000 + 0.5)
+                    AS BIGINT) AS score_q3,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(floor(list_cosine_similarity(q.vec, c.vec)
+                               * 1000 + 0.5) AS BIGINT) DESC, c.vec_id
+               ) AS rk
+        FROM (SELECT * FROM corpus WHERE vec_id < 10) q
+        CROSS JOIN corpus c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rk <= 10
+    ),
+    pair AS (
+      SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+             CAST(floor(list_cosine_similarity(av.vec, bv.vec) * 1000 + 0.5)
+                  AS BIGINT) AS sim_q3
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id
+                 AND a.neighbor_id <> b.neighbor_id
+      JOIN corpus av ON av.vec_id = a.neighbor_id
+      JOIN corpus bv ON bv.vec_id = b.neighbor_id
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, score_q3, 1 AS mmr_rank FROM (
+        SELECT query_id, neighbor_id, score_q3,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+               ) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    ms2 AS (
+      SELECT c.query_id, c.neighbor_id, c.score_q3,
+             max(p.sim_q3) AS maxsim_q3
+      FROM cand c
+      JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.neighbor_id
+      JOIN sel1 s ON s.query_id = p.query_id AND s.neighbor_id = p.b_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel1 x
+        WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+      )
+      GROUP BY c.query_id, c.neighbor_id, c.score_q3
+    ),
+    sel2 AS (
+      SELECT query_id, neighbor_id, score_q3, 2 AS mmr_rank FROM (
+        SELECT query_id, neighbor_id, score_q3,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score_q3 - maxsim_q3 DESC, neighbor_id
+               ) AS rn
+        FROM ms2
+      ) WHERE rn = 1
+    ),
+    sel12 AS (
+      SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+    ),
+    ms3 AS (
+      SELECT c.query_id, c.neighbor_id, c.score_q3,
+             max(p.sim_q3) AS maxsim_q3
+      FROM cand c
+      JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.neighbor_id
+      JOIN sel12 s ON s.query_id = p.query_id AND s.neighbor_id = p.b_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel12 x
+        WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+      )
+      GROUP BY c.query_id, c.neighbor_id, c.score_q3
+    ),
+    sel3 AS (
+      SELECT query_id, neighbor_id, score_q3, 3 AS mmr_rank FROM (
+        SELECT query_id, neighbor_id, score_q3,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score_q3 - maxsim_q3 DESC, neighbor_id
+               ) AS rn
+        FROM ms3
+      ) WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, score_q3, CAST(mmr_rank AS INT) AS mmr_rank
+    FROM (
+      SELECT * FROM sel1
+      UNION ALL SELECT * FROM sel2
+      UNION ALL SELECT * FROM sel3
+    )
+"""
+
+
+@register("mmr_diverse_topk", _MMR_SQL)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-3 (round 9): greedy maximal-marginal-relevance
+    selection over each query\'s brute top-10 candidates with
+    rational lambda = 1/2 — redundancy-aware retrieval / diverse-exemplar
+    picking (``operators/similarity.mmr_select``).  The greedy argmax
+    compares exact integers (q3-quantized scores with integer lambda
+    multipliers), so the unrolled 3-step oracle mirrors the Spark loop
+    decision-for-decision.  Only candidate generation touches the
+    corpus; every greedy step operates on probe-sized frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_select(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        n_candidates=10,
+    )
+
+
 @register("sim_topk_brute", _COSINE_TOPK_SQL)
 def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a 10-vector probe set."""
@@ -1574,6 +1687,139 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.sq8_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, rerank=SQ8_RERANK
+    )
+
+
+@register(
+    "sim_topk_ivf_sq8",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings
+      ORDER BY CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000, vec_id LIMIT 16
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT corpus.vec_id, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY CAST(floor(list_cosine_similarity(vec, cvec) * 1000
+                               + 0.5) AS BIGINT) DESC, cents.cid
+               ) AS ark
+        FROM corpus CROSS JOIN cents
+      ) WHERE ark = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, cents.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(floor(list_cosine_similarity(q.vec, cents.cvec)
+                               * 1000 + 0.5) AS BIGINT) DESC, cents.cid
+               ) AS prk
+        FROM (SELECT * FROM corpus WHERE vec_id < 10) q CROSS JOIN cents
+      ) WHERE prk <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a USING (cid)
+      WHERE p.query_id <> a.vec_id
+    ),
+    mm AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        SELECT unnest(vec) AS val, unnest(range(1, len(vec) + 1)) AS pos
+        FROM corpus
+      ) GROUP BY pos
+    ),
+    mml AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM mm
+    ),
+    enc AS (
+      SELECT vec_id,
+             list_transform(range(1, len(vec) + 1), i ->
+               CASE WHEN mxs[i] > mns[i]
+                    THEN least(255, greatest(0, CAST(floor(
+                           (vec[i] - mns[i]) / (mxs[i] - mns[i]) * 256.0)
+                         AS BIGINT)))
+                    ELSE 0 END) AS codes
+      FROM corpus CROSS JOIN mml
+    ),
+    dq AS (
+      SELECT vec_id,
+             list_transform(range(1, len(codes) + 1), i ->
+               CASE WHEN mxs[i] > mns[i]
+                    THEN mns[i] + (CAST(codes[i] AS DOUBLE) + 0.5)
+                         * (mxs[i] - mns[i]) / 256.0
+                    ELSE mns[i] END) AS dqv
+      FROM enc CROSS JOIN mml
+    ),
+    nrm AS (
+      SELECT vec_id, dqv,
+             sqrt(list_reduce(list_transform(dqv, x -> x * x),
+                              (a, b) -> a + b)) AS nm
+      FROM dq
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(floor(list_reduce(
+                    list_transform(range(1, len(q.dqv) + 1),
+                                   i -> q.dqv[i] * n.dqv[i]),
+                    (a, b) -> a + b)
+                  / (q.nm * n.nm) * 1000000 + 0.5) AS BIGINT) AS approx_q6
+      FROM cand c
+      JOIN nrm n ON n.vec_id = c.neighbor_id
+      JOIN nrm q ON q.vec_id = c.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY approx_q6 DESC, neighbor_id
+               ) AS ark
+        FROM scored
+      ) WHERE ark <= {SQ8_RERANK * 5}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(floor(list_cosine_similarity(qv.vec, nv.vec) * 1000 + 0.5)
+                  AS BIGINT) AS score_q3
+      FROM short s
+      JOIN corpus nv ON nv.vec_id = s.neighbor_id
+      JOIN corpus qv ON qv.vec_id = s.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score_q3,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q3 DESC, neighbor_id
+             ) AS INT) AS rk
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, score_q3, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def sim_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × SQ8 composed approximate top-5 (round 9, the VERDICT-r8
+    recommended serving shape): IVF's 4-probe candidate restriction
+    shrinks the vectors TOUCHED (~nprobe/n_centroids of the corpus),
+    SQ8's int8 codes shrink the bytes PER vector (4-8× vs floats) —
+    the approximate stage's scan cost is the product of both savings,
+    then exact cosine re-ranks the rerank×k shortlist
+    (``operators/similarity.ivf_sq8_topk``).  Unlike ``sim_topk_sq8``
+    (which by design scans every code row — SQ8 compresses, doesn't
+    prune), this is the pruned variant production serving should use.
+    Sample-init centroids and corpus-scan min/max keep every stage
+    oracle-mirrorable; both artifacts follow the same frozen-artifact
+    persistence story as IVF-PQ."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_sq8_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        rerank=SQ8_RERANK,
     )
 
 

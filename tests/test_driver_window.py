@@ -87,10 +87,10 @@ def test_r8_window_surfaces_the_stalest_greens():
         assert green_round[names[0]] == min(green_round.values())
 
 
-def test_r9_window_front_loads_the_new_query_then_stalest_greens():
+def test_r9_window_front_loads_the_new_queries_then_stalest_greens():
     """Round-8 verdict task 1: with the r8 artifact committed, the r9
-    window must hold the ONE never-green name (`ann_ivf_pq_residual`,
-    the round-9 residual-encoded IVF-PQ query) in front, then ONLY
+    window must front-load the round-9 never-green names (the residual
+    IVF-PQ, composed IVF×SQ8, and MMR queries), then hold ONLY
     r5/r6-era greens — every r7/r8-fresh name rotates outside.  Guarded
     on the artifact state (newest green round == 8) so the test stays
     valid after later rounds commit newer artifacts."""
@@ -103,9 +103,13 @@ def test_r9_window_front_loads_the_new_query_then_stalest_greens():
     if newest != 8:
         return  # a later round's artifact landed; generic tests cover it
     window = names[:50]
-    nevers = [n for n in window if n not in green_round]
-    assert nevers == ["ann_ivf_pq_residual"]
-    assert names[0] == "ann_ivf_pq_residual"
+    nevers = {n for n in window if n not in green_round}
+    assert nevers == {
+        "ann_ivf_pq_residual",
+        "sim_topk_ivf_sq8",
+        "mmr_diverse_topk",
+    }
+    assert set(names[:3]) == nevers  # never-green sorts first
     assert all(green_round[n] <= 6 for n in window if n in green_round), (
         "an r7/r8-fresh name occupies an r9 slot a staler name needs"
     )

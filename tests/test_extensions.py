@@ -1609,3 +1609,40 @@ def test_lsh_multiprobe_recall_dominance_property(spark):
                 )
     finally:
         emb.unpersist()
+
+
+def test_mmr_select_reduces_to_topk_at_lambda_one(spark):
+    """MMR invariants (round 9): (a) at lambda=1 the diversity term
+    vanishes, so the greedy selection IS the plain top-k by score
+    (same set, same order); (b) at lambda=1/2 each query still gets
+    exactly k distinct picks drawn from its candidate set; (c) rank 1
+    is always the relevance argmax regardless of lambda."""
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    plain = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in similarity.brute_force_topk(emb, q, k=3).collect()
+    }
+    lam1 = {
+        (r.query_id, r.mmr_rank): r.neighbor_id
+        for r in similarity.mmr_select(
+            emb, q, k=3, n_candidates=10, lam_num=1, lam_den=1
+        ).collect()
+    }
+    assert lam1 == plain
+    half = similarity.mmr_select(emb, q, k=3, n_candidates=10).collect()
+    by_q = {}
+    for r in half:
+        by_q.setdefault(r.query_id, []).append(r)
+    cand = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    for qid, rows in by_q.items():
+        assert sorted(r.mmr_rank for r in rows) == [1, 2, 3]
+        assert len({r.neighbor_id for r in rows}) == 3
+        assert all((qid, r.neighbor_id) in cand for r in rows)
+        first = next(r for r in rows if r.mmr_rank == 1)
+        assert first.neighbor_id == plain[(qid, 1)]

@@ -51,6 +51,9 @@ CARTESIAN_OK = {
     #                      SQ model artifact, like IVF centroids)
     "sim_topk_sq8",  # SQ8 scan path: corpus codes × 10-probe broadcast
     #                  (SQ compresses, it does not prune — reviewed r8)
+    "mmr_diverse_topk",  # candidate generation = the same brute
+    #                      corpus × 10-probe pass (oracle exactness;
+    #                      production swaps in an index path — r9)
     "rfm_segments",  # 1-row corpus-horizon (max orderdate) scalar broadcast
     "basket_brand_pairs",  # 1-row basket-total scalar broadcast onto the
     #                        |brands|²-bounded pair table
