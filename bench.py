@@ -107,6 +107,7 @@ EXTENSIONS = (
     "ann_ivf_pq_residual",
     "sim_topk_ivf_sq8",
     "mmr_diverse_topk",
+    "ann_append_serving",
 )
 
 

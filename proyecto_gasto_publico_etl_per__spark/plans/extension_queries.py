@@ -2244,6 +2244,53 @@ def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_append_serving", _IVF_PQ_SERVING_SQL)
+def ann_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance as a DRIVER-CHECKED serving path
+    (round 9): build the IVF-PQ index on a base slice of the corpus,
+    ``ivf_pq_index_append`` the remaining delta against the SAME frozen
+    centroids/codebook (map-only encode of the delta — the index
+    refresh never re-touches the already-indexed corpus), union the
+    zones, and serve.  Because both halves are encoded with identical
+    frozen artifacts, merged zones are row-identical to a full rebuild,
+    so this query shares ``ann_ivf_pq_serving``'s oracle verbatim and
+    must produce the SAME hash — the append==rebuild contract
+    (pytest-pinned in ``test_ivf_pq_residual_matches_inline_and_append``
+    and the frozen-artifact staleness test) under the driver's
+    value-hash gate.  Artifacts are derived from the FULL corpus (the
+    md5 sample-init rule needs no training pass), as a production
+    refresh cadence would reuse the artifacts of the last rebuild."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 16)
+    pairs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cents
+    ]
+    cb = similarity.sampled_codebook(emb, "vec_id", "embedding", _PQ_M, 16)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    a_base, c_base = similarity.ivf_pq_build_index(
+        base, m=_PQ_M, n_codes=16, codebook=cb, centroids=pairs
+    )
+    a_delta, c_delta = similarity.ivf_pq_index_append(delta, cb, pairs)
+    index = (
+        a_base.unionByName(a_delta),
+        c_base.unionByName(c_delta),
+    )
+    return similarity.ivf_pq_search(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=_PQ_NPROBE,
+        m=_PQ_M,
+        n_codes=16,
+        rerank=_PQ_RERANK,
+        codebook=cb,
+        centroids=pairs,
+        index=index,
+    )
+
+
 @register(
     "hard_negative_mining",
     """
