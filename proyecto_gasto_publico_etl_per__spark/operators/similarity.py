@@ -1822,9 +1822,18 @@ def mmr_select(
     """
     if not (0 < lam_num <= lam_den):
         raise ValueError("lambda must be a rational in (0, 1]")
-    cand = brute_force_topk(
-        corpus, queries, id_col, vec_col, k=n_candidates
-    ).select("query_id", "neighbor_id", "score_q3")
+    # localCheckpoint (eager) the two probe-sized frames: every greedy
+    # step — and every branch inside one — references cand/pair, and
+    # without a barrier Catalyst re-expands the whole candidate subtree
+    # (brute corpus scan included) under EACH reference: the k=3 plan
+    # printed 70 static shuffles and re-scanned the corpus per step.
+    # With the barrier the corpus is touched exactly once and the loop
+    # runs entirely on |Q|×N(²) checkpointed rows.
+    cand = (
+        brute_force_topk(corpus, queries, id_col, vec_col, k=n_candidates)
+        .select("query_id", "neighbor_id", "score_q3")
+        .localCheckpoint()
+    )
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
@@ -1850,6 +1859,7 @@ def mmr_select(
             "b_id",
             score_q(F.col("av"), F.col("bv")).alias("sim_q3"),
         )
+        .localCheckpoint()
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("score_q3"), "neighbor_id"
@@ -1865,19 +1875,27 @@ def mmr_select(
         )
     )
     for step in range(2, k + 1):
+        # checkpointed frames carry no size stats, so Spark would plan
+        # SMJ for these probe-sized joins — hint every small side to
+        # broadcast, and re-checkpoint `selected` each step so later
+        # steps reference a flat table instead of re-expanding the
+        # previous steps' window subtrees under every consumer
+        selected = selected.localCheckpoint()
         remaining = cand.join(
-            selected.select("query_id", "neighbor_id"),
+            F.broadcast(selected.select("query_id", "neighbor_id")),
             ["query_id", "neighbor_id"],
             "left_anti",
         )
         maxsim = (
-            remaining.join(
-                pair.withColumnRenamed("a_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
+            pair.withColumnRenamed("a_id", "neighbor_id")
+            .join(
+                F.broadcast(remaining), ["query_id", "neighbor_id"]
             )
             .join(
-                selected.select(
-                    "query_id", F.col("neighbor_id").alias("b_id")
+                F.broadcast(
+                    selected.select(
+                        "query_id", F.col("neighbor_id").alias("b_id")
+                    )
                 ),
                 ["query_id", "b_id"],
             )

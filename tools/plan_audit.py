@@ -68,6 +68,10 @@ def audit(spark, sf_dir: str, verbose: bool = False) -> list[tuple[str, list[str
     pytest suite can run the same gate (tests/test_plan_audit.py)."""
     import __spark_entry__ as entry
 
+    from proyecto_gasto_publico_etl_per__spark.operators.skew import (
+        release_pinned,
+    )
+
     flagged: list[tuple[str, list[str]]] = []
     for name, fn in sorted(entry.queries().items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -85,6 +89,10 @@ def audit(spark, sf_dir: str, verbose: bool = False) -> list[tuple[str, list[str
             print(f"FLAG  {name:30s} {','.join(hits)}")
         elif verbose:
             print(f"ok    {name}")
+        # plan BUILD can eagerly pin guarded-broadcast vocab frames
+        # (broadcast_if_bounded counts during construction) — release
+        # at each query boundary (round-9 lifecycle)
+        release_pinned()
     return flagged
 
 

@@ -57,12 +57,19 @@ PATTERNS = {
 def inventory(spark, sf_dir: str) -> dict[str, dict[str, int]]:
     import __spark_entry__ as entry
 
+    from proyecto_gasto_publico_etl_per__spark.operators.skew import (
+        release_pinned,
+    )
+
     out: dict[str, dict[str, int]] = {}
     for name, fn in sorted(entry.queries().items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         out[name] = {
             k: len(p.findall(plan)) for k, p in PATTERNS.items()
         }
+        # release guarded-broadcast pins made during plan build
+        # (round-9 lifecycle)
+        release_pinned()
     return out
 
 
