@@ -2166,6 +2166,10 @@ def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: serving pattern): sf_dir -> model-store base path
 _ANN_SERVING_MODELS: dict[str, str] = {}
 
+#: train-once cache for the append-maintained serving entry (sf_dir ->
+#: model-store base path with merged base+delta zones)
+_ANN_APPEND_MODELS: dict[str, str] = {}
+
 #: same train-once cache for the residual-encoded serving entry
 #: (sf_dir -> model-store base path; the manifest under it carries the
 #: residual flag as index identity)
@@ -2259,23 +2263,57 @@ def ann_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the frozen-artifact staleness test) under the driver's
     value-hash gate.  Artifacts are derived from the FULL corpus (the
     md5 sample-init rule needs no training pass), as a production
-    refresh cadence would reuse the artifacts of the last rebuild."""
+    refresh cadence would reuse the artifacts of the last rebuild.
+
+    Serving split like its rebuild twin: the first call in the process
+    builds base, appends delta, and persists the MERGED zones beside
+    the frozen artifacts; timed runs load + serve — so the bench entry
+    states the operational claim directly: an append-maintained index
+    serves at the same latency as a rebuilt one."""
+    import tempfile
+
+    from ..operators import model_store
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 16)
-    pairs = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in cents
-    ]
-    cb = similarity.sampled_codebook(emb, "vec_id", "embedding", _PQ_M, 16)
-    base = emb.filter(F.col("vec_id") % 5 != 0)
-    delta = emb.filter(F.col("vec_id") % 5 == 0)
-    a_base, c_base = similarity.ivf_pq_build_index(
-        base, m=_PQ_M, n_codes=16, codebook=cb, centroids=pairs
+    base_dir = _ANN_APPEND_MODELS.get(sf_dir)
+    if base_dir is None:
+        base_dir = tempfile.mkdtemp(prefix="ann_append_")
+        cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 16)
+        pairs = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in cents
+        ]
+        model_store.save_model(
+            spark,
+            f"{base_dir}/centroids",
+            "ivf_centroids",
+            [[c, v] for c, v in pairs],
+        )
+        cb = similarity.sampled_codebook(
+            emb, "vec_id", "embedding", _PQ_M, 16
+        )
+        model_store.save_pq_codebook(spark, f"{base_dir}/codebook", cb)
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        delta = emb.filter(F.col("vec_id") % 5 == 0)
+        a_base, c_base = similarity.ivf_pq_build_index(
+            base, m=_PQ_M, n_codes=16, codebook=cb, centroids=pairs
+        )
+        a_base.write.mode("overwrite").parquet(
+            f"{base_dir}/index_assigned"
+        )
+        c_base.write.mode("overwrite").parquet(f"{base_dir}/index_codes")
+        a_delta, c_delta = similarity.ivf_pq_index_append(delta, cb, pairs)
+        a_delta.write.mode("append").parquet(f"{base_dir}/index_assigned")
+        c_delta.write.mode("append").parquet(f"{base_dir}/index_codes")
+        _ANN_APPEND_MODELS[sf_dir] = base_dir
+    pairs_payload, _ = model_store.load_model(
+        spark, f"{base_dir}/centroids", "ivf_centroids"
     )
-    a_delta, c_delta = similarity.ivf_pq_index_append(delta, cb, pairs)
+    pairs = [(int(c), [float(x) for x in v]) for c, v in pairs_payload]
+    cb = model_store.load_pq_codebook(spark, f"{base_dir}/codebook")
     index = (
-        a_base.unionByName(a_delta),
-        c_base.unionByName(c_delta),
+        spark.read.parquet(f"{base_dir}/index_assigned"),
+        spark.read.parquet(f"{base_dir}/index_codes"),
     )
     return similarity.ivf_pq_search(
         emb,
