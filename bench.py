@@ -108,6 +108,7 @@ EXTENSIONS = (
     "sim_topk_ivf_sq8",
     "mmr_diverse_topk",
     "ann_append_serving",
+    "ann_ndcg_eval",
 )
 
 

@@ -2465,6 +2465,70 @@ def ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NDCG_IDCG_MICRO = 2_948_457  # sum_(i=1..5) floor(1e6/log2(i+1)), k=5
+
+
+@register(
+    "ann_ndcg_eval",
+    f"""
+    WITH brute AS ({_COSINE_TOPK_SQL}),
+    lsh AS ({_LSH_TOPK_SQL}),
+    ivf AS ({_IVF_SQL.format(n_centroids=16, nprobe=4)}),
+    methods AS (
+      SELECT 'ivf' AS method, query_id, neighbor_id, rk FROM ivf
+      UNION ALL
+      SELECT 'lsh' AS method, query_id, neighbor_id, rk FROM lsh
+    ),
+    gains AS (
+      SELECT m.method, m.query_id,
+             CAST(sum(CAST(floor(1000000.0
+                    / log2(CAST(m.rk AS DOUBLE) + 1.0)) AS BIGINT))
+                  AS BIGINT) AS dcg_micro
+      FROM methods m
+      JOIN brute b
+        ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+      GROUP BY 1, 2
+    ),
+    qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+    mm AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'),
+    per AS (
+      SELECT mm.method, q.query_id,
+             CAST(coalesce(g.dcg_micro, 0) AS BIGINT) AS dcg_micro
+      FROM qids q CROSS JOIN mm
+      LEFT JOIN gains g ON g.method = mm.method AND g.query_id = q.query_id
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(dcg_micro) AS BIGINT) AS sum_dcg_micro,
+           CAST({_NDCG_IDCG_MICRO} AS BIGINT) AS idcg_micro,
+           CASE WHEN count(*) > 0
+                THEN CAST(sum(dcg_micro) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / {_NDCG_IDCG_MICRO}.0
+                END AS ndcg
+    FROM per GROUP BY method
+    """,
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the LSH and IVF indexes vs brute-force ground truth —
+    completes the driver-gated rank-metric family (recall@k sees set
+    overlap, MRR only the FIRST hit; nDCG rewards every hit discounted
+    by log2(rank+1)).  Determinism: each positional gain quantizes to
+    floor(1e6/log2(rk+1)) BEFORE summation (rk has five possible
+    values, so the libm surface is five points, mirrored op-for-op per
+    the round-5 ln/log2 rule) and the ideal DCG is a precomputed
+    integer constant; the only double is the final mean
+    (operators/similarity.ann_ndcg)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ndcg(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_planes=8,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
 @register(
     "embedding_neardup",
     f"""
