@@ -42,6 +42,7 @@ CARTESIAN_OK = {
     "ann_recall_eval",  # brute ground truth (corpus × 10 probes) +
     #                     1-row n_expected scalar broadcast
     "ann_mrr_eval",  # same brute ground-truth cross product (r8)
+    "ann_ndcg_eval",  # same brute ground-truth cross product (r9)
     "hard_negative_mining",  # exact mining baseline: corpus × 10 probes
     "dq_rule_violations",  # 1-row denominator scalar broadcast onto
     #                        1-row referential-rule aggregates
