@@ -1,0 +1,119 @@
+"""Link-graph centrality: integer-exact PageRank.
+
+The reference pipeline (`ETL Gasto publico Perú`) has no graph surface —
+this module belongs to the training-data-curation extension lane
+(SURVEY.md §2 LLM-pipeline operators): link-graph centrality is the
+standard document/domain ranking signal for web-scale corpus curation
+(CommonCrawl-style domain scoring), and the join-plus-aggregate iteration
+here is the canonical Pregel-lite shape every distributed graph metric
+(label propagation, harmonic centrality, trust rank) reduces to.
+
+Exactness contract (the repo-wide oracle discipline,
+plans/driver_queries.py module docstring): ranks live on an integer grid
+of ``scale`` nano-units and every per-iteration operation is integer —
+floor division by out-degree, an integer damping fraction — so each
+node's rank is a sum of integers.  Integer addition is associative and
+commutative, which makes the result independent of partitioning and
+aggregation order and therefore bit-identical between Spark and the
+DuckDB oracle, with no quantization-boundary risk (a float PageRank
+would accumulate last-ulp drift across iterations and flip any
+fixed-point grid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank grid: 1.0 of total rank mass == 10^9 nano-units
+SCALE = 10**9
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 6,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over an edge list ``(src, dst)``, all arithmetic BIGINT.
+
+    Requirements (asserted by construction, not scanned): every node
+    appears as the ``src`` of at least one edge AND the ``dst`` of at
+    least one edge.  Symmetrizing an undirected graph (union of both
+    directions) satisfies this — then there are no dangling nodes, so no
+    global leaked-mass redistribution scalar (and no extra all-reduce
+    per iteration) is needed.  Parallel (duplicate) edges act as integer
+    edge weights.
+
+    Per iteration: ``contrib(v→w) = r(v) div outdeg(v)`` (integer floor),
+    ``r'(w) = base + (damping_pct · Σ contrib) div 100`` where
+    ``base = (100 − damping_pct)·scale div (100·N)``.  Two shuffles per
+    iteration — the rank re-hash onto the pre-partitioned edge list and
+    the in-neighbor aggregate — and the aggregate is a map-side-combinable
+    integer sum, the shape that scales to billion-edge graphs.  Lineage
+    is cut with an eager localCheckpoint every ``checkpoint_every``
+    rounds (the cluster_duplicates idiom, dedup.py:537 — an iterative
+    algorithm otherwise stacks plans).
+
+    Returns ``(node, r)`` with ``r`` the final rank in nano-units;
+    ``Σ r ≈ scale`` (short by the per-node floor remainders, which is the
+    price of exactness and identical in both engines).
+    """
+    spark = edges.sparkSession
+    # materialize the edge list ONCE: it is typically the output of an
+    # upstream join pipeline, and degree/count/init each read it
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_edges = edges.count()
+    # iteration state is (node, r) pairs — size shuffles to the graph,
+    # not the session default (tiny graphs pay pure scheduler overhead
+    # at 32 partitions; the 500k-rows-per-partition rule keeps a
+    # billion-edge graph wide)
+    n_part = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1),
+    )
+    n_nodes = deg.count()  # bounded driver scalar: one long (loop constants)
+    init = scale // n_nodes
+    base = (100 - damping_pct) * scale // (100 * n_nodes)
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    if n_part == 1:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges_d = (
+            edges.join(deg, "src")
+            .repartition(n_part, "src")
+            .localCheckpoint(eager=True)
+        )
+        ranks = deg.select(F.col("src").alias("node")).withColumn(
+            "r", F.lit(init).cast("long")
+        )
+        for i in range(iters):
+            ranks = (
+                edges_d.join(ranks, edges_d["src"] == ranks["node"])
+                # integer floor split of the node's rank across out-edges
+                .select(F.col("dst"), F.expr("r div deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("insum"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damping_pct} * insum) div 100")
+                    )
+                    .cast("long")
+                    .alias("r"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        # all returned state is checkpoint-cut or a pure plan over the
+        # checkpointed edge list; restoring confs cannot affect results
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

@@ -2886,3 +2886,94 @@ REGISTRY["corpus_clean_final"] = (
     .replace("{quality}", _QUALITY_SQL)
     .replace("{lang}", _lang_sql()),
 )
+
+
+# --- link-graph centrality (operators/graph.py) -------------------------------
+
+#: PageRank damping and iteration count for the declared query (fixed so
+#: the unrolled oracle matches the Spark loop exactly)
+PR_ITERS = 6
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled-CTE DuckDB mirror of graph.pagerank_int on the
+    customer↔supplier trade graph: r{k} is iteration k, every operation
+    the same BIGINT floor arithmetic (`//` and Spark's `div` both
+    truncate; all values here are positive, so trunc == floor)."""
+    steps = ",\n".join(
+        f"""
+    r{k} AS (
+      SELECT ed.dst AS node,
+             CAST((SELECT base FROM consts)
+                  + (85 * CAST(sum(p.r // ed.deg) AS BIGINT)) // 100
+                  AS BIGINT) AS r
+      FROM r{k - 1} p JOIN edges_d ed ON p.node = ed.src
+      GROUP BY ed.dst
+    )"""
+        for k in range(1, iters + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    consts AS (
+      SELECT CAST(1000000000 // count(*) AS BIGINT) AS init,
+             CAST(150000000 // count(*) AS BIGINT) AS base
+      FROM deg
+    ),
+    edges_d AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT src AS node, (SELECT init FROM consts) AS r FROM deg),
+    {steps}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           CAST(r AS BIGINT) AS pagerank_nano
+    FROM r{iters}
+    ORDER BY pagerank_nano DESC, node_type, node_key
+    LIMIT 20
+    """
+
+
+@register("pagerank_centrality", _pagerank_oracle())
+def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (graph.pagerank_int) on the symmetrized
+    customer↔supplier trade graph — who-buys-from-whom, the corpus
+    curation analog of CommonCrawl domain ranking.  Node encoding packs
+    both key spaces into one BIGINT (2·custkey / 2·suppkey+1) so the
+    iteration state is a single integer pair per node.  Top-20 by final
+    rank, fully deterministic tie-break."""
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cust = (F.col("c") * 2).cast("long")
+    supp = (F.col("s") * 2 + 1).cast("long")
+    edges = pairs.select(cust.alias("src"), supp.alias("dst")).union(
+        pairs.select(supp.alias("src"), cust.alias("dst"))
+    )
+    pr = graph.pagerank_int(edges, iters=PR_ITERS)
+    return (
+        pr.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").cast("long").alias("node_key"),
+            F.col("r").cast("long").alias("pagerank_nano"),
+        )
+        .orderBy(F.desc("pagerank_nano"), "node_type", "node_key")
+        .limit(20)
+    )

@@ -1,0 +1,106 @@
+"""operators/graph.py — integer-exact PageRank.
+
+The contract under test: the Spark loop is bit-identical to a pure-Python
+integer reference (the same floor arithmetic), rank mass is conserved up
+to floor remainders, and hubs outrank leaves.
+"""
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from proyecto_gasto_publico_etl_per__spark.operators import graph
+
+
+def _ref_pagerank(edges, iters, scale=10**9, damping=85):
+    """Pure-Python mirror of graph.pagerank_int's integer arithmetic."""
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(deg)
+    init = scale // n
+    base = (100 - damping) * scale // (100 * n)
+    r = {v: init for v in deg}
+    for _ in range(iters):
+        ins = defaultdict(int)
+        for s, d in edges:
+            ins[d] += r[s] // deg[s]
+        # every node of a symmetrized graph has in-edges: ins covers all
+        r = {v: base + (damping * ins[v]) // 100 for v in deg}
+    return r
+
+
+def _symmetrize(undirected):
+    out = set()
+    for a, b in undirected:
+        out.add((a, b))
+        out.add((b, a))
+    return sorted(out)
+
+
+def _test_edges():
+    # a star (hub 0) plus a sparse ring so degrees vary
+    und = [(0, i) for i in range(1, 10)]
+    und += [(i, (i * 3 + 1) % 10) for i in range(1, 10) if i != (i * 3 + 1) % 10]
+    return _symmetrize(und)
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = _test_edges()
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        row["node"]: row["r"]
+        for row in graph.pagerank_int(df, iters=6).collect()
+    }
+    assert got == _ref_pagerank(edges, iters=6)
+
+
+def test_pagerank_mass_conserved_and_hub_wins(spark):
+    edges = _test_edges()
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ranks = graph.pagerank_int(df, iters=6).collect()
+    total = sum(r["r"] for r in ranks)
+    n = len(ranks)
+    # each of the 6 rounds loses < n floor remainders from the split and
+    # < n+1 from the damping division; the initial split loses < n
+    assert 10**9 - 7 * 2 * (n + 1) <= total <= 10**9
+    by_rank = sorted(ranks, key=lambda r: -r["r"])
+    assert by_rank[0]["node"] == 0  # the star hub dominates
+
+
+def test_pagerank_checkpoint_cadence_is_value_invariant(spark):
+    edges = _test_edges()
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    every_round = graph.pagerank_int(df, iters=5, checkpoint_every=1)
+    never = graph.pagerank_int(df, iters=5, checkpoint_every=99)
+    assert sorted(map(tuple, every_round.collect())) == sorted(
+        map(tuple, never.collect())
+    )
+
+
+def test_pagerank_restores_session_confs(spark):
+    before = (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled", "true"),
+    )
+    df = spark.createDataFrame(_test_edges(), "src LONG, dst LONG")
+    graph.pagerank_int(df, iters=2).collect()
+    after = (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled", "true"),
+    )
+    assert before == after
+
+
+def test_pagerank_parallel_edges_act_as_weights(spark):
+    # doubling one edge (0->1 twice) shifts rank toward node 1 relative
+    # to the unweighted graph, and the result still matches the
+    # pure-Python reference run on the multi-edge list
+    edges = _symmetrize([(0, 1), (0, 2), (1, 2)]) + [(0, 1)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        row["node"]: row["r"]
+        for row in graph.pagerank_int(df, iters=4).collect()
+    }
+    assert got == _ref_pagerank(edges, iters=4)
+    assert got[1] > got[2]
