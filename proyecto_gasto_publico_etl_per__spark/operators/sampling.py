@@ -130,3 +130,130 @@ def cluster_split(
         keyed, "split_key", val_fraction, test_fraction, salt
     )
     return out.drop("cluster_id")
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n_buckets: int = 256,
+    salt: str = "cumsum",
+) -> DataFrame:
+    """Exact global cumulative sum of an integer weight over the
+    deterministic total order ``(bucket(key), key)`` — WITHOUT a
+    single-partition global window.
+
+    The classic scale trap for a running total is
+    ``Window.orderBy(key)`` with no partitioning: Spark executes it as
+    one task holding the whole dataset.  This operator is the standard
+    two-pass fix: hash the key into ``n_buckets`` range-acting buckets,
+    run the window cumsum WITHIN each bucket (parallel, partitioned
+    sort), aggregate one total per bucket, prefix-sum those totals on a
+    bounded ``n_buckets``-row frame (model-artifact-sized, so its
+    single-partition window is fine), and broadcast-join the offsets
+    back.  ``cum(row) = bucket_prefix + within_bucket_cum``.
+
+    Exactness: weights are summed as BIGINT (associative/commutative),
+    so the result is independent of partitioning and bit-identical to a
+    sequential scan in the oracle order — the same discipline as the
+    rest of the repo (plans/driver_queries.py module docstring).
+
+    Requires ``key_col`` globally unique (it breaks the total order's
+    ties) and ``weight_col`` integral.  Size ``n_buckets`` to ~5M rows
+    per bucket at the target scale; the default 256 suits up to ~1B
+    rows.
+
+    Returns ``df`` plus ``cum`` (inclusive cumulative weight in total
+    order) and ``wtot`` (the grand total, attached via the same bounded
+    offsets frame — no scalar cross join).
+    """
+    from pyspark.sql import Window
+
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    w = df.withColumn("_bkt", bkt)
+    in_bucket = (
+        Window.partitionBy("_bkt")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = w.withColumn(
+        "_lcum", F.sum(F.col(weight_col).cast("long")).over(in_bucket)
+    )
+    totals = w.groupBy("_bkt").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_btot")
+    )
+    # n_buckets rows: the single-partition windows here are bounded by
+    # construction (the offsets frame IS the model artifact)
+    prefix = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    full = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_btot").over(prefix), F.lit(0)).alias("_boff"),
+        F.sum("_btot").over(full).alias("wtot"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn("cum", (F.col("_boff") + F.col("_lcum")).cast("long"))
+        .drop("_bkt", "_lcum", "_boff")
+    )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of ~``k`` rows.
+
+    Survey-sampling PPS: lay every row's integer weight end-to-end along
+    a line in the deterministic ``bucketed_cumsum`` order, place ``k``
+    equally-spaced selection points (``step = wtot div k``, first point
+    at ``step div 2``), and keep each row whose weight interval contains
+    ≥ 1 point.  Heavy rows are selected with probability proportional to
+    their weight (a row with weight ≥ step is ALWAYS selected, with
+    ``n_hits`` recording its multiplicity — standard PPS-with-
+    replacement accounting).
+
+    Why not exponential/A-ES keys: those need ``ln``/``pow``, whose
+    last-ulp libm differences across engines can flip a selection at the
+    k-th boundary.  Here every operation is BIGINT (the point-count
+    below x is ``(x + step - start) div step``, kept on non-negative
+    operands so truncating division equals floor in both engines) — the
+    sample is bit-deterministic across runs, partitionings, and engines.
+
+    Returns the selected rows with ``cum`` (inclusive cumulative
+    weight), ``wtot``, and ``n_hits``.
+    """
+    c = bucketed_cumsum(df, key_col, weight_col, salt=salt)
+    c = c.withColumn("_step", F.expr(f"wtot div {k}"))
+    # points ≤ x, for x ≥ -1 and start = step div 2 ≤ step - 1:
+    #   f(x) = (x + step - start) div step   (operand always ≥ 0, so
+    #   truncating div == floor in both engines)
+    f_hi = F.expr("(cum - 1 + _step - (_step div 2)) div _step")
+    f_lo = F.expr(
+        f"(cum - cast({weight_col} as long)"
+        " - 1 + _step - (_step div 2)) div _step"
+    )
+    c = c.withColumn("n_hits", (f_hi - f_lo).cast("long"))
+    return c.filter(F.col("n_hits") >= 1).drop("_step")

@@ -2977,3 +2977,59 @@ def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank_nano"), "node_type", "node_key")
         .limit(20)
     )
+
+
+# --- weighted sampling (operators/sampling.py PPS path) -----------------------
+
+#: target sample size for the declared PPS query
+PPS_K = 50
+
+
+@register(
+    "pps_sample_docs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wgt,
+             CAST(('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 256 AS bkt
+      FROM documents WHERE n_chars > 0
+    ),
+    c AS (
+      SELECT doc_id, wgt,
+             CAST(sum(wgt) OVER (ORDER BY bkt, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(wgt) OVER () AS BIGINT) AS wtot
+      FROM w
+    ),
+    p AS (SELECT doc_id, wgt, cum, wtot // {PPS_K} AS step FROM c),
+    h AS (
+      SELECT doc_id, wgt, cum,
+             (cum - 1 + step - (step // 2)) // step
+               - (cum - wgt - 1 + step - (step // 2)) // step AS n_hits
+      FROM p
+    )
+    SELECT doc_id, wgt AS weight, cum AS cum_w, CAST(n_hits AS BIGINT) AS n_hits
+    FROM h WHERE n_hits >= 1 ORDER BY doc_id
+    """,
+)
+def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample (~{k} docs, probability ∝ n_chars) via
+    sampling.pps_systematic_sample — the char-budget-aware subsampling a
+    token-budgeted corpus needs (uniform doc sampling under-represents
+    long documents' share of the token budget).  The cumulative-weight
+    line is the distributed bucketed_cumsum (no single-partition global
+    window); selection arithmetic is all-BIGINT so the sample is
+    bit-identical across engines and partitionings."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    sel = sampling.pps_systematic_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=PPS_K
+    )
+    return (
+        sel.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.col("cum").alias("cum_w"),
+            "n_hits",
+        )
+        .orderBy("doc_id")
+    )
