@@ -85,6 +85,36 @@ def build_replicated(spark, sf_dir: str, k: int, out_dir: str) -> None:
         f"{out_dir}/embeddings.parquet"
     )
 
+    # orders/lineitem (round 9, for the graph queries): replica r offsets
+    # every key space, so the Kx corpus is K structurally identical,
+    # key-disjoint copies — the trade graph becomes K disjoint components
+    # with the 1x component's exact shape
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    max_ck = orders.agg(F.max("o_custkey")).collect()[0][0] + 1
+    max_sk = li.agg(F.max("l_suppkey")).collect()[0][0] + 1
+    o_parts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * max_ok))
+        .withColumn("o_custkey", F.col("o_custkey") + F.lit(r * max_ck))
+        for r in range(k)
+    ]
+    out = o_parts[0]
+    for p in o_parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    l_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * max_ok))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(r * max_sk))
+        for r in range(k)
+    ]
+    out = l_parts[0]
+    for p in l_parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
