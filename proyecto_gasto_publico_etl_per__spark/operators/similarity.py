@@ -1921,3 +1921,59 @@ def mmr_select(
         )
         selected = selected.unionByName(pick)
     return selected
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query candidate rankings — the
+    standard hybrid-retrieval combiner (dense + sparse + filtered lists
+    into one ranking; Cormack et al.'s RRF).
+
+    ``fused(q, d) = Σ_lists scale div (k + rank(q, d))`` with the
+    conventional k = 60, on the repo's exact-integer grid
+    (``1_000_000 div (k + rank)`` — Spark ``div`` and DuckDB ``//``
+    agree, so fused scores are BIGINT sums, order-independent and
+    bit-identical across engines).  A document missing from a list
+    contributes nothing (the outer-union semantics of RRF).
+
+    Scale shape: one union of the (probe-sized) ranking frames, one
+    hash aggregate keyed by (query, doc), one per-query top-k window —
+    nothing corpus-sized is touched; RRF fuses OUTPUTS, so its cost is
+    O(k · |lists| · |queries|) regardless of corpus size.
+
+    Returns (query_id, neighbor_id, rrf_score, n_lists, rk) — rk the
+    fused 1-based rank, ties broken by id.
+    """
+    from pyspark.sql import Window
+
+    contrib = F.expr(f"1000000 div ({k_const} + {rank_col})")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            contrib.alias("_c"),
+        )
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(query_col, id_col).agg(
+        F.sum("_c").cast("long").alias("rrf_score"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    w = (
+        Window.partitionBy(query_col)
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )

@@ -3033,3 +3033,58 @@ def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- hybrid-retrieval fusion (operators/similarity.rrf_fuse) ------------------
+
+
+def _rrf_oracle() -> str:
+    """Composes the three component rankings' FULL registered oracles as
+    CTEs (DuckDB accepts a nested WITH inside a CTE body — the round-6
+    composition pattern), then mirrors rrf_fuse's integer arithmetic."""
+    ctes = ",\n    ".join(
+        f"{alias} AS ({REGISTRY[name][1]})"
+        for alias, name in (
+            ("l_mp", "sim_topk_lsh_multiprobe"),
+            ("l_ivf", "sim_topk_ivf"),
+            ("l_sq8", "sim_topk_sq8"),
+        )
+    )
+    return f"""
+    WITH {ctes},
+    allc AS (
+      SELECT query_id, neighbor_id, 1000000 // (60 + rk) AS c FROM l_mp
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000 // (60 + rk) AS c FROM l_ivf
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000 // (60 + rk) AS c FROM l_sq8
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(sum(c) AS BIGINT) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM allc GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rrf_score, n_lists, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id) AS rk
+      FROM fused
+    ) WHERE rk <= 5
+    """
+
+
+@register("ann_rrf_fusion", _rrf_oracle())
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the three approximate ANN rankings
+    (multi-probe LSH, IVF, SQ8) into one hybrid top-5 per probe —
+    similarity.rrf_fuse with the conventional k=60 on the exact-integer
+    grid.  The fusion stage touches only the component OUTPUTS
+    (probe-sized frames), so its cost is corpus-independent; the claim
+    under the driver's hash gate is that fusing three cheap approximate
+    views is itself exactly reproducible."""
+    lists = [
+        REGISTRY[n][0](spark, sf_dir)
+        for n in ("sim_topk_lsh_multiprobe", "sim_topk_ivf", "sim_topk_sq8")
+    ]
+    return similarity.rrf_fuse(lists, k_const=60, topk=5)

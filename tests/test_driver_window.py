@@ -112,6 +112,7 @@ def test_r9_window_front_loads_the_new_queries_then_stalest_greens():
         "ann_ndcg_eval",
         "pagerank_centrality",
         "pps_sample_docs",
+        "ann_rrf_fusion",
     }
     assert set(names[: len(nevers)]) == nevers  # never-green sorts first
     assert all(green_round[n] <= 6 for n in window if n in green_round), (

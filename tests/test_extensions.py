@@ -1646,3 +1646,42 @@ def test_mmr_select_reduces_to_topk_at_lambda_one(spark):
         assert all((qid, r.neighbor_id) in cand for r in rows)
         first = next(r for r in rows if r.mmr_rank == 1)
         assert first.neighbor_id == plain[(qid, 1)]
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+
+    # two queries, three lists with partial overlap and disagreements
+    l1 = [(0, 10, 1), (0, 11, 2), (1, 20, 1)]
+    l2 = [(0, 11, 1), (0, 12, 2), (1, 21, 1)]
+    l3 = [(0, 10, 1), (0, 12, 2), (1, 20, 1), (1, 21, 2)]
+    schema = "query_id LONG, neighbor_id LONG, rk INT"
+    frames = [spark.createDataFrame(r, schema) for r in (l1, l2, l3)]
+    got = {
+        (r["query_id"], r["neighbor_id"]): (
+            r["rrf_score"],
+            r["n_lists"],
+            r["rk"],
+        )
+        for r in similarity.rrf_fuse(frames, k_const=60, topk=5).collect()
+    }
+
+    from collections import defaultdict
+
+    scores = defaultdict(lambda: [0, 0])
+    for lst in (l1, l2, l3):
+        for q, d, rk in lst:
+            scores[(q, d)][0] += 1_000_000 // (60 + rk)
+            scores[(q, d)][1] += 1
+    ref = {}
+    for q in {k[0] for k in scores}:
+        members = sorted(
+            (k for k in scores if k[0] == q),
+            key=lambda k: (-scores[k][0], k[1]),
+        )
+        for i, k in enumerate(members[:5]):
+            ref[k] = (scores[k][0], scores[k][1], i + 1)
+    assert got == ref
+    # consensus doc (in all three lists) outranks single-list docs
+    assert got[(0, 10)][1] == 2 and got[(0, 11)][1] == 2
+    assert got[(1, 20)][0] > got[(1, 21)][0]  # two rank-1s beat 1st+2nd

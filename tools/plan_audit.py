@@ -43,6 +43,8 @@ CARTESIAN_OK = {
     #                     1-row n_expected scalar broadcast
     "ann_mrr_eval",  # same brute ground-truth cross product (r8)
     "ann_ndcg_eval",  # same brute ground-truth cross product (r9)
+    "ann_rrf_fusion",  # composes sim_topk_sq8, inheriting its allowlisted
+    #                    corpus × 10-probe broadcast scan (r9)
     "hard_negative_mining",  # exact mining baseline: corpus × 10 probes
     "dq_rule_violations",  # 1-row denominator scalar broadcast onto
     #                        1-row referential-rule aggregates
