@@ -335,3 +335,84 @@ def suppress_small_groups(
         .where(F.col(count_col) >= k)
         .drop(count_col)
     )
+
+
+def chi2_source_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 200,
+) -> DataFrame:
+    """Pearson χ² drift score of each group's token distribution against
+    the corpus — the distribution-shift monitor a multi-source training
+    pipeline runs per ingest batch (a spiking χ² for one source flags a
+    crawler regression, template flood, or domain shift before it skews
+    the mixture).
+
+    Statistic: over the corpus-wide top-``top_v`` tokens (deterministic
+    cut: count desc, token asc — the zipf_slope distributed-top-k
+    discipline), ``χ²(s) = Σ_t (o_st − e_st)²/e_st`` with
+    ``e_st = n_s·c_t/N``, all counts restricted to the top-V universe so
+    observed and expected marginals agree.  Zero cells are materialized
+    (a group missing a common token contributes ``e_st``) via the
+    bounded |groups|×V generated matrix.
+
+    Exactness: counts are BIGINT; each χ² term is a deterministic IEEE
+    double chain over those exact integers (bit-identical across
+    engines — the trend_sector_monthly rule), quantized to micros
+    BEFORE summation so the per-group sum is an exact integer and
+    aggregation order cannot drift.
+
+    Scale shape: one explode → (group, token) hash agg (map-side
+    combinable), a vocab-sized re-agg, a distributed top-V cut
+    (TakeOrderedAndProject), then everything downstream operates on the
+    bounded |groups|×V matrix — nothing corpus-sized crosses a second
+    shuffle.
+
+    Returns ``(group, n_tokens, chi2_micro)`` — ``n_tokens`` the
+    group's token mass within the top-V universe, ``chi2_micro`` the
+    χ² statistic in exact micro units.
+    """
+    from ..operators.dedup import _tokens
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    oc = toks.groupBy("grp", "tok").agg(F.count("*").alias("o"))
+    gc = oc.groupBy("tok").agg(F.sum("o").alias("c"))
+    topv = gc.orderBy(F.desc("c"), "tok").limit(top_v)
+    # N rides on the bounded top-V frame (no scalar cross join)
+    full = Window.orderBy("tok").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tv = topv.withColumn("N", F.sum("c").over(full))
+    groups = df.select(F.col(group_col).alias("grp")).distinct()
+    # bounded |groups| × V matrix with explicit zero cells
+    mat = (
+        groups.crossJoin(F.broadcast(tv))
+        .join(oc, ["grp", "tok"], "left")
+        .fillna({"o": 0})
+    )
+    ns = mat.groupBy("grp").agg(F.sum("o").alias("n_s"))
+    e = (
+        F.col("n_s").cast("double")
+        * F.col("c").cast("double")
+        / F.col("N").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    term_q6 = F.floor(d * d / e * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        mat.join(ns, "grp")
+        .withColumn("_t", term_q6)
+        .groupBy("grp", "n_s")
+        .agg(F.sum("_t").cast("long").alias("chi2_micro"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_s").cast("long").alias("n_tokens"),
+            "chi2_micro",
+        )
+    )

@@ -3088,3 +3088,60 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in ("sim_topk_lsh_multiprobe", "sim_topk_ivf", "sim_topk_sq8")
     ]
     return similarity.rrf_fuse(lists, k_const=60, topk=5)
+
+
+# --- distribution drift (operators/textstats.chi2_source_drift) ---------------
+
+#: top-V token universe for the drift statistic
+CHI2_V = 200
+
+
+@register(
+    "chi2_domain_shift",
+    f"""
+    WITH t AS (
+      SELECT source,
+             unnest(string_split(lower(trim(regexp_replace(
+               coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    tt AS (SELECT source AS grp, tok FROM t WHERE tok <> ''),
+    oc AS (
+      SELECT grp, tok, CAST(count(*) AS BIGINT) AS o FROM tt GROUP BY 1, 2
+    ),
+    gc AS (SELECT tok, CAST(sum(o) AS BIGINT) AS c FROM oc GROUP BY 1),
+    topv AS (SELECT tok, c FROM gc ORDER BY c DESC, tok LIMIT {CHI2_V}),
+    tv AS (SELECT tok, c, CAST(sum(c) OVER () AS BIGINT) AS N FROM topv),
+    grps AS (SELECT DISTINCT source AS grp FROM documents),
+    mat AS (
+      SELECT g.grp, v.tok, v.c, v.N, COALESCE(o.o, 0) AS o
+      FROM grps g CROSS JOIN tv v
+      LEFT JOIN oc o ON o.grp = g.grp AND o.tok = v.tok
+    ),
+    ns AS (SELECT grp, CAST(sum(o) AS BIGINT) AS n_s FROM mat GROUP BY 1),
+    withe AS (
+      SELECT m.grp, n.n_s, m.o,
+             CAST(n.n_s AS DOUBLE) * CAST(m.c AS DOUBLE)
+               / CAST(m.N AS DOUBLE) AS e
+      FROM mat m JOIN ns n USING (grp)
+    ),
+    terms AS (
+      SELECT grp, n_s,
+             CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                        / e * 1000000.0 + 0.5) AS BIGINT) AS tq
+      FROM withe
+    )
+    SELECT grp AS source, CAST(n_s AS BIGINT) AS n_tokens,
+           CAST(sum(tq) AS BIGINT) AS chi2_micro
+    FROM terms GROUP BY grp, n_s
+    """,
+)
+def chi2_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson χ² drift of token distribution vs the corpus
+    (textstats.chi2_source_drift over the corpus-wide top-200 tokens) —
+    the per-batch distribution-shift monitor.  Each χ² term is an IEEE
+    double chain over exact BIGINT counts quantized to micros BEFORE the
+    per-source sum, so the statistic is bit-identical across engines and
+    partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.chi2_source_drift(docs, "source", "text", top_v=CHI2_V)

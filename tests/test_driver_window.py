@@ -113,6 +113,7 @@ def test_r9_window_front_loads_the_new_queries_then_stalest_greens():
         "pagerank_centrality",
         "pps_sample_docs",
         "ann_rrf_fusion",
+        "chi2_domain_shift",
     }
     assert set(names[: len(nevers)]) == nevers  # never-green sorts first
     assert all(green_round[n] <= 6 for n in window if n in green_round), (

@@ -1685,3 +1685,53 @@ def test_rrf_fuse_matches_python_reference(spark):
     # consensus doc (in all three lists) outranks single-list docs
     assert got[(0, 10)][1] == 2 and got[(0, 11)][1] == 2
     assert got[(1, 20)][0] > got[(1, 21)][0]  # two rank-1s beat 1st+2nd
+
+
+def test_chi2_source_drift_matches_python_reference(spark):
+    from collections import Counter
+
+    from proyecto_gasto_publico_etl_per__spark.operators import textstats
+
+    rows = [
+        (0, "a", "x x y z"),
+        (1, "a", "x y y w"),
+        (2, "b", "z z z w"),
+        (3, "b", "x w w w"),
+        (4, "c", "y y z x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    got = {
+        r["source"]: (r["n_tokens"], r["chi2_micro"])
+        for r in textstats.chi2_source_drift(df, top_v=3).collect()
+    }
+
+    toks = [(s, t) for _, s, txt in rows for t in txt.split()]
+    gc = Counter(t for _, t in toks)
+    topv = sorted(gc, key=lambda t: (-gc[t], t))[:3]
+    n_total = sum(gc[t] for t in topv)
+    ref = {}
+    for s in {s for s, _ in toks}:
+        oc = Counter(t for src, t in toks if src == s)
+        n_s = sum(oc[t] for t in topv)
+        chi = 0
+        for t in topv:
+            e = float(n_s) * float(gc[t]) / float(n_total)
+            d = float(oc[t]) - e
+            chi += int(d * d / e * 1000000.0 + 0.5)  # floor of positive
+        ref[s] = (n_s, chi)
+    assert got == ref
+    # skewed source 'b' (z/w heavy) drifts more than the near-uniform 'a'
+    assert got["b"][1] > got["a"][1]
+
+
+def test_chi2_source_drift_partitioning_invariant(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators import textstats
+
+    rows = [
+        (i, ["a", "b", "c"][i % 3], f"tok{i % 7} tok{i % 5} common word")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    one = textstats.chi2_source_drift(df.coalesce(1), top_v=10).collect()
+    many = textstats.chi2_source_drift(df.repartition(13), top_v=10).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))

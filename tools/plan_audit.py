@@ -45,6 +45,8 @@ CARTESIAN_OK = {
     "ann_ndcg_eval",  # same brute ground-truth cross product (r9)
     "ann_rrf_fusion",  # composes sim_topk_sq8, inheriting its allowlisted
     #                    corpus × 10-probe broadcast scan (r9)
+    "chi2_domain_shift",  # |sources| × top-V generated zero-cell matrix,
+    #                       bounded by construction (r9)
     "hard_negative_mining",  # exact mining baseline: corpus × 10 probes
     "dq_rule_violations",  # 1-row denominator scalar broadcast onto
     #                        1-row referential-rule aggregates
