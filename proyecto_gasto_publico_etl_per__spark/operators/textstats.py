@@ -416,3 +416,84 @@ def chi2_source_drift(
             "chi2_micro",
         )
     )
+
+
+def token_distribution(
+    df: DataFrame, text_col: str = "text", top_v: int = 200
+) -> DataFrame:
+    """Corpus-wide reference token distribution: the top-``top_v`` tokens
+    with their counts and the universe total — ``(tok, c, N)``.
+
+    This is the freezable model artifact the drift monitor scores
+    against (persist it beside the corpus like the IVF centroids /
+    SQ8 min-max artifacts; V rows, broadcast-sized by construction).
+    Deterministic cut: count desc, token asc.
+    """
+    from ..operators.dedup import _tokens
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(_tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    gc = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    topv = gc.orderBy(F.desc("c"), "tok").limit(top_v)
+    full = Window.orderBy("tok").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return topv.withColumn("N", F.sum("c").over(full))
+
+
+def chi2_against_reference(
+    df: DataFrame, ref: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Goodness-of-fit χ² of ``df``'s token distribution against a
+    frozen reference distribution (``token_distribution`` output) — the
+    batch twin of ``streaming.incremental.streaming_drift_monitor``.
+
+    Unlike ``chi2_source_drift`` (groups vs their own corpus), the
+    reference here is EXTERNAL and frozen, so an arriving batch can be
+    scored without touching the corpus: one batch tokenize + hash agg,
+    then everything else happens on the broadcast V-row reference
+    frame.  Same exactness discipline: IEEE double terms over exact
+    BIGINT counts, micro-quantized before the sum.
+
+    Returns one row ``(n_tokens, chi2_micro)``; ``n_tokens`` = the
+    batch's token mass within the reference universe (0 mass → χ² 0 by
+    convention, flagged by ``n_tokens = 0`` itself).
+    """
+    from ..operators.dedup import _tokens
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(_tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    oc = toks.groupBy("tok").agg(F.count("*").cast("long").alias("o"))
+    full = Window.orderBy("tok").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mat = (
+        ref.join(oc, "tok", "left")
+        .fillna({"o": 0})
+        .withColumn("n_b", F.sum("o").over(full))
+    )
+    e = (
+        F.col("n_b").cast("double")
+        * F.col("c").cast("double")
+        / F.col("N").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    term_q6 = F.when(F.col("n_b") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(d * d / e * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+    return (
+        mat.withColumn("_t", term_q6)
+        .groupBy()
+        .agg(
+            F.coalesce(F.max("n_b"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias(
+                "chi2_micro"
+            ),
+        )
+    )

@@ -431,3 +431,49 @@ def enrich_stream(
     stream); use inner only when the dim is guaranteed complete.
     """
     return stream.join(F.broadcast(dim), keys, how)
+
+
+def streaming_drift_monitor(
+    stream: DataFrame,
+    ref_dir: str,
+    scores_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Distribution-drift monitoring at the ingest door: score every
+    arriving micro-batch's token distribution against a FROZEN corpus
+    reference (``textstats.token_distribution`` persisted at ``ref_dir``)
+    with the goodness-of-fit χ² — a spiking score flags a crawler
+    regression / template flood / domain shift while the batch is still
+    in flight, before it skews the training mixture.
+
+    ``foreachBatch`` composition, per micro-batch: one tokenize + hash
+    agg over the batch, then all remaining work happens on the
+    broadcast V-row reference — the monitor's cost is O(batch), with no
+    corpus access at all (the frozen-artifact serving contract, SCALE.md
+    §"Frozen-artifact serving": drift is measured against the
+    distribution as of the last artifact rebuild).  One
+    ``(n_tokens, chi2_micro)`` row lands per epoch under
+    ``scores_dir/epoch=<id>`` with per-epoch OVERWRITE, so at-least-once
+    replays rewrite their own row instead of duplicating it.
+
+    Batch twin: ``textstats.chi2_against_reference`` — streamed scores
+    are pytest-proven equal to scoring the same files as batch frames.
+
+    Returns the started StreamingQuery (AvailableNow trigger).
+    """
+    from ..operators.textstats import chi2_against_reference
+
+    def score(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ref = batch_df.sparkSession.read.parquet(ref_dir)
+        row = chi2_against_reference(batch_df, ref, text_col)
+        row.write.mode("overwrite").parquet(f"{scores_dir}/epoch={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -724,3 +724,65 @@ def test_sq8_encode_at_ingest(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_drift_monitor_equals_batch_twin(spark, tmp_path):
+    """Per-epoch streamed chi2 scores == batch chi2_against_reference on
+    the same files, and a vocabulary-shifted batch scores far above an
+    in-distribution batch."""
+    from proyecto_gasto_publico_etl_per__spark.operators.textstats import (
+        chi2_against_reference,
+        token_distribution,
+    )
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        streaming_drift_monitor,
+    )
+
+    schema = "doc_id LONG, text STRING"
+    corpus_rows = [
+        (i, " ".join(f"w{j % 19}" for j in range(i, i + 30)))
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    ref_dir = str(tmp_path / "ref")
+    token_distribution(corpus, top_v=15).write.parquet(ref_dir)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    in_dist = [(100 + i, " ".join(f"w{j % 19}" for j in range(i, i + 25)))
+               for i in range(10)]
+    shifted = [(200 + i, " ".join(f"q{j % 11}" for j in range(25)) + " w0")
+               for i in range(10)]
+    spark.createDataFrame(in_dist, schema).coalesce(1).write.parquet(
+        str(src / "batch1")
+    )
+    spark.createDataFrame(shifted, schema).coalesce(1).write.parquet(
+        str(src / "batch2")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    scores_dir = str(tmp_path / "scores")
+    q = streaming_drift_monitor(
+        stream, ref_dir, scores_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["epoch"]: (r["n_tokens"], r["chi2_micro"])
+        for r in spark.read.parquet(scores_dir).collect()
+    }
+    assert len(got) == 2
+    ref = spark.read.parquet(ref_dir)
+    expected = {}
+    for epoch, rows in ((0, in_dist), (1, shifted)):
+        row = chi2_against_reference(
+            spark.createDataFrame(rows, schema), ref
+        ).collect()[0]
+        expected[epoch] = (row["n_tokens"], row["chi2_micro"])
+    # file order == epoch order under maxFilesPerTrigger=1 (batch1 first)
+    assert got == expected
+    assert got[1][1] > 10 * got[0][1]  # shifted batch spikes the score
