@@ -35,6 +35,7 @@ def pagerank_int(
     damping_pct: int = 85,
     scale: int = SCALE,
     checkpoint_every: int = 3,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """PageRank over an edge list ``(src, dst)``, all arithmetic BIGINT.
 
@@ -56,6 +57,13 @@ def pagerank_int(
     rounds (the cluster_duplicates idiom, dedup.py:537 — an iterative
     algorithm otherwise stacks plans).
 
+    ``seeds`` switches to PERSONALIZED PageRank: the restart mass
+    (both the initial vector and the per-iteration ``base`` term)
+    concentrates uniformly on the seed nodes instead of spreading over
+    all N — the seed-based neighborhood-expansion ranking corpus
+    curation uses to grow a trusted domain set.  Same integer grid, so
+    equally bit-exact.
+
     Returns ``(node, r)`` with ``r`` the final rank in nano-units;
     ``Σ r ≈ scale`` (short by the per-node floor remainders, which is the
     price of exactness and identical in both engines).
@@ -75,8 +83,24 @@ def pagerank_int(
         min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1),
     )
     n_nodes = deg.count()  # bounded driver scalar: one long (loop constants)
-    init = scale // n_nodes
-    base = (100 - damping_pct) * scale // (100 * n_nodes)
+    if seeds:
+        seed_set = sorted(set(seeds))
+        restart = (100 - damping_pct) * scale // (100 * len(seed_set))
+        init_expr = (
+            F.when(F.col("node").isin(seed_set), F.lit(scale // len(seed_set)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        base_expr = (
+            F.when(F.col("node").isin(seed_set), F.lit(restart))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    else:
+        init_expr = F.lit(scale // n_nodes).cast("long")
+        base_expr = F.lit(
+            (100 - damping_pct) * scale // (100 * n_nodes)
+        ).cast("long")
 
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -90,7 +114,7 @@ def pagerank_int(
             .localCheckpoint(eager=True)
         )
         ranks = deg.select(F.col("src").alias("node")).withColumn(
-            "r", F.lit(init).cast("long")
+            "r", init_expr
         )
         for i in range(iters):
             ranks = (
@@ -99,15 +123,15 @@ def pagerank_int(
                 .select(F.col("dst"), F.expr("r div deg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("insum"))
-                .select(
-                    F.col("dst").alias("node"),
+                .select(F.col("dst").alias("node"), "insum")
+                .withColumn(
+                    "r",
                     (
-                        F.lit(base)
+                        base_expr
                         + F.expr(f"({damping_pct} * insum) div 100")
-                    )
-                    .cast("long")
-                    .alias("r"),
+                    ).cast("long"),
                 )
+                .drop("insum")
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
                 ranks = ranks.localCheckpoint(eager=True)

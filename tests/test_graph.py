@@ -104,3 +104,44 @@ def test_pagerank_parallel_edges_act_as_weights(spark):
     }
     assert got == _ref_pagerank(edges, iters=4)
     assert got[1] > got[2]
+
+
+def _ref_ppr(edges, iters, seeds, scale=10**9, damping=85):
+    """Pure-Python mirror of the personalized variant."""
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    seeds = sorted(set(seeds))
+    init = scale // len(seeds)
+    restart = (100 - damping) * scale // (100 * len(seeds))
+    r = {v: (init if v in seeds else 0) for v in deg}
+    for _ in range(iters):
+        ins = defaultdict(int)
+        for s, d in edges:
+            ins[d] += r[s] // deg[s]
+        r = {
+            v: (restart if v in seeds else 0) + (damping * ins[v]) // 100
+            for v in deg
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_reference_and_localizes(spark):
+    edges = _test_edges()
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        row["node"]: row["r"]
+        for row in graph.pagerank_int(df, iters=6, seeds=[3]).collect()
+    }
+    assert got == _ref_ppr(edges, iters=6, seeds=[3])
+    # mass localizes around the seed: the seed outranks the global run's
+    # rank share for the same node, and far nodes decay
+    global_r = {
+        row["node"]: row["r"]
+        for row in graph.pagerank_int(df, iters=6).collect()
+    }
+    assert got[3] > global_r[3]
+    # the hub (0) is adjacent to the seed, so it stays prominent, while
+    # total mass is still ~scale
+    total = sum(got.values())
+    assert 10**9 - 7 * 2 * (len(got) + 1) <= total <= 10**9
