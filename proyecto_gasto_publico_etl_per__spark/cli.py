@@ -168,6 +168,24 @@ def main(argv: list[str] | None = None) -> None:
     asr.add_argument("--nprobe", type=int, default=4)
     asr.add_argument("--rerank", type=int, default=8)
 
+    dfz = sub.add_parser(
+        "drift-freeze",
+        help="persist the corpus reference token distribution (top-V "
+             "tokens + universe total) the drift monitor scores against",
+    )
+    dfz.add_argument("sf_dir")
+    dfz.add_argument("ref_dir")
+    dfz.add_argument("--top-v", type=int, default=200)
+
+    dsc = sub.add_parser(
+        "drift-score",
+        help="goodness-of-fit chi-square of a batch's token distribution "
+             "vs a frozen drift-freeze reference (one row: n_tokens, "
+             "chi2_micro) — the batch twin of the streaming monitor",
+    )
+    dsc.add_argument("sf_dir")
+    dsc.add_argument("ref_dir")
+
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
     q.add_argument(
@@ -343,6 +361,23 @@ def main(argv: list[str] | None = None) -> None:
         result.orderBy("query_id", "rk").show(
             args.k * len(args.query_ids), truncate=False
         )
+    elif args.cmd == "drift-freeze":
+        from .operators.textstats import token_distribution
+        from .sources.tables import load_table
+
+        docs = load_table(spark, args.sf_dir, "documents")
+        token_distribution(docs, top_v=args.top_v).write.mode(
+            "overwrite"
+        ).parquet(args.ref_dir)
+        n = spark.read.parquet(args.ref_dir).count()
+        print(f"froze {n}-token reference distribution → {args.ref_dir}")
+    elif args.cmd == "drift-score":
+        from .operators.textstats import chi2_against_reference
+        from .sources.tables import load_table
+
+        docs = load_table(spark, args.sf_dir, "documents")
+        ref = spark.read.parquet(args.ref_dir)
+        chi2_against_reference(docs, ref).show(truncate=False)
     elif args.cmd == "sql":
         mef_pipeline.register_views(spark, args.warehouse)
         spark.sql(args.statement).show(args.rows, truncate=False)

@@ -406,3 +406,28 @@ def test_cli_ann_append_index(spark, tmp_path, capsys):
     assert indexed.select("neighbor_id").distinct().count() == emb.count()
     cli.main(["ann-search", SF_SMOKE, idx, "3", "--k", "3"])
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_drift_lifecycle(spark, tmp_path, capsys):
+    """drift-freeze → drift-score through the CLI: freeze persists the
+    reference token distribution; scoring the SAME corpus against its
+    own reference is identically zero (o ≡ e term-for-term), and the
+    printed row matches the library call."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.operators.textstats import (
+        chi2_against_reference,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    ref = str(tmp_path / "driftref")
+    cli.main(["drift-freeze", SF_SMOKE, ref, "--top-v", "50"])
+    assert "reference distribution" in capsys.readouterr().out
+
+    cli.main(["drift-score", SF_SMOKE, ref])
+    printed = capsys.readouterr().out
+    docs = load_table(spark, SF_SMOKE, "documents")
+    row = chi2_against_reference(
+        docs, spark.read.parquet(ref)
+    ).collect()[0]
+    assert row["chi2_micro"] == 0  # self-score is exactly zero
+    assert str(row["n_tokens"]) in printed and "|0" in printed
