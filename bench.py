@@ -109,6 +109,12 @@ EXTENSIONS = (
     "mmr_diverse_topk",
     "ann_append_serving",
     "ann_ndcg_eval",
+    # late round-9 additions (baseline starts at r9): integer PageRank,
+    # PPS weighted sampling, RRF hybrid fusion, χ² drift monitor
+    "pagerank_centrality",
+    "pps_sample_docs",
+    "ann_rrf_fusion",
+    "chi2_domain_shift",
 )
 
 
