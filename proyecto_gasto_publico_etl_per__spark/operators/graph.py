@@ -83,6 +83,8 @@ def pagerank_int(
         min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1),
     )
     n_nodes = deg.count()  # bounded driver scalar: one long (loop constants)
+    if n_nodes == 0:
+        raise ValueError("pagerank_int: empty edge list (no nodes)")
     if seeds:
         seed_set = sorted(set(seeds))
         restart = (100 - damping_pct) * scale // (100 * len(seed_set))

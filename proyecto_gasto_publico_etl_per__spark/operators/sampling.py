@@ -246,7 +246,10 @@ def pps_systematic_sample(
     weight), ``wtot``, and ``n_hits``.
     """
     c = bucketed_cumsum(df, key_col, weight_col, salt=salt)
-    c = c.withColumn("_step", F.expr(f"wtot div {k}"))
+    # k >= total weight would give step 0 (division by zero in the point
+    # count); floor at 1 — every weight unit is then a point, so every
+    # row is selected with n_hits == its weight, the sensible limit
+    c = c.withColumn("_step", F.greatest(F.expr(f"wtot div {k}"), F.lit(1)))
     # points ≤ x, for x ≥ -1 and start = step div 2 ≤ step - 1:
     #   f(x) = (x + step - start) div step   (operand always ≥ 0, so
     #   truncating div == floor in both engines)

@@ -145,3 +145,26 @@ def test_personalized_pagerank_matches_reference_and_localizes(spark):
     # total mass is still ~scale
     total = sum(got.values())
     assert 10**9 - 7 * 2 * (len(got) + 1) <= total <= 10**9
+
+
+def test_pagerank_input_partitioning_invariant(spark):
+    edges = _test_edges()
+    one = graph.pagerank_int(
+        spark.createDataFrame(edges, "src LONG, dst LONG").coalesce(1),
+        iters=4,
+    )
+    many = graph.pagerank_int(
+        spark.createDataFrame(edges, "src LONG, dst LONG").repartition(7),
+        iters=4,
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, many.collect())
+    )
+
+
+def test_pagerank_empty_edges_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([], "src LONG, dst LONG")
+    with pytest.raises(ValueError, match="empty edge list"):
+        graph.pagerank_int(df, iters=2)

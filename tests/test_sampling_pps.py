@@ -98,3 +98,14 @@ def test_pps_sample_size_tracks_k(spark):
     df = spark.createDataFrame(rows, "id LONG, w LONG")
     n = sampling.pps_systematic_sample(df, "id", "w", k=25).count()
     assert 24 <= n <= 26  # floor rounding can add/drop one point
+
+
+def test_pps_k_exceeding_total_weight_selects_everything(spark):
+    # step floors at 1: every weight unit is a point, n_hits == weight
+    rows = [(1, 3), (2, 1), (3, 2)]
+    df = spark.createDataFrame(rows, "id LONG, w LONG")
+    got = {
+        r["id"]: r["n_hits"]
+        for r in sampling.pps_systematic_sample(df, "id", "w", k=100).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 2}
