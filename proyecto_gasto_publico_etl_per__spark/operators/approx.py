@@ -56,3 +56,91 @@ def approx_percentiles(
         for p in percentiles
     ]
     return df.groupBy(*group_cols).agg(*cols)
+
+
+def _cms_buckets(
+    value_col: str, depth: int, width: int, salt: str
+) -> Column:
+    """Array of the value's ``depth`` row buckets (md5-derived, portable)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:{j}:"),
+                            F.col(value_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of a value stream: a ``depth × width`` counter
+    table ``(j, bucket, cnt)`` — frequency estimation whose SHUFFLE
+    CARDINALITY is bounded by d·w instead of |vocab| (the 100 TB path
+    when the exact per-token aggregate's key space is itself the
+    problem; sketches from separate loads merge by summing counters).
+
+    One pass: posexplode of the per-row bucket array → hash aggregate
+    (map-side combinable).  Unlike the HLL/t-digest family above, the
+    md5-derived hashing and integer sums make this sketch bit-identical
+    across engines and partitionings — it stays in the bound-tested
+    family only because the bound, not the hash, is its contract.
+    """
+    return (
+        df.select(
+            F.posexplode(_cms_buckets(value_col, depth, width, salt)).alias(
+                "j", "bucket"
+            )
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` from a ``cms_build``
+    sketch: ``est = min_j cnt[j][h_j(x)]`` — never an underestimate,
+    over by at most ``ε·N`` with probability ``1 − (1/2)^depth``
+    (ε ≈ 2/width for the classic bound).
+
+    The sketch is d·w rows (broadcast-sized at any practical width), so
+    estimation is a broadcast join per item bucket — corpus never
+    re-touched.  ``depth/width/salt`` must match the build (they are
+    the sketch's geometry, like the IVF manifest).
+    """
+    probes = items.select(
+        F.col(value_col),
+        F.posexplode(_cms_buckets(value_col, depth, width, salt)).alias(
+            "j", "bucket"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .fillna({"cnt": 0})
+        .groupBy(value_col)
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )

@@ -1735,3 +1735,45 @@ def test_chi2_source_drift_partitioning_invariant(spark):
     one = textstats.chi2_source_drift(df.coalesce(1), top_v=10).collect()
     many = textstats.chi2_source_drift(df.repartition(13), top_v=10).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_cms_bounds_and_merge(spark):
+    """Count-min contract: never an underestimate, overestimate bounded,
+    and sketches from split loads merge by summing counters."""
+    from collections import Counter
+
+    from proyecto_gasto_publico_etl_per__spark.operators import approx
+
+    # zipf-ish stream: token t{r} appears ~600/(r+1) times
+    rows = [(f"t{r}",) for r in range(30) for _ in range(600 // (r + 1))]
+    exact = Counter(v for v, in rows)
+    n_total = len(rows)
+    df = spark.createDataFrame(rows, "tok STRING")
+    sketch = approx.cms_build(df, "tok", depth=4, width=256)
+    items = spark.createDataFrame([(t,) for t in exact], "tok STRING")
+    est = {
+        r["tok"]: r["est"]
+        for r in approx.cms_estimate(
+            sketch, items, "tok", depth=4, width=256
+        ).collect()
+    }
+    for t, true in exact.items():
+        assert est[t] >= true  # CMS never underestimates
+        assert est[t] <= true + 4 * n_total // 256  # classic eps*N bound
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), exactly
+    half = len(rows) // 2
+    a = approx.cms_build(
+        spark.createDataFrame(rows[:half], "tok STRING"), "tok", 4, 256
+    )
+    b = approx.cms_build(
+        spark.createDataFrame(rows[half:], "tok STRING"), "tok", 4, 256
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sketch.collect())
+    )
