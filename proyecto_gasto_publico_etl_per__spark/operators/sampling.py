@@ -260,3 +260,56 @@ def pps_systematic_sample(
     )
     c = c.withColumn("n_hits", (f_hi - f_lo).cast("long"))
     return c.filter(F.col("n_hits") >= 1).drop("_step")
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``k`` rows
+    (Efraimidis–Spirakis A-ES): rank every row by ``-ln(u)/w`` with a
+    deterministic per-key uniform ``u`` from the md5 hash, keep the k
+    smallest — inclusion probability is proportional-to-size without
+    replacement, the one-shot complement of ``pps_systematic_sample``
+    (systematic, with multiplicity) for "give me k distinct docs,
+    long-docs-first" selection.
+
+    Scale shape: one map expression + ``TakeOrderedAndProject`` — no
+    cumulative-sum pass, no window, nothing corpus-sized shuffled.
+
+    Determinism: ``u`` is hash-derived, so the sample is stable across
+    runs and partitionings ON A GIVEN ENGINE; it is deliberately NOT an
+    oracle-declared operator because ``ln`` is libm-dependent at the
+    last ulp (the repo-wide rule), which could flip a boundary rank
+    across engines.  Rows with NULL or non-positive weight are excluded
+    (they have no well-defined inclusion probability).
+
+    Returns the sampled rows with their ``aes_score`` (ascending =
+    earlier pick).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60))
+    score = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("aes_score", score)
+        .orderBy("aes_score", key_col)
+        .limit(k)
+    )

@@ -109,3 +109,28 @@ def test_pps_k_exceeding_total_weight_selects_everything(spark):
         for r in sampling.pps_systematic_sample(df, "id", "w", k=100).collect()
     }
     assert got == {1: 3, 2: 1, 3: 2}
+
+
+def test_weighted_sample_aes_contract(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators.sampling import (
+        weighted_sample_aes,
+    )
+
+    rows = [(i, 1) for i in range(100)] + [(999, 10**9), (-5, 0)]
+    df = spark.createDataFrame(rows, "id LONG, w LONG")
+    got = weighted_sample_aes(df, "id", "w", k=10).collect()
+    assert len(got) == 10
+    ids = {r["id"] for r in got}
+    assert 999 in ids  # the dominating weight is picked
+    assert -5 not in ids  # zero weight is ineligible
+    # deterministic across partitionings
+    again = weighted_sample_aes(
+        spark.createDataFrame(rows, "id LONG, w LONG").repartition(7),
+        "id",
+        "w",
+        k=10,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # k > eligible rows degrades to "all eligible rows"
+    small = spark.createDataFrame(rows[:3], "id LONG, w LONG")
+    assert weighted_sample_aes(small, "id", "w", k=50).count() == 3
