@@ -36,6 +36,7 @@ def pagerank_int(
     scale: int = SCALE,
     checkpoint_every: int = 3,
     seeds: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over an edge list ``(src, dst)``, all arithmetic BIGINT.
 
@@ -64,6 +65,15 @@ def pagerank_int(
     curation uses to grow a trusted domain set.  Same integer grid, so
     equally bit-exact.
 
+    ``weight_col`` names an integer edge-weight column: contributions
+    become ``(r·w) div strength(src)`` with ``strength = Σ w`` — one
+    edge ROW per neighbor pair at any weight, instead of materializing
+    parallel edges (which a high-multiplicity affinity graph cannot
+    afford).  Note the weighted split is slightly MORE precise than the
+    parallel-edge encoding (one floor per neighbor instead of one per
+    multiplicity unit); positive weights below ~2^33 keep ``r·w`` inside
+    BIGINT (ANSI mode fails loudly past it).
+
     Returns ``(node, r)`` with ``r`` the final rank in nano-units;
     ``Σ r ≈ scale`` (short by the per-node floor remainders, which is the
     price of exactness and identical in both engines).
@@ -71,8 +81,16 @@ def pagerank_int(
     spark = edges.sparkSession
     # materialize the edge list ONCE: it is typically the output of an
     # upstream join pipeline, and degree/count/init each read it
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    if weight_col is None:
+        edges = edges.select(
+            "src", "dst", F.lit(1).cast("long").alias("w")
+        )
+    else:
+        edges = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("w")
+        )
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
     n_edges = edges.count()
     # iteration state is (node, r) pairs — size shuffles to the graph,
     # not the session default (tiny graphs pay pure scheduler overhead
@@ -121,8 +139,9 @@ def pagerank_int(
         for i in range(iters):
             ranks = (
                 edges_d.join(ranks, edges_d["src"] == ranks["node"])
-                # integer floor split of the node's rank across out-edges
-                .select(F.col("dst"), F.expr("r div deg").alias("c"))
+                # integer floor split of the node's rank across out-edge
+                # weight (w == 1 per row in the unweighted path)
+                .select(F.col("dst"), F.expr("(r * w) div deg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("insum"))
                 .select(F.col("dst").alias("node"), "insum")

@@ -168,3 +168,40 @@ def test_pagerank_empty_edges_raises(spark):
     df = spark.createDataFrame([], "src LONG, dst LONG")
     with pytest.raises(ValueError, match="empty edge list"):
         graph.pagerank_int(df, iters=2)
+
+
+def test_weighted_pagerank_matches_reference_and_unweighted_identity(spark):
+    # weighted reference: contrib = (r*w) // strength(src)
+    def ref(edges_w, iters, scale=10**9, damping=85):
+        strength = defaultdict(int)
+        for s, _, w in edges_w:
+            strength[s] += w
+        n = len(strength)
+        init = scale // n
+        base = (100 - damping) * scale // (100 * n)
+        r = {v: init for v in strength}
+        for _ in range(iters):
+            ins = defaultdict(int)
+            for s, d, w in edges_w:
+                ins[d] += (r[s] * w) // strength[s]
+            r = {v: base + (damping * ins[v]) // 100 for v in strength}
+        return r
+
+    und = [(0, 1, 5), (0, 2, 1), (1, 2, 3), (2, 3, 2), (3, 0, 1)]
+    edges_w = sorted(
+        {(a, b, w) for a, b, w in und} | {(b, a, w) for a, b, w in und}
+    )
+    df = spark.createDataFrame(edges_w, "src LONG, dst LONG, w LONG")
+    got = {
+        row["node"]: row["r"]
+        for row in graph.pagerank_int(df, iters=5, weight_col="w").collect()
+    }
+    assert got == ref(edges_w, iters=5)
+    # heavy 0<->1 edge pulls node 1 above node 3
+    assert got[1] > got[3]
+
+    # w == 1 everywhere must equal the unweighted path exactly
+    ones = df.withColumn("w", F.lit(1))
+    a = graph.pagerank_int(ones, iters=4, weight_col="w")
+    b = graph.pagerank_int(ones.select("src", "dst"), iters=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
