@@ -1,4 +1,5 @@
-"""Link-graph centrality: integer-exact PageRank.
+"""Link-graph centrality: integer-exact PageRank, personalized PageRank,
+and SALSA hubs & authorities.
 
 The reference pipeline (`ETL Gasto publico Perú`) has no graph surface —
 this module belongs to the training-data-curation extension lane
@@ -160,5 +161,89 @@ def pagerank_int(
     finally:
         # all returned state is checkpoint-cut or a pure plan over the
         # checkpointed edge list; restoring confs cannot affect results
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def salsa_int(
+    edges: DataFrame,
+    iters: int = 6,
+    scale: int = SCALE,
+    checkpoint_every: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """SALSA hubs & authorities (Lempel–Moran) over a DIRECTED edge list
+    ``(src, dst)``, all arithmetic BIGINT — the random-walk-normalized
+    HITS used for bipartite recommendation/endorsement ranking (the
+    customer→supplier trade graph is the textbook case: hub customers
+    endorse authority suppliers).
+
+    Per iteration, two pushes: ``a(v) = Σ_{u→v} h(u) div outdeg(u)``
+    (forward), then ``h(u) = Σ_{u→v} a(v) div indeg(v)`` (backward).
+    The per-step degree division normalizes IN the walk, so no global
+    normalization scalar (and no per-iteration all-reduce) exists —
+    unlike classic HITS, whose L1/L2 renormalization needs a global
+    total every round.  Requirements: every ``src`` has outdeg ≥ 1 and
+    every ``dst`` indeg ≥ 1 (true of any edge list by construction);
+    hub scores live on the src side, authority scores on the dst side
+    (equal to each other on a symmetrized graph).
+
+    Same scale shape as ``pagerank_int``: the edge list is checkpointed
+    once with both degrees attached, each push is one equi-join plus a
+    map-side-combinable integer sum, and lineage is cut every
+    ``checkpoint_every`` rounds.  Same exactness contract: floor
+    division keeps all state integer, so results are independent of
+    partitioning and replayable bit-for-bit.
+
+    Returns ``(hubs, authorities)`` as ``(node, h)`` / ``(node, a)``.
+    """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+    n_edges = edges.count()
+    n_part = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1),
+    )
+    n_hubs = outdeg.count()
+    if n_hubs == 0:
+        raise ValueError("salsa_int: empty edge list (no nodes)")
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    if n_part == 1:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges_d = (
+            edges.join(outdeg, "src")
+            .join(indeg, "dst")
+            .repartition(n_part, "src")
+            .localCheckpoint(eager=True)
+        )
+        hubs = outdeg.select(F.col("src").alias("node")).withColumn(
+            "h", F.lit(scale // n_hubs).cast("long")
+        )
+        auths = None
+        for i in range(iters):
+            auths = (
+                edges_d.join(hubs, edges_d["src"] == hubs["node"])
+                .select(F.col("dst"), F.expr("h div outdeg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").cast("long").alias("a"))
+                .select(F.col("dst").alias("node"), "a")
+            )
+            hubs = (
+                edges_d.join(auths, edges_d["dst"] == auths["node"])
+                .select(F.col("src"), F.expr("a div indeg").alias("c"))
+                .groupBy("src")
+                .agg(F.sum("c").cast("long").alias("h"))
+                .select(F.col("src").alias("node"), "h")
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+                hubs = hubs.localCheckpoint(eager=True)
+                auths = auths.localCheckpoint(eager=True)
+        return hubs, auths
+    finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

@@ -205,3 +205,49 @@ def test_weighted_pagerank_matches_reference_and_unweighted_identity(spark):
     a = graph.pagerank_int(ones, iters=4, weight_col="w")
     b = graph.pagerank_int(ones.select("src", "dst"), iters=4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _ref_salsa(edges, iters, scale=10**9):
+    outdeg, indeg = defaultdict(int), defaultdict(int)
+    for s, d in edges:
+        outdeg[s] += 1
+        indeg[d] += 1
+    h = {u: scale // len(outdeg) for u in outdeg}
+    a = {}
+    for _ in range(iters):
+        a = defaultdict(int)
+        for s, d in edges:
+            a[d] += h[s] // outdeg[s]
+        h = defaultdict(int)
+        for s, d in edges:
+            h[s] += a[d] // indeg[d]
+    return dict(h), dict(a)
+
+
+def test_salsa_matches_python_reference_on_bipartite_graph(spark):
+    # customers 0-3 endorse suppliers 10-12; supplier 10 is endorsed by
+    # everyone (the authority), customer 0 endorses everything (the hub)
+    edges = [(0, 10), (0, 11), (0, 12), (1, 10), (2, 10), (3, 10), (3, 11)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    hubs, auths = graph.salsa_int(df, iters=4)
+    got_h = {r["node"]: r["h"] for r in hubs.collect()}
+    got_a = {r["node"]: r["a"] for r in auths.collect()}
+    ref_h, ref_a = _ref_salsa(edges, iters=4)
+    assert got_h == ref_h
+    assert got_a == ref_a
+    assert max(got_a, key=got_a.get) == 10  # consensus authority
+    assert max(got_h, key=got_h.get) == 0  # the broadest endorser wins
+
+
+def test_salsa_restores_confs_and_rejects_empty(spark):
+    import pytest
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src LONG, dst LONG")
+    h, a = graph.salsa_int(df, iters=2)
+    h.collect(), a.collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    with pytest.raises(ValueError, match="empty edge list"):
+        graph.salsa_int(
+            spark.createDataFrame([], "src LONG, dst LONG"), iters=1
+        )
