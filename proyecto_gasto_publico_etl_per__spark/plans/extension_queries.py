@@ -3145,3 +3145,111 @@ def chi2_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.chi2_source_drift(docs, "source", "text", top_v=CHI2_V)
+
+
+# --- SALSA endorsement ranking (operators/graph.salsa_int) ---------------------
+
+#: SALSA iterations for the declared query (fixed to match the unrolled oracle)
+SALSA_ITERS = 4
+
+
+def _salsa_oracle(iters: int = SALSA_ITERS) -> str:
+    """Unrolled-CTE mirror of graph.salsa_int on the DIRECTED
+    customer→supplier graph: a{k}/h{k} are iteration k's two pushes,
+    same BIGINT floor arithmetic (`//` == Spark `div` on non-negative
+    operands)."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    a{k} AS (
+      SELECT ed.dst AS node, CAST(sum(p.h // ed.outdeg) AS BIGINT) AS a
+      FROM h{k - 1} p JOIN edges_d ed ON p.node = ed.src
+      GROUP BY ed.dst
+    )""")
+        steps.append(f"""
+    h{k} AS (
+      SELECT ed.src AS node, CAST(sum(p.a // ed.indeg) AS BIGINT) AS h
+      FROM a{k} p JOIN edges_d ed ON p.node = ed.dst
+      GROUP BY ed.src
+    )""")
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT c AS src, s AS dst FROM pairs),
+    odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+             FROM edges GROUP BY src),
+    ideg AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg
+             FROM edges GROUP BY dst),
+    nh AS (SELECT count(*) AS n FROM odeg),
+    edges_d AS (
+      SELECT e.src, e.dst, o.outdeg, i.indeg
+      FROM edges e JOIN odeg o USING (src) JOIN ideg i USING (dst)
+    ),
+    h0 AS (SELECT src AS node,
+                  CAST(1000000000 // (SELECT n FROM nh) AS BIGINT) AS h
+           FROM odeg),
+    {",".join(steps)},
+    ranked AS (
+      SELECT 'authority' AS role, node AS node_key, a AS score_nano,
+             row_number() OVER (ORDER BY a DESC, node) AS rk
+      FROM a{iters}
+      UNION ALL
+      SELECT 'hub' AS role, node AS node_key, h AS score_nano,
+             row_number() OVER (ORDER BY h DESC, node) AS rk
+      FROM h{iters}
+    )
+    SELECT role, CAST(node_key AS BIGINT) AS node_key,
+           CAST(score_nano AS BIGINT) AS score_nano, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 10
+    """
+
+
+@register("salsa_trade_rank", _salsa_oracle())
+def salsa_trade_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs & authorities on the DIRECTED customer→supplier trade
+    graph (graph.salsa_int, {SALSA_ITERS} double-push iterations): top-10
+    authority suppliers and top-10 hub customers, scores on the exact
+    BIGINT grid so the unrolled oracle matches decision-for-decision.
+    No symmetrization — SALSA's per-step degree normalization handles
+    the bipartite direction natively, unlike the PageRank entry."""
+    from pyspark.sql import Window
+
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            F.col("l_suppkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    hubs, auths = graph.salsa_int(edges, iters=SALSA_ITERS)
+
+    def top10(df: DataFrame, role: str, score: str) -> DataFrame:
+        # TakeOrderedAndProject FIRST (distributed top-k over the node
+        # set), then rank the 10-row frame — the r7 rule: never a
+        # partition-less window over an unbounded input
+        cut = (
+            df.select(
+                F.lit(role).alias("role"),
+                F.col("node").alias("node_key"),
+                F.col(score).alias("score_nano"),
+            )
+            .orderBy(F.desc("score_nano"), "node_key")
+            .limit(10)
+        )
+        return cut.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_nano"), "node_key"))
+            .cast("int"),
+        )
+
+    return top10(auths, "authority", "a").unionByName(
+        top10(hubs, "hub", "h")
+    )

@@ -114,6 +114,7 @@ def test_r9_window_front_loads_the_new_queries_then_stalest_greens():
         "pps_sample_docs",
         "ann_rrf_fusion",
         "chi2_domain_shift",
+        "salsa_trade_rank",
     }
     assert set(names[: len(nevers)]) == nevers  # never-green sorts first
     assert all(green_round[n] <= 6 for n in window if n in green_round), (
