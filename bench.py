@@ -115,6 +115,7 @@ EXTENSIONS = (
     "pps_sample_docs",
     "ann_rrf_fusion",
     "chi2_domain_shift",
+    "salsa_trade_rank",
 )
 
 
