@@ -1777,3 +1777,52 @@ def test_cms_bounds_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, sketch.collect())
     )
+
+
+def test_chi2_source_drift_zero_for_identical_distributions(spark):
+    """Three sources with IDENTICAL token distributions score exactly
+    zero: o == e term-for-term when proportions match and divide evenly
+    (the null-hypothesis fixed point of the integer-exact formulation)."""
+    from proyecto_gasto_publico_etl_per__spark.operators import textstats
+
+    doc = "alpha beta beta gamma gamma gamma"
+    rows = [
+        (s * 10 + i, f"s{s}", doc) for s in range(3) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    out = textstats.chi2_source_drift(df, top_v=3).collect()
+    assert len(out) == 3
+    assert all(r["chi2_micro"] == 0 for r in out)
+    assert all(r["n_tokens"] == 4 * 6 for r in out)
+
+
+def test_rrf_single_list_preserves_component_order(spark):
+    """RRF of ONE list is order-isomorphic to that list: rank positions
+    carry over (monotone contribution) and scores are the pure 1/(60+rk)
+    grid values."""
+    from proyecto_gasto_publico_etl_per__spark.operators import similarity
+
+    rows = [(0, 100 + i, i + 1) for i in range(7)]
+    df = spark.createDataFrame(rows, "query_id LONG, neighbor_id LONG, rk INT")
+    out = similarity.rrf_fuse([df], topk=5).collect()
+    got = sorted(out, key=lambda r: r["rk"])
+    assert [r["neighbor_id"] for r in got] == [100, 101, 102, 103, 104]
+    assert [r["rrf_score"] for r in got] == [
+        1_000_000 // (60 + i) for i in range(1, 6)
+    ]
+    assert all(r["n_lists"] == 1 for r in got)
+
+
+def test_token_distribution_deterministic_tie_cut(spark):
+    """The top-V cut breaks count ties by token ascending — the property
+    that makes the frozen artifact reproducible."""
+    from proyecto_gasto_publico_etl_per__spark.operators import textstats
+
+    # four tokens, all with count 2; top_v=2 must pick the two smallest
+    df = spark.createDataFrame(
+        [(0, "dd cc bb aa dd cc bb aa")], "doc_id LONG, text STRING"
+    )
+    out = sorted(
+        r["tok"] for r in textstats.token_distribution(df, top_v=2).collect()
+    )
+    assert out == ["aa", "bb"]
