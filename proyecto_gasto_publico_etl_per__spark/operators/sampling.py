@@ -313,3 +313,55 @@ def weighted_sample_aes(
         .orderBy("aes_score", key_col)
         .limit(k)
     )
+
+
+def weighted_sample_aes_per_group(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """Exactly-``k``-per-group weighted sampling without replacement —
+    ``weighted_sample_aes`` stratified by ``group_col`` (e.g. k docs per
+    language, long-docs-favored), in ONE pass: the same A-ES exponential
+    key, ranked by a window PARTITIONED on the group (a parallel
+    partitioned sort, never a global one).  Groups smaller than ``k``
+    return all their eligible rows.
+
+    Same determinism contract as ``weighted_sample_aes``: stable across
+    runs and partitionings on a given engine; not oracle-declared (libm
+    ``ln``).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("aes_score", key_col)
+    )
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn(
+            "aes_score", -F.log(u) / F.col(weight_col).cast("double")
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -134,3 +134,29 @@ def test_weighted_sample_aes_contract(spark):
     # k > eligible rows degrades to "all eligible rows"
     small = spark.createDataFrame(rows[:3], "id LONG, w LONG")
     assert weighted_sample_aes(small, "id", "w", k=50).count() == 3
+
+
+def test_weighted_sample_aes_per_group(spark):
+    from proyecto_gasto_publico_etl_per__spark.operators.sampling import (
+        weighted_sample_aes,
+        weighted_sample_aes_per_group,
+    )
+
+    rows = [
+        (g * 100 + i, ["en", "es", "de"][g], 1 + (i % 5))
+        for g in range(3)
+        for i in range(20)
+    ] + [(900, "fr", 7)]  # a group smaller than k
+    df = spark.createDataFrame(rows, "id LONG, lang STRING, w LONG")
+    out = weighted_sample_aes_per_group(df, "id", "w", "lang", k=4).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["id"])
+    assert {len(v) for k_, v in by_lang.items() if k_ != "fr"} == {4}
+    assert by_lang["fr"] == [900]  # under-k group returns all rows
+    # per-group selection == running the global sampler on that group
+    en_only = df.filter(F.col("lang") == "en")
+    solo = {
+        r["id"] for r in weighted_sample_aes(en_only, "id", "w", k=4).collect()
+    }
+    assert set(by_lang["en"]) == solo
