@@ -157,10 +157,13 @@ def pagerank_int(
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
                 ranks = ranks.localCheckpoint(eager=True)
-        return ranks
+        # eager-cut the FINAL state while the n_part sizing confs are
+        # still live — without this, the iterations after the last
+        # periodic checkpoint would execute lazily under the restored
+        # session confs (results unaffected, integer sums are
+        # partition-independent; the sizing claim is what's at stake)
+        return ranks.localCheckpoint(eager=True)
     finally:
-        # all returned state is checkpoint-cut or a pure plan over the
-        # checkpointed edge list; restoring confs cannot affect results
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
@@ -243,7 +246,11 @@ def salsa_int(
             if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
                 hubs = hubs.localCheckpoint(eager=True)
                 auths = auths.localCheckpoint(eager=True)
-        return hubs, auths
+        # final eager cut under the live n_part confs (see pagerank_int)
+        return (
+            hubs.localCheckpoint(eager=True),
+            auths.localCheckpoint(eager=True),
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

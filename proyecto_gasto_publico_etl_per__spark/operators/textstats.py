@@ -402,8 +402,12 @@ def chi2_source_drift(
         / F.col("N").cast("double")
     )
     d = F.col("o").cast("double") - e
-    term_q6 = F.floor(d * d / e * F.lit(1000000.0) + F.lit(0.5)).cast(
-        "long"
+    # n_s == 0 ⇒ e == 0 for every cell of that group (a source whose docs
+    # are empty or share no top-V tokens).  χ² is 0 by the same convention
+    # chi2_against_reference uses for n_b == 0; without the guard ANSI
+    # mode raises DIVIDE_BY_ZERO on degenerate ingest data.
+    term_q6 = F.when(F.col("n_s") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(d * d / e * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     )
     return (
         mat.join(ns, "grp")

@@ -3001,7 +3001,7 @@ PPS_K = 50
              CAST(sum(wgt) OVER () AS BIGINT) AS wtot
       FROM w
     ),
-    p AS (SELECT doc_id, wgt, cum, wtot // {PPS_K} AS step FROM c),
+    p AS (SELECT doc_id, wgt, cum, greatest(wtot // {PPS_K}, 1) AS step FROM c),
     h AS (
       SELECT doc_id, wgt, cum,
              (cum - 1 + step - (step // 2)) // step
@@ -3127,8 +3127,11 @@ CHI2_V = 200
     ),
     terms AS (
       SELECT grp, n_s,
-             CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
-                        / e * 1000000.0 + 0.5) AS BIGINT) AS tq
+             CASE WHEN n_s = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor((CAST(o AS DOUBLE) - e)
+                                  * (CAST(o AS DOUBLE) - e)
+                                  / e * 1000000.0 + 0.5) AS BIGINT)
+             END AS tq
       FROM withe
     )
     SELECT grp AS source, CAST(n_s AS BIGINT) AS n_tokens,

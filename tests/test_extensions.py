@@ -1796,6 +1796,31 @@ def test_chi2_source_drift_zero_for_identical_distributions(spark):
     assert all(r["n_tokens"] == 4 * 6 for r in out)
 
 
+def test_chi2_source_drift_zero_mass_group(spark):
+    """A source whose docs are empty or share NO top-V tokens has n_s = 0
+    and e = 0 for every cell — χ² is 0 by convention (mirrors
+    chi2_against_reference's n_b == 0 guard).  Regression: before the
+    guard, ANSI mode raised DIVIDE_BY_ZERO on this degenerate ingest."""
+    from proyecto_gasto_publico_etl_per__spark.operators import textstats
+
+    rows = [
+        (0, "live", "x x y z x y"),
+        (1, "live", "x y y w z w"),
+        (2, "empty", ""),  # all-empty source → zero token mass
+        (3, "empty", "   "),
+        # tokens entirely outside the top-3 universe → zero top-V mass
+        (4, "offgrid", "q1 q2 q3 q4 q5 q6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    out = {
+        r["source"]: (r["n_tokens"], r["chi2_micro"])
+        for r in textstats.chi2_source_drift(df, top_v=3).collect()
+    }
+    assert out["empty"] == (0, 0)
+    assert out["offgrid"] == (0, 0)
+    assert out["live"][0] > 0  # the live source still scores normally
+
+
 def test_rrf_single_list_preserves_component_order(spark):
     """RRF of ONE list is order-isomorphic to that list: rank positions
     carry over (monotone contribution) and scores are the pure 1/(60+rk)
