@@ -118,6 +118,60 @@ EXTENSIONS = (
     "salsa_trade_rank",
 )
 
+#: Per-entry regression lanes (round-9 verdict task 3).  The extension
+#: set is append-only and its total keeps growing, so a 3× single-entry
+#: regression can hide inside normal growth — each SERVING entry is
+#: therefore gated against its recorded clean-run minimum
+#: (BENCH_FLOOR.json) at REGRESSION_FACTOR.  REBUILD entries re-run
+#: full multi-stage pipelines or iterate inside the timer BY DESIGN
+#: (dup_token_inflation re-runs the whole dedup pipeline, ann_rrf_fusion
+#: its three ANN components, dedup_clusters / pagerank / salsa iterate
+#: to convergence) — their wall time is dominated by that deliberate
+#: work and swings with it, so they are reported but not gated.
+REBUILD_LANE = frozenset(
+    {
+        "dedup_clusters",
+        "dup_token_inflation",
+        "ann_rrf_fusion",
+        "pagerank_centrality",
+        "salsa_trade_rank",
+    }
+)
+
+#: a serving entry regresses when min-of-runs exceeds FACTOR × its floor
+REGRESSION_FACTOR = 1.5
+
+FLOOR_PATH = Path(__file__).resolve().parent / "BENCH_FLOOR.json"
+
+
+def check_regressions(
+    ext_timings: dict[str, float], floor_path: Path = FLOOR_PATH
+) -> list[dict]:
+    """Compare serving-lane extension timings against the committed
+    clean-run floor.  Returns the regression records (empty = green);
+    the caller decides how loud to be.  Floors are per-entry minimums
+    measured on a QUIET box (BENCH_NOTES discipline) — a missing floor
+    (new entry this round) is skipped, not failed, so append-only growth
+    never breaks the gate."""
+    if not floor_path.exists():
+        return []
+    floors = json.loads(floor_path.read_text()).get("extension_min_sec", {})
+    out = []
+    for name, sec in ext_timings.items():
+        if name in REBUILD_LANE:
+            continue
+        floor = floors.get(name)
+        if floor and sec > REGRESSION_FACTOR * floor:
+            out.append(
+                {
+                    "query": name,
+                    "sec": sec,
+                    "floor_sec": floor,
+                    "ratio": round(sec / floor, 2),
+                }
+            )
+    return out
+
 
 def _env_versions() -> dict[str, str]:
     """Stamp engine versions into the artifact: bench numbers are only
@@ -199,6 +253,18 @@ def main() -> None:
     # the single stdout line past the driver's tail-capture window.  The
     # full detail now goes to a committed file; stdout's FINAL line is a
     # compact headline-only JSON the driver can always capture and parse.
+    regressions = check_regressions(ext_timings)
+    for r in regressions:
+        # loud but artifact-safe: stderr only — the driver's stdout
+        # tail-capture must still see the compact JSON line
+        print(
+            f"REGRESSION {r['query']}: {r['sec']}s vs floor "
+            f"{r['floor_sec']}s ({r['ratio']}x, gate "
+            f"{REGRESSION_FACTOR}x) — re-measure min-of-5 on a quiet "
+            f"box before trusting (BENCH_NOTES discipline)",
+            file=sys.stderr,
+        )
+
     detail = {
         "metric": "total_headline_sec",
         "value": round(sum(timings.values()), 4),
@@ -208,6 +274,11 @@ def main() -> None:
         "extension_queries": ext_timings,
         "extension_queries_minmax": ext_spreads,
         "extension_total_sec": round(sum(ext_timings.values()), 4),
+        "extension_lanes": {
+            n: ("rebuild" if n in REBUILD_LANE else "serving")
+            for n in EXTENSIONS
+        },
+        "extension_regressions": regressions,
         "sf": sf,
         "env": _env_versions(),
     }
@@ -229,7 +300,32 @@ def main() -> None:
         "env": _env_versions(),
         "detail": detail_path.name,
     }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_WRITE_FLOOR") == "1":
+        # refresh the committed floor from a QUIET-box run: elementwise
+        # min with the existing floors so a contended refresh can only
+        # tighten the gate, never loosen it
+        prev = (
+            json.loads(FLOOR_PATH.read_text()).get("extension_min_sec", {})
+            if FLOOR_PATH.exists()
+            else {}
+        )
+        merged = {
+            n: round(min(sec, prev.get(n, sec)), 4)
+            for n, sec in ext_timings.items()
+        }
+        FLOOR_PATH.write_text(
+            json.dumps(
+                {"extension_min_sec": merged, "sf": sf, "unit": "sec"},
+                indent=1,
+                sort_keys=True,
+            )
+            + "\n"
+        )
+
     print(json.dumps(compact))
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        sys.exit(1)
 
 
 if __name__ == "__main__":

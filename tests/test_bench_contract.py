@@ -52,3 +52,51 @@ def test_bench_headline_set_is_frozen():
 def test_bench_sets_are_disjoint():
     """An entry in both sets would be double-timed and double-counted."""
     assert not set(bench.HEADLINE) & set(bench.EXTENSIONS)
+
+
+def test_bench_lanes_cover_extensions():
+    """Every REBUILD_LANE name must be a current extension entry (a
+    stale lane entry would silently un-gate a renamed serving query),
+    and the serving lane — everything else — must be non-empty."""
+    assert bench.REBUILD_LANE <= set(bench.EXTENSIONS), (
+        bench.REBUILD_LANE - set(bench.EXTENSIONS)
+    )
+    assert set(bench.EXTENSIONS) - bench.REBUILD_LANE
+
+
+def test_bench_floor_names_are_current():
+    """BENCH_FLOOR.json is the committed clean-run baseline the serving
+    gate compares against — every floored name must still be an
+    extension entry, and every SERVING entry should carry a floor once
+    the file exists (a new entry may lag one round; assert only that
+    floors aren't stale, which is the silent-false-green hazard)."""
+    import json
+
+    if not bench.FLOOR_PATH.exists():
+        return  # seeded by the first quiet-box run of the round
+    floors = json.loads(bench.FLOOR_PATH.read_text())["extension_min_sec"]
+    stale = set(floors) - set(bench.EXTENSIONS)
+    assert not stale, stale
+    assert all(v > 0 for v in floors.values())
+
+
+def test_check_regressions_gates_serving_lane_only(tmp_path):
+    """The gate fires on a serving entry above FACTOR×floor, skips
+    rebuild-lane entries entirely, and skips entries without a floor
+    (append-only growth must never break the bench)."""
+    import json
+
+    floor = tmp_path / "floor.json"
+    serving = next(iter(set(bench.EXTENSIONS) - bench.REBUILD_LANE))
+    rebuild = next(iter(bench.REBUILD_LANE))
+    floor.write_text(
+        json.dumps({"extension_min_sec": {serving: 1.0, rebuild: 1.0}})
+    )
+    hot = bench.REGRESSION_FACTOR + 0.1
+    out = bench.check_regressions(
+        {serving: hot, rebuild: 99.0, "brand_new_entry": 99.0}, floor
+    )
+    assert [r["query"] for r in out] == [serving]
+    assert out[0]["ratio"] == round(hot, 2)
+    # inside the gate: no finding
+    assert not bench.check_regressions({serving: 1.4}, floor)
