@@ -6,11 +6,13 @@ functions over ``mapInPandas`` — the one place this engine crosses into
 Python, because byte-level media decoding is genuinely inexpressible in
 Spark SQL.  The Spark-side plumbing (schemas, batch iteration, partition
 parallelism) is real and tested.  Decoding is REAL where a codec path
-exists: Pillow / soundfile when importable, with pure-stdlib fallbacks
-for 8-bit non-interlaced PNG (zlib inflate + unfilter) and PCM WAV (the
-``wave`` module) so the real path runs even in codec-less containers;
-``NotImplementedError`` only for formats none of those cover (JPEG/MP3/
-video without the optional libs).  The deterministic md5 fake remains
+exists: Pillow / soundfile when importable, with pure-stdlib/numpy
+fallbacks for 8-bit non-interlaced PNG (zlib inflate + unfilter),
+baseline JPEG (``operators/jpeg.py``: Huffman + batch IDCT + chroma
+upsample), and PCM WAV (the ``wave`` module) so the real path runs even
+in codec-less containers; ``NotImplementedError`` only for formats none
+of those cover (progressive JPEG / MP3 / video without the optional
+libs).  The deterministic md5 fake remains
 the correctness-oracle path — DuckDB can reproduce it, real pixel math
 it can't.
 
@@ -142,9 +144,13 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     except ImportError:
         if payload[:8] == _PNG_MAGIC:
             return _png_decode(payload)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import jpeg_decode
+
+            return jpeg_decode(payload)
         raise NotImplementedError(
-            "non-PNG image decoding requires Pillow, which is not "
-            "importable in this environment"
+            "image decoding beyond PNG and baseline JPEG requires "
+            "Pillow, which is not importable in this environment"
         ) from None
     img = Image.open(io.BytesIO(payload))
     if img.mode not in ("L", "LA", "RGB", "RGBA"):
@@ -198,10 +204,16 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
 
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError:
-        d = _png_decode(payload) if payload[:8] == _PNG_MAGIC else None
-        if d is None:
+        if payload[:8] == _PNG_MAGIC:
+            d = _png_decode(payload)
+        elif payload[:2] == b"\xff\xd8":
+            from .jpeg import jpeg_decode
+
+            d = jpeg_decode(payload)
+        else:
             raise NotImplementedError(
-                "non-PNG resize requires Pillow, not importable here"
+                "resize beyond PNG and baseline JPEG requires Pillow, "
+                "not importable here"
             ) from None
         ch, sw, sh = d["channels"], d["width"], d["height"]
         src = d["pixels"]

@@ -320,15 +320,18 @@ def test_multimodal_plumbing(spark):
 
 
 def test_decode_unsupported_format_raises():
-    # JPEG without Pillow (and a truncated PNG magic) → explicit
-    # NotImplementedError, not a silent fake
+    # unknown magic → explicit NotImplementedError; malformed payloads
+    # of a KNOWN magic (truncated JPEG / truncated PNG) → loud parse
+    # error from the stdlib codec, never a silent fake
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("Pillow present: JPEG decodes for real")
+        pytest.skip("Pillow present: all formats decode for real")
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89ajunkjunk")
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0junk")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
