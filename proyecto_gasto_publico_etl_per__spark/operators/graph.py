@@ -30,6 +30,29 @@ from pyspark.sql import functions as F
 SCALE = 10**9
 
 
+def _rank_onto_edges(
+    edges_d: DataFrame, ranks: DataFrame, key: str, n_salt: int
+) -> DataFrame:
+    """The per-iteration rank-onto-edges equi-join, optionally salted.
+
+    Map-side combine protects the aggregate side of the iteration from
+    power-law hubs, but the JOIN side still hashes ALL of a hub's edges
+    to the single task owning its key — at billion-edge power-law skew
+    that one task becomes the stage.  With ``n_salt > 0`` the edge side
+    scatters each key over ``n_salt`` partitions (deterministic per-row
+    salt) and the node-sized rank side replicates ``n_salt``× —
+    ``skew.salted_join`` semantics, row-identical to the plain join
+    (and bit-identical downstream: integer sums are order-independent;
+    property-tested in tests/test_graph.py).  The cost is shuffling the
+    rank frame ``n_salt``× — worth it exactly when the hub task is the
+    bottleneck, hence opt-in."""
+    if n_salt > 0:
+        from .skew import salted_join
+
+        return salted_join(edges_d, ranks, [key], "inner", n_salt=n_salt)
+    return edges_d.join(ranks, key)
+
+
 def pagerank_int(
     edges: DataFrame,
     iters: int = 6,
@@ -38,6 +61,7 @@ def pagerank_int(
     checkpoint_every: int = 3,
     seeds: list[int] | None = None,
     weight_col: str | None = None,
+    salt_hot_join: int = 0,
 ) -> DataFrame:
     """PageRank over an edge list ``(src, dst)``, all arithmetic BIGINT.
 
@@ -74,6 +98,11 @@ def pagerank_int(
     parallel-edge encoding (one floor per neighbor instead of one per
     multiplicity unit); positive weights below ~2^33 keep ``r·w`` inside
     BIGINT (ANSI mode fails loudly past it).
+
+    ``salt_hot_join > 0`` salts the per-iteration rank-onto-edges join
+    over that many partitions (see ``_rank_onto_edges``) — opt in when
+    the out-degree distribution is power-law enough that one hub's edge
+    list dominates a join task.  Results are bit-identical either way.
 
     Returns ``(node, r)`` with ``r`` the final rank in nano-units;
     ``Σ r ≈ scale`` (short by the per-node floor remainders, which is the
@@ -139,7 +168,12 @@ def pagerank_int(
         )
         for i in range(iters):
             ranks = (
-                edges_d.join(ranks, edges_d["src"] == ranks["node"])
+                _rank_onto_edges(
+                    edges_d,
+                    ranks.select(F.col("node").alias("src"), "r"),
+                    "src",
+                    salt_hot_join,
+                )
                 # integer floor split of the node's rank across out-edge
                 # weight (w == 1 per row in the unweighted path)
                 .select(F.col("dst"), F.expr("(r * w) div deg").alias("c"))
@@ -173,6 +207,7 @@ def salsa_int(
     iters: int = 6,
     scale: int = SCALE,
     checkpoint_every: int = 3,
+    salt_hot_join: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """SALSA hubs & authorities (Lempel–Moran) over a DIRECTED edge list
     ``(src, dst)``, all arithmetic BIGINT — the random-walk-normalized
@@ -195,7 +230,9 @@ def salsa_int(
     map-side-combinable integer sum, and lineage is cut every
     ``checkpoint_every`` rounds.  Same exactness contract: floor
     division keeps all state integer, so results are independent of
-    partitioning and replayable bit-for-bit.
+    partitioning and replayable bit-for-bit.  ``salt_hot_join`` salts
+    BOTH per-iteration pushes (hub celebrities skew the forward push,
+    authority celebrities the backward one) — see ``_rank_onto_edges``.
 
     Returns ``(hubs, authorities)`` as ``(node, h)`` / ``(node, a)``.
     """
@@ -230,14 +267,24 @@ def salsa_int(
         auths = None
         for i in range(iters):
             auths = (
-                edges_d.join(hubs, edges_d["src"] == hubs["node"])
+                _rank_onto_edges(
+                    edges_d,
+                    hubs.select(F.col("node").alias("src"), "h"),
+                    "src",
+                    salt_hot_join,
+                )
                 .select(F.col("dst"), F.expr("h div outdeg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").cast("long").alias("a"))
                 .select(F.col("dst").alias("node"), "a")
             )
             hubs = (
-                edges_d.join(auths, edges_d["dst"] == auths["node"])
+                _rank_onto_edges(
+                    edges_d,
+                    auths.select(F.col("node").alias("dst"), "a"),
+                    "dst",
+                    salt_hot_join,
+                )
                 .select(F.col("src"), F.expr("a div indeg").alias("c"))
                 .groupBy("src")
                 .agg(F.sum("c").cast("long").alias("h"))

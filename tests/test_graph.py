@@ -251,3 +251,50 @@ def test_salsa_restores_confs_and_rejects_empty(spark):
         graph.salsa_int(
             spark.createDataFrame([], "src LONG, dst LONG"), iters=1
         )
+
+
+def test_pagerank_salted_join_is_bit_identical(spark):
+    """Round-9 verdict task 5: salting the rank-onto-edges join (the
+    power-law-hub mitigation) must not move a single nano-unit — the
+    salted join is row-identical and integer sums are order-independent.
+    The test graph is deliberately hub-skewed (star core) so the salted
+    path actually scatters a hot key."""
+    edges = _test_edges()
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    plain = {
+        r["node"]: r["r"] for r in graph.pagerank_int(df, iters=5).collect()
+    }
+    salted = {
+        r["node"]: r["r"]
+        for r in graph.pagerank_int(df, iters=5, salt_hot_join=8).collect()
+    }
+    assert salted == plain
+    # personalized + weighted variants ride the same join helper
+    w = spark.createDataFrame(
+        [(s, d, 1 + (s + d) % 3) for s, d in edges],
+        "src LONG, dst LONG, w LONG",
+    )
+    pw = {
+        r["node"]: r["r"]
+        for r in graph.pagerank_int(
+            w, iters=4, seeds=[0], weight_col="w"
+        ).collect()
+    }
+    sw = {
+        r["node"]: r["r"]
+        for r in graph.pagerank_int(
+            w, iters=4, seeds=[0], weight_col="w", salt_hot_join=4
+        ).collect()
+    }
+    assert sw == pw
+
+
+def test_salsa_salted_join_is_bit_identical(spark):
+    """Both SALSA pushes (forward onto src, backward onto dst) must be
+    salt-invariant — hub and authority celebrities each skew one side."""
+    edges = [(c, 100 + s) for c in range(6) for s in range(c + 1)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    h0, a0 = graph.salsa_int(df, iters=4)
+    h1, a1 = graph.salsa_int(df, iters=4, salt_hot_join=8)
+    assert sorted(map(tuple, h1.collect())) == sorted(map(tuple, h0.collect()))
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a0.collect()))
