@@ -1030,6 +1030,86 @@ def ivf_pq_build_index(
     return assigned, codes
 
 
+def resolve_nprobe(ladder: list[dict], target_recall: float) -> int:
+    """Resolve a serving ``nprobe`` from a measured recall ladder
+    (``measure_recall_ladder`` output stored in the index manifest):
+    the SMALLEST measured nprobe whose build-time recall meets the
+    target — the knee of the latency/recall trade, by measurement
+    rather than folklore.  An unreachable target falls back to the
+    largest measured nprobe (the best this index can do; raising would
+    turn a quality preference into an outage)."""
+    if not ladder:
+        raise ValueError("empty recall ladder")
+    pts = sorted(ladder, key=lambda p: int(p["nprobe"]))
+    for p in pts:
+        if float(p["recall_at_k"]) >= target_recall:
+            return int(p["nprobe"])
+    return int(pts[-1]["nprobe"])
+
+
+def measure_recall_ladder(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobes: tuple[int, ...] = (2, 4, 8, 16),
+    m: int = 16,
+    n_codes: int = 16,
+    rerank: int = 8,
+    codebook: "Codebook | None" = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    residual: bool = False,
+) -> list[dict]:
+    """Measure the recall@k ladder of ``ivf_pq_search`` over a set of
+    nprobe values against brute-force ground truth on a PROBE sample —
+    the build-time measurement the index manifest persists so serving
+    can autotune nprobe from a recall target (``resolve_nprobe``).
+
+    Scale shape: ground truth is one reviewed probe-set × corpus
+    cross product (the ann_recall eval-baseline pattern — probe-sized,
+    never corpus×corpus), and each ladder point is one serving-shaped
+    search; all collects are |probes|×k rows.  This runs ONCE per index
+    build/refresh, amortized like the index itself.  Artifacts must be
+    the ones the index was built with (same identity contract as
+    ``ivf_pq_search(index=...)``)."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            corpus, probes, id_col, vec_col, k
+        ).collect()
+    }
+    ladder = []
+    for np_ in nprobes:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_pq_search(
+                corpus,
+                probes,
+                id_col,
+                vec_col,
+                k=k,
+                nprobe=np_,
+                m=m,
+                n_codes=n_codes,
+                rerank=rerank,
+                codebook=codebook,
+                centroids=centroids,
+                index=index,
+                residual=residual,
+            ).collect()
+        }
+        ladder.append(
+            {
+                "nprobe": np_,
+                "k": k,
+                "recall_at_k": round(len(got & truth) / max(1, len(truth)), 4),
+            }
+        )
+    return ladder
+
+
 def ivf_pq_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1046,12 +1126,24 @@ def ivf_pq_search(
     centroids: list[tuple[int, list[float]]] | None = None,
     index: tuple[DataFrame, DataFrame] | None = None,
     residual: bool = False,
+    target_recall: float | None = None,
+    recall_ladder: list[dict] | None = None,
 ) -> DataFrame:
     """The full production ANN serving path, composed from the audited
     pieces: IVF coarse quantizer restricts candidates to ``nprobe``
     inverted lists → PQ asymmetric distances (ADC) score the candidates
     from their m-code table → the top ``rerank × k`` per query re-rank
     with EXACT cosine before the final top-k cut.
+
+    ``target_recall`` (round 10) autotunes ``nprobe`` instead of taking
+    it as a knob: pass the MEASURED ladder from the index manifest
+    (``measure_recall_ladder`` output, written at build time — by the
+    serving build path or ``tools/ann_knob_sweep.py --write-manifest``)
+    and the smallest measured nprobe whose build-time recall meets the
+    target is used (``resolve_nprobe``).  This keeps the serving knob
+    tied to an observable ("give me ≥0.7 recall@5 as measured on THIS
+    index") instead of a magic number that silently decays when the
+    corpus or artifacts change.
 
     Recall knobs, measured on the sf0.001 embeddings (500×64-dim,
     recall@5 vs brute force; IVF alone at nprobe=4/8 centroids = 0.76,
@@ -1120,6 +1212,16 @@ def ivf_pq_search(
             "persisted codes. Load them from the same manifest as the "
             "index."
         )
+    if target_recall is not None:
+        if recall_ladder is None:
+            raise ValueError(
+                "ivf_pq_search(target_recall=...) requires the index "
+                "manifest's measured `recall_ladder` (write it at build "
+                "time: measure_recall_ladder / ann_knob_sweep.py "
+                "--write-manifest) — without a measurement there is "
+                "nothing to resolve the target against."
+            )
+        nprobe = resolve_nprobe(recall_ladder, target_recall)
     if centroids is not None:
         cent_lit = centroid_literal_pairs(centroids)
     else:

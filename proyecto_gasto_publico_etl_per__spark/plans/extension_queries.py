@@ -2224,6 +2224,38 @@ def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assigned.write.mode("overwrite").parquet(f"{base}/index_assigned")
         codes.write.mode("overwrite").parquet(f"{base}/index_codes")
+        # build-time recall ladder (round-10): measured on the persisted
+        # zones so serving can AUTOTUNE nprobe from a recall target
+        # (similarity.resolve_nprobe) instead of a magic knob — the
+        # measurement is part of the index identity, like the codebook
+        ladder = similarity.measure_recall_ladder(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            nprobes=(2, 4, 8, 16),
+            m=_PQ_M,
+            n_codes=16,
+            rerank=_PQ_RERANK,
+            codebook=cb,
+            centroids=pairs,
+            index=(
+                spark.read.parquet(f"{base}/index_assigned"),
+                spark.read.parquet(f"{base}/index_codes"),
+            ),
+        )
+        model_store.save_model(
+            spark,
+            f"{base}/manifest",
+            "ivf_pq_manifest",
+            {
+                "residual": False,
+                "m": _PQ_M,
+                "n_codes": 16,
+                "nprobe": _PQ_NPROBE,
+                "rerank": _PQ_RERANK,
+                "recall_ladder": ladder,
+            },
+        )
         _ANN_SERVING_MODELS[sf_dir] = base
     pairs_payload, _ = model_store.load_model(
         spark, f"{base}/centroids", "ivf_centroids"

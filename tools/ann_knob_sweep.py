@@ -8,6 +8,14 @@ JSON line per knob point; paste the ladder into SCALE.md.
 
 Usage: python tools/ann_knob_sweep.py [sf_dir] [--grid c:p,c:p,...]
            [--residual] [--both] [--trained] [--rerank N]
+           [--write-manifest BASE]
+
+``--write-manifest BASE`` switches to the production mode: load the
+persisted artifacts under a model-store BASE (centroids / codebook /
+index zones — the ann_ivf_pq_serving layout), measure the recall
+ladder over the --grid nprobe values ON that index, and merge the
+ladder into BASE/manifest so ``ivf_pq_search(target_recall=...)`` can
+resolve nprobe from measurement (similarity.resolve_nprobe).
 """
 
 from __future__ import annotations
@@ -48,6 +56,13 @@ def main() -> None:
     spark: SparkSession = get_spark()
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
+
+    if "--write-manifest" in sys.argv:
+        base = sys.argv[sys.argv.index("--write-manifest") + 1]
+        _write_manifest_ladder(
+            spark, emb, probes, base, sorted({p for _, p in grid}), rerank
+        )
+        return
     truth = {
         (r.query_id, r.neighbor_id)
         for r in similarity.brute_force_topk(emb, probes, k=5).collect()
@@ -122,6 +137,50 @@ def main() -> None:
                 ),
                 flush=True,
             )
+
+
+def _write_manifest_ladder(
+    spark, emb, probes, base: str, nprobes: list[int], rerank: int
+) -> None:
+    """Production mode: measure the ladder on the PERSISTED index under
+    ``base`` and merge it into the manifest (other manifest fields —
+    residual flag, geometry — are preserved; geometry comes from the
+    manifest, never re-defaulted)."""
+    from proyecto_gasto_publico_etl_per__spark.operators import model_store
+
+    payload, _ = model_store.load_model(
+        spark, f"{base}/centroids", "ivf_centroids"
+    )
+    pairs = [(int(c), [float(x) for x in v]) for c, v in payload]
+    cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+    try:
+        manifest, _ = model_store.load_model(
+            spark, f"{base}/manifest", "ivf_pq_manifest"
+        )
+    except Exception:
+        manifest = {"residual": False, "m": 16, "n_codes": 16}
+    index = (
+        spark.read.parquet(f"{base}/index_assigned"),
+        spark.read.parquet(f"{base}/index_codes"),
+    )
+    ladder = similarity.measure_recall_ladder(
+        emb,
+        probes,
+        k=5,
+        nprobes=tuple(nprobes),
+        m=manifest["m"],
+        n_codes=manifest["n_codes"],
+        rerank=rerank,
+        codebook=cb,
+        centroids=pairs,
+        index=index,
+        residual=manifest.get("residual", False),
+    )
+    manifest["recall_ladder"] = ladder
+    model_store.save_model(
+        spark, f"{base}/manifest", "ivf_pq_manifest", manifest
+    )
+    print(json.dumps({"manifest": f"{base}/manifest", "ladder": ladder}))
 
 
 if __name__ == "__main__":
