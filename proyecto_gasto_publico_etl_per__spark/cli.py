@@ -186,6 +186,34 @@ def main(argv: list[str] | None = None) -> None:
     dsc.add_argument("sf_dir")
     dsc.add_argument("ref_dir")
 
+    ce = sub.add_parser(
+        "classifier-eval",
+        help="k-fold cross-validation of the quality classifier on a "
+             "corpus-build profile zone: per-fold held-out AUC + "
+             "log-loss (vs the zero-model baseline) — the measured "
+             "quality number to ship beside --classifier-model",
+    )
+    ce.add_argument(
+        "profile_dir",
+        help="a corpus-build out_dir/profile zone (quality_stats + "
+             "lang_id columns)",
+    )
+    ce.add_argument("--k", type=int, default=5)
+    ce.add_argument(
+        "--label-col",
+        default=None,
+        help="existing 0/1 label column in the profile zone (real "
+             "deployments: curated labels joined into the zone)",
+    )
+    ce.add_argument(
+        "--label-lang",
+        default="en",
+        help="without --label-col, label docs 1 when lang_id == this "
+             "(the source-affinity proxy labeling)",
+    )
+    ce.add_argument("--n-iters", type=int, default=40)
+    ce.add_argument("--lr", type=float, default=1.0)
+
     q = sub.add_parser("query", help="run an analytics query on the warehouse")
     q.add_argument("warehouse")
     q.add_argument(
@@ -378,6 +406,44 @@ def main(argv: list[str] | None = None) -> None:
         docs = load_table(spark, args.sf_dir, "documents")
         ref = spark.read.parquet(args.ref_dir)
         chi2_against_reference(docs, ref).show(truncate=False)
+    elif args.cmd == "classifier-eval":
+        from pyspark.sql import functions as F
+
+        from .operators import classifier
+        from .plans.corpus_pipeline import QUALITY_FEATURES
+
+        profile = spark.read.parquet(args.profile_dir)
+        label_col = args.label_col
+        if label_col is None:
+            label_col = "label"
+            profile = profile.withColumn(
+                "label", (F.col("lang") == args.label_lang).cast("int")
+            )
+        # each fold's trainer re-reads the frame n_iters times — cut it
+        profile = profile.select(
+            "doc_id", label_col, *QUALITY_FEATURES
+        ).localCheckpoint(eager=True)
+        folds = classifier.kfold_eval(
+            profile,
+            list(QUALITY_FEATURES),
+            label_col=label_col,
+            k=args.k,
+            n_iters=args.n_iters,
+            lr=args.lr,
+        )
+        for row in folds:
+            print(
+                f"fold {row['fold']}: n_train={row['n_train']} "
+                f"n_eval={row['n_eval']} auc={row['auc']} "
+                f"logloss={row['logloss']} "
+                f"(zero-model {row['logloss_zero']})"
+            )
+        mean_auc = sum(r["auc"] for r in folds) / len(folds)
+        mean_ll = sum(r["logloss"] for r in folds) / len(folds)
+        print(
+            f"mean: auc={round(mean_auc, 4)} logloss={round(mean_ll, 4)} "
+            f"over k={args.k} folds"
+        )
     elif args.cmd == "sql":
         mef_pipeline.register_views(spark, args.warehouse)
         spark.sql(args.statement).show(args.rows, truncate=False)

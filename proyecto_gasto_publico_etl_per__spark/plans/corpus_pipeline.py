@@ -66,10 +66,16 @@ def train_quality_classifier(
     (the fastText workflow: label a sample "reference-like" = 1 /
     "crawl-like" = 0, train, score everything) and persist it through
     the model store so ``build_corpus(classifier_model=...)`` can apply
-    it in any later run."""
+    it in any later run.  Trains standardized (round 10): the profile
+    features are badly conditioned for raw GD (mean_token_len ~4.5
+    near-constant beside 0-1 ratios — oscillation at any useful lr);
+    weights come back in RAW feature space, so scoring is unchanged.
+    Measure what you trained: the ``classifier-eval`` CLI step reports
+    per-fold held-out AUC/log-loss on the same zone."""
     feats = list(QUALITY_FEATURES)
     w, b = classifier.logreg_train(
-        labeled_profile, feats, label_col, n_iters=n_iters, lr=lr
+        labeled_profile, feats, label_col, n_iters=n_iters, lr=lr,
+        standardize=True,
     )
     model_store.save_logreg(spark, model_path, w, b, feats)
     return w, b

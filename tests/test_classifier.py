@@ -7,6 +7,7 @@ import sys
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -115,3 +116,108 @@ def test_quality_filter_end_to_end(spark):
     assert trained_loss < zero_loss
     scored = classifier.logreg_score(held, feats, w, b)
     assert scored.where("p_keep IS NULL").count() == 0
+
+
+def test_auc_matches_python_reference_with_ties(spark):
+    """Mid-rank Mann-Whitney AUC against a brute-force pairwise
+    reference (ties count 1/2) on data WITH score ties."""
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.5, 1), (0.5, 0), (0.5, 0),
+        (0.3, 0), (0.3, 1), (0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "p DOUBLE, label INT")
+    got = classifier.auc(df, "p", "label")
+    pos = [p for p, y in rows if y == 1]
+    neg = [p for p, y in rows if y == 0]
+    ref = sum(
+        1.0 if pp > pn else (0.5 if pp == pn else 0.0)
+        for pp in pos
+        for pn in neg
+    ) / (len(pos) * len(neg))
+    assert abs(got - ref) < 1e-12
+    # degenerate single-class frames are refused, not silently 0.5
+    one_class = spark.createDataFrame(
+        [(0.2, 1), (0.7, 1)], "p DOUBLE, label INT"
+    )
+    with pytest.raises(ValueError, match="AUC undefined"):
+        classifier.auc(one_class, "p", "label")
+
+
+def test_kfold_eval_on_profile_features(spark):
+    """Round-9 verdict task 7: kfold_assign mechanics + logreg_train
+    composed — per-fold held-out AUC/logloss on real profile-zone
+    features.  Folds are disjoint and exhaustive; the trained model
+    beats the zero model on held-out loss in every fold.
+
+    The label is a threshold on mean_token_len — separable by
+    construction, so it pins the EVAL mechanics (and the standardize
+    path: mean_token_len on this corpus is ~constant at 4.5, the exact
+    ill-conditioned geometry that made raw full-batch GD oscillate
+    with sign-flipping fold models before z-scoring)."""
+    from proyecto_gasto_publico_etl_per__spark.operators.textstats import (
+        quality_stats,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    feats = ["mean_token_len", "punct_ratio", "upper_ratio", "stopword_ratio"]
+    profile = (
+        quality_stats(docs)
+        .select("doc_id", *feats)
+        .withColumn("label", (F.col("mean_token_len") > 4.5).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    folds = classifier.kfold_eval(
+        profile, feats, k=3, n_iters=40, lr=0.5
+    )
+    assert [r["fold"] for r in folds] == [0, 1, 2]
+    total = profile.count()
+    assert sum(r["n_eval"] for r in folds) == total  # exhaustive
+    assert all(r["n_train"] + r["n_eval"] == total for r in folds)
+    for r in folds:
+        assert r["auc"] > 0.95, r
+        assert r["logloss"] < r["logloss_zero"], r
+
+
+def test_logreg_standardize_maps_weights_to_raw_space(spark):
+    """standardize=True must return weights usable on RAW features:
+    same decision function, just trained in z-space.  On wildly
+    differently-scaled features (x1000 vs /1000), raw GD at this lr
+    diverges while the standardized path separates cleanly."""
+    rows = [
+        (4500.0 + 10 * i, 0.0001 * (10 - i), 1 if i >= 5 else 0)
+        for i in range(10)
+        for _ in range(8)
+    ]
+    df = spark.createDataFrame(rows, "f0 DOUBLE, f1 DOUBLE, label INT")
+    w, b = classifier.logreg_train(
+        df, ["f0", "f1"], n_iters=60, lr=0.5, standardize=True
+    )
+    held_loss = classifier.logloss(df, ["f0", "f1"], w, b)
+    zero_loss = classifier.logloss(df, ["f0", "f1"], [0.0, 0.0], 0.0)
+    assert held_loss < zero_loss / 3  # separable: loss collapses
+    scored = classifier.logreg_score(df, ["f0", "f1"], w, b)
+    assert classifier.auc(scored, "p_keep", "label") == 1.0
+
+
+def test_cli_classifier_eval(spark, tmp_path, capsys):
+    """The classifier-eval CLI step over a profile zone: per-fold lines
+    plus the mean summary — the measured quality number that ships
+    beside corpus-build --classifier-model."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.operators.textstats import (
+        lang_id,
+        quality_stats,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    profile_dir = str(tmp_path / "profile")
+    lang_id(quality_stats(docs)).write.parquet(profile_dir)
+    cli.main(
+        ["classifier-eval", profile_dir, "--k", "3", "--n-iters", "20"]
+    )
+    out = capsys.readouterr().out
+    assert out.count("fold ") == 3
+    assert "zero-model" in out
+    assert "mean: auc=" in out
