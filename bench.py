@@ -116,6 +116,9 @@ EXTENSIONS = (
     "ann_rrf_fusion",
     "chi2_domain_shift",
     "salsa_trade_rank",
+    # round 10 additions (baseline starts at r10): integer-exact
+    # corpus AUC of the quality classifier
+    "classifier_auc_eval",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

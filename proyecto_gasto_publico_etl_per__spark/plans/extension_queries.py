@@ -3288,3 +3288,121 @@ def salsa_trade_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top10(auths, "authority", "a").unionByName(
         top10(hubs, "hub", "h")
     )
+
+
+# --- classifier rank-quality eval (operators/classifier.auc mechanics) --------
+
+
+@register(
+    "classifier_auc_eval",
+    f"""
+    WITH q AS ({_QUALITY_SQL}),
+    s AS (
+      SELECT CAST(floor(((({QC_W_STOP} * stopword_ratio
+                           + {QC_W_PUNCT} * punct_ratio)
+                          + ({QC_W_LEN} * mean_token_len - upper_ratio))
+                         + {QC_BIAS}) * 1000000.0 + 0.5) AS BIGINT) AS s_q6,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM q JOIN documents d ON d.doc_id = q.doc_id
+    ),
+    g AS (
+      SELECT s_q6, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS np
+      FROM s GROUP BY s_q6
+    ),
+    c AS (
+      SELECT s_q6, n, np,
+             CAST(coalesce(sum(n) OVER (ORDER BY s_q6
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_less
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(sum(np * (2 * cum_less + n + 1)) AS BIGINT) AS rs2,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(n) AS BIGINT) AS n_all
+      FROM c
+    )
+    SELECT n_pos, n_all - n_pos AS n_neg,
+           CASE WHEN n_pos = 0 OR n_all = n_pos THEN CAST(0 AS BIGINT)
+                ELSE CAST((1000000 * (rs2 - n_pos * (n_pos + 1)))
+                          // (2 * n_pos * (n_all - n_pos)) AS BIGINT)
+           END AS auc_micro
+    FROM t
+    """,
+)
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide ROC AUC of the literal-weight quality classifier
+    against the language label, fully INTEGER-exact (round 10): the
+    margin is the ``quality_classifier_filter`` double chain (monotone
+    in the sigmoid, so AUC is identical to the probability's) quantized
+    to the 1e-6 grid, then the Mann-Whitney mid-rank statistic runs in
+    half-units — ``rs2 = Σ np·(2·cum_less + n + 1)`` is a BIGINT, and
+    ``auc_micro = 1e6·(rs2 − n_pos(n_pos+1)) div (2·n_pos·n_neg)``
+    never touches a float, so it is bit-identical across engines and
+    partitionings (the trend_sector_monthly rule, applied to a rank
+    statistic).
+
+    This puts the ``classifier.auc`` mechanics under the driver's hash
+    gate; the k-fold CLI (``classifier-eval``) reports the same
+    statistic per held-out fold on trained models.
+
+    Scale shape: one scan → margin expression → hash agg to the
+    distinct-quantized-score frame (≤ 1e6-grid cells, map-side
+    combinable), then the cumulative window runs on THAT bounded frame.
+    BIGINT headroom: 1e6·rs2 ≤ 2e6·n_pos·n_neg needs n_pos·n_neg <
+    4.6e12 — fine to ~4M docs; past that, evaluate on a sample or drop
+    the grid to 1e4 (documented, not silent).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = textstats.quality_stats(docs)
+    margin = (
+        (
+            F.lit(QC_W_STOP) * F.col("stopword_ratio")
+            + F.lit(QC_W_PUNCT) * F.col("punct_ratio")
+        )
+        + (
+            F.lit(QC_W_LEN) * F.col("mean_token_len")
+            - F.col("upper_ratio")
+        )
+    ) + F.lit(QC_BIAS)
+    s = q.select(
+        F.floor(margin * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("s_q6"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    g = s.groupBy("s_q6").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("np"),
+    )
+    w = Window.orderBy("s_q6").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn(
+        "cum_less", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    t = c.agg(
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cum_less") + F.col("n") + 1)
+        )
+        .cast("long")
+        .alias("rs2"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_all"),
+    )
+    return t.select(
+        "n_pos",
+        (F.col("n_all") - F.col("n_pos")).alias("n_neg"),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_all") == F.col("n_pos")),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "(1000000 * (rs2 - n_pos * (n_pos + 1)))"
+                " div (2 * n_pos * (n_all - n_pos))"
+            ).cast("long")
+        )
+        .alias("auc_micro"),
+    )
