@@ -9,10 +9,11 @@ parallelism) is real and tested.  Decoding is REAL where a codec path
 exists: Pillow / soundfile when importable, with pure-stdlib/numpy
 fallbacks for 8-bit non-interlaced PNG (zlib inflate + unfilter),
 baseline JPEG (``operators/jpeg.py``: Huffman + batch IDCT + chroma
-upsample), and PCM WAV (the ``wave`` module) so the real path runs even
-in codec-less containers; ``NotImplementedError`` only for formats none
-of those cover (progressive JPEG / MP3 / video without the optional
-libs).  The deterministic md5 fake remains
+upsample), PCM WAV (the ``wave`` module), and MJPEG/AVI video frame
+extraction (RIFF ``movi`` walk → per-frame JPEG decode) so the real
+path runs even in codec-less containers; ``NotImplementedError`` only
+for formats none of those cover (progressive JPEG / MP3 / MP4-family
+video without the optional libs).  The deterministic md5 fake remains
 the correctness-oracle path — DuckDB can reproduce it, real pixel math
 it can't.
 
@@ -463,17 +464,64 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Walk a RIFF/AVI container and return the video stream's frame
+    payloads — the ``##dc``/``##db`` chunks inside ``LIST movi``.  For
+    an MJPEG AVI each returned frame is a STANDALONE baseline JPEG
+    decodable by ``operators/jpeg.jpeg_decode``, which makes the whole
+    video path (container seek → frame extract → pixel decode) real in
+    a codec-less container.  Header lists (hdrl/avih/strh/strf) are
+    walked and skipped — frame extraction needs only the movi chunks.
+    RIFF chunks are word-aligned (odd sizes pad one byte)."""
+    import struct
+
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            data_start = pos + 8
+            data_end = min(data_start + size, len(payload))
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(data_start + 4, data_end)  # skip the list-type tag
+            elif (
+                fourcc[2:4] in (b"dc", b"db")
+                and fourcc[:2].isdigit()
+                and size > 0
+            ):
+                frames.append(payload[data_start:data_end])
+            pos = data_start + size + (size & 1)
+
+    walk(0, len(payload))
+    return frames
+
+
 def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
     """Sample ``n_frames`` evenly-spaced frames from each video payload —
     a row-expanding mapInPandas (one input row → n output rows), the shape
     a real video pipeline needs.  Non-video rows produce no frames.
 
-    The fake 'decoder' slices the payload into n_frames spans; a real one
-    would seek the container. The expansion factor is bounded per batch,
-    so executor memory stays O(batch × n_frames).  Asset meta passes
-    through unchanged on every frame row (row repetition keeps the Arrow
-    column backing — freshly built map columns don't round-trip).
+    RIFF/AVI payloads get REAL container seeking: the ``LIST movi``
+    chunk walk extracts the actual frame bytestreams and the evenly-
+    spaced pick indexes real frames (for MJPEG each one is a standalone
+    JPEG — decodable downstream by ``decode_image``).  Other containers
+    (MP4/MKV need a real demuxer) fall back to the deterministic
+    span-slicing fake, clearly marked by meta passthrough; the Spark
+    plumbing is identical either way.  The expansion factor is bounded
+    per batch, so executor memory stays O(batch × n_frames).  Asset
+    meta passes through unchanged on every frame row (row repetition
+    keeps the Arrow column backing — freshly built map columns don't
+    round-trip).
     """
+
+    def frame_at(p: bytes, i: int) -> bytes:
+        if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+            real = _avi_mjpeg_frames(p)
+            if real:
+                return real[i * len(real) // n_frames]
+        span = max(1, len(p) // n_frames)
+        return p[i * span : (i + 1) * span]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -485,11 +533,7 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             rep = video.loc[video.index.repeat(n_frames)]
             idx = list(range(n_frames)) * len(video)
             frames = [
-                bytes(p)[
-                    i * max(1, len(bytes(p)) // n_frames) : (i + 1)
-                    * max(1, len(bytes(p)) // n_frames)
-                ]
-                for p, i in zip(rep["payload"], idx)
+                frame_at(bytes(p), i) for p, i in zip(rep["payload"], idx)
             ]
             out = pd.DataFrame(
                 {
