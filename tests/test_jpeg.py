@@ -130,3 +130,52 @@ def test_resize_image_real_on_jpeg_payload():
     )
     d = multimodal.decode_image(out)
     assert (d["width"], d["height"], d["channels"]) == (4, 4, 3)
+
+
+# --- property tests: the decoder holds over the geometry/knob space ---------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(70, 98),
+    sub420=st.booleans(),
+    dri=st.sampled_from([0, 1, 3]),
+)
+def test_roundtrip_property(w, h, ch, quality, sub420, dri):
+    """Any geometry (including 1-pixel edges and non-multiple-of-8/16
+    dims), either colorspace, any quality in the sane band, with or
+    without 4:2:0 and restart intervals: decode succeeds, the shape
+    contract holds exactly, and a SMOOTH image round-trips within a
+    quantization-scaled error bound."""
+    if sub420 and ch == 1:
+        sub420 = False  # subsampling is a chroma concept
+    # a wrap-FREE ramp: _gradient's modulo seam is a hard edge that
+    # legitimately rings at low quality — not the smooth-image premise
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        xx * 150 // max(w - 1, 1) + yy * 60 // max(h - 1, 1) + 20
+    ).astype(np.uint8)
+    if ch == 1:
+        px = base.tobytes()
+    else:
+        px = np.stack([base, 255 - base, base // 2 + 40], axis=-1).tobytes()
+    out = jpeg_decode(
+        jpeg_encode(
+            px, w, h, ch, quality=quality, subsample_420=sub420,
+            restart_interval=dri,
+        )
+    )
+    assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+    assert len(out["pixels"]) == w * h * ch
+    # error budget: DC quant step dominates on a smooth ramp; chroma
+    # subsampling adds the box-average/replicate delta on color planes
+    budget = 3 + 800 // quality + (30 if sub420 else 0) + (
+        8 if ch == 3 else 0
+    )
+    assert _maxerr(px, out["pixels"]) <= budget
