@@ -9,11 +9,13 @@ parallelism) is real and tested.  Decoding is REAL where a codec path
 exists: Pillow / soundfile when importable, with pure-stdlib/numpy
 fallbacks for 8-bit non-interlaced PNG (zlib inflate + unfilter),
 baseline JPEG (``operators/jpeg.py``: Huffman + batch IDCT + chroma
-upsample), PCM WAV (the ``wave`` module), and MJPEG/AVI video frame
-extraction (RIFF ``movi`` walk → per-frame JPEG decode) so the real
-path runs even in codec-less containers; ``NotImplementedError`` only
-for formats none of those cover (progressive JPEG / MP3 / MP4-family
-video without the optional libs).  The deterministic md5 fake remains
+upsample), PCM WAV (the ``wave`` module), FLAC (``operators/flac.py``:
+full bitstream — all subframe types, Rice partitions, stereo
+decorrelation), and MJPEG/AVI video frame extraction (RIFF ``movi``
+walk → per-frame JPEG decode) so the real path runs even in codec-less
+containers; ``NotImplementedError`` only for formats none of those
+cover (progressive JPEG / MP3 / MP4-family video without the optional
+libs).  The deterministic md5 fake remains
 the correctness-oracle path — DuckDB can reproduce it, real pixel math
 it can't.
 
@@ -331,8 +333,11 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
     (``samples`` = floats in [-1, 1], channel-interleaved).
 
     soundfile when importable (WAV/FLAC/OGG...); otherwise the stdlib
+    paths — ``operators/flac.py`` for FLAC (full bitstream: all
+    subframe types, Rice partitions, stereo decorrelation) and the
     ``wave`` module for 8/16/32-bit PCM WAV.  ``NotImplementedError``
-    only for formats neither covers (e.g. MP3 without soundfile)."""
+    only for formats none of those cover (e.g. MP3 without
+    soundfile)."""
     import io
 
     try:
@@ -346,6 +351,10 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
             "n_channels": int(data.shape[1]),
             "samples": [float(x) for row in data for x in row],
         }
+    if payload[:4] == b"fLaC":
+        from .flac import flac_decode
+
+        return flac_decode(payload)
     import struct
     import wave
 
