@@ -3292,6 +3292,14 @@ def salsa_trade_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- classifier rank-quality eval (operators/classifier.auc mechanics) --------
 
+#: margin lower bound in q6 units: weights give margin ≥ −1.5·1 − 1·1
+#: − 0.25 = −2.75 (stopword/mtl contributions are non-negative), so
+#: adding 4e6 keeps the shifted score non-negative — Spark `div` and
+#: DuckDB `//` then agree (trunc == floor on non-negative operands)
+AUC_SHIFT = 4_000_000
+#: value-range bucket width (q6 units) for the two-level cumsum
+AUC_BUCKET = 1_000
+
 
 @register(
     "classifier_auc_eval",
@@ -3307,15 +3315,27 @@ def salsa_trade_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT s_q6, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(y) AS BIGINT) AS np
+             CAST(sum(y) AS BIGINT) AS np,
+             (s_q6 + {AUC_SHIFT}) // {AUC_BUCKET} AS bkt
       FROM s GROUP BY s_q6
     ),
-    c AS (
-      SELECT s_q6, n, np,
-             CAST(coalesce(sum(n) OVER (ORDER BY s_q6
+    lc AS (
+      SELECT s_q6, n, np, bkt,
+             CAST(coalesce(sum(n) OVER (PARTITION BY bkt ORDER BY s_q6
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS BIGINT) AS cum_less
+                  0) AS BIGINT) AS lcum
       FROM g
+    ),
+    offs AS (
+      SELECT bkt,
+             CAST(coalesce(sum(bn) OVER (ORDER BY bkt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS off
+      FROM (SELECT bkt, CAST(sum(n) AS BIGINT) AS bn FROM g GROUP BY bkt)
+    ),
+    c AS (
+      SELECT lc.s_q6, lc.n, lc.np, o.off + lc.lcum AS cum_less
+      FROM lc JOIN offs o USING (bkt)
     ),
     t AS (
       SELECT CAST(sum(np * (2 * cum_less + n + 1)) AS BIGINT) AS rs2,
@@ -3348,11 +3368,17 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic per held-out fold on trained models.
 
     Scale shape: one scan → margin expression → hash agg to the
-    distinct-quantized-score frame (≤ 1e6-grid cells, map-side
-    combinable), then the cumulative window runs on THAT bounded frame.
-    BIGINT headroom: 1e6·rs2 ≤ 2e6·n_pos·n_neg needs n_pos·n_neg <
-    4.6e12 — fine to ~4M docs; past that, evaluate on a sample or drop
-    the grid to 1e4 (documented, not silent).
+    distinct-quantized-score frame (map-side combinable), then the
+    cumulative count runs as a VALUE-RANGE two-level cumsum (the
+    ``bucketed_cumsum`` idiom, value-ordered): a per-bucket partitioned
+    window does the corpus-proportional work in parallel, and the only
+    partition-less window runs on the bucket-TOTALS frame, whose size
+    is bounded by the margin's RANGE over ``AUC_BUCKET`` (≈10⁴ rows at
+    any corpus size), not by the corpus.  The shift constant keeps the
+    bucket key non-negative so Spark ``div`` ≡ DuckDB ``//``.  BIGINT
+    headroom: ``1e6·rs2 ≲ 2e6·n_pos·n_neg`` needs ``n_pos·n_neg <
+    4.6e12`` — fine to ~4M docs; past that, evaluate on a sample or
+    drop the grid to 1e4 (documented, not silent).
     """
     from pyspark.sql import Window
 
@@ -3377,10 +3403,26 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("s_q6").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("np"),
+    ).withColumn("bkt", F.expr(f"(s_q6 + {AUC_SHIFT}) div {AUC_BUCKET}"))
+    in_bucket = Window.partitionBy("bkt").orderBy("s_q6").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w = Window.orderBy("s_q6").rowsBetween(Window.unboundedPreceding, -1)
-    c = g.withColumn(
-        "cum_less", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    lc = g.withColumn(
+        "lcum", F.coalesce(F.sum("n").over(in_bucket), F.lit(0)).cast("long")
+    )
+    # bucket totals: bounded by margin-range/AUC_BUCKET, so ITS
+    # partition-less window is model-artifact-sized at any corpus size
+    across = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        g.groupBy("bkt")
+        .agg(F.sum("n").cast("long").alias("bn"))
+        .withColumn(
+            "off", F.coalesce(F.sum("bn").over(across), F.lit(0)).cast("long")
+        )
+        .select("bkt", "off")
+    )
+    c = lc.join(F.broadcast(offs), "bkt").withColumn(
+        "cum_less", F.col("off") + F.col("lcum")
     )
     t = c.agg(
         F.sum(
