@@ -7,7 +7,8 @@ Python, because byte-level media decoding is genuinely inexpressible in
 Spark SQL.  The Spark-side plumbing (schemas, batch iteration, partition
 parallelism) is real and tested.  Decoding is REAL where a codec path
 exists: Pillow / soundfile when importable, with pure-stdlib/numpy
-fallbacks for 8-bit non-interlaced PNG (zlib inflate + unfilter),
+fallbacks for full static PNG (all color types incl. palette+tRNS,
+depths 1-16, Adam7 interlace),
 baseline JPEG (``operators/jpeg.py``: Huffman + batch IDCT + chroma
 upsample), PCM WAV (the ``wave`` module), FLAC (``operators/flac.py``:
 full bitstream — all subframe types, Rice partitions, stereo
@@ -60,19 +61,100 @@ FEATURE_SCHEMA = T.StructType(
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _unfilter(
+    raw: bytes, n_rows: int, stride: int, bpp: int, offset: int = 0
+) -> tuple[bytearray, int]:
+    """Reverse the five per-scanline PNG filter types over ``n_rows``
+    rows of ``stride`` bytes starting at ``offset`` in the inflated
+    stream (each row is prefixed by its filter-type byte).  ``bpp`` is
+    the filter's left-neighbor distance in BYTES (max(1, channels·depth
+    // 8) per spec, so sub-byte depths use 1).  Returns (pixel bytes,
+    next offset) — shared by the sequential and per-Adam7-pass paths."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = offset
+    for _ in range(n_rows):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += line
+        prev = line
+    return out, pos
+
+
+def _rows_to_samples(
+    rows: bytes, n_rows: int, width: int, channels: int, depth: int
+):
+    """Unfiltered scanline bytes → uint8 sample array [n_rows, width,
+    channels].  Sub-byte depths unpack MSB-first; 16-bit keeps the high
+    byte (the defined 16→8 downsample); indices (palette) pass through
+    unscaled — the caller maps them through the PLTE."""
+    import numpy as np
+
+    stride = (width * channels * depth + 7) // 8
+    arr = np.frombuffer(rows, dtype=np.uint8).reshape(n_rows, stride)
+    if depth == 8:
+        return arr[:, : width * channels].reshape(n_rows, width, channels)
+    if depth == 16:
+        a16 = arr.reshape(n_rows, -1)[:, : width * channels * 2]
+        return a16.reshape(n_rows, width * channels, 2)[:, :, 0].reshape(
+            n_rows, width, channels
+        )
+    bits = np.unpackbits(arr, axis=1)[:, : width * depth]
+    groups = bits.reshape(n_rows, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+    return vals.reshape(n_rows, width, 1)
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _png_decode(payload: bytes) -> dict[str, Any]:
-    """Pure-stdlib decoder for 8-bit, non-interlaced PNG (gray / gray+A /
-    RGB / RGBA): chunk walk → concat IDAT → zlib inflate → per-scanline
-    unfilter (all five PNG filter types).  Palette, 16-bit, and Adam7
-    images need Pillow.  Runs per-row inside an Arrow batch on the
-    executor — payloads this path targets are thumbnails/tiles, so the
-    O(pixels) Python loop is bounded by batch sizing, not data scale."""
+    """Pure-stdlib/numpy PNG decoder covering the full STATIC format:
+    gray / gray+alpha / RGB / RGBA / palette, bit depths 1/2/4/8/16
+    (16-bit downsamples to the high byte — the contract is 8-bit
+    pixels), Adam7 interlace, and palette transparency (tRNS → RGBA).
+    Chunk walk → concat IDAT → zlib inflate → per-scanline unfilter
+    (``_unfilter``, per Adam7 pass when interlaced) → bit unpack →
+    palette map.  Animated PNG's extra frames (acTL/fdAT) are ignored
+    per spec — the static IDAT image decodes.  Runs per-row inside an
+    Arrow batch on the executor; payloads this path targets are
+    thumbnails/tiles, so the O(pixels) Python unfilter loop is bounded
+    by batch sizing, not data scale."""
     import struct
     import zlib
 
+    import numpy as np
+
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, b"", None
+    pos, idat, ihdr, plte, trns = 8, b"", None, None, None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
@@ -80,6 +162,10 @@ def _png_decode(payload: bytes) -> dict[str, Any]:
         pos += 12 + ln  # len + type + data + crc
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -87,49 +173,61 @@ def _png_decode(payload: bytes) -> dict[str, Any]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or interlace != 0 or channels is None:
-        raise NotImplementedError(
-            f"stdlib PNG path covers 8-bit non-interlaced gray/RGB/RGBA; "
-            f"got depth={depth} colortype={ctype} interlace={interlace} "
-            "(install Pillow for full coverage)"
-        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16) or (
+        ctype in (2, 4, 6) and depth < 8
+    ):
+        raise ValueError(f"invalid PNG depth {depth} for color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(idat)
-    stride = w * channels
-    out = bytearray()
-    prev = bytearray(stride)
-    for y in range(h):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out += line
-        prev = line
+    bpp = max(1, channels * depth // 8)
+
+    if interlace == 0:
+        stride = (w * channels * depth + 7) // 8
+        rows, _ = _unfilter(raw, h, stride, bpp)
+        img = _rows_to_samples(bytes(rows), h, w, channels, depth)
+    elif interlace == 1:  # Adam7
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = (pw * channels * depth + 7) // 8
+            rows, off = _unfilter(raw, ph, pstride, bpp, off)
+            img[y0::dy, x0::dx] = _rows_to_samples(
+                bytes(rows), ph, pw, channels, depth
+            )
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+
+    if ctype == 3:  # palette indices → RGB(A)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            img = np.concatenate([rgb, alpha[idx][..., None]], axis=-1)
+            channels = 4
+        else:
+            img = rgb
+            channels = 3
+    elif depth < 8:  # scale sub-byte gray to full 8-bit range
+        img = (
+            img.astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
+
     return {
         "width": w,
         "height": h,
         "channels": channels,
-        "pixels": bytes(out),
+        "pixels": img.tobytes(),
     }
 
 
@@ -137,9 +235,10 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     """Decode an image payload to ``{width, height, channels, pixels}``
     (``pixels`` = row-major interleaved 8-bit bytes).
 
-    Pillow when importable (any format it knows); otherwise the stdlib
-    PNG path above.  Raises ``NotImplementedError`` only when neither
-    covers the payload (e.g. JPEG without Pillow)."""
+    Pillow when importable (any format it knows); otherwise the
+    stdlib paths (full static PNG above, baseline JPEG in
+    ``operators/jpeg.py``).  Raises ``NotImplementedError`` only when
+    none covers the payload (e.g. progressive JPEG without Pillow)."""
     try:
         import io
 

@@ -124,3 +124,49 @@ def test_audio_features_on_flac_payload():
     assert feats[0] == 8000.0 and feats[1] == 1.0 and feats[2] == 128.0
     assert 0.0 < feats[3] < 1.0  # rms of a tone
     assert 0.0 < feats[4] < 0.5  # zero-crossing rate
+
+
+# --- property test: exactness holds across the signal/knob space ------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    bps=st.sampled_from([8, 12, 16, 20]),
+    block_size=st.sampled_from([32, 64, 256]),
+    mode=st.sampled_from(
+        ["constant", "verbatim", "fixed0", "fixed1", "fixed2", "lpc1"]
+    ),
+    stereo=st.sampled_from(["mono", "independent", "mid_side"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_roundtrip_property(n, bps, block_size, mode, stereo, seed):
+    """Lossless means EXACT for every signal: random lengths (including
+    a 1-sample stream and non-multiple-of-block sizes), every subframe
+    type, 8-20 bps, mono and both stereo layouts."""
+    import random
+
+    rng = random.Random(seed)
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if mode == "constant":
+        v = rng.randint(lo, hi)
+        chans = [[v] * n]
+    else:
+        chans = [[rng.randint(lo, hi) for _ in range(n)]]
+    if stereo != "mono":
+        if mode == "constant":
+            chans.append([rng.randint(lo, hi)] * n)
+        else:
+            chans.append([rng.randint(lo, hi) for _ in range(n)])
+    payload = flac_encode(
+        chans, bps=bps, block_size=block_size, mode=mode,
+        stereo="mid_side" if stereo == "mid_side" else "independent",
+    )
+    d = flac_decode(payload)
+    assert d["n_channels"] == len(chans)
+    got = _ints(d, bps)
+    expect = [chans[c][i] for i in range(n) for c in range(len(chans))]
+    assert got == expect
