@@ -12,11 +12,12 @@ depths 1-16, Adam7 interlace),
 baseline JPEG (``operators/jpeg.py``: Huffman + batch IDCT + chroma
 upsample), PCM WAV (the ``wave`` module), FLAC (``operators/flac.py``:
 full bitstream — all subframe types, Rice partitions, stereo
-decorrelation), and MJPEG/AVI video frame extraction (RIFF ``movi``
-walk → per-frame JPEG decode) so the real path runs even in codec-less
-containers; ``NotImplementedError`` only for formats none of those
-cover (progressive JPEG / MP3 / MP4-family video without the optional
-libs).  The deterministic md5 fake remains
+decorrelation), GIF incl. animation (``operators/gif.py``: LZW,
+interlace, transparency, frame compositing), and MJPEG/AVI video frame
+extraction (RIFF ``movi`` walk → per-frame JPEG decode) so the real
+path runs even in codec-less containers; ``NotImplementedError`` only
+for formats none of those cover (progressive JPEG / MP3 / MP4-family
+video without the optional libs).  The deterministic md5 fake remains
 the correctness-oracle path — DuckDB can reproduce it, real pixel math
 it can't.
 
@@ -250,8 +251,12 @@ def decode_image(payload: bytes) -> dict[str, Any]:
             from .jpeg import jpeg_decode
 
             return jpeg_decode(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import gif_decode
+
+            return gif_decode(payload)
         raise NotImplementedError(
-            "image decoding beyond PNG and baseline JPEG requires "
+            "image decoding beyond PNG, baseline JPEG, and GIF requires "
             "Pillow, which is not importable in this environment"
         ) from None
     img = Image.open(io.BytesIO(payload))
@@ -628,6 +633,16 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             real = _avi_mjpeg_frames(p)
             if real:
                 return real[i * len(real) // n_frames]
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            # animated GIF: composite the real frames, re-encode each
+            # sampled one as PNG so downstream decode_image just works
+            from .gif import gif_frames
+
+            real = gif_frames(p)
+            fr = real[i * len(real) // n_frames]
+            return _png_encode(
+                fr["width"], fr["height"], fr["channels"], fr["pixels"]
+            )
         span = max(1, len(p) // n_frames)
         return p[i * span : (i + 1) * span]
 

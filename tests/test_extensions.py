@@ -330,9 +330,11 @@ def test_decode_unsupported_format_raises():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"GIF89ajunkjunk")
+        multimodal.decode_image(b"II*\x00tiff-ish junk")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"GIF89ajunkjunkjunk")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
 
