@@ -208,8 +208,9 @@ def main(argv: list[str] | None = None) -> None:
     ce.add_argument(
         "--label-lang",
         default="en",
-        help="without --label-col, label docs 1 when lang_id == this "
-             "(the source-affinity proxy labeling)",
+        help="without --label-col, label docs 1 when the profile zone's "
+             "ground-truth `lang` column equals this (the source-"
+             "affinity proxy labeling; pass --label-col for real labels)",
     )
     ce.add_argument("--n-iters", type=int, default=40)
     ce.add_argument("--lr", type=float, default=1.0)

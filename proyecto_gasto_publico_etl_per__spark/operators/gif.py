@@ -166,6 +166,14 @@ def gif_frames(payload: bytes) -> list[dict[str, Any]]:
     canvas = np.full((h, w, 3), bg_rgb, dtype=np.uint8)
     out = []
     for fr in frames:
+        if fr["disposal"] == 3:
+            # restore-to-previous needs a saved canvas stack; silently
+            # treating it as "leave" would ghost-trail every later
+            # frame — loud guard, same contract as progressive JPEG
+            raise NotImplementedError(
+                "GIF disposal method 3 (restore-to-previous) needs "
+                "Pillow; stdlib path covers disposal 0/1/2"
+            )
         table = fr["lct"] or gct
         if table is None:
             raise ValueError("GIF frame has no color table")

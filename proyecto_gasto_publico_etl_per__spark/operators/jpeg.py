@@ -273,9 +273,18 @@ def _decode_scan(
     huff: dict,
     restart_interval: int,
 ) -> dict[int, np.ndarray]:
-    """Entropy-decode the interleaved scan into per-component planes at
-    their subsampled resolution (float64, level-shifted to [0, 255])."""
+    """Entropy-decode the scan into per-component planes at their
+    subsampled resolution (float64, level-shifted to [0, 255]).
+
+    A SINGLE-component scan is NON-interleaved per T.81 §A.2.2: the MCU
+    is one data unit and blocks run in raster order over the
+    component's own grid, with its SOF sampling factors ignored — a
+    grayscale JPEG that kept 2×2 factors from a color source would
+    otherwise be consumed in 2×2-MCU order and silently scramble."""
     comps = frame["comps"]
+    if len(comps) == 1:
+        comps = [dict(comps[0], h=1, v=1)]
+        frame = dict(frame, comps=comps)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)

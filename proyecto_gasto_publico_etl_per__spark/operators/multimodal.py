@@ -105,12 +105,15 @@ def _unfilter(
 
 
 def _rows_to_samples(
-    rows: bytes, n_rows: int, width: int, channels: int, depth: int
+    rows: bytes, n_rows: int, width: int, channels: int, depth: int,
+    full16: bool = False,
 ):
     """Unfiltered scanline bytes → uint8 sample array [n_rows, width,
     channels].  Sub-byte depths unpack MSB-first; 16-bit keeps the high
-    byte (the defined 16→8 downsample); indices (palette) pass through
-    unscaled — the caller maps them through the PLTE."""
+    byte (the defined 16→8 downsample) unless ``full16`` asks for the
+    exact uint16 values (needed to match a 16-bit tRNS key before
+    downsampling); indices (palette) pass through unscaled — the caller
+    maps them through the PLTE."""
     import numpy as np
 
     stride = (width * channels * depth + 7) // 8
@@ -119,9 +122,13 @@ def _rows_to_samples(
         return arr[:, : width * channels].reshape(n_rows, width, channels)
     if depth == 16:
         a16 = arr.reshape(n_rows, -1)[:, : width * channels * 2]
-        return a16.reshape(n_rows, width * channels, 2)[:, :, 0].reshape(
-            n_rows, width, channels
-        )
+        pairs = a16.reshape(n_rows, width * channels, 2)
+        if full16:
+            full = (
+                pairs[:, :, 0].astype(np.uint16) << 8
+            ) | pairs[:, :, 1].astype(np.uint16)
+            return full.reshape(n_rows, width, channels)
+        return pairs[:, :, 0].reshape(n_rows, width, channels)
     bits = np.unpackbits(arr, axis=1)[:, : width * depth]
     groups = bits.reshape(n_rows, width, depth)
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
@@ -186,12 +193,18 @@ def _png_decode(payload: bytes) -> dict[str, Any]:
     raw = zlib.decompress(idat)
     bpp = max(1, channels * depth // 8)
 
+    # tRNS on gray/truecolor names ONE sample value as fully
+    # transparent; the 16-bit key must be matched at full precision
+    # BEFORE the high-byte downsample or opaque pixels sharing the high
+    # byte would wrongly vanish
+    full16 = depth == 16 and trns is not None and ctype in (0, 2)
+    sample_dtype = np.uint16 if full16 else np.uint8
     if interlace == 0:
         stride = (w * channels * depth + 7) // 8
         rows, _ = _unfilter(raw, h, stride, bpp)
-        img = _rows_to_samples(bytes(rows), h, w, channels, depth)
+        img = _rows_to_samples(bytes(rows), h, w, channels, depth, full16)
     elif interlace == 1:  # Adam7
-        img = np.zeros((h, w, channels), dtype=np.uint8)
+        img = np.zeros((h, w, channels), dtype=sample_dtype)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
@@ -201,7 +214,7 @@ def _png_decode(payload: bytes) -> dict[str, Any]:
             pstride = (pw * channels * depth + 7) // 8
             rows, off = _unfilter(raw, ph, pstride, bpp, off)
             img[y0::dy, x0::dx] = _rows_to_samples(
-                bytes(rows), ph, pw, channels, depth
+                bytes(rows), ph, pw, channels, depth, full16
             )
     else:
         raise ValueError(f"bad PNG interlace method {interlace}")
@@ -219,10 +232,27 @@ def _png_decode(payload: bytes) -> dict[str, Any]:
         else:
             img = rgb
             channels = 3
-    elif depth < 8:  # scale sub-byte gray to full 8-bit range
-        img = (
-            img.astype(np.uint16) * 255 // ((1 << depth) - 1)
-        ).astype(np.uint8)
+    else:
+        trns_mask = None
+        if trns is not None and ctype in (0, 2):
+            # key samples are big-endian u16 in SOURCE depth units —
+            # compare before any scaling/downsampling
+            key = np.frombuffer(trns, dtype=">u2").astype(np.int64)
+            if len(key) != channels:
+                raise ValueError("PNG tRNS length mismatch")
+            trns_mask = (
+                img.astype(np.int64) == key[None, None, :]
+            ).all(axis=-1)
+        if full16:
+            img = (img >> 8).astype(np.uint8)
+        elif depth < 8:  # scale sub-byte gray to full 8-bit range
+            img = (
+                img.astype(np.uint16) * 255 // ((1 << depth) - 1)
+            ).astype(np.uint8)
+        if trns_mask is not None:
+            alpha = np.where(trns_mask, 0, 255).astype(np.uint8)
+            img = np.concatenate([img, alpha[..., None]], axis=-1)
+            channels += 1
 
     return {
         "width": w,
@@ -317,10 +347,14 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
             from .jpeg import jpeg_decode
 
             d = jpeg_decode(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import gif_decode
+
+            d = gif_decode(payload)
         else:
             raise NotImplementedError(
-                "resize beyond PNG and baseline JPEG requires Pillow, "
-                "not importable here"
+                "resize beyond PNG, baseline JPEG, and GIF requires "
+                "Pillow, not importable here"
             ) from None
         ch, sw, sh = d["channels"], d["width"], d["height"]
         src = d["pixels"]
@@ -618,31 +652,44 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
     RIFF/AVI payloads get REAL container seeking: the ``LIST movi``
     chunk walk extracts the actual frame bytestreams and the evenly-
     spaced pick indexes real frames (for MJPEG each one is a standalone
-    JPEG — decodable downstream by ``decode_image``).  Other containers
-    (MP4/MKV need a real demuxer) fall back to the deterministic
-    span-slicing fake, clearly marked by meta passthrough; the Spark
-    plumbing is identical either way.  The expansion factor is bounded
-    per batch, so executor memory stays O(batch × n_frames).  Asset
-    meta passes through unchanged on every frame row (row repetition
-    keeps the Arrow column backing — freshly built map columns don't
-    round-trip).
+    JPEG — decodable downstream by ``decode_image``).  Animated GIFs
+    composite their real frames once and re-encode each sampled one as
+    PNG.  Other containers (MP4/MKV need a real demuxer) fall back to
+    the deterministic span-slicing fake — and so does any payload whose
+    container walk FAILS (truncated download with a valid magic): a
+    corpus-ingest operator must quarantine per row, never abort the
+    job (the ``extract_features`` convention).  Each payload's
+    container is walked/decoded ONCE, not once per sampled frame.  The
+    expansion factor is bounded per batch, so executor memory stays
+    O(batch × n_frames).  Asset meta passes through unchanged on every
+    frame row (row repetition keeps the Arrow column backing — freshly
+    built map columns don't round-trip).
     """
 
-    def frame_at(p: bytes, i: int) -> bytes:
-        if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
-            real = _avi_mjpeg_frames(p)
-            if real:
-                return real[i * len(real) // n_frames]
-        if p[:6] in (b"GIF87a", b"GIF89a"):
-            # animated GIF: composite the real frames, re-encode each
-            # sampled one as PNG so downstream decode_image just works
-            from .gif import gif_frames
+    def real_frames(p: bytes) -> list[bytes] | None:
+        """Per-payload container walk, run ONCE per row: a list of
+        standalone frame payloads, or None → span-slicing fallback.
+        Any parse failure quarantines to None rather than raising."""
+        try:
+            if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                return _avi_mjpeg_frames(p) or None
+            if p[:6] in (b"GIF87a", b"GIF89a"):
+                from .gif import gif_frames
 
-            real = gif_frames(p)
-            fr = real[i * len(real) // n_frames]
-            return _png_encode(
-                fr["width"], fr["height"], fr["channels"], fr["pixels"]
-            )
+                return [
+                    _png_encode(
+                        fr["width"], fr["height"], fr["channels"],
+                        fr["pixels"],
+                    )
+                    for fr in gif_frames(p)
+                ]
+        except Exception:
+            return None
+        return None
+
+    def frame_at(p: bytes, real: list[bytes] | None, i: int) -> bytes:
+        if real:
+            return real[i * len(real) // n_frames]
         span = max(1, len(p) // n_frames)
         return p[i * span : (i + 1) * span]
 
@@ -653,10 +700,12 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             ]
             if video.empty:
                 continue
+            cache = [real_frames(bytes(p)) for p in video["payload"]]
             rep = video.loc[video.index.repeat(n_frames)]
             idx = list(range(n_frames)) * len(video)
             frames = [
-                frame_at(bytes(p), i) for p, i in zip(rep["payload"], idx)
+                frame_at(bytes(p), cache[r // n_frames], i)
+                for r, (p, i) in enumerate(zip(rep["payload"], idx))
             ]
             out = pd.DataFrame(
                 {

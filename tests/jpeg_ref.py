@@ -191,8 +191,16 @@ def jpeg_encode(
     quality: int = 90,
     subsample_420: bool = False,
     restart_interval: int = 0,
+    gray_hv: tuple[int, int] = (1, 1),
 ) -> bytes:
-    """Minimal baseline JPEG encoder (annex K tables, quality-scaled)."""
+    """Minimal baseline JPEG encoder (annex K tables, quality-scaled).
+
+    ``gray_hv`` declares SOF sampling factors for the grayscale case
+    WITHOUT changing the scan layout — per T.81 §A.2.2 a
+    single-component scan is non-interleaved (raster-order data units)
+    regardless of factors, so e.g. (2, 2) produces the byte-identical
+    scan a color-stripped 4:2:0 source keeps, exercising the decoder's
+    non-interleaved path."""
     arr = (
         np.frombuffer(pixels, dtype=np.uint8)
         .reshape(height, width, channels)
@@ -203,7 +211,7 @@ def jpeg_encode(
 
     if channels == 1:
         comps = [("Y", arr[:, :, 0], ql, 1, 1, 0)]
-        sof_comps = [(1, 1, 1, 0)]
+        sof_comps = [(1, gray_hv[0], gray_hv[1], 0)]
     elif channels == 3:
         r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b

@@ -276,3 +276,49 @@ def test_malformed_gif_raises():
     good = gif_write([{"idx": _rand_idx(6, 6)}], 6, 6, GCT)
     with pytest.raises(ValueError):
         gif.gif_decode(good[:20])
+
+
+def test_disposal_restore_previous_raises():
+    """Disposal 3 (restore-to-previous) is unsupported: compositing it
+    as 'leave' would ghost-trail every later frame — loud guard."""
+    payload = gif_write(
+        [
+            {"idx": _rand_idx(4, 4), "disposal": 3},
+            {"idx": _rand_idx(4, 4, seed=8)},
+        ],
+        4, 4, GCT,
+    )
+    with pytest.raises(NotImplementedError, match="disposal"):
+        gif.gif_frames(payload)
+
+
+def test_sample_frames_quarantines_malformed_container(spark):
+    """A truncated payload with a valid GIF magic must NOT abort the
+    job: the row quarantines to the span-slicing fallback (the
+    extract_features per-row convention)."""
+    good = gif_write([{"idx": _rand_idx(4, 4)}], 4, 4, GCT)
+    bad = good[:30]  # valid magic, truncated mid-structure
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(bad), {}),
+         (2, "video", bytearray(good), {})],
+        multimodal.ASSET_SCHEMA,
+    )
+    out = {
+        (r["asset_id"], r["frame_idx"]): bytes(r["frame"])
+        for r in multimodal.sample_frames(assets, n_frames=2).collect()
+    }
+    assert len(out) == 4  # both rows produced frames — no job abort
+    assert all(len(v) > 0 for v in out.values())
+    # the good row still gets REAL frames (PNG re-encode)
+    assert out[(2, 0)][:8] == b"\x89PNG\r\n\x1a\n"
+    # the bad row fell back to deterministic span slices of the payload
+    assert out[(1, 0)] == bad[: len(bad) // 2]
+
+
+def test_resize_image_real_on_gif_payload():
+    idx = _rand_idx(8, 8)
+    out = multimodal.resize_image_real(
+        gif_write([{"idx": idx}], 8, 8, GCT), 4, 4
+    )
+    d = multimodal.decode_image(out)
+    assert (d["width"], d["height"], d["channels"]) == (4, 4, 3)

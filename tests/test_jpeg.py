@@ -155,12 +155,13 @@ def test_roundtrip_property(w, h, ch, quality, sub420, dri):
     quantization-scaled error bound."""
     if sub420 and ch == 1:
         sub420 = False  # subsampling is a chroma concept
-    # a wrap-FREE ramp: _gradient's modulo seam is a hard edge that
-    # legitimately rings at low quality — not the smooth-image premise
+    # a wrap-free BOUNDED-SLOPE ramp: _gradient's modulo seam is a hard
+    # edge that legitimately rings at low quality, and normalizing the
+    # ramp by (w-1) makes tiny images maximally non-smooth (at w=2 the
+    # step is 150/px and 4:2:0's single chroma sample legitimately
+    # loses ~half of it) — fixed ≤3/px slope keeps the premise honest
     yy, xx = np.mgrid[0:h, 0:w]
-    base = (
-        xx * 150 // max(w - 1, 1) + yy * 60 // max(h - 1, 1) + 20
-    ).astype(np.uint8)
+    base = (xx * 3 + yy * 2 + 20).astype(np.uint8)
     if ch == 1:
         px = base.tobytes()
     else:
@@ -179,3 +180,22 @@ def test_roundtrip_property(w, h, ch, quality, sub420, dri):
         8 if ch == 3 else 0
     )
     assert _maxerr(px, out["pixels"]) <= budget
+
+
+def test_grayscale_with_declared_sampling_factors_is_noninterleaved():
+    """T.81 A.2.2 regression: a single-component scan is raster-order
+    one-block MCUs regardless of SOF sampling factors (a grayscale
+    JPEG stripped from a 4:2:0 color source keeps 2x2 factors).  The
+    decode must be byte-identical to the 1x1 declaration — before the
+    fix it consumed blocks in 2x2-MCU order and scrambled pixels."""
+    px = _gradient(24, 32, 1)
+    plain = jpeg_decode(jpeg_encode(px, 32, 24, 1, quality=92))
+    fac22 = jpeg_decode(
+        jpeg_encode(px, 32, 24, 1, quality=92, gray_hv=(2, 2))
+    )
+    assert fac22["pixels"] == plain["pixels"]
+    # odd dims: the block-count mismatch used to desync the stream
+    px2 = _gradient(13, 21, 1)
+    d = jpeg_decode(jpeg_encode(px2, 21, 13, 1, quality=92, gray_hv=(2, 2)))
+    assert (d["width"], d["height"]) == (21, 13)
+    assert _maxerr(px2, d["pixels"]) <= 10

@@ -170,3 +170,45 @@ def test_palette_index_out_of_range_raises():
     idx = np.array([[0, 1]], np.uint8)  # index 1 out of range
     with pytest.raises(ValueError, match="palette index"):
         multimodal._png_decode(png_write(idx, 8, 3, plte=plte))
+
+
+def test_gray_trns_yields_alpha():
+    img = np.array([[7, 42], [42, 9]], np.uint8)
+    d = multimodal._png_decode(
+        png_write(img, 8, 0, trns=struct.pack(">H", 42))
+    )
+    assert d["channels"] == 2
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(2, 2, 2)
+    assert (got[img == 42][:, 1] == 0).all()
+    assert (got[img != 42][:, 1] == 255).all()
+    assert (got[:, :, 0] == img).all()
+
+
+def test_truecolor_trns_yields_rgba():
+    img = np.array([[[1, 2, 3], [9, 9, 9]], [[1, 2, 3], [1, 2, 4]]], np.uint8)
+    d = multimodal._png_decode(
+        png_write(img, 8, 2, trns=struct.pack(">HHH", 1, 2, 3))
+    )
+    assert d["channels"] == 4
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(2, 2, 4)
+    transparent = (img == [1, 2, 3]).all(axis=-1)
+    assert (got[transparent][:, 3] == 0).all()
+    assert (got[~transparent][:, 3] == 255).all()
+
+
+def test_16bit_trns_matches_full_precision_not_high_byte():
+    """The tRNS key must match the EXACT 16-bit sample: a pixel sharing
+    only the high byte stays opaque.  The writer puts values in the
+    high byte with low byte 0, so key (42 << 8) matches value 42 while
+    key (42 << 8) + 1 matches nothing."""
+    img = np.array([[42, 17]], np.uint8)
+    exact = multimodal._png_decode(
+        png_write(img, 16, 0, trns=struct.pack(">H", 42 << 8))
+    )
+    got = np.frombuffer(exact["pixels"], np.uint8).reshape(1, 2, 2)
+    assert got[0, 0, 1] == 0 and got[0, 1, 1] == 255
+    near = multimodal._png_decode(
+        png_write(img, 16, 0, trns=struct.pack(">H", (42 << 8) + 1))
+    )
+    got2 = np.frombuffer(near["pixels"], np.uint8).reshape(1, 2, 2)
+    assert (got2[:, :, 1] == 255).all()  # high-byte collision stays opaque

@@ -163,6 +163,10 @@ def _write_manifest_ladder(
         spark.read.parquet(f"{base}/index_assigned"),
         spark.read.parquet(f"{base}/index_codes"),
     )
+    # the ladder must be measured at the SERVING rerank or the
+    # target_recall resolution guarantees nothing — geometry AND knobs
+    # come from the manifest; the CLI flag is only the fallback for
+    # manifests written before rerank was recorded
     ladder = similarity.measure_recall_ladder(
         emb,
         probes,
@@ -170,7 +174,7 @@ def _write_manifest_ladder(
         nprobes=tuple(nprobes),
         m=manifest["m"],
         n_codes=manifest["n_codes"],
-        rerank=rerank,
+        rerank=manifest.get("rerank", rerank),
         codebook=cb,
         centroids=pairs,
         index=index,
