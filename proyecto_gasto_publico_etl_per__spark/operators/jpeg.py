@@ -1,12 +1,15 @@
-"""Baseline JPEG decode in numpy + stdlib — no Pillow required.
+"""JPEG decode in numpy + stdlib — no Pillow required.
 
 Covers ITU-T T.81 baseline sequential DCT (SOF0, plus SOF1
-extended-sequential with 8-bit precision): marker walk, Huffman entropy
-decode with restart intervals, dequantize, batch 8×8 IDCT (numpy
-einsum), integer-ratio chroma upsampling, JFIF YCbCr→RGB.  Progressive
-(SOF2), arithmetic coding, hierarchical, 12-bit, and CMYK payloads
-raise ``NotImplementedError`` with a pointer to Pillow — same contract
-as the stdlib PNG path in ``multimodal._png_decode``.
+extended-sequential with 8-bit precision) AND progressive (SOF2):
+marker walk, Huffman entropy decode with restart intervals, multi-scan
+coefficient accumulation for progressive — spectral selection bands,
+successive approximation for DC (two's-complement bit refinement) and
+AC (the G.1.2.3 correction-bit protocol with EOB runs) — dequantize,
+batch 8×8 IDCT (numpy einsum), integer-ratio chroma upsampling, JFIF
+YCbCr→RGB.  Arithmetic coding, hierarchical, lossless, 12-bit, and
+CMYK payloads raise ``NotImplementedError`` with a pointer to Pillow —
+same contract as the stdlib PNG path in ``multimodal._png_decode``.
 
 Like the PNG path, this runs per-row inside an Arrow batch on the
 executor: the per-block Huffman loop is pure Python (bounded by batch
@@ -113,9 +116,11 @@ def _huff_decode(bits: _Bits, table: dict) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
-def _destuff_split(data: bytes) -> list[bytes]:
+def _destuff_split(data: bytes) -> tuple[list[bytes], int]:
     """Remove 0xFF00 byte stuffing and split on RSTn markers: each
-    returned part is one restart interval's bitstream."""
+    returned part is one restart interval's bitstream.  Also returns
+    the index of the terminating marker so a multi-scan (progressive)
+    caller can resume the segment walk after the entropy data."""
     parts: list[bytes] = []
     cur = bytearray()
     i = 0
@@ -137,7 +142,7 @@ def _destuff_split(data: bytes) -> list[bytes]:
         cur.append(b)
         i += 1
     parts.append(bytes(cur))
-    return parts
+    return parts, i
 
 
 def _decode_block(
@@ -178,6 +183,7 @@ def jpeg_decode(payload: bytes) -> dict[str, Any]:
     frame = None
     restart_interval = 0
     planes_done = None
+    grids = None  # progressive: per-comp coefficient store
     pos = 2
     n = len(payload)
     while pos + 2 <= n:
@@ -210,7 +216,7 @@ def jpeg_decode(payload: bytes) -> dict[str, Any]:
                         seg[i : i + 128], dtype=">u2"
                     ).astype(np.int64)
                     i += 128
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / sequential / progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -224,13 +230,18 @@ def jpeg_decode(payload: bytes) -> dict[str, Any]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "w": width,
+                "h": height,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X} (progressive/arithmetic/"
-                "hierarchical) needs Pillow; stdlib path covers baseline "
-                "sequential (SOF0/SOF1)"
+                f"JPEG SOF marker 0x{marker:02X} (lossless/arithmetic/"
+                "hierarchical) needs Pillow; stdlib path covers baseline, "
+                "extended sequential, and progressive (SOF0/SOF1/SOF2)"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -243,10 +254,25 @@ def jpeg_decode(payload: bytes) -> dict[str, Any]:
                 i += 17 + nsym
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — baseline: one interleaved scan
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if frame["progressive"]:
+                scan_comps = []
+                for c in range(ns):
+                    cs, tda = seg[1 + 2 * c : 3 + 2 * c]
+                    scan_comps.append((cs, tda >> 4, tda & 0x0F))
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                if grids is None:
+                    grids = _init_grids(frame)
+                parts, used = _destuff_split(payload[pos:])
+                _decode_progressive_scan(
+                    parts, frame, grids, scan_comps, huff,
+                    ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
+                )
+                pos += used
+                continue  # more scans follow until EOI
             if ns != len(frame["comps"]):
                 raise NotImplementedError(
                     "non-interleaved multi-scan baseline JPEG needs Pillow"
@@ -259,6 +285,8 @@ def jpeg_decode(payload: bytes) -> dict[str, Any]:
                 payload, pos, frame, scan_tabs, qt, huff, restart_interval
             )
             break  # baseline: nothing after the single scan but EOI
+    if frame is not None and frame.get("progressive") and grids is not None:
+        planes_done = _assemble_planes(frame, grids, qt)
     if frame is None or planes_done is None:
         raise ValueError("JPEG missing SOF/SOS")
     return _to_pixels(frame, planes_done)
@@ -289,7 +317,7 @@ def _decode_scan(
     vmax = max(c["v"] for c in comps)
     mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
-    parts = _destuff_split(payload[pos:])
+    parts, _ = _destuff_split(payload[pos:])
 
     # per component: collected zigzag coefficient blocks, MCU-ordered
     blocks: dict[int, list[np.ndarray]] = {c["id"]: [] for c in comps}
@@ -377,3 +405,232 @@ def _to_pixels(frame: dict, planes: dict[int, np.ndarray]) -> dict[str, Any]:
     raise NotImplementedError(
         f"{len(comps)}-component JPEG (CMYK/unknown) needs Pillow"
     )
+
+
+# --- progressive (SOF2) machinery --------------------------------------------
+
+
+def _geometry(frame: dict) -> dict:
+    """Shared block-grid geometry.  Per T.81 §A.2.2 a single-component
+    frame is effectively factor 1×1 (its only scan is non-interleaved);
+    per component: the MCU-padded grid (bw, bh — what DC interleaved
+    scans cover) and the raster grid (cbx, cby — what non-interleaved
+    scans cover, ceil(component dims / 8))."""
+    comps = frame["comps"]
+    if len(comps) == 1:
+        comps = [dict(comps[0], h=1, v=1)]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    per_comp = {}
+    for c in comps:
+        cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+        ch_ = (frame["h"] * c["v"] + vmax - 1) // vmax
+        per_comp[c["id"]] = {
+            "h": c["h"], "v": c["v"], "tq": c["tq"],
+            "bw": mcux * c["h"], "bh": mcuy * c["v"],
+            "cbx": (cw + 7) // 8, "cby": (ch_ + 7) // 8,
+        }
+    return {
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "comps": per_comp,
+    }
+
+
+def _init_grids(frame: dict) -> dict[int, np.ndarray]:
+    geo = _geometry(frame)
+    return {
+        cid: np.zeros((g["bh"], g["bw"], 64), dtype=np.int64)
+        for cid, g in geo["comps"].items()
+    }
+
+
+def _refine_nonzero(bits: _Bits, coef: np.ndarray, k: int, p1: int) -> None:
+    """One AC-refinement correction bit for a nonzero-history
+    coefficient: a 1 appends this scan's magnitude bit (guarded so a
+    malformed stream cannot double-apply)."""
+    if bits.read_bit():
+        v = int(coef[k])
+        if (abs(v) & p1) == 0:
+            coef[k] = v + p1 if v > 0 else v - p1
+
+
+def _ac_first_band(
+    bits: _Bits, act: dict, coef: np.ndarray, ss: int, se: int,
+    al: int, eobrun: int,
+) -> int:
+    """First AC scan of a band for one block (T.81 G.1.2.2): run/size
+    over the band with EOBn run codes; values land shifted by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) - 1 + (bits.receive(r) if r else 0)
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        coef[k] = bits.extend(s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_band(
+    bits: _Bits, act: dict, coef: np.ndarray, ss: int, se: int,
+    al: int, eobrun: int,
+) -> int:
+    """AC refinement scan for one block (T.81 G.1.2.3 / the
+    decode_mcu_AC_refine protocol): newly-nonzero coefficients arrive
+    as ±1·2^Al with runs counted over ZERO-history positions only;
+    every nonzero-history position passed — including during EOB-run
+    skips — carries one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (bits.receive(r) if r else 0)
+                    break  # remainder handled by the EOB-run path below
+                # ZRL: r stays 15 → skip 16 zero-history positions
+            elif s == 1:
+                newval = p1 if bits.read_bit() else -p1
+            else:
+                raise ValueError("progressive AC refinement size != 1")
+            while k <= se:
+                if coef[k]:
+                    _refine_nonzero(bits, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k]:
+                _refine_nonzero(bits, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    parts: list[bytes],
+    frame: dict,
+    grids: dict[int, np.ndarray],
+    scan_comps: list[tuple[int, int, int]],
+    huff: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """One progressive scan over the coefficient store.  DC scans
+    (ss == 0) may be interleaved (MCU order); AC scans are always
+    single-component, raster order over the component's own grid.
+    Restart intervals reset DC predictors and the EOB run."""
+    geo = _geometry(frame)
+    bits = _Bits(parts[0])
+    part_idx = 0
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with se != 0")
+        dc_pred = {cs: 0 for cs, _, _ in scan_comps}
+        if len(scan_comps) > 1:
+            units = geo["mcux"] * geo["mcuy"]
+        else:
+            g = geo["comps"][scan_comps[0][0]]
+            units = g["cby"] * g["cbx"]
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                part_idx += 1
+                bits = _Bits(parts[part_idx])
+                dc_pred = {cs: 0 for cs, _, _ in scan_comps}
+            for cs, td, _ta in scan_comps:
+                g = geo["comps"][cs]
+                if len(scan_comps) > 1:
+                    my, mx = divmod(u, geo["mcux"])
+                    blocks = [
+                        (my * g["v"] + by, mx * g["h"] + bx)
+                        for by in range(g["v"])
+                        for bx in range(g["h"])
+                    ]
+                else:
+                    blocks = [divmod(u, g["cbx"])]
+                for by, bx in blocks:
+                    coef = grids[cs][by, bx]
+                    if ah == 0:
+                        s = _huff_decode(bits, huff[(0, td)])
+                        diff = bits.extend(s) if s else 0
+                        dc_pred[cs] += diff
+                        coef[0] = dc_pred[cs] << al
+                    elif bits.read_bit():
+                        # two's-complement successive approximation:
+                        # python ints OR correctly for negatives too
+                        coef[0] = int(coef[0]) | (1 << al)
+        return
+    # AC scan: exactly one component, raster over ITS grid
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cs, _td, ta = scan_comps[0]
+    g = geo["comps"][cs]
+    act = huff[(1, ta)]
+    eobrun = 0
+    u = 0
+    for by in range(g["cby"]):
+        for bx in range(g["cbx"]):
+            if restart_interval and u and u % restart_interval == 0:
+                part_idx += 1
+                bits = _Bits(parts[part_idx])
+                eobrun = 0
+            coef = grids[cs][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_band(bits, act, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_band(bits, act, coef, ss, se, al, eobrun)
+            u += 1
+
+
+def _assemble_planes(
+    frame: dict, grids: dict[int, np.ndarray], qt: dict
+) -> dict[int, np.ndarray]:
+    """Coefficient store → per-component planes (the progressive twin
+    of the baseline scan's inline assembly): dequantize + un-zigzag the
+    whole grid, one batched IDCT, geometric paste, integer-ratio
+    upsample, crop — all numpy."""
+    geo = _geometry(frame)
+    planes: dict[int, np.ndarray] = {}
+    for cid, g in geo["comps"].items():
+        q = qt[g["tq"]]
+        zz = grids[cid].reshape(-1, 64)
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz * q[None, :]
+        f = nat.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ux,nuv,vy->nxy", _C, f, _C) + 128.0
+        plane = (
+            pix.reshape(g["bh"], g["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(g["bh"] * 8, g["bw"] * 8)
+        )
+        ry, rx = geo["vmax"] // g["v"], geo["hmax"] // g["h"]
+        if ry * g["v"] != geo["vmax"] or rx * g["h"] != geo["hmax"]:
+            raise NotImplementedError(
+                "non-integer JPEG chroma subsampling ratio needs Pillow"
+            )
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes[cid] = plane[: frame["h"], : frame["w"]]
+    return planes

@@ -9,15 +9,15 @@ parallelism) is real and tested.  Decoding is REAL where a codec path
 exists: Pillow / soundfile when importable, with pure-stdlib/numpy
 fallbacks for full static PNG (all color types incl. palette+tRNS,
 depths 1-16, Adam7 interlace),
-baseline JPEG (``operators/jpeg.py``: Huffman + batch IDCT + chroma
-upsample), PCM WAV (the ``wave`` module), FLAC (``operators/flac.py``:
+baseline AND progressive JPEG (``operators/jpeg.py``: Huffman +
+multi-scan successive approximation + batch IDCT + chroma upsample), PCM WAV (the ``wave`` module), FLAC (``operators/flac.py``:
 full bitstream — all subframe types, Rice partitions, stereo
 decorrelation), GIF incl. animation (``operators/gif.py``: LZW,
 interlace, transparency, frame compositing), and MJPEG/AVI video frame
 extraction (RIFF ``movi`` walk → per-frame JPEG decode) so the real
 path runs even in codec-less containers; ``NotImplementedError`` only
-for formats none of those cover (progressive JPEG / MP3 / MP4-family
-video without the optional libs).  The deterministic md5 fake remains
+for formats none of those cover (arithmetic-coded/lossless JPEG / MP3 /
+MP4-family video without the optional libs).  The deterministic md5 fake remains
 the correctness-oracle path — DuckDB can reproduce it, real pixel math
 it can't.
 
@@ -269,7 +269,8 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     Pillow when importable (any format it knows); otherwise the
     stdlib paths (full static PNG above, baseline JPEG in
     ``operators/jpeg.py``).  Raises ``NotImplementedError`` only when
-    none covers the payload (e.g. progressive JPEG without Pillow)."""
+    none covers the payload (e.g. arithmetic-coded JPEG without
+    Pillow)."""
     try:
         import io
 

@@ -360,3 +360,228 @@ def _write_block(
     if last_nz < 63:
         code, ln = ac_tab[0x00]  # EOB
         w.write(code, ln)
+
+
+# --- progressive (SOF2) encoder ----------------------------------------------
+
+
+def _enc_ac_first_block(w, zz, ss, se, al, tab) -> None:
+    """First AC scan of a band, per-block EOB (eobrun == 1 everywhere —
+    valid, and keeps the encoder simple)."""
+    r = 0
+    for k in range(ss, se + 1):
+        raw = int(zz[k])
+        v = (abs(raw) >> al) * (1 if raw >= 0 else -1)
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = tab[0xF0]
+            w.write(code, ln)
+            r -= 16
+        s = _category(v)
+        code, ln = tab[(r << 4) | s]
+        w.write(code, ln)
+        w.write(_magnitude_bits(v, s), s)
+        r = 0
+    if r:
+        code, ln = tab[0x00]
+        w.write(code, ln)
+
+
+def _enc_ac_refine_block(w, zz, ss, se, al, tab) -> None:
+    """AC refinement (T.81 G.1.2.3): runs count zero-history positions,
+    nonzero-history positions queue correction bits that flush after
+    the next emitted code; per-block EOB carries trailing corrections."""
+    r = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        if t == 0:
+            r += 1
+            continue
+        # drain ZRLs BEFORE handling any nonzero (correction included):
+        # flushed correction bits must all lie within the decoder's
+        # 16-zero ZRL window, so pending may never straddle >15 zeros
+        while r > 15:
+            code, ln = tab[0xF0]
+            w.write(code, ln)
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+            r -= 16
+        if t > 1:  # history-nonzero at this scan: one correction bit
+            pending.append(t & 1)
+            continue
+        code, ln = tab[(r << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        code, ln = tab[0x00]
+        w.write(code, ln)
+        for b in pending:
+            w.write(b, 1)
+
+
+def jpeg_encode_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    quality: int = 90,
+    subsample_420: bool = False,
+    script: list[tuple] | None = None,
+) -> bytes:
+    """Progressive JPEG encoder over the SAME quantized coefficients as
+    the baseline encoder — so progressive and baseline decodes of the
+    same image must be pixel-identical once every script ends at Al=0.
+
+    ``script`` entries: ``(kind, comp_index_or_None, ss, se, ah, al)``
+    with kind ∈ {dc_first, dc_refine, ac_first, ac_refine}; DC scans
+    are interleaved over all components.  The default script uses both
+    spectral selection and successive approximation (the libjpeg-style
+    shape)."""
+    arr = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    ql = _quality_scale(QL, quality)
+    qc = _quality_scale(QC, quality)
+    if channels == 1:
+        planes = [(arr[:, :, 0], ql, 1, 1, 0)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample_420:
+            def down(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                p = np.pad(
+                    p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                    mode="edge",
+                )
+                return p.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+
+            planes = [
+                (y, ql, 2, 2, 0), (down(cb), qc, 1, 1, 1),
+                (down(cr), qc, 1, 1, 1),
+            ]
+        else:
+            planes = [
+                (y, ql, 1, 1, 0), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)
+            ]
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for ci, (plane, q, ch, cv, tq) in enumerate(planes):
+        bw, bh = mcux * ch, mcuy * cv
+        grid = _fdct_quant(_block_split(plane, bw, bh), q).reshape(
+            bh, bw, 64
+        )
+        cw = (width * ch + hmax - 1) // hmax
+        chh = (height * cv + vmax - 1) // vmax
+        comps.append(
+            {
+                "cid": ci + 1, "grid": grid, "h": ch, "v": cv, "tq": tq,
+                "cbx": (cw + 7) // 8, "cby": (chh + 7) // 8,
+                "tab": 0 if ci == 0 else 1,
+            }
+        )
+
+    if script is None:
+        script = [("dc_first", None, 0, 0, 0, 1)]
+        for ci in range(len(comps)):
+            script.append(("ac_first", ci, 1, 63, 0, 2))
+        for ci in range(len(comps)):
+            script.append(("ac_refine", ci, 1, 63, 2, 1))
+            script.append(("ac_refine", ci, 1, 63, 1, 0))
+        script.append(("dc_refine", None, 0, 0, 1, 0))
+
+    dc_tabs = [_encode_table(*DC_L), _encode_table(*DC_C)]
+    ac_tabs = [_encode_table(*AC_L), _encode_table(*AC_C)]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + ql[ZIGZAG].astype(np.uint8).tobytes())
+    if channels == 3:
+        out += _seg(
+            0xDB, bytes([0x01]) + qc[ZIGZAG].astype(np.uint8).tobytes()
+        )
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, len(comps)))
+    for c in comps:
+        sof += bytes([c["cid"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _seg(0xC2, bytes(sof))
+    out += _seg(0xC4, bytes([0x00]) + DC_L[0] + DC_L[1])
+    out += _seg(0xC4, bytes([0x10]) + AC_L[0] + AC_L[1])
+    if channels == 3:
+        out += _seg(0xC4, bytes([0x01]) + DC_C[0] + DC_C[1])
+        out += _seg(0xC4, bytes([0x11]) + AC_C[0] + AC_C[1])
+
+    for kind, ci, ss, se, ah, al in script:
+        w = _BitWriter()
+        if kind in ("dc_first", "dc_refine"):
+            sos = bytearray([len(comps)])
+            for c in comps:
+                sos += bytes([c["cid"], (c["tab"] << 4) | 0])
+            sos += bytes([ss, se, (ah << 4) | al])
+            if kind == "dc_first":
+                pred = [0] * len(comps)
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for i, c in enumerate(comps):
+                            tab = dc_tabs[c["tab"]]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    dc = int(
+                                        c["grid"][
+                                            my * c["v"] + by,
+                                            mx * c["h"] + bx, 0,
+                                        ]
+                                    ) >> al
+                                    diff = dc - pred[i]
+                                    pred[i] = dc
+                                    s = _category(diff)
+                                    code, ln = tab[s]
+                                    w.write(code, ln)
+                                    if s:
+                                        w.write(_magnitude_bits(diff, s), s)
+            else:  # dc_refine: one two's-complement bit per block
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for c in comps:
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    dc = int(
+                                        c["grid"][
+                                            my * c["v"] + by,
+                                            mx * c["h"] + bx, 0,
+                                        ]
+                                    )
+                                    w.write((dc >> al) & 1, 1)
+        else:  # AC scans: single component, raster over ITS grid
+            c = comps[ci]
+            sos = bytearray([1])
+            sos += bytes([c["cid"], (0 << 4) | c["tab"]])
+            sos += bytes([ss, se, (ah << 4) | al])
+            tab = ac_tabs[c["tab"]]
+            for by in range(c["cby"]):
+                for bx in range(c["cbx"]):
+                    zz = c["grid"][by, bx]
+                    if kind == "ac_first":
+                        _enc_ac_first_block(w, zz, ss, se, al, tab)
+                    else:
+                        _enc_ac_refine_block(w, zz, ss, se, al, tab)
+        w.flush()
+        out += _seg(0xDA, bytes(sos))
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -92,11 +92,12 @@ def test_restart_intervals_do_not_change_pixels():
     assert plain["pixels"] == rst["pixels"]
 
 
-def test_progressive_raises_not_implemented():
-    # SOI + minimal SOF2 header: the explicit unsupported-format guard
+def test_unsupported_sof_raises_not_implemented():
+    # SOI + minimal SOF9 (arithmetic-coded) header: the explicit
+    # unsupported-format guard (progressive SOF2 decodes for real now)
     payload = (
         b"\xff\xd8"
-        + b"\xff\xc2"
+        + b"\xff\xc9"
         + (11 + 3).to_bytes(2, "big")
         + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
         + bytes([1, 1, 0x11, 0])
@@ -199,3 +200,106 @@ def test_grayscale_with_declared_sampling_factors_is_noninterleaved():
     d = jpeg_decode(jpeg_encode(px2, 21, 13, 1, quality=92, gray_hv=(2, 2)))
     assert (d["width"], d["height"]) == (21, 13)
     assert _maxerr(px2, d["pixels"]) <= 10
+
+
+# --- progressive (SOF2) ------------------------------------------------------
+
+from jpeg_ref import jpeg_encode_progressive  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub420",
+    [(32, 24, 1, False), (24, 16, 3, False), (21, 13, 3, True)],
+)
+def test_progressive_matches_baseline_pixels(w, h, ch, sub420):
+    """Progressive and baseline encodes share the exact same quantized
+    coefficients, so once every successive-approximation script ends at
+    Al=0 the decodes must be PIXEL-IDENTICAL — spectral selection, DC
+    two's-complement refinement, and the AC correction-bit protocol all
+    reconstruct the full coefficients."""
+    px = _gradient(h, w, ch)
+    base = jpeg_decode(
+        jpeg_encode(px, w, h, ch, quality=85, subsample_420=sub420)
+    )
+    prog = jpeg_decode(
+        jpeg_encode_progressive(
+            px, w, h, ch, quality=85, subsample_420=sub420
+        )
+    )
+    assert (prog["width"], prog["height"], prog["channels"]) == (w, h, ch)
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_progressive_spectral_selection_only():
+    """A script with NO successive approximation (Ah=Al=0 everywhere,
+    bands split 1-5 / 6-63) — the multi-scan accumulation alone."""
+    px = _gradient(16, 16, 1)
+    script = [
+        ("dc_first", None, 0, 0, 0, 0),
+        ("ac_first", 0, 1, 5, 0, 0),
+        ("ac_first", 0, 6, 63, 0, 0),
+    ]
+    base = jpeg_decode(jpeg_encode(px, 16, 16, 1, quality=85))
+    prog = jpeg_decode(
+        jpeg_encode_progressive(px, 16, 16, 1, quality=85, script=script)
+    )
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_progressive_deep_successive_approximation():
+    """Three AC refinement levels (Al 3→2→1→0) and two DC levels on a
+    busy image: every refinement bit must land, including ZRL runs over
+    zero-history positions and correction bits inside EOB skips."""
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(24, 24), dtype=np.uint8).tobytes()
+    script = [
+        ("dc_first", None, 0, 0, 0, 1),
+        ("ac_first", 0, 1, 63, 0, 3),
+        ("ac_refine", 0, 1, 63, 3, 2),
+        ("ac_refine", 0, 1, 63, 2, 1),
+        ("ac_refine", 0, 1, 63, 1, 0),
+        ("dc_refine", None, 0, 0, 1, 0),
+    ]
+    base = jpeg_decode(jpeg_encode(px, 24, 24, 1, quality=75))
+    prog = jpeg_decode(
+        jpeg_encode_progressive(px, 24, 24, 1, quality=75, script=script)
+    )
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_progressive_decode_image_dispatch():
+    px = _gradient(8, 8, 3)
+    d = multimodal.decode_image(
+        jpeg_encode_progressive(px, 8, 8, 3, quality=95)
+    )
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 3)
+    assert _maxerr(px, d["pixels"]) <= 12
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 33),
+    h=st.integers(1, 33),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(70, 95),
+    sub420=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_equals_baseline_property(w, h, ch, quality, sub420, seed):
+    """Identity, not tolerance: for ANY image (random noise included),
+    geometry, and quality, the progressive decode equals the baseline
+    decode byte-for-byte — both encode the same quantized coefficients,
+    so any divergence is a real multi-scan reconstruction bug."""
+    if sub420 and ch == 1:
+        sub420 = False
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+    base = jpeg_decode(
+        jpeg_encode(px, w, h, ch, quality=quality, subsample_420=sub420)
+    )
+    prog = jpeg_decode(
+        jpeg_encode_progressive(
+            px, w, h, ch, quality=quality, subsample_420=sub420
+        )
+    )
+    assert prog["pixels"] == base["pixels"]
