@@ -322,3 +322,33 @@ def test_resize_image_real_on_gif_payload():
     )
     d = multimodal.decode_image(out)
     assert (d["width"], d["height"], d["channels"]) == (4, 4, 3)
+
+
+# --- property test: lossless indexed round-trip ------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    interlace=st.booleans(),
+    n_colors=st.sampled_from([2, 4, 8]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, interlace, n_colors, seed):
+    """GIF is lossless indexed color: any geometry (1px edges, odd
+    dims with ragged interlace passes), palette size, and random
+    content must round-trip to exact palette-mapped pixels."""
+    rng = np.random.RandomState(seed)
+    gct = bytes(rng.randint(0, 256, 3 * n_colors).astype(np.uint8))
+    idx = rng.randint(0, n_colors, (h, w)).astype(np.uint8)
+    d = gif.gif_decode(
+        gif_write([{"idx": idx, "interlace": interlace}], w, h, gct)
+    )
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3)
+    pal = np.frombuffer(gct, np.uint8).reshape(-1, 3)
+    assert (got == pal[idx]).all()

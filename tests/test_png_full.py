@@ -212,3 +212,49 @@ def test_16bit_trns_matches_full_precision_not_high_byte():
     )
     got2 = np.frombuffer(near["pixels"], np.uint8).reshape(1, 2, 2)
     assert (got2[:, :, 1] == 255).all()  # high-byte collision stays opaque
+
+
+# --- property test: lossless round-trip over the static format space ---------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ctype=st.sampled_from([0, 2, 3, 4, 6]),
+    depth_sel=st.integers(0, 3),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ctype, depth_sel, interlace, seed):
+    """PNG is lossless: any geometry, color type, legal sub-16 depth,
+    and interlace mode round-trips exactly (sub-byte gray compares on
+    the defined 255/(2^d−1) scaling; palette on the mapped colors)."""
+    rng = np.random.RandomState(seed)
+    depths = [1, 2, 4, 8] if ctype in (0, 3) else [8]
+    depth = depths[depth_sel % len(depths)]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    hi = (1 << depth) - 1
+    img = rng.randint(0, hi + 1, (h, w, ch)).astype(np.uint8)
+    plte = None
+    if ctype == 3:
+        plte = bytes(rng.randint(0, 256, 3 * (hi + 1)).astype(np.uint8))
+    d = multimodal._png_decode(
+        png_write(
+            img if ch > 1 else img[:, :, 0], depth, ctype, plte=plte,
+            interlace=1 if interlace else 0,
+        )
+    )
+    out_ch = 3 if ctype == 3 else ch
+    assert (d["width"], d["height"], d["channels"]) == (w, h, out_ch)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, out_ch)
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        assert (got == pal[img[:, :, 0]]).all()
+    elif depth < 8:
+        assert (got[:, :, 0] == img[:, :, 0].astype(np.uint16) * 255 // hi).all()
+    else:
+        assert (got == img).all()
