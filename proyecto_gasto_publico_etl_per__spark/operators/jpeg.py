@@ -171,11 +171,13 @@ def _decode_block(
 
 
 def jpeg_decode(payload: bytes) -> dict[str, Any]:
-    """Decode a baseline JPEG to ``{width, height, channels, pixels}``
-    (row-major interleaved 8-bit bytes — same contract as
-    ``multimodal._png_decode``).  Grayscale (1 component) and JFIF
-    YCbCr (3 components, any integer-ratio subsampling incl. 4:2:0 and
-    4:2:2) are supported."""
+    """Decode a baseline, extended-sequential, or PROGRESSIVE JPEG to
+    ``{width, height, channels, pixels}`` (row-major interleaved 8-bit
+    bytes — same contract as ``multimodal._png_decode``).  Grayscale
+    (1 component) and JFIF YCbCr (3 components, any integer-ratio
+    subsampling incl. 4:2:0 and 4:2:2) are supported; progressive
+    streams accumulate coefficients across scans and assemble once at
+    EOI."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -545,6 +547,21 @@ def _decode_progressive_scan(
     geo = _geometry(frame)
     bits = _Bits(parts[0])
     part_idx = 0
+
+    def next_part(i: int) -> _Bits:
+        if i >= len(parts):  # same contract as the baseline path
+            raise ValueError("JPEG truncated: missing restart interval")
+        return _Bits(parts[i])
+
+    def table(tc: int, th: int) -> dict:
+        t = huff.get((tc, th))
+        if t is None:
+            raise ValueError(
+                f"JPEG scan references undefined Huffman table "
+                f"(class {tc}, id {th})"
+            )
+        return t
+
     if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("progressive DC scan with se != 0")
@@ -557,7 +574,7 @@ def _decode_progressive_scan(
         for u in range(units):
             if restart_interval and u and u % restart_interval == 0:
                 part_idx += 1
-                bits = _Bits(parts[part_idx])
+                bits = next_part(part_idx)
                 dc_pred = {cs: 0 for cs, _, _ in scan_comps}
             for cs, td, _ta in scan_comps:
                 g = geo["comps"][cs]
@@ -573,7 +590,7 @@ def _decode_progressive_scan(
                 for by, bx in blocks:
                     coef = grids[cs][by, bx]
                     if ah == 0:
-                        s = _huff_decode(bits, huff[(0, td)])
+                        s = _huff_decode(bits, table(0, td))
                         diff = bits.extend(s) if s else 0
                         dc_pred[cs] += diff
                         coef[0] = dc_pred[cs] << al
@@ -587,14 +604,14 @@ def _decode_progressive_scan(
         raise ValueError("progressive AC scan must be single-component")
     cs, _td, ta = scan_comps[0]
     g = geo["comps"][cs]
-    act = huff[(1, ta)]
+    act = table(1, ta)
     eobrun = 0
     u = 0
     for by in range(g["cby"]):
         for bx in range(g["cbx"]):
             if restart_interval and u and u % restart_interval == 0:
                 part_idx += 1
-                bits = _Bits(parts[part_idx])
+                bits = next_part(part_idx)
                 eobrun = 0
             coef = grids[cs][by, bx]
             if ah == 0:

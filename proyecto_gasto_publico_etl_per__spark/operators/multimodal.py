@@ -267,7 +267,7 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     (``pixels`` = row-major interleaved 8-bit bytes).
 
     Pillow when importable (any format it knows); otherwise the
-    stdlib paths (full static PNG above, baseline JPEG in
+    stdlib paths (full static PNG above, baseline + progressive JPEG in
     ``operators/jpeg.py``).  Raises ``NotImplementedError`` only when
     none covers the payload (e.g. arithmetic-coded JPEG without
     Pillow)."""
@@ -670,7 +670,13 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
     def real_frames(p: bytes) -> list[bytes] | None:
         """Per-payload container walk, run ONCE per row: a list of
         standalone frame payloads, or None → span-slicing fallback.
-        Any parse failure quarantines to None rather than raising."""
+        Any failure quarantines to None rather than raising — BOTH
+        corrupt payloads (ValueError) and valid payloads hitting an
+        unsupported feature (NotImplementedError, e.g. GIF disposal 3):
+        bulk ingest must never abort on one row, so the loud-guard
+        contract belongs to the direct ``gif_frames``/``decode_image``
+        calls, and here unsupported degrades to the deterministic
+        fallback like any other undecodable payload."""
         try:
             if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
                 return _avi_mjpeg_frames(p) or None
@@ -701,12 +707,15 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             ]
             if video.empty:
                 continue
-            cache = [real_frames(bytes(p)) for p in video["payload"]]
+            # one bytes() conversion AND one container walk per row —
+            # the n_frames repetition only indexes the caches
+            pays = [bytes(p) for p in video["payload"]]
+            cache = [real_frames(p) for p in pays]
             rep = video.loc[video.index.repeat(n_frames)]
             idx = list(range(n_frames)) * len(video)
             frames = [
-                frame_at(bytes(p), cache[r // n_frames], i)
-                for r, (p, i) in enumerate(zip(rep["payload"], idx))
+                frame_at(pays[r // n_frames], cache[r // n_frames], i)
+                for r, i in enumerate(idx)
             ]
             out = pd.DataFrame(
                 {

@@ -435,6 +435,8 @@ def jpeg_encode_progressive(
     quality: int = 90,
     subsample_420: bool = False,
     script: list[tuple] | None = None,
+    eob_runs: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG encoder over the SAME quantized coefficients as
     the baseline encoder — so progressive and baseline decodes of the
@@ -507,7 +509,12 @@ def jpeg_encode_progressive(
         script.append(("dc_refine", None, 0, 0, 1, 0))
 
     dc_tabs = [_encode_table(*DC_L), _encode_table(*DC_C)]
-    ac_tabs = [_encode_table(*AC_L), _encode_table(*AC_C)]
+    if eob_runs:
+        # cross-block EOB runs need the EOBn symbols (libjpeg's real
+        # shape); the annex-K tables only carry EOB0
+        ac_tabs = [_encode_table(*AC_PROG)] * 2
+    else:
+        ac_tabs = [_encode_table(*AC_L), _encode_table(*AC_C)]
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -521,67 +528,203 @@ def jpeg_encode_progressive(
         sof += bytes([c["cid"], (c["h"] << 4) | c["v"], c["tq"]])
     out += _seg(0xC2, bytes(sof))
     out += _seg(0xC4, bytes([0x00]) + DC_L[0] + DC_L[1])
-    out += _seg(0xC4, bytes([0x10]) + AC_L[0] + AC_L[1])
+    ac_l, ac_c = (AC_PROG, AC_PROG) if eob_runs else (AC_L, AC_C)
+    out += _seg(0xC4, bytes([0x10]) + ac_l[0] + ac_l[1])
     if channels == 3:
         out += _seg(0xC4, bytes([0x01]) + DC_C[0] + DC_C[1])
-        out += _seg(0xC4, bytes([0x11]) + AC_C[0] + AC_C[1])
+        out += _seg(0xC4, bytes([0x11]) + ac_c[0] + ac_c[1])
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
 
     for kind, ci, ss, se, ah, al in script:
+        body = bytearray()
         w = _BitWriter()
+        rst = 0
+
+        def restart(flush_run=None, tab=None):
+            nonlocal w, rst
+            if flush_run is not None:
+                flush_run.flush(w, tab)
+            w.flush()
+            body.extend(w.out)
+            body.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            w = _BitWriter()
+
         if kind in ("dc_first", "dc_refine"):
             sos = bytearray([len(comps)])
             for c in comps:
                 sos += bytes([c["cid"], (c["tab"] << 4) | 0])
             sos += bytes([ss, se, (ah << 4) | al])
-            if kind == "dc_first":
-                pred = [0] * len(comps)
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        for i, c in enumerate(comps):
-                            tab = dc_tabs[c["tab"]]
-                            for by in range(c["v"]):
-                                for bx in range(c["h"]):
-                                    dc = int(
-                                        c["grid"][
-                                            my * c["v"] + by,
-                                            mx * c["h"] + bx, 0,
-                                        ]
-                                    ) >> al
-                                    diff = dc - pred[i]
-                                    pred[i] = dc
-                                    s = _category(diff)
-                                    code, ln = tab[s]
-                                    w.write(code, ln)
-                                    if s:
-                                        w.write(_magnitude_bits(diff, s), s)
-            else:  # dc_refine: one two's-complement bit per block
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        for c in comps:
-                            for by in range(c["v"]):
-                                for bx in range(c["h"]):
-                                    dc = int(
-                                        c["grid"][
-                                            my * c["v"] + by,
-                                            mx * c["h"] + bx, 0,
-                                        ]
-                                    )
-                                    w.write((dc >> al) & 1, 1)
+            pred = [0] * len(comps)
+            for u in range(mcuy * mcux):
+                if restart_interval and u and u % restart_interval == 0:
+                    restart()
+                    pred = [0] * len(comps)
+                my, mx = divmod(u, mcux)
+                for i, c in enumerate(comps):
+                    tab = dc_tabs[c["tab"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc = int(
+                                c["grid"][
+                                    my * c["v"] + by, mx * c["h"] + bx, 0
+                                ]
+                            )
+                            if kind == "dc_first":
+                                d = (dc >> al) - pred[i]
+                                pred[i] = dc >> al
+                                s = _category(d)
+                                code, ln = tab[s]
+                                w.write(code, ln)
+                                if s:
+                                    w.write(_magnitude_bits(d, s), s)
+                            else:  # one two's-complement bit per block
+                                w.write((dc >> al) & 1, 1)
         else:  # AC scans: single component, raster over ITS grid
             c = comps[ci]
             sos = bytearray([1])
             sos += bytes([c["cid"], (0 << 4) | c["tab"]])
             sos += bytes([ss, se, (ah << 4) | al])
             tab = ac_tabs[c["tab"]]
+            run = _RunState()
+            u = 0
             for by in range(c["cby"]):
                 for bx in range(c["cbx"]):
+                    if (
+                        restart_interval
+                        and u
+                        and u % restart_interval == 0
+                    ):
+                        restart(flush_run=run, tab=tab)
                     zz = c["grid"][by, bx]
-                    if kind == "ac_first":
+                    if eob_runs:
+                        if kind == "ac_first":
+                            _enc_ac_first_runs(w, zz, ss, se, al, tab, run)
+                        else:
+                            _enc_ac_refine_runs(w, zz, ss, se, al, tab, run)
+                    elif kind == "ac_first":
                         _enc_ac_first_block(w, zz, ss, se, al, tab)
                     else:
                         _enc_ac_refine_block(w, zz, ss, se, al, tab)
+                    u += 1
+            run.flush(w, tab)
         w.flush()
+        body.extend(w.out)
         out += _seg(0xDA, bytes(sos))
-        out += w.out
+        out += body
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- progressive with TRUE cross-block EOB runs + restart intervals ----------
+# The annex-K AC tables carry only EOB0 (0x00), so a run-capable scan
+# needs a custom table with the EOBn symbols libjpeg actually emits.
+
+#: canonical table: 176 symbols, all length 8 — EOBn (r 0..14), ZRL,
+#: and (run, size) for sizes 1..10
+_AC_PROG_SYMS = bytes(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+AC_PROG = (
+    bytes([0] * 7 + [len(_AC_PROG_SYMS)] + [0] * 8),
+    _AC_PROG_SYMS,
+)
+
+
+class _RunState:
+    """Cross-block EOB-run accumulator for one AC scan (first or
+    refinement): ``n`` pending blocks, ``bits`` the correction bits
+    queued during the run (refinement only)."""
+
+    def __init__(self) -> None:
+        self.n = 0
+        self.bits: list[int] = []
+
+    def flush(self, w: _BitWriter, tab) -> None:
+        if self.n == 0:
+            return
+        r = self.n.bit_length() - 1
+        extra = self.n - (1 << r)
+        code, ln = tab[r << 4]
+        w.write(code, ln)
+        if r:
+            w.write(extra, r)
+        for b in self.bits:
+            w.write(b, 1)
+        self.n = 0
+        self.bits = []
+
+
+def _enc_ac_first_runs(w, zz, ss, se, al, tab, run: _RunState) -> None:
+    vals = [
+        (abs(int(zz[k])) >> al) * (1 if int(zz[k]) >= 0 else -1)
+        for k in range(ss, se + 1)
+    ]
+    if not any(vals):
+        run.n += 1
+        if run.n == 32767:
+            run.flush(w, tab)
+        return
+    run.flush(w, tab)
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    r = 0
+    for v in vals[: last_nz + 1]:
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = tab[0xF0]
+            w.write(code, ln)
+            r -= 16
+        s = _category(v)
+        code, ln = tab[(r << 4) | s]
+        w.write(code, ln)
+        w.write(_magnitude_bits(v, s), s)
+        r = 0
+    if last_nz < len(vals) - 1:
+        run.n = 1  # this block ends in EOB; following zero blocks join
+
+
+def _enc_ac_refine_runs(w, zz, ss, se, al, tab, run: _RunState) -> None:
+    ts = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    if 1 not in ts:  # corrections only: join/start the EOB run
+        run.n += 1
+        run.bits.extend(t & 1 for t in ts if t > 1)
+        if run.n == 32767:
+            run.flush(w, tab)
+        return
+    run.flush(w, tab)
+    last_new = max(i for i, t in enumerate(ts) if t == 1)
+    r = 0
+    pending: list[int] = []
+    for i in range(last_new + 1):
+        t = ts[i]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = tab[0xF0]
+            w.write(code, ln)
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+            r -= 16
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        k = ss + i
+        code, ln = tab[(r << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        r = 0
+    tail = [t & 1 for t in ts[last_new + 1 :] if t > 1]
+    if ts[last_new + 1 :] or pending or tail:
+        # block ends in EOB carrying the leftover corrections
+        run.n = 1
+        run.bits = pending + tail

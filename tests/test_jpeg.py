@@ -303,3 +303,79 @@ def test_progressive_equals_baseline_property(w, h, ch, quality, sub420, seed):
         )
     )
     assert prog["pixels"] == base["pixels"]
+
+
+def _sparse(h: int, w: int) -> bytes:
+    """Mostly-flat image with a few isolated features: most blocks have
+    an all-zero AC band, so cross-block EOB runs actually form."""
+    img = np.full((h, w), 128, np.uint8)
+    for i in range(0, h, 19):
+        for j in range(0, w, 23):
+            img[i, j] = 250
+    return img.tobytes()
+
+
+def test_progressive_cross_block_eob_runs_match_baseline():
+    """True EOBn runs (libjpeg's real shape — the annex-K tables can't
+    even express them, so this uses a custom DHT): first AND refinement
+    scans accumulate runs across blocks, with run-carried correction
+    bits, and still reconstruct the exact baseline pixels."""
+    for w, h in ((64, 48), (41, 27)):
+        px = _sparse(h, w)
+        base = jpeg_decode(jpeg_encode(px, w, h, 1, quality=85))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(px, w, h, 1, quality=85, eob_runs=True)
+        )
+        assert prog["pixels"] == base["pixels"], (w, h)
+
+
+def test_progressive_restart_intervals_match_baseline():
+    """Per-scan restart markers: DC predictor and EOB-run resets at
+    interval boundaries, with the run flushed BEFORE each RST."""
+    px = _sparse(48, 64)
+    base = jpeg_decode(jpeg_encode(px, 64, 48, 1, quality=85))
+    for eob in (False, True):
+        prog = jpeg_decode(
+            jpeg_encode_progressive(
+                px, 64, 48, 1, quality=85, eob_runs=eob,
+                restart_interval=3,
+            )
+        )
+        assert prog["pixels"] == base["pixels"], f"eob_runs={eob}"
+
+
+def test_progressive_color_eob_runs_and_restarts():
+    px = _gradient(32, 48, 3)
+    base = jpeg_decode(jpeg_encode(px, 48, 32, 3, quality=85))
+    prog = jpeg_decode(
+        jpeg_encode_progressive(
+            px, 48, 32, 3, quality=85, eob_runs=True, restart_interval=2
+        )
+    )
+    assert prog["pixels"] == base["pixels"]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    quality=st.integers(70, 95),
+    dri=st.sampled_from([0, 1, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_eob_runs_property(w, h, quality, dri, seed):
+    """EOB-run + restart identity over random sparse images (random
+    dot positions create irregular run lengths and mid-run restarts)."""
+    rng = np.random.RandomState(seed)
+    img = np.full((h, w), 100, np.uint8)
+    for _ in range(4):
+        img[rng.randint(h), rng.randint(w)] = rng.randint(200, 256)
+    px = img.tobytes()
+    base = jpeg_decode(jpeg_encode(px, w, h, 1, quality=quality))
+    prog = jpeg_decode(
+        jpeg_encode_progressive(
+            px, w, h, 1, quality=quality, eob_runs=True,
+            restart_interval=dri,
+        )
+    )
+    assert prog["pixels"] == base["pixels"]

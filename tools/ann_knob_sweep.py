@@ -181,6 +181,9 @@ def _write_manifest_ladder(
         residual=manifest.get("residual", False),
     )
     manifest["recall_ladder"] = ladder
+    # self-describing write-back: if the ladder was measured at the CLI
+    # fallback rerank (pre-rerank manifest), record which knob it was
+    manifest.setdefault("rerank", rerank)
     model_store.save_model(
         spark, f"{base}/manifest", "ivf_pq_manifest", manifest
     )
