@@ -303,75 +303,37 @@ def _decode_scan(
     huff: dict,
     restart_interval: int,
 ) -> dict[int, np.ndarray]:
-    """Entropy-decode the scan into per-component planes at their
-    subsampled resolution (float64, level-shifted to [0, 255]).
-
-    A SINGLE-component scan is NON-interleaved per T.81 §A.2.2: the MCU
-    is one data unit and blocks run in raster order over the
-    component's own grid, with its SOF sampling factors ignored — a
-    grayscale JPEG that kept 2×2 factors from a color source would
-    otherwise be consumed in 2×2-MCU order and silently scramble."""
-    comps = frame["comps"]
-    if len(comps) == 1:
-        comps = [dict(comps[0], h=1, v=1)]
-        frame = dict(frame, comps=comps)
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    """Entropy-decode the baseline scan into the per-component
+    coefficient store, then assemble planes — geometry and assembly are
+    shared with the progressive path (``_geometry`` owns the T.81
+    §A.2.2 single-component normalization, ``_assemble_planes`` the
+    dequantize/IDCT/upsample/crop), so the two decode modes cannot
+    drift apart."""
+    geo = _geometry(frame)
+    grids = _init_grids(frame)
     parts, _ = _destuff_split(payload[pos:])
-
-    # per component: collected zigzag coefficient blocks, MCU-ordered
-    blocks: dict[int, list[np.ndarray]] = {c["id"]: [] for c in comps}
-    dc_pred = {c["id"]: 0 for c in comps}
+    cids = [c["id"] for c in frame["comps"]]
+    dc_pred = {cid: 0 for cid in cids}
     part_idx = 0
     bits = _Bits(parts[0])
-    for m in range(mcux * mcuy):
+    for m in range(geo["mcux"] * geo["mcuy"]):
         if restart_interval and m and m % restart_interval == 0:
             part_idx += 1
             if part_idx >= len(parts):
                 raise ValueError("JPEG truncated: missing restart interval")
             bits = _Bits(parts[part_idx])
-            dc_pred = {c["id"]: 0 for c in comps}
-        for c in comps:
-            td, ta = scan_tabs[c["id"]]
-            for _ in range(c["h"] * c["v"]):
-                zz = _decode_block(bits, huff[(0, td)], huff[(1, ta)])
-                dc_pred[c["id"]] += int(zz[0])
-                zz[0] = dc_pred[c["id"]]
-                blocks[c["id"]].append(zz)
-
-    planes: dict[int, np.ndarray] = {}
-    for c in comps:
-        q = qt[c["tq"]]
-        zz = np.stack(blocks[c["id"]])  # [nblocks, 64] zigzag order
-        nat = np.zeros_like(zz)
-        nat[:, ZIGZAG] = zz * q[None, :]  # dequantize + un-zigzag
-        f = nat.reshape(-1, 8, 8).astype(np.float64)
-        # batch IDCT: pix[n,x,y] = Σ_u Σ_v C[u,x]·F[n,u,v]·C[v,y]
-        pix = np.einsum("ux,nuv,vy->nxy", _C, f, _C) + 128.0
-        # reassemble MCU-ordered blocks into the component plane
-        bw, bh = mcux * c["h"], mcuy * c["v"]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        i = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = pix[i]
-                        i += 1
-        # integer-ratio upsample to the full-resolution grid
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry * c["v"] != vmax or rx * c["h"] != hmax:
-            raise NotImplementedError(
-                "non-integer JPEG chroma subsampling ratio needs Pillow"
-            )
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes[c["id"]] = plane[: frame["h"], : frame["w"]]
-    return planes
+            dc_pred = {cid: 0 for cid in cids}
+        my, mx = divmod(m, geo["mcux"])
+        for cid in cids:
+            g = geo["comps"][cid]
+            td, ta = scan_tabs[cid]
+            for by in range(g["v"]):
+                for bx in range(g["h"]):
+                    zz = _decode_block(bits, huff[(0, td)], huff[(1, ta)])
+                    dc_pred[cid] += int(zz[0])
+                    zz[0] = dc_pred[cid]
+                    grids[cid][my * g["v"] + by, mx * g["h"] + bx] = zz
+    return _assemble_planes(frame, grids, qt)
 
 
 def _to_pixels(frame: dict, planes: dict[int, np.ndarray]) -> dict[str, Any]:
