@@ -104,6 +104,11 @@ def _write_subframe(
             w.write(v, eb)
         return
     order = {"fixed0": 0, "fixed1": 1, "fixed2": 2, "lpc1": 1}[mode]
+    if order >= len(vals):
+        raise ValueError(
+            f"predictor order {order} needs a block longer than "
+            f"{len(vals)} samples (no real encoder emits this)"
+        )
     for v in vals[:order]:
         w.write(v, eb)
     if mode == "lpc1":  # trivial LPC: pred = 1 * prev >> 0 ≡ fixed order 1
