@@ -167,6 +167,14 @@ def main(argv: list[str] | None = None) -> None:
     asr.add_argument("--k", type=int, default=5)
     asr.add_argument("--nprobe", type=int, default=4)
     asr.add_argument("--rerank", type=int, default=8)
+    asr.add_argument(
+        "--target-recall",
+        type=float,
+        default=None,
+        help="resolve nprobe from the index manifest's MEASURED recall "
+             "ladder instead of --nprobe (write the ladder with "
+             "tools/ann_knob_sweep.py --write-manifest)",
+    )
 
     dfz = sub.add_parser(
         "drift-freeze",
@@ -372,11 +380,26 @@ def main(argv: list[str] | None = None) -> None:
             (int(c), [float(x) for x in v]) for c, v in pairs_payload
         ]
         cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+        nprobe = args.nprobe
+        if args.target_recall is not None:
+            ladder = manifest.get("recall_ladder")
+            if not ladder:
+                raise SystemExit(
+                    "--target-recall needs a measured recall_ladder in "
+                    "the index manifest; write one with "
+                    "tools/ann_knob_sweep.py --write-manifest "
+                    f"{base}"
+                )
+            nprobe = similarity.resolve_nprobe(ladder, args.target_recall)
+            print(
+                f"target_recall={args.target_recall} -> nprobe={nprobe} "
+                "(from the manifest's measured ladder)"
+            )
         result = similarity.ivf_pq_search(
             emb,
             emb.filter(F.col("vec_id").isin(*args.query_ids)),
             k=args.k,
-            nprobe=args.nprobe,
+            nprobe=nprobe,
             m=manifest["m"],
             n_codes=manifest["n_codes"],
             rerank=args.rerank,

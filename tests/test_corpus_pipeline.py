@@ -431,3 +431,63 @@ def test_cli_drift_lifecycle(spark, tmp_path, capsys):
     ).collect()[0]
     assert row["chi2_micro"] == 0  # self-score is exactly zero
     assert str(row["n_tokens"]) in printed and "|0" in printed
+
+
+def test_cli_ann_search_target_recall(spark, tmp_path, capsys):
+    """The full autotune lifecycle through public surfaces: CLI index
+    build → knob-sweep tool measures the ladder into the manifest
+    (preserving the CLI's manifest kind) → ann-search --target-recall
+    resolves nprobe from measurement.  Without a ladder the flag fails
+    loudly with the remedy."""
+    import sys as _sys
+
+    import pytest
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.operators import (
+        model_store,
+        similarity,
+    )
+
+    idx = str(tmp_path / "annidx2")
+    cli.main(
+        ["ann-build-index", SF_SMOKE, idx, "--n-centroids", "8",
+         "--m", "4", "--n-codes", "8"]
+    )
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="recall_ladder"):
+        cli.main(
+            ["ann-search", SF_SMOKE, idx, "3", "--k", "3",
+             "--target-recall", "0.5"]
+        )
+
+    # measure the ladder with the sweep tool's manifest mode
+    import tools.ann_knob_sweep as sweep
+
+    old_argv = _sys.argv
+    try:
+        _sys.argv = [
+            "ann_knob_sweep.py", SF_SMOKE, "--grid", "8:1,8:2,8:4",
+            "--write-manifest", idx,
+        ]
+        sweep.main()
+    finally:
+        _sys.argv = old_argv
+    capsys.readouterr()
+    manifest, _ = model_store.load_model(
+        spark, f"{idx}/manifest", "ann_index_manifest"  # kind preserved
+    )
+    ladder = manifest["recall_ladder"]
+    assert [p["nprobe"] for p in ladder] == [1, 2, 4]
+    assert manifest["m"] == 4  # geometry came from the manifest
+    assert "rerank" in manifest  # write-back is self-describing
+
+    target = ladder[0]["recall_at_k"]
+    knee = similarity.resolve_nprobe(ladder, target)
+    cli.main(
+        ["ann-search", SF_SMOKE, idx, "3", "--k", "3",
+         "--target-recall", str(target)]
+    )
+    out = capsys.readouterr().out
+    assert f"nprobe={knee}" in out
+    assert "from the manifest's measured ladder" in out

@@ -153,12 +153,18 @@ def _write_manifest_ladder(
     )
     pairs = [(int(c), [float(x) for x in v]) for c, v in payload]
     cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+    # both manifest kinds exist in the wild: the serving split writes
+    # "ivf_pq_manifest", the ann-build-index CLI "ann_index_manifest" —
+    # load WITHOUT a kind assertion (geometry fields are shared) and
+    # preserve the original kind on write-back so later loads that DO
+    # assert keep working
     try:
-        manifest, _ = model_store.load_model(
-            spark, f"{base}/manifest", "ivf_pq_manifest"
-        )
+        manifest, _ = model_store.load_model(spark, f"{base}/manifest")
+        row = spark.read.parquet(f"{base}/manifest").collect()[0]
+        kind = row.kind
     except Exception:
         manifest = {"residual": False, "m": 16, "n_codes": 16}
+        kind = "ivf_pq_manifest"
     index = (
         spark.read.parquet(f"{base}/index_assigned"),
         spark.read.parquet(f"{base}/index_codes"),
@@ -184,9 +190,7 @@ def _write_manifest_ladder(
     # self-describing write-back: if the ladder was measured at the CLI
     # fallback rerank (pre-rerank manifest), record which knob it was
     manifest.setdefault("rerank", rerank)
-    model_store.save_model(
-        spark, f"{base}/manifest", "ivf_pq_manifest", manifest
-    )
+    model_store.save_model(spark, f"{base}/manifest", kind, manifest)
     print(json.dumps({"manifest": f"{base}/manifest", "ladder": ladder}))
 
 
