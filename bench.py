@@ -148,20 +148,28 @@ FLOOR_PATH = Path(__file__).resolve().parent / "BENCH_FLOOR.json"
 
 
 def check_regressions(
-    ext_timings: dict[str, float], floor_path: Path = FLOOR_PATH
+    ext_timings: dict[str, float],
+    floor_path: Path = FLOOR_PATH,
+    lane_key: str = "extension_min_sec",
+    skip: frozenset[str] = REBUILD_LANE,
 ) -> list[dict]:
-    """Compare serving-lane extension timings against the committed
-    clean-run floor.  Returns the regression records (empty = green);
-    the caller decides how loud to be.  Floors are per-entry minimums
-    measured on a QUIET box (BENCH_NOTES discipline) — a missing floor
-    (new entry this round) is skipped, not failed, so append-only growth
-    never breaks the gate."""
+    """Compare a lane's timings against its committed clean-run floor.
+    Returns the regression records (empty = green); the caller decides
+    how loud to be.  Floors are per-entry minimums measured on a QUIET
+    box (BENCH_NOTES discipline) — a missing floor (new entry this
+    round) is skipped, not failed, so append-only growth never breaks
+    the gate.  Lanes (round-11 verdict task 2): ``extension_min_sec``
+    gates the serving extensions (``skip`` = REBUILD_LANE), and
+    ``headline_min_sec`` gates all 14 headline queries (``skip`` empty —
+    every headline query is a serving-shaped read path), so a headline
+    wobble like the r8–r10 sessionize/rollup/annual drifts surfaces as
+    a gate record instead of consuming a manual settle each round."""
     if not floor_path.exists():
         return []
-    floors = json.loads(floor_path.read_text()).get("extension_min_sec", {})
+    floors = json.loads(floor_path.read_text()).get(lane_key, {})
     out = []
     for name, sec in ext_timings.items():
-        if name in REBUILD_LANE:
+        if name in skip:
             continue
         floor = floors.get(name)
         if floor and sec > REGRESSION_FACTOR * floor:
@@ -174,6 +182,27 @@ def check_regressions(
                 }
             )
     return out
+
+
+def merge_floors(
+    prev: dict[str, float],
+    timings: dict[str, float],
+    registry_names: tuple[str, ...],
+) -> dict[str, float]:
+    """Elementwise-min floor refresh over the UNION of keys: entries
+    absent from this run keep their committed floor (dropping them
+    would silently loosen the gate — r10 ADVICE), a contended run can
+    only tighten floors never raise them, and floors for names no
+    longer in the registry are pruned so a rename can't leave a stale
+    floor behind."""
+    merged = {n: v for n, v in prev.items() if n in registry_names}
+    merged.update(
+        {
+            n: round(min(sec, prev.get(n, sec)), 4)
+            for n, sec in timings.items()
+        }
+    )
+    return merged
 
 
 def _env_versions() -> dict[str, str]:
@@ -257,7 +286,10 @@ def main() -> None:
     # full detail now goes to a committed file; stdout's FINAL line is a
     # compact headline-only JSON the driver can always capture and parse.
     regressions = check_regressions(ext_timings)
-    for r in regressions:
+    headline_regressions = check_regressions(
+        timings, lane_key="headline_min_sec", skip=frozenset()
+    )
+    for r in (*regressions, *headline_regressions):
         # loud but artifact-safe: stderr only — the driver's stdout
         # tail-capture must still see the compact JSON line
         print(
@@ -282,6 +314,7 @@ def main() -> None:
             for n in EXTENSIONS
         },
         "extension_regressions": regressions,
+        "headline_regressions": headline_regressions,
         "sf": sf,
         "env": _env_versions(),
     }
@@ -305,21 +338,28 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_FLOOR") == "1":
-        # refresh the committed floor from a QUIET-box run: elementwise
-        # min with the existing floors so a contended refresh can only
-        # tighten the gate, never loosen it
-        prev = (
-            json.loads(FLOOR_PATH.read_text()).get("extension_min_sec", {})
-            if FLOOR_PATH.exists()
-            else {}
+        # refresh the committed floors from a QUIET-box run: union-keyed
+        # elementwise min per lane (merge_floors) so a contended refresh
+        # can only tighten the gates, never loosen them
+        prev_doc = (
+            json.loads(FLOOR_PATH.read_text()) if FLOOR_PATH.exists() else {}
         )
-        merged = {
-            n: round(min(sec, prev.get(n, sec)), 4)
-            for n, sec in ext_timings.items()
-        }
         FLOOR_PATH.write_text(
             json.dumps(
-                {"extension_min_sec": merged, "sf": sf, "unit": "sec"},
+                {
+                    "extension_min_sec": merge_floors(
+                        prev_doc.get("extension_min_sec", {}),
+                        ext_timings,
+                        EXTENSIONS,
+                    ),
+                    "headline_min_sec": merge_floors(
+                        prev_doc.get("headline_min_sec", {}),
+                        timings,
+                        HEADLINE,
+                    ),
+                    "sf": sf,
+                    "unit": "sec",
+                },
                 indent=1,
                 sort_keys=True,
             )
@@ -327,7 +367,9 @@ def main() -> None:
         )
 
     print(json.dumps(compact))
-    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+    if (regressions or headline_regressions) and os.environ.get(
+        "SPARK_GRAFT_BENCH_STRICT"
+    ) == "1":
         sys.exit(1)
 
 

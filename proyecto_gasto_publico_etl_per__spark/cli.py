@@ -362,6 +362,24 @@ def main(argv: list[str] | None = None) -> None:
         n = delta.count()
         total = spark.read.parquet(f"{base}/index_assigned").count()
         print(f"appended {n} vectors → {base} (index now {total})")
+        # appends never re-measure the manifest's recall ladder — flag
+        # the moment the index outgrows the measurement so the next
+        # --target-recall serve isn't the first place it surfaces
+        try:
+            manifest, _ = model_store.load_model(spark, f"{base}/manifest")
+        except Exception:
+            manifest = {}
+        anchor = manifest.get("ladder_index_n")
+        if anchor and total > anchor * (
+            1.0 + similarity.LADDER_MAX_GROWTH_FRAC
+        ):
+            print(
+                f"NOTE: the manifest's recall ladder was measured at "
+                f"{anchor} vectors; the index now holds {total} — "
+                "--target-recall serving will refuse this stale ladder. "
+                f"Re-measure: python tools/ann_knob_sweep.py <sf_dir> "
+                f"--write-manifest {base}"
+            )
     elif args.cmd == "ann-search":
         from pyspark.sql import functions as F
 
@@ -381,6 +399,7 @@ def main(argv: list[str] | None = None) -> None:
         ]
         cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
         nprobe = args.nprobe
+        k, rerank = args.k, args.rerank
         if args.target_recall is not None:
             ladder = manifest.get("recall_ladder")
             if not ladder:
@@ -390,7 +409,30 @@ def main(argv: list[str] | None = None) -> None:
                     "tools/ann_knob_sweep.py --write-manifest "
                     f"{base}"
                 )
-            nprobe = similarity.resolve_nprobe(ladder, args.target_recall)
+            # the ladder's recall was measured at a specific (k, rerank);
+            # serving at different knobs voids the measurement — pin the
+            # measured values and say so when they differ from the CLI's
+            ladder_k = int(ladder[0].get("k", k))
+            ladder_rerank = int(manifest.get("rerank", rerank))
+            if (k, rerank) != (ladder_k, ladder_rerank):
+                print(
+                    f"--target-recall pins k={ladder_k} "
+                    f"rerank={ladder_rerank} (the knobs the ladder was "
+                    f"measured at); ignoring --k={k} --rerank={rerank} "
+                    "— re-measure the ladder at those knobs to serve "
+                    "them with a recall target"
+                )
+                k, rerank = ladder_k, ladder_rerank
+            # staleness guard: appends grow the index without
+            # re-measuring; refuse to resolve from a ladder the index
+            # has outgrown (similarity.LADDER_MAX_GROWTH_FRAC)
+            index_n = spark.read.parquet(f"{base}/index_assigned").count()
+            nprobe = similarity.resolve_nprobe(
+                ladder,
+                args.target_recall,
+                ladder_index_n=manifest.get("ladder_index_n"),
+                index_n=index_n,
+            )
             print(
                 f"target_recall={args.target_recall} -> nprobe={nprobe} "
                 "(from the manifest's measured ladder)"
@@ -398,11 +440,11 @@ def main(argv: list[str] | None = None) -> None:
         result = similarity.ivf_pq_search(
             emb,
             emb.filter(F.col("vec_id").isin(*args.query_ids)),
-            k=args.k,
+            k=k,
             nprobe=nprobe,
             m=manifest["m"],
             n_codes=manifest["n_codes"],
-            rerank=args.rerank,
+            rerank=rerank,
             codebook=cb,
             centroids=pairs,
             index=(
@@ -411,7 +453,7 @@ def main(argv: list[str] | None = None) -> None:
             ),
         )
         result.orderBy("query_id", "rk").show(
-            args.k * len(args.query_ids), truncate=False
+            k * len(args.query_ids), truncate=False
         )
     elif args.cmd == "drift-freeze":
         from .operators.textstats import token_distribution

@@ -64,6 +64,11 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
         if v == end:
             break
         if prev is None:
+            # first code after a clear must be a literal root: the two
+            # placeholder slots (clear/end already handled) and anything
+            # past them are malformed here, not an IndexError
+            if v >= clear:
+                raise ValueError("GIF LZW code out of range")
             entry = table[v]
         else:
             if v < len(table):

@@ -287,8 +287,9 @@ def decode_image(payload: bytes) -> dict[str, Any]:
 
             return gif_decode(payload)
         raise NotImplementedError(
-            "image decoding beyond PNG, baseline JPEG, and GIF requires "
-            "Pillow, which is not importable in this environment"
+            "image decoding beyond PNG, baseline+progressive JPEG, and "
+            "GIF requires Pillow, which is not importable in this "
+            "environment"
         ) from None
     img = Image.open(io.BytesIO(payload))
     if img.mode not in ("L", "LA", "RGB", "RGBA"):
@@ -354,8 +355,8 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
             d = gif_decode(payload)
         else:
             raise NotImplementedError(
-                "resize beyond PNG, baseline JPEG, and GIF requires "
-                "Pillow, not importable here"
+                "resize beyond PNG, baseline+progressive JPEG, and GIF "
+                "requires Pillow, not importable here"
             ) from None
         ch, sw, sh = d["channels"], d["width"], d["height"]
         src = d["pixels"]

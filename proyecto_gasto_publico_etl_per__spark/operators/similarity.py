@@ -24,6 +24,7 @@ All cosine math is double-precision, presented on an integer grid
 from __future__ import annotations
 
 import math
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Row, Window
@@ -1030,21 +1031,70 @@ def ivf_pq_build_index(
     return assigned, codes
 
 
-def resolve_nprobe(ladder: list[dict], target_recall: float) -> int:
+#: appended-vector fraction past which a build-time recall ladder no
+#: longer describes the index it serves (the measured recalls were
+#: taken against a corpus this much smaller) — re-measure with
+#: tools/ann_knob_sweep.py --write-manifest
+LADDER_MAX_GROWTH_FRAC = 0.25
+
+
+def resolve_nprobe(
+    ladder: list[dict],
+    target_recall: float,
+    *,
+    ladder_index_n: int | None = None,
+    index_n: int | None = None,
+    max_growth_frac: float = LADDER_MAX_GROWTH_FRAC,
+    allow_stale: bool = False,
+) -> int:
     """Resolve a serving ``nprobe`` from a measured recall ladder
     (``measure_recall_ladder`` output stored in the index manifest):
     the SMALLEST measured nprobe whose build-time recall meets the
     target — the knee of the latency/recall trade, by measurement
     rather than folklore.  An unreachable target falls back to the
     largest measured nprobe (the best this index can do; raising would
-    turn a quality preference into an outage)."""
+    turn a quality preference into an outage) — with a loud
+    ``warnings.warn`` carrying the achieved recall, so serving configs
+    can distinguish "target met" from "best effort below target".
+
+    Staleness contract (round 11): the ladder is measured at build
+    time; ``ivf_pq_index_append`` grows the index WITHOUT re-measuring,
+    so past a growth fraction the resolved nprobe silently serves a
+    recall estimate for a smaller corpus.  When both ``ladder_index_n``
+    (indexed vectors at measurement time, from the manifest) and
+    ``index_n`` (indexed vectors now) are known, a growth beyond
+    ``max_growth_frac`` raises — or warns with ``allow_stale=True`` —
+    instead of resolving as if the measurement still held."""
     if not ladder:
         raise ValueError("empty recall ladder")
+    if ladder_index_n is not None and index_n is not None:
+        if ladder_index_n > 0 and index_n > ladder_index_n * (
+            1.0 + max_growth_frac
+        ):
+            msg = (
+                f"recall ladder is STALE: measured over {ladder_index_n} "
+                f"indexed vectors but the index now holds {index_n} "
+                f"(> {max_growth_frac:.0%} growth) — its recalls no "
+                "longer describe this index. Re-measure with "
+                "tools/ann_knob_sweep.py --write-manifest, or pass "
+                "allow_stale=True to serve on the stale estimate."
+            )
+            if not allow_stale:
+                raise ValueError(msg)
+            warnings.warn(msg, stacklevel=2)
     pts = sorted(ladder, key=lambda p: int(p["nprobe"]))
     for p in pts:
         if float(p["recall_at_k"]) >= target_recall:
             return int(p["nprobe"])
-    return int(pts[-1]["nprobe"])
+    best = pts[-1]
+    warnings.warn(
+        f"recall target {target_recall} is unreachable on the measured "
+        f"ladder (best recall@k {float(best['recall_at_k'])} at "
+        f"nprobe={int(best['nprobe'])}); serving BEST EFFORT below "
+        "target",
+        stacklevel=2,
+    )
+    return int(best["nprobe"])
 
 
 def measure_recall_ladder(
@@ -1128,6 +1178,7 @@ def ivf_pq_search(
     residual: bool = False,
     target_recall: float | None = None,
     recall_ladder: list[dict] | None = None,
+    ladder_index_n: int | None = None,
 ) -> DataFrame:
     """The full production ANN serving path, composed from the audited
     pieces: IVF coarse quantizer restricts candidates to ``nprobe``
@@ -1221,7 +1272,21 @@ def ivf_pq_search(
                 "--write-manifest) — without a measurement there is "
                 "nothing to resolve the target against."
             )
-        nprobe = resolve_nprobe(recall_ladder, target_recall)
+        # staleness guard: when the manifest recorded the index size the
+        # ladder was measured at, compare it against the size being
+        # served (one metadata-cheap count on the assigned zone) — an
+        # append-grown index must not serve a stale recall estimate
+        index_n = (
+            index[0].count()
+            if (ladder_index_n is not None and index is not None)
+            else None
+        )
+        nprobe = resolve_nprobe(
+            recall_ladder,
+            target_recall,
+            ladder_index_n=ladder_index_n,
+            index_n=index_n,
+        )
     if centroids is not None:
         cent_lit = centroid_literal_pairs(centroids)
     else:

@@ -2254,6 +2254,11 @@ def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nprobe": _PQ_NPROBE,
                 "rerank": _PQ_RERANK,
                 "recall_ladder": ladder,
+                # index size the ladder was measured at — the staleness
+                # anchor for resolve_nprobe after appends (round 11)
+                "ladder_index_n": spark.read.parquet(
+                    f"{base}/index_assigned"
+                ).count(),
             },
         )
         _ANN_SERVING_MODELS[sf_dir] = base

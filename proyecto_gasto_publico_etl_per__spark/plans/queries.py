@@ -73,6 +73,13 @@ def q3_share_of_total(
         .groupBy("ejecutora_nombre")
         .agg(F.sum(gmicros("monto_devengado")).alias("dev_mic"))
     )
+    # INTENTIONAL empty-partition window (r10 verdict task 7): its input
+    # is the already-aggregated per-ejecutora frame — |ejecutoras in one
+    # sector| rows at ANY scale, never the fact table — so the
+    # "WindowExec: No Partition Defined" warning in run logs is the
+    # single-node grand total a |rows|-bounded frame is SUPPOSED to use.
+    # Do not "fix" it into a join or a repartition; the plan-contract
+    # test pins that this window sits above the HashAggregate.
     total_mic = F.sum("dev_mic").over(Window.partitionBy())
     dev_dbl = (F.col("dev_mic") / GRID).cast("double")
     total_dbl = (total_mic / GRID).cast("double")

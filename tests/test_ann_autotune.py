@@ -104,3 +104,125 @@ def test_serving_manifest_carries_ladder_and_autotune_matches(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_resolve_nprobe_warns_on_unreachable_target():
+    """ADVICE r10: an unreachable target still serves best-effort, but
+    LOUDLY — the warning carries the achieved recall so serving configs
+    can tell 'target met' from 'best effort below target'."""
+    import warnings
+
+    ladder = [
+        {"nprobe": 2, "k": 5, "recall_at_k": 0.3},
+        {"nprobe": 8, "k": 5, "recall_at_k": 0.8},
+    ]
+    with pytest.warns(UserWarning, match=r"unreachable.*0\.8.*nprobe=8"):
+        assert similarity.resolve_nprobe(ladder, 0.99) == 8
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # reachable target stays silent
+        assert similarity.resolve_nprobe(ladder, 0.5) == 8
+
+
+def test_resolve_nprobe_staleness_contract():
+    """Round-10 verdict task 5 (unit half): with the measurement-time
+    index size recorded, growth past LADDER_MAX_GROWTH_FRAC raises
+    (or warns under allow_stale) instead of resolving a recall estimate
+    the index has outgrown; growth within the fraction stays silent."""
+    import warnings
+
+    ladder = [{"nprobe": 4, "k": 5, "recall_at_k": 0.7}]
+    with pytest.raises(ValueError, match="STALE"):
+        similarity.resolve_nprobe(
+            ladder, 0.5, ladder_index_n=400, index_n=501
+        )
+    with pytest.warns(UserWarning, match="STALE"):
+        assert (
+            similarity.resolve_nprobe(
+                ladder, 0.5, ladder_index_n=400, index_n=501,
+                allow_stale=True,
+            )
+            == 4
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # within the growth budget / unknown sizes: no staleness signal
+        assert similarity.resolve_nprobe(
+            ladder, 0.5, ladder_index_n=400, index_n=500
+        ) == 4
+        assert similarity.resolve_nprobe(ladder, 0.5, index_n=999) == 4
+        assert similarity.resolve_nprobe(ladder, 0.5) == 4
+
+
+def test_ladder_staleness_lifecycle_on_append(spark, tmp_path, capsys):
+    """Round-10 verdict task 5 (lifecycle half), all through public
+    surfaces: CLI build on a 300-vector base → sweep tool measures the
+    ladder (recording ladder_index_n=300) → CLI append grows the index
+    to 500 (+67% > the 25% budget, and the append prints the stale-
+    ladder NOTE) → ann-search --target-recall REFUSES the stale ladder
+    with the re-measure remedy; re-measuring unblocks serving."""
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    import tools.ann_knob_sweep as sweep
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base_dir = tmp_path / "sf_base"
+    base_dir.mkdir()
+    emb.filter(F.col("vec_id") < 300).write.parquet(
+        str(base_dir / "embeddings.parquet")
+    )
+    idx = str(tmp_path / "annidx_stale")
+    cli.main(
+        ["ann-build-index", str(base_dir), idx, "--n-centroids", "8",
+         "--m", "4", "--n-codes", "8"]
+    )
+
+    old_argv = _sys.argv
+    try:
+        _sys.argv = [
+            "ann_knob_sweep.py", str(base_dir), "--grid", "8:1,8:2",
+            "--write-manifest", idx,
+        ]
+        sweep.main()
+    finally:
+        _sys.argv = old_argv
+    manifest, _ = model_store.load_model(spark, f"{idx}/manifest")
+    assert manifest["ladder_index_n"] == 300  # the staleness anchor
+    capsys.readouterr()
+
+    # serving on the un-grown index resolves cleanly
+    cli.main(
+        ["ann-search", str(base_dir), idx, "3", "--target-recall", "0.0"]
+    )
+    assert "measured ladder" in capsys.readouterr().out
+
+    # grow past the budget: append flags it, target-recall refuses it
+    cli.main(["ann-append-index", SF, idx, "--from-id", "300"])
+    out = capsys.readouterr().out
+    assert "recall ladder was measured at 300" in out
+    with pytest.raises(ValueError, match="STALE"):
+        cli.main(
+            ["ann-search", SF, idx, "3", "--target-recall", "0.0"]
+        )
+    capsys.readouterr()
+
+    # re-measuring on the grown index restores the guarantee
+    old_argv = _sys.argv
+    try:
+        _sys.argv = [
+            "ann_knob_sweep.py", SF, "--grid", "8:1,8:2",
+            "--write-manifest", idx,
+        ]
+        sweep.main()
+    finally:
+        _sys.argv = old_argv
+    manifest, _ = model_store.load_model(spark, f"{idx}/manifest")
+    assert manifest["ladder_index_n"] == 500
+    capsys.readouterr()
+    cli.main(["ann-search", SF, idx, "3", "--target-recall", "0.0"])
+    assert "measured ladder" in capsys.readouterr().out

@@ -100,3 +100,69 @@ def test_check_regressions_gates_serving_lane_only(tmp_path):
     assert out[0]["ratio"] == round(hot, 2)
     # inside the gate: no finding
     assert not bench.check_regressions({serving: 1.4}, floor)
+
+
+def test_headline_floor_lane_gates_every_headline_query(tmp_path):
+    """Round-10 verdict task 2: the floor gate extends to the headline
+    set with its own lane — no rebuild exemptions (every headline query
+    is a serving-shaped read path), keyed under headline_min_sec."""
+    import json
+
+    floor = tmp_path / "floor.json"
+    floor.write_text(
+        json.dumps(
+            {
+                "headline_min_sec": {"agg_annual_view": 1.0},
+                # the extension lane must not leak into the headline gate
+                "extension_min_sec": {"agg_annual_view": 99.0},
+            }
+        )
+    )
+    hot = bench.REGRESSION_FACTOR + 0.1
+    out = bench.check_regressions(
+        {"agg_annual_view": hot, "topk_by_group": 9.9},
+        floor,
+        lane_key="headline_min_sec",
+        skip=frozenset(),
+    )
+    assert [r["query"] for r in out] == ["agg_annual_view"]
+    assert not bench.check_regressions(
+        {"agg_annual_view": 1.4}, floor,
+        lane_key="headline_min_sec", skip=frozenset(),
+    )
+
+
+def test_merge_floors_union_min_and_prune():
+    """r10 ADVICE: the floor refresh keeps entries absent from the
+    current run (union of keys), takes elementwise min for present
+    ones, and prunes names no longer in the registry."""
+    merged = bench.merge_floors(
+        {"keep_absent": 2.0, "tighten": 3.0, "renamed_away": 1.0},
+        {"tighten": 1.5, "contended": 9.0, "brand_new": 0.7},
+        ("keep_absent", "tighten", "contended", "brand_new"),
+    )
+    assert merged == {
+        "keep_absent": 2.0,   # absent from this run: floor preserved
+        "tighten": 1.5,       # elementwise min
+        "contended": 9.0,     # new entry seeds at its first measurement
+        "brand_new": 0.7,
+    }
+    # a slower (contended) re-run can never RAISE a floor
+    again = bench.merge_floors(
+        merged, {"tighten": 4.0}, tuple(merged)
+    )
+    assert again["tighten"] == 1.5
+
+
+def test_bench_headline_floor_names_are_current():
+    """Same staleness hazard as the extension lane: every floored
+    headline name must still be a headline query."""
+    import json
+
+    if not bench.FLOOR_PATH.exists():
+        return
+    doc = json.loads(bench.FLOOR_PATH.read_text())
+    floors = doc.get("headline_min_sec", {})
+    stale = set(floors) - set(bench.HEADLINE)
+    assert not stale, stale
+    assert all(v > 0 for v in floors.values())

@@ -159,3 +159,42 @@ def test_r10_window_rotates_in_the_r6_stale_names():
     assert all(
         green_round[n] <= 7 for n in window if n in green_round
     ), "an r8/r9-fresh name occupies an r10 slot a staler name needs"
+
+
+def test_r11_window_rotates_in_the_r7_stale_names():
+    """Round-10 verdict task 1: with the r10 artifact committed (newest
+    green round == 10) and zero new declared queries this round, the
+    r11 window must lead with the 12 names whose latest green is round
+    7 — the stalest cohort — and fill the remaining 38 slots with r8
+    greens only (every r9/r10-fresh name rotates outside).  Guarded on
+    the artifact state so the test stays valid after later rounds."""
+    names = list(entry.queries())
+    latest = DQ._latest_check_rows()
+    green_round = {
+        n: rnd for n, (rnd, row) in latest.items() if DQ._is_green(row)
+    }
+    newest = max(green_round.values(), default=0)
+    if newest != 10:
+        return  # a later round's artifact landed; generic tests cover it
+    never = [n for n in names if n not in green_round]
+    k = len(never)
+    assert set(names[:k]) == set(never)  # never-green sorts first
+    r7_stale = {
+        "ann_ivf_pq_serving",
+        "dsir_score_serving",
+        "first_last_events",
+        "funnel_stage_times",
+        "pipeline_e2e_monthly",
+        "range_join_windows",
+        "rank_ties",
+        "rolling_range_frame",
+        "scd2_customer_history",
+        "scd2_pit_lookup",
+        "union_years",
+        "unpivot_metrics",
+    }
+    assert set(names[k : k + 12]) == r7_stale  # then the stalest cohort
+    window = names[:50]
+    assert all(
+        green_round[n] <= 8 for n in window if n in green_round
+    ), "an r9/r10-fresh name occupies an r11 slot a staler name needs"

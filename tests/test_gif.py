@@ -352,3 +352,23 @@ def test_gif_roundtrip_property(w, h, interlace, n_colors, seed):
     got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3)
     pal = np.frombuffer(gct, np.uint8).reshape(-1, 3)
     assert (got == pal[idx]).all()
+
+
+def test_lzw_malformed_first_code_raises_valueerror():
+    """r10 ADVICE: a corrupt FIRST code after clear (no prev yet) with
+    a value past the literal roots must hit the module's ValueError
+    contract for malformed streams, not IndexError / a silent empty
+    placeholder expansion."""
+    min_code = 2  # clear=4, end=5, roots 0..3
+    for bad in (6, 7):  # past the placeholders: formerly table[v]
+        # pack the single bad 3-bit code LSB-first
+        data = bytes([bad & 0b111])
+        with pytest.raises(ValueError, match="code out of range"):
+            gif._lzw_decode(data, min_code, expect=4)
+    # the clear/end placeholder slots are equally malformed as a first
+    # data code only when they decode to the EMPTY tuple: code 4 is a
+    # clear (legal no-op) and 5 ends the stream (legal short output),
+    # so only codes >= clear+2 are the corrupt-table case — but any
+    # v >= clear must not emit pixels from the placeholder slots
+    out = gif._lzw_decode(bytes([5]), min_code, expect=0)
+    assert out == []

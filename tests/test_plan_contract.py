@@ -67,3 +67,24 @@ def test_headline_plan_shape(spark, name):
     assert sorts <= max_sorts, (
         f"{name}: {sorts} sorts > committed {max_sorts}"
     )
+
+
+def test_share_of_total_window_input_is_post_aggregate(spark):
+    """r10 verdict task 7: q3's grand total is an INTENTIONAL
+    empty-partition window — safe because its input is the already-
+    aggregated per-ejecutora frame (|ejecutoras| rows at any scale).
+    Pin that shape: the Window node must sit ABOVE the HashAggregate
+    (consume its output), so a refactor that slides the window below
+    the aggregate onto fact-table rows fails here immediately."""
+    df = all_queries()["share_of_total"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window" in ln]
+    agg = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert win and agg, plan
+    # toString prints the consumer above its input: every Window line
+    # must appear before (above) the first aggregate line
+    assert max(win) < min(agg), (
+        "the grand-total window no longer consumes the aggregated "
+        f"frame:\n{plan}"
+    )

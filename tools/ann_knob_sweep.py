@@ -187,6 +187,10 @@ def _write_manifest_ladder(
         residual=manifest.get("residual", False),
     )
     manifest["recall_ladder"] = ladder
+    # staleness anchor: the index size this ladder was measured at —
+    # resolve_nprobe refuses (or warns) once appends grow the index
+    # past similarity.LADDER_MAX_GROWTH_FRAC beyond this
+    manifest["ladder_index_n"] = index[0].count()
     # self-describing write-back: if the ladder was measured at the CLI
     # fallback rerank (pre-rerank manifest), record which knob it was
     manifest.setdefault("rerank", rerank)
