@@ -247,9 +247,23 @@ def build_agg_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``vw_gasto_agregado_anual(build_star(...))``, see plans/views.py).
 
     supplier/part contribute no group columns — broadcast LEFT SEMI joins
-    reproduce the inner joins' row set without widening the fact.  The
-    pre-aggregate shrinks the dim-join input from fact-cardinality to
-    |anio × custkey| before the (broadcast) customer labels attach.
+    reproduce the inner joins' row set without widening the fact.
+
+    Round-11 rewrite (the r10 verdict's agg_annual_view drift task): the
+    annual view has only THREE group columns (anio + the two customer
+    labels, |groups| ≈ |years|×|nations|×|segments| — hundreds at any
+    scale), so the bounded customer labels broadcast-join onto the fact
+    BEFORE the pre-aggregate and the partial agg collapses straight to
+    the final key.  The previous (anio, custkey) pre-agg key was
+    near-unique on the round-robin-widened input (~105k groups at
+    sf0.1): its partial agg barely combined and the exchange shuffled
+    ~|fact| rows that grow with data; the final-key partial agg emits
+    ≤ |groups| rows per partition — constant shuffle volume at 100×.
+    Exactness: customer→(sector, pliego) is functional on custkey and
+    long-micros sums are associative, so merging custkeys at the
+    partial stage is the same rational total (A/B value-identity run
+    recorded in BENCH_NOTES round 11; the monthly view keeps the
+    id-keyed pre-agg — its 14-column group is genuinely wide).
     """
     from .views import finalize_agg_anual, micros_col
 
@@ -275,23 +289,25 @@ def build_agg_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == orders.o_orderkey,
         )
     )
-    pre = fact.groupBy(
-        F.year("o_orderdate").cast("int").alias("anio"), "o_custkey"
+    cust = _customer_labels(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    ).select("c_custkey", "sector_nombre", "pliego_nombre")
+    labeled = fact.join(
+        F.broadcast(cust), fact.o_custkey == cust.c_custkey
+    )
+    pre = labeled.groupBy(
+        F.year("o_orderdate").cast("int").alias("anio"),
+        "sector_nombre",
+        "pliego_nombre",
     ).agg(
         *[
             F.sum(micros_col(m)).alias(micros_col(m))
             for m in metric_cols
         ]
     )
-    cust = _customer_labels(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    ).select("c_custkey", "sector_nombre", "pliego_nombre")
-    joined = pre.join(
-        F.broadcast(cust), pre.o_custkey == cust.c_custkey
-    ).drop("o_custkey", "c_custkey")
-    return finalize_agg_anual(joined)
+    return finalize_agg_anual(pre)
 
 
 def build_agg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
