@@ -1,15 +1,19 @@
 """JPEG decode in numpy + stdlib — no Pillow required.
 
 Covers ITU-T T.81 baseline sequential DCT (SOF0, plus SOF1
-extended-sequential with 8-bit precision) AND progressive (SOF2):
-marker walk, Huffman entropy decode with restart intervals, multi-scan
-coefficient accumulation for progressive — spectral selection bands,
-successive approximation for DC (two's-complement bit refinement) and
-AC (the G.1.2.3 correction-bit protocol with EOB runs) — dequantize,
-batch 8×8 IDCT (numpy einsum), integer-ratio chroma upsampling, JFIF
-YCbCr→RGB.  Arithmetic coding, hierarchical, lossless, 12-bit, and
-CMYK payloads raise ``NotImplementedError`` with a pointer to Pillow —
-same contract as the stdlib PNG path in ``multimodal._png_decode``.
+extended-sequential with 8-bit precision), progressive (SOF2), AND
+lossless sequential (SOF3, round 11): marker walk, Huffman entropy
+decode with restart intervals, multi-scan coefficient accumulation for
+progressive — spectral selection bands, successive approximation for
+DC (two's-complement bit refinement) and AC (the G.1.2.3
+correction-bit protocol with EOB runs) — dequantize, batch 8×8 IDCT
+(numpy einsum), integer-ratio chroma upsampling, JFIF YCbCr→RGB; for
+lossless, Annex-H predictive DPCM with exact reconstruction.
+Arithmetic coding, hierarchical, 12-bit, and CMYK payloads raise
+``NotImplementedError`` with a pointer to Pillow — same contract as
+the stdlib PNG path in ``multimodal._png_decode``.  (Lossless and
+baseline are decodable HERE, unlike MP3, because every entropy table
+is carried IN the stream — see the decode_audio decision record.)
 
 Like the PNG path, this runs per-row inside an Arrow batch on the
 executor: the per-block Huffman loop is pure Python (bounded by batch
@@ -218,7 +222,8 @@ def jpeg_decode(payload: bytes) -> dict[str, Any]:
                         seg[i : i + 128], dtype=">u2"
                     ).astype(np.int64)
                     i += 128
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / sequential / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # baseline / sequential / progressive / LOSSLESS sequential
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -237,13 +242,14 @@ def jpeg_decode(payload: bytes) -> dict[str, Any]:
                 "h": height,
                 "comps": comps,
                 "progressive": marker == 0xC2,
+                "lossless": marker == 0xC3,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X} (lossless/arithmetic/"
-                "hierarchical) needs Pillow; stdlib path covers baseline, "
-                "extended sequential, and progressive (SOF0/SOF1/SOF2)"
+                f"JPEG SOF marker 0x{marker:02X} (arithmetic/hierarchical) "
+                "needs Pillow; stdlib path covers baseline, extended "
+                "sequential, progressive, and lossless (SOF0/SOF1/SOF2/SOF3)"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -260,6 +266,18 @@ def jpeg_decode(payload: bytes) -> dict[str, Any]:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if frame.get("lossless"):
+                scan_tabs = {}
+                for c in range(ns):
+                    cs, tda = seg[1 + 2 * c : 3 + 2 * c]
+                    scan_tabs[cs] = tda >> 4  # DC-class table id only
+                predictor = seg[1 + 2 * ns]  # Ss = predictor selector
+                pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+                planes_done = _decode_lossless_scan(
+                    payload, pos, frame, scan_tabs, huff,
+                    predictor, pt, restart_interval,
+                )
+                break  # single scan, then EOI
             if frame["progressive"]:
                 scan_comps = []
                 for c in range(ns):
@@ -291,6 +309,8 @@ def jpeg_decode(payload: bytes) -> dict[str, Any]:
         planes_done = _assemble_planes(frame, grids, qt)
     if frame is None or planes_done is None:
         raise ValueError("JPEG missing SOF/SOS")
+    if frame.get("lossless"):
+        return _lossless_to_pixels(frame, planes_done)
     return _to_pixels(frame, planes_done)
 
 
@@ -369,6 +389,127 @@ def _to_pixels(frame: dict, planes: dict[int, np.ndarray]) -> dict[str, Any]:
     raise NotImplementedError(
         f"{len(comps)}-component JPEG (CMYK/unknown) needs Pillow"
     )
+
+
+# --- lossless (SOF3) machinery ------------------------------------------------
+
+
+def _decode_lossless_scan(
+    payload: bytes,
+    pos: int,
+    frame: dict,
+    scan_tabs: dict[int, int],
+    huff: dict,
+    predictor: int,
+    pt: int,
+    restart_interval: int,
+) -> dict[int, np.ndarray]:
+    """T.81 lossless sequential (SOF3) scan decode: per-sample DPCM with
+    the Ss-selected predictor (Annex H), Huffman-coded difference
+    categories (the DC table format; SSSS=16 encodes a bare +32768),
+    16-bit modulo arithmetic, and the Al point transform re-scale.
+
+    First-line / first-sample rules (H.1.2.2): the first sample of the
+    scan predicts from ``1 << (P-1-Pt)``; the rest of the first line
+    predicts from Ra; the first sample of every other line from Rb.
+    Restarts are supported at line boundaries (the layout real lossless
+    writers emit): each restart interval re-enters the scan-start state,
+    so no sample references anything before the marker — restart
+    intervals that split a line need Pillow.
+
+    Only 1×1 sampling is decoded (lossless is a raster DPCM; subsampled
+    lossless is essentially unseen in the wild and needs Pillow).
+    3-component output is returned WITHOUT a color transform — T.81
+    lossless defines none, components pass through as stored
+    (``_lossless_to_pixels``)."""
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError("subsampled lossless JPEG needs Pillow")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless JPEG predictor Ss={predictor} invalid")
+    w, h = frame["w"], frame["h"]
+    if restart_interval and restart_interval % w != 0:
+        raise NotImplementedError(
+            "lossless JPEG restart interval that splits a line needs Pillow"
+        )
+    default = 1 << (8 - 1 - pt)
+    parts, _used = _destuff_split(payload[pos:])
+    tables = {}
+    for c in comps:
+        if c["id"] not in scan_tabs:
+            raise ValueError(f"lossless scan missing component {c['id']}")
+        tables[c["id"]] = huff[(0, scan_tabs[c["id"]])]
+    planes = {
+        c["id"]: np.zeros((h, w), dtype=np.int64) for c in comps
+    }
+    rows_per_part = (restart_interval // w) if restart_interval else h
+    part_idx = -1
+    bits = None
+    for y in range(h):
+        if y % rows_per_part == 0:
+            part_idx += 1
+            if part_idx >= len(parts):
+                raise ValueError("lossless JPEG truncated at a restart")
+            bits = _Bits(parts[part_idx])
+            fresh = True  # scan-start state: this row predicts like line 0
+        for x in range(w):
+            for c in comps:
+                plane = planes[c["id"]]
+                if fresh:
+                    px = default if x == 0 else int(plane[y, x - 1])
+                elif x == 0:
+                    px = int(plane[y - 1, 0])
+                else:
+                    ra = int(plane[y, x - 1])
+                    rb = int(plane[y - 1, x])
+                    rc = int(plane[y - 1, x - 1])
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = rc
+                    elif predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                s = _huff_decode(bits, tables[c["id"]])
+                if s == 0:
+                    diff = 0
+                elif s == 16:
+                    diff = 32768
+                else:
+                    diff = bits.extend(s)
+                plane[y, x] = (px + diff) & 0xFFFF
+        fresh = False
+    if pt:
+        for cid in planes:
+            planes[cid] = planes[cid] << pt
+    return planes
+
+
+def _lossless_to_pixels(frame: dict, planes: dict[int, np.ndarray]) -> dict:
+    """Assemble lossless planes: NO color transform (T.81 lossless
+    defines none — 3-component streams pass through as stored, which in
+    practice is RGB), clip to the 8-bit contract, interleave."""
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component lossless JPEG needs Pillow"
+        )
+    stack = np.stack(
+        [np.clip(planes[c["id"]], 0, 255) for c in comps], axis=-1
+    )
+    return {
+        "width": frame["w"],
+        "height": frame["h"],
+        "channels": len(comps),
+        "pixels": stack.astype(np.uint8).tobytes(),
+    }
 
 
 # --- progressive (SOF2) machinery --------------------------------------------

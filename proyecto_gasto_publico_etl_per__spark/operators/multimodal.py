@@ -13,10 +13,11 @@ baseline AND progressive JPEG (``operators/jpeg.py``: Huffman +
 multi-scan successive approximation + batch IDCT + chroma upsample), PCM WAV (the ``wave`` module), FLAC (``operators/flac.py``:
 full bitstream — all subframe types, Rice partitions, stereo
 decorrelation), GIF incl. animation (``operators/gif.py``: LZW,
-interlace, transparency, frame compositing), and MJPEG/AVI video frame
-extraction (RIFF ``movi`` walk → per-frame JPEG decode) so the real
-path runs even in codec-less containers; ``NotImplementedError`` only
-for formats none of those cover (arithmetic-coded/lossless JPEG / MP3 /
+interlace, transparency, frame compositing), and MJPEG video frame
+extraction from BOTH container families (RIFF/AVI ``movi`` walk and the
+ISO BMFF/MP4 sample tables, ``operators/mp4.py``) so the real path runs
+even in codec-less containers; ``NotImplementedError`` only for formats
+none of those cover (arithmetic-coded JPEG / MP3 / inter-coded
 MP4-family video without the optional libs).  The deterministic md5 fake remains
 the correctness-oracle path — DuckDB can reproduce it, real pixel math
 it can't.
@@ -287,9 +288,9 @@ def decode_image(payload: bytes) -> dict[str, Any]:
 
             return gif_decode(payload)
         raise NotImplementedError(
-            "image decoding beyond PNG, baseline+progressive JPEG, and "
-            "GIF requires Pillow, which is not importable in this "
-            "environment"
+            "image decoding beyond PNG, JPEG (baseline/progressive/"
+            "lossless), and GIF requires Pillow, which is not importable "
+            "in this environment"
         ) from None
     img = Image.open(io.BytesIO(payload))
     if img.mode not in ("L", "LA", "RGB", "RGBA"):
@@ -355,8 +356,8 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
             d = gif_decode(payload)
         else:
             raise NotImplementedError(
-                "resize beyond PNG, baseline+progressive JPEG, and GIF "
-                "requires Pillow, not importable here"
+                "resize beyond PNG, JPEG (baseline/progressive/lossless), "
+                "and GIF requires Pillow, not importable here"
             ) from None
         ch, sw, sh = d["channels"], d["width"], d["height"]
         src = d["pixels"]
@@ -505,6 +506,24 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
             width = wf.getsampwidth()
             frames = wf.readframes(wf.getnframes())
     except (wave.Error, EOFError) as exc:
+        # Why MP3/OGG get no stdlib path while FLAC/JPEG/PNG/GIF did
+        # (round-11 decision record): every shipped stdlib codec is
+        # verifiable IN-CONTAINER because its entropy/table state is
+        # either carried in the stream (JPEG ships its Huffman/quant
+        # tables in DHT/DQT segments; FLAC its predictors per
+        # subframe) or algorithmic (PNG zlib, GIF LZW, Rice codes).
+        # MPEG audio is the opposite: the 34 Layer-III Huffman
+        # codebooks (ISO 11172-3 Table B.7), the 512-tap synthesis
+        # window (Table B.3), and the Layer-II allocation tables
+        # (B.2a-d) are ~1k arbitrary constants that live in the SPEC,
+        # not the stream.  With no network, reference decoder, or
+        # sample files here, table data could only be reproduced from
+        # memory and tested for SELF-consistency — an encoder/decoder
+        # roundtrip cannot distinguish the standard's tables from any
+        # other prefix-free set, so wrong data would pass every
+        # in-container test and silently decode real-world MP3s to
+        # garbage.  A loud guard is the correct behavior until
+        # soundfile (or verified spec table data) is available.
         raise NotImplementedError(
             "non-PCM-WAV audio decoding requires soundfile, which is not "
             f"importable in this environment ({exc})"
@@ -651,12 +670,14 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
     a row-expanding mapInPandas (one input row → n output rows), the shape
     a real video pipeline needs.  Non-video rows produce no frames.
 
-    RIFF/AVI payloads get REAL container seeking: the ``LIST movi``
-    chunk walk extracts the actual frame bytestreams and the evenly-
-    spaced pick indexes real frames (for MJPEG each one is a standalone
-    JPEG — decodable downstream by ``decode_image``).  Animated GIFs
+    RIFF/AVI and ISO BMFF (MP4/MOV) payloads get REAL container
+    seeking: the ``LIST movi`` chunk walk / the moov sample tables
+    extract the actual frame bytestreams and the evenly-spaced pick
+    indexes real frames (for MJPEG each one is a standalone JPEG —
+    decodable downstream by ``decode_image``).  Animated GIFs
     composite their real frames once and re-encode each sampled one as
-    PNG.  Other containers (MP4/MKV need a real demuxer) fall back to
+    PNG.  Other containers (MKV needs a real demuxer; inter-coded MP4
+    tracks need the optional libs) fall back to
     the deterministic span-slicing fake — and so does any payload whose
     container walk FAILS (truncated download with a valid magic): a
     corpus-ingest operator must quarantine per row, never abort the
@@ -681,6 +702,10 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
         try:
             if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
                 return _avi_mjpeg_frames(p) or None
+            if p[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV): real demux
+                from .mp4 import mp4_mjpeg_frames
+
+                return mp4_mjpeg_frames(p) or None
             if p[:6] in (b"GIF87a", b"GIF89a"):
                 from .gif import gif_frames
 
