@@ -154,6 +154,14 @@ def main(argv: list[str] | None = None) -> None:
         help="first vec_id of the delta batch (ids below are assumed "
              "already indexed)",
     )
+    aap.add_argument(
+        "--remeasure-ladder",
+        action="store_true",
+        help="re-measure the manifest's recall ladder on the grown index "
+             "after the append (at the manifest's recorded knobs), so "
+             "--target-recall serving stays unblocked past the staleness "
+             "budget without a separate ann_knob_sweep run",
+    )
 
     asr = sub.add_parser(
         "ann-search",
@@ -370,15 +378,29 @@ def main(argv: list[str] | None = None) -> None:
         except Exception:
             manifest = {}
         anchor = manifest.get("ladder_index_n")
-        if anchor and total > anchor * (
+        stale = anchor and total > anchor * (
             1.0 + similarity.LADDER_MAX_GROWTH_FRAC
-        ):
+        )
+        if args.remeasure_ladder and manifest.get("recall_ladder"):
+            nprobes = tuple(
+                int(p["nprobe"]) for p in manifest["recall_ladder"]
+            )
+            manifest = similarity.remeasure_manifest_ladder(
+                spark, emb, emb.filter(F.col("vec_id") < 10), base,
+                nprobes=nprobes,
+            )
+            print(
+                f"re-measured the recall ladder on {total} vectors "
+                f"(nprobes {list(nprobes)}) — --target-recall serving "
+                "stays unblocked"
+            )
+        elif stale:
             print(
                 f"NOTE: the manifest's recall ladder was measured at "
                 f"{anchor} vectors; the index now holds {total} — "
                 "--target-recall serving will refuse this stale ladder. "
-                f"Re-measure: python tools/ann_knob_sweep.py <sf_dir> "
-                f"--write-manifest {base}"
+                f"Re-run with --remeasure-ladder, or: python "
+                f"tools/ann_knob_sweep.py <sf_dir> --write-manifest {base}"
             )
     elif args.cmd == "ann-search":
         from pyspark.sql import functions as F

@@ -1160,6 +1160,60 @@ def measure_recall_ladder(
     return ladder
 
 
+def remeasure_manifest_ladder(
+    spark,
+    corpus: DataFrame,
+    probes: DataFrame,
+    base: str,
+    nprobes: tuple[int, ...] = (2, 4, 8, 16),
+    fallback_rerank: int = 8,
+) -> dict:
+    """Re-measure a persisted index's recall ladder ON its current
+    zones and write it back into the manifest with a fresh
+    ``ladder_index_n`` staleness anchor — the one-command refresh after
+    appends grow the index past ``LADDER_MAX_GROWTH_FRAC`` (used by
+    ``ann-append-index --remeasure-ladder`` and the knob-sweep tool's
+    --write-manifest mode).  Geometry and the serving rerank come from
+    the manifest, never re-defaulted; the manifest kind round-trips so
+    both the CLI-built (``ann_index_manifest``) and serving-split
+    (``ivf_pq_manifest``) layouts keep loading with their kind
+    assertions.  Returns the updated manifest."""
+    from . import model_store
+
+    payload, _ = model_store.load_model(
+        spark, f"{base}/centroids", "ivf_centroids"
+    )
+    pairs = [(int(c), [float(x) for x in v]) for c, v in payload]
+    cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+    try:
+        manifest, _ = model_store.load_model(spark, f"{base}/manifest")
+        kind = spark.read.parquet(f"{base}/manifest").collect()[0].kind
+    except Exception:
+        manifest = {"residual": False, "m": 16, "n_codes": 16}
+        kind = "ivf_pq_manifest"
+    index = (
+        spark.read.parquet(f"{base}/index_assigned"),
+        spark.read.parquet(f"{base}/index_codes"),
+    )
+    manifest["recall_ladder"] = measure_recall_ladder(
+        corpus,
+        probes,
+        k=5,
+        nprobes=tuple(nprobes),
+        m=manifest["m"],
+        n_codes=manifest["n_codes"],
+        rerank=manifest.get("rerank", fallback_rerank),
+        codebook=cb,
+        centroids=pairs,
+        index=index,
+        residual=manifest.get("residual", False),
+    )
+    manifest["ladder_index_n"] = index[0].count()
+    manifest.setdefault("rerank", fallback_rerank)
+    model_store.save_model(spark, f"{base}/manifest", kind, manifest)
+    return manifest
+
+
 def ivf_pq_search(
     corpus: DataFrame,
     queries: DataFrame,

@@ -226,3 +226,56 @@ def test_ladder_staleness_lifecycle_on_append(spark, tmp_path, capsys):
     capsys.readouterr()
     cli.main(["ann-search", SF, idx, "3", "--target-recall", "0.0"])
     assert "measured ladder" in capsys.readouterr().out
+
+
+def test_append_remeasure_ladder_keeps_target_recall_serving(
+    spark, tmp_path, capsys
+):
+    """ann-append-index --remeasure-ladder: the grown index gets a
+    fresh ladder + staleness anchor in the same command, so
+    --target-recall serving never hits the stale-ladder refusal."""
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    import tools.ann_knob_sweep as sweep
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base_dir = tmp_path / "sf_base"
+    base_dir.mkdir()
+    emb.filter(F.col("vec_id") < 300).write.parquet(
+        str(base_dir / "embeddings.parquet")
+    )
+    idx = str(tmp_path / "annidx_remeasure")
+    cli.main(
+        ["ann-build-index", str(base_dir), idx, "--n-centroids", "8",
+         "--m", "4", "--n-codes", "8"]
+    )
+    old_argv = _sys.argv
+    try:
+        _sys.argv = [
+            "ann_knob_sweep.py", str(base_dir), "--grid", "8:1,8:2",
+            "--write-manifest", idx,
+        ]
+        sweep.main()
+    finally:
+        _sys.argv = old_argv
+    capsys.readouterr()
+
+    cli.main(
+        ["ann-append-index", SF, idx, "--from-id", "300",
+         "--remeasure-ladder"]
+    )
+    out = capsys.readouterr().out
+    assert "re-measured the recall ladder on 500 vectors" in out
+    manifest, _ = model_store.load_model(spark, f"{idx}/manifest")
+    assert manifest["ladder_index_n"] == 500  # fresh anchor
+    assert [p["nprobe"] for p in manifest["recall_ladder"]] == [1, 2]
+
+    # serving resolves cleanly — no staleness refusal, no re-sweep
+    cli.main(["ann-search", SF, idx, "3", "--target-recall", "0.0"])
+    assert "measured ladder" in capsys.readouterr().out

@@ -143,59 +143,25 @@ def _write_manifest_ladder(
     spark, emb, probes, base: str, nprobes: list[int], rerank: int
 ) -> None:
     """Production mode: measure the ladder on the PERSISTED index under
-    ``base`` and merge it into the manifest (other manifest fields —
-    residual flag, geometry — are preserved; geometry comes from the
-    manifest, never re-defaulted)."""
-    from proyecto_gasto_publico_etl_per__spark.operators import model_store
-
-    payload, _ = model_store.load_model(
-        spark, f"{base}/centroids", "ivf_centroids"
+    ``base`` and merge it into the manifest.  Delegates to
+    ``similarity.remeasure_manifest_ladder`` (shared with the
+    ann-append-index --remeasure-ladder CLI path): geometry and the
+    serving rerank come from the manifest (the CLI flag is only the
+    fallback for manifests written before rerank was recorded), the
+    manifest kind round-trips, and the fresh ``ladder_index_n``
+    staleness anchor is stamped alongside the ladder."""
+    manifest = similarity.remeasure_manifest_ladder(
+        spark, emb, probes, base,
+        nprobes=tuple(nprobes), fallback_rerank=rerank,
     )
-    pairs = [(int(c), [float(x) for x in v]) for c, v in payload]
-    cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
-    # both manifest kinds exist in the wild: the serving split writes
-    # "ivf_pq_manifest", the ann-build-index CLI "ann_index_manifest" —
-    # load WITHOUT a kind assertion (geometry fields are shared) and
-    # preserve the original kind on write-back so later loads that DO
-    # assert keep working
-    try:
-        manifest, _ = model_store.load_model(spark, f"{base}/manifest")
-        row = spark.read.parquet(f"{base}/manifest").collect()[0]
-        kind = row.kind
-    except Exception:
-        manifest = {"residual": False, "m": 16, "n_codes": 16}
-        kind = "ivf_pq_manifest"
-    index = (
-        spark.read.parquet(f"{base}/index_assigned"),
-        spark.read.parquet(f"{base}/index_codes"),
+    print(
+        json.dumps(
+            {
+                "manifest": f"{base}/manifest",
+                "ladder": manifest["recall_ladder"],
+            }
+        )
     )
-    # the ladder must be measured at the SERVING rerank or the
-    # target_recall resolution guarantees nothing — geometry AND knobs
-    # come from the manifest; the CLI flag is only the fallback for
-    # manifests written before rerank was recorded
-    ladder = similarity.measure_recall_ladder(
-        emb,
-        probes,
-        k=5,
-        nprobes=tuple(nprobes),
-        m=manifest["m"],
-        n_codes=manifest["n_codes"],
-        rerank=manifest.get("rerank", rerank),
-        codebook=cb,
-        centroids=pairs,
-        index=index,
-        residual=manifest.get("residual", False),
-    )
-    manifest["recall_ladder"] = ladder
-    # staleness anchor: the index size this ladder was measured at —
-    # resolve_nprobe refuses (or warns) once appends grow the index
-    # past similarity.LADDER_MAX_GROWTH_FRAC beyond this
-    manifest["ladder_index_n"] = index[0].count()
-    # self-describing write-back: if the ladder was measured at the CLI
-    # fallback rerank (pre-rerank manifest), record which knob it was
-    manifest.setdefault("rerank", rerank)
-    model_store.save_model(spark, f"{base}/manifest", kind, manifest)
-    print(json.dumps({"manifest": f"{base}/manifest", "ladder": ladder}))
 
 
 if __name__ == "__main__":
