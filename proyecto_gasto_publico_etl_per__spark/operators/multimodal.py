@@ -287,10 +287,18 @@ def decode_image(payload: bytes) -> dict[str, Any]:
             from .gif import gif_decode
 
             return gif_decode(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiff import tiff_decode
+
+            return tiff_decode(payload)
+        if payload[:2] == b"BM":
+            from .bmp import bmp_decode
+
+            return bmp_decode(payload)
         raise NotImplementedError(
             "image decoding beyond PNG, JPEG (baseline/progressive/"
-            "lossless), and GIF requires Pillow, which is not importable "
-            "in this environment"
+            "lossless), GIF, baseline TIFF, and BMP requires Pillow, "
+            "which is not importable in this environment"
         ) from None
     img = Image.open(io.BytesIO(payload))
     if img.mode not in ("L", "LA", "RGB", "RGBA"):
@@ -354,10 +362,19 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
             from .gif import gif_decode
 
             d = gif_decode(payload)
+        elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiff import tiff_decode
+
+            d = tiff_decode(payload)
+        elif payload[:2] == b"BM":
+            from .bmp import bmp_decode
+
+            d = bmp_decode(payload)
         else:
             raise NotImplementedError(
                 "resize beyond PNG, JPEG (baseline/progressive/lossless), "
-                "and GIF requires Pillow, not importable here"
+                "GIF, baseline TIFF, and BMP requires Pillow, not "
+                "importable here"
             ) from None
         ch, sw, sh = d["channels"], d["width"], d["height"]
         src = d["pixels"]
