@@ -11,6 +11,7 @@ Output contract matches ``multimodal._png_decode``:
 """
 
 from __future__ import annotations
+from .codec_errors import corrupt_guard
 
 import struct
 
@@ -52,6 +53,7 @@ def _rle8(data: bytes, w: int, h: int) -> bytes:
     return b"".join(bytes(r) for r in rows)
 
 
+@corrupt_guard("BMP")
 def bmp_decode(payload: bytes) -> dict:
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload (missing BM magic)")

@@ -21,6 +21,7 @@ still requires soundfile.
 """
 
 from __future__ import annotations
+from .codec_errors import corrupt_guard
 
 from typing import Any
 
@@ -245,6 +246,7 @@ def _decode_frame(
     return chans, block_size
 
 
+@corrupt_guard("FLAC")
 def flac_decode(payload: bytes) -> dict[str, Any]:
     """Decode a FLAC payload to ``{sample_rate, n_channels, samples}``
     with ``samples`` floats in [-1, 1], channel-interleaved — the same

@@ -16,6 +16,7 @@ sizing and thumbnail-scale payloads, while compositing is numpy.
 """
 
 from __future__ import annotations
+from .codec_errors import corrupt_guard
 
 import struct
 from typing import Any
@@ -158,6 +159,7 @@ def _frame_indices(fr: dict) -> np.ndarray:
     return idx
 
 
+@corrupt_guard("GIF")
 def gif_frames(payload: bytes) -> list[dict[str, Any]]:
     """Every frame of a (possibly animated) GIF, composited onto the
     logical screen: sub-rectangle frames paint over the previous canvas
@@ -207,6 +209,7 @@ def gif_frames(payload: bytes) -> list[dict[str, Any]]:
     return out
 
 
+@corrupt_guard("GIF")
 def gif_decode(payload: bytes) -> dict[str, Any]:
     """Decode the FIRST frame of a GIF to ``{width, height, channels,
     pixels}`` — the ``_png_decode``/``jpeg_decode`` contract.  A frame

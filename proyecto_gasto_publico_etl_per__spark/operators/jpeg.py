@@ -26,6 +26,7 @@ operators at all; this extends the training-data-pipeline lane
 """
 
 from __future__ import annotations
+from .codec_errors import corrupt_guard
 
 import struct
 from typing import Any
@@ -174,6 +175,7 @@ def _decode_block(
     return coef
 
 
+@corrupt_guard("jpeg")
 def jpeg_decode(payload: bytes) -> dict[str, Any]:
     """Decode a baseline, extended-sequential, or PROGRESSIVE JPEG to
     ``{width, height, channels, pixels}`` (row-major interleaved 8-bit

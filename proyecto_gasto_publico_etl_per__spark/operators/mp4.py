@@ -25,6 +25,7 @@ sizes); chunk data is contiguous samples.
 """
 
 from __future__ import annotations
+from .codec_errors import corrupt_guard
 
 import struct
 
@@ -143,6 +144,7 @@ def _sample_table(payload: bytes, stbl_b: int, stbl_e: int):
     return fourcc, spans
 
 
+@corrupt_guard("MP4")
 def mp4_video_samples(payload: bytes) -> tuple[bytes, list[bytes]]:
     """Walk the moov box tree and return ``(codec_fourcc, samples)`` for
     the FIRST video (``hdlr`` handler ``vide``) track.  Raises

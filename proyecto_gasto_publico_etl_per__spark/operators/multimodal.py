@@ -30,6 +30,7 @@ metadata-only queries never read them (column pruning).
 """
 
 from __future__ import annotations
+from .codec_errors import corrupt_guard
 
 import hashlib
 from collections.abc import Iterator
@@ -144,6 +145,7 @@ _ADAM7 = (
 )
 
 
+@corrupt_guard("PNG")
 def _png_decode(payload: bytes) -> dict[str, Any]:
     """Pure-stdlib/numpy PNG decoder covering the full STATIC format:
     gray / gray+alpha / RGB / RGBA / palette, bit depths 1/2/4/8/16

@@ -17,6 +17,7 @@ Output contract matches ``multimodal._png_decode``:
 """
 
 from __future__ import annotations
+from .codec_errors import corrupt_guard
 
 import struct
 
@@ -133,6 +134,7 @@ def _lzw(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+@corrupt_guard("TIFF")
 def tiff_decode(payload: bytes) -> dict:
     if payload[:4] == b"II*\x00":
         bo = "<"
