@@ -330,6 +330,11 @@ def test_decode_unsupported_format_raises():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
+        # WebP stays guarded (VP8L's distance-map table is spec data —
+        # the same in-container-verifiability rule as MP3)
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8L")
+    with pytest.raises(ValueError):
+        # TIFF decodes for real since round 11: junk is CORRUPT now
         multimodal.decode_image(b"II*\x00tiff-ish junk")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0junk")
