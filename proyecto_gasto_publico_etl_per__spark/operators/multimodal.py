@@ -561,9 +561,13 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
 
 
 def audio_features(payload: bytes, dim: int = 4) -> list[float]:
-    """Real audio features: [sample_rate, n_channels, n_frames, rms] and,
-    at dim >= 5, the zero-crossing rate (its O(samples) scan only runs
-    when the slot survives the cut).  Deterministic — pytest-oracle-able."""
+    """Real audio features: [sample_rate, n_channels, n_frames, rms];
+    at dim >= 5, the zero-crossing rate; at dim >= 6, the remaining
+    slots fill with the log-mel fingerprint (per-band mean/std of the
+    Hann-rFFT-mel spectrogram, ``audio_dsp.mel_fingerprint`` — the
+    duration-invariant embedding audio near-dup keys on).  Each tier's
+    O(samples) work only runs when its slots survive the cut.
+    Deterministic — pytest-oracle-able."""
     d = decode_audio(payload)
     s, nch = d["samples"], d["n_channels"]
     n_frames = len(s) // nch if nch else 0
@@ -574,6 +578,15 @@ def audio_features(payload: bytes, dim: int = 4) -> list[float]:
             1 for i in range(1, len(s)) if (s[i - 1] < 0) != (s[i] < 0)
         ) / max(1, len(s) - 1)
         feats.append(zc)
+    if dim >= 6:
+        from .audio_dsp import mel_fingerprint
+
+        n_mels = (dim - 5 + 1) // 2  # mean+std per band fill the tail
+        feats.extend(
+            mel_fingerprint(
+                s, d["sample_rate"], n_channels=nch, n_mels=max(1, n_mels)
+            )
+        )
     return (feats + [0.0] * dim)[:dim]
 
 
