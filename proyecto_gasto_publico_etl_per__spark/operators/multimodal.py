@@ -623,6 +623,50 @@ def _fake_resized(payload: bytes, width: int, height: int) -> bytes:
     return seed * (width * height // len(seed) + 1)
 
 
+def image_hashes(
+    assets: DataFrame, kind: str = "phash", strict: bool = False
+) -> DataFrame:
+    """64-bit perceptual hash per image asset (round 11): asset columns
+    plus a BIGINT ``phash64`` — the image near-dup key.  Arrow-batched
+    ``mapInPandas``; non-image / NULL-payload rows get NULL, and decode
+    failures quarantine PER ROW to NULL (the ``extract_features``
+    contract) unless ``strict=True``.
+
+    Scale shape: one map pass, no shuffle.  Candidate generation
+    downstream is the SimHash idiom — band the 16 nibbles
+    (``F.expr("(phash64 >> (4*b)) & 15")`` per band) and equi-join on
+    (band, value), never all-pairs; verify with JVM-side
+    ``F.bit_count(a ^ b)``.  See ``operators/imagehash`` for the hash
+    math (area-average luma downscale + mean/gradient/DCT bits)."""
+    from .imagehash import image_phash64
+
+    def one(b) -> int | None:
+        if b is None:
+            return None
+        try:
+            return image_phash64(bytes(b), kind)
+        except Exception:
+            if strict:
+                raise
+            return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            is_img = out["media_type"] == "image"
+            vals = [
+                one(p) if ok else None
+                for ok, p in zip(is_img, out["payload"])
+            ]
+            out["phash64"] = pd.array(vals, dtype="Int64")
+            yield out
+
+    schema = T.StructType(
+        [*assets.schema.fields, T.StructField("phash64", T.LongType(), True)]
+    )
+    return assets.mapInPandas(batches, schema=schema)
+
+
 def resize_images(
     assets: DataFrame, width: int = 64, height: int = 64,
     decoder: str = "fake", strict: bool = False,

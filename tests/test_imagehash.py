@@ -1,0 +1,133 @@
+"""Perceptual image hashing (`operators/imagehash.py`, round 11):
+near-duplicate images (re-encode, resize) must land within a small
+Hamming radius; unrelated structured images far away; the Spark-side
+`image_hashes` column matches the python hash and the JVM
+`bit_count(xor)` distance matches `hamming64`."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from proyecto_gasto_publico_etl_per__spark.operators import (  # noqa: E402
+    imagehash,
+    multimodal,
+)
+
+
+def _scene(seed: int, w: int = 64, h: int = 64) -> np.ndarray:
+    """A structured test image: gradient background + seeded blocks
+    (perceptual hashes are meaningless on pure noise — structure is
+    the contract)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    # seeded GLOBAL structure (random-phase low-frequency waves), so
+    # different seeds differ in layout, not just in local detail — a
+    # mean/gradient hash legitimately scores images sharing one fixed
+    # background as near-dups
+    fx, fy = rng.uniform(1.0, 3.0, 2)
+    px, py = rng.uniform(0, 2 * np.pi, 2)
+    base = (
+        np.sin(2 * np.pi * fx * x / w + px)
+        + np.sin(2 * np.pi * fy * y / h + py)
+    )
+    img = np.stack(
+        [
+            (base + 2.0) * 63.0,
+            (np.roll(base, w // 4, axis=1) + 2.0) * 63.0,
+            (np.roll(base, h // 4, axis=0) + 2.0) * 63.0,
+        ],
+        axis=-1,
+    )
+    for _ in range(6):
+        x0, y0 = rng.integers(0, w - 16), rng.integers(0, h - 16)
+        bw, bh = rng.integers(8, 16, 2)
+        img[y0 : y0 + bh, x0 : x0 + bw] = rng.integers(0, 256, 3)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _png(img: np.ndarray) -> bytes:
+    h, w, ch = img.shape
+    return multimodal._png_encode(w, h, ch, img.tobytes())
+
+
+@pytest.mark.parametrize("kind", ["ahash", "dhash", "phash"])
+def test_hash_is_deterministic_and_signed64(kind):
+    p = _png(_scene(1))
+    a = imagehash.image_phash64(p, kind)
+    assert a == imagehash.image_phash64(p, kind)
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+@pytest.mark.parametrize("kind", ["ahash", "dhash", "phash"])
+def test_near_duplicates_land_close(kind):
+    src = _scene(2)
+    base = imagehash.image_phash64(_png(src), kind)
+    # resize to 75% then decode-rehash: same structure, new raster
+    resized = multimodal.resize_image_real(_png(src), 48, 48)
+    d_resize = imagehash.hamming64(
+        base, imagehash.image_phash64(resized, kind)
+    )
+    assert d_resize <= 10, d_resize
+    # mild brightness shift: structure unchanged
+    brighter = np.clip(src.astype(np.int16) + 12, 0, 255).astype(np.uint8)
+    d_bright = imagehash.hamming64(
+        base, imagehash.image_phash64(_png(brighter), kind)
+    )
+    assert d_bright <= 10, d_bright
+
+
+@pytest.mark.parametrize("kind", ["ahash", "dhash", "phash"])
+def test_unrelated_scenes_land_far(kind):
+    dists = []
+    for s1, s2 in ((3, 4), (5, 6), (7, 8)):
+        a = imagehash.image_phash64(_png(_scene(s1)), kind)
+        b = imagehash.image_phash64(_png(_scene(s2)), kind)
+        dists.append(imagehash.hamming64(a, b))
+    # unrelated structured images: expect ~32; anything >= 16 separates
+    # cleanly from the <= 10 near-dup radius
+    assert min(dists) >= 16, dists
+
+
+def test_unsupported_kind_raises():
+    with pytest.raises(ValueError, match="kind"):
+        imagehash.image_phash64(_png(_scene(1)), "md5")
+
+
+def test_image_hashes_spark_column_and_jvm_distance(spark):
+    from pyspark.sql import functions as F
+
+    src, near = _scene(9), _scene(10)
+    rows = [
+        (1, "image", bytearray(_png(src)), {}),
+        (2, "image", bytearray(multimodal.resize_image_real(_png(src), 48, 48)), {}),
+        (3, "image", bytearray(_png(near)), {}),
+        (4, "audio", bytearray(b"not an image"), {}),
+        (5, "image", bytearray(b"II*\x00corrupt tiff"), {}),  # quarantined
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {
+        r["asset_id"]: r["phash64"]
+        for r in multimodal.image_hashes(assets, "phash").collect()
+    }
+    assert got[1] == imagehash.image_phash64(bytes(rows[0][2]), "phash")
+    assert got[4] is None and got[5] is None  # non-image + quarantine
+    # JVM bit_count(xor) == python hamming64
+    jvm = (
+        spark.range(1)
+        .select(
+            F.bit_count(
+                F.lit(got[1]).bitwiseXOR(F.lit(got[2]))
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    assert jvm == imagehash.hamming64(got[1], got[2])
+    assert jvm <= 10  # the near-dup radius through the Spark path
+    assert imagehash.hamming64(got[1], got[3]) >= 16
