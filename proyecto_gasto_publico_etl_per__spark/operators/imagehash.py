@@ -99,3 +99,108 @@ def hamming64(a: int, b: int) -> int:
     """Hamming distance between two signed-64 perceptual hashes (the
     python-side twin of ``F.bit_count(F.col(a).bitwiseXOR(b))``)."""
     return int(bin(((a ^ b) & ((1 << 64) - 1))).count("1"))
+
+
+# --- Spark-side near-dup pipeline (the SimHash pigeonhole idiom) --------------
+
+
+def phash_pairs(
+    hashes,
+    id_col: str = "asset_id",
+    hash_col: str = "phash64",
+    max_hamming: int = 3,
+):
+    """Near-dup image pairs with perceptual-hash Hamming distance ≤
+    ``max_hamming`` — the image twin of ``dedup.simhash_pairs``.
+
+    Candidates come from the pigeonhole trick: split the 64-bit hash
+    into ``max_hamming + 1`` chunks; any pair within distance k shares
+    at least one exact chunk — bucket equi-join on (chunk_idx,
+    chunk_value), then verify the FULL distance with JVM-side
+    ``bit_count(xor)``.  Never an all-pairs product.  The guarantee is
+    exact only for the configured radius: chasing pHash's ~10-bit
+    near-dup radius directly would need 11 chunks of 5 bits (32 buckets
+    per position — quadratic at corpus scale), so production runs the
+    exact radius-3 pass and treats anything farther as a second-pass /
+    embedding problem, same trade the text SimHash path documents.
+
+    ``shiftrightunsigned`` (NOT ``shiftright``) because the hash column
+    is signed-64: an arithmetic shift would replicate the sign bit into
+    every high chunk and collapse buckets."""
+    from pyspark.sql import functions as F
+
+    chunks = max_hamming + 1
+    chunk_bits = 64 // chunks
+    idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias(
+        "chunk_idx"
+    )
+    chunked = (
+        hashes.where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("img"), F.col(hash_col).alias("ph"), idx)
+        .withColumn(
+            "chunk_val",
+            F.expr(
+                "shiftrightunsigned(ph, chunk_idx * {0}) & {1}".format(
+                    chunk_bits, (1 << chunk_bits) - 1
+                )
+            ),
+        )
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cands = (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .where(F.col("a.img") < F.col("b.img"))
+        .select(
+            F.col("a.img").alias("img_a"),
+            F.col("b.img").alias("img_b"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("img_a", "img_b", "hamming")
+    )
+
+
+def image_neardup_clusters(
+    assets,
+    kind: str = "phash",
+    max_hamming: int = 3,
+):
+    """End-to-end image near-dup grouping: hash column (one map pass) →
+    pigeonhole pair generation → the shared connected-components
+    machinery (``dedup.cluster_duplicates`` — pointer jumping with
+    checkpoint lineage cuts).  Returns (asset_id, cluster_id) for every
+    hashed image, singletons included."""
+    from pyspark.sql import functions as F
+
+    from .dedup import cluster_duplicates
+
+    hashes = (
+        image_hashes_df(assets, kind)
+        .where(F.col("phash64").isNotNull())
+        .select("asset_id", "phash64")
+    )
+    pairs = phash_pairs(hashes, max_hamming=max_hamming)
+    clustered = cluster_duplicates(pairs, id_a="img_a", id_b="img_b")
+    return hashes.join(
+        clustered, hashes.asset_id == clustered.doc_id, "left"
+    ).select(
+        "asset_id",
+        F.coalesce(F.col("cluster_id"), F.col("asset_id")).alias(
+            "cluster_id"
+        ),
+    )
+
+
+def image_hashes_df(assets, kind: str = "phash"):
+    """Late import wrapper so this module stays importable without the
+    multimodal module's pandas dependency at import time."""
+    from .multimodal import image_hashes
+
+    return image_hashes(assets, kind)

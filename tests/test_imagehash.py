@@ -131,3 +131,62 @@ def test_image_hashes_spark_column_and_jvm_distance(spark):
     assert jvm == imagehash.hamming64(got[1], got[2])
     assert jvm <= 10  # the near-dup radius through the Spark path
     assert imagehash.hamming64(got[1], got[3]) >= 16
+
+
+def test_phash_pairs_pigeonhole_and_cluster_pipeline(spark):
+    """The Spark near-dup pipeline: pigeonhole pair-gen finds exactly
+    the within-radius pairs (bucket equi-join, no cartesian in the
+    plan), and image_neardup_clusters groups variants of the same
+    scene while singletons keep their own id."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators.imagehash import (
+        image_neardup_clusters,
+        phash_pairs,
+    )
+
+    # hashes with known distances: 10/11 differ by 2 bits, 12 by 1 bit
+    # from 10, 20/21 identical, 30 far from everything
+    rows = [
+        (10, 0b1010_1100),
+        (11, 0b1010_1111),  # d(10,11)=2
+        (12, 0b1010_1101),  # d(10,12)=1, d(11,12)=1
+        (20, -(1 << 62) + 5),
+        (21, -(1 << 62) + 5),  # identical negative hashes
+        (30, (1 << 55) - 1),
+    ]
+    hashes = spark.createDataFrame(rows, "asset_id long, phash64 long")
+    pairs = phash_pairs(hashes, max_hamming=3)
+    got = {
+        (r["img_a"], r["img_b"]): r["hamming"] for r in pairs.collect()
+    }
+    assert got == {
+        (10, 11): 2,
+        (10, 12): 1,
+        (11, 12): 1,
+        (20, 21): 0,
+    }
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # end-to-end on real payloads: same scene re-rastered clusters
+    src = _scene(20)
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_png(src)), {}),
+            (2, "image", bytearray(
+                multimodal.resize_image_real(_png(src), 64, 64)
+            ), {}),
+            (3, "image", bytearray(_png(_scene(21))), {}),
+            (4, "image", bytearray(b"II*\x00junk"), {}),  # quarantined
+        ],
+        multimodal.ASSET_SCHEMA,
+    )
+    out = {
+        r["asset_id"]: r["cluster_id"]
+        for r in image_neardup_clusters(assets, max_hamming=3).collect()
+    }
+    assert out[1] == out[2] == 1  # the re-raster joins its source
+    assert out[3] == 3  # unrelated scene stays a singleton
+    assert 4 not in out  # quarantined rows carry no hash
