@@ -381,18 +381,24 @@ def main(argv: list[str] | None = None) -> None:
         stale = anchor and total > anchor * (
             1.0 + similarity.LADDER_MAX_GROWTH_FRAC
         )
-        if args.remeasure_ladder and manifest.get("recall_ladder"):
-            nprobes = tuple(
-                int(p["nprobe"]) for p in manifest["recall_ladder"]
+        if args.remeasure_ladder:
+            prev = manifest.get("recall_ladder")
+            # no existing ladder (e.g. a bare ann-build-index manifest):
+            # BOOTSTRAP at the default rungs rather than silently
+            # no-oping with --target-recall still blocked
+            nprobes = (
+                tuple(int(p["nprobe"]) for p in prev)
+                if prev
+                else (2, 4, 8, 16)
             )
             manifest = similarity.remeasure_manifest_ladder(
                 spark, emb, emb.filter(F.col("vec_id") < 10), base,
                 nprobes=nprobes,
             )
             print(
-                f"re-measured the recall ladder on {total} vectors "
-                f"(nprobes {list(nprobes)}) — --target-recall serving "
-                "stays unblocked"
+                f"{'re-measured' if prev else 'bootstrapped'} the recall "
+                f"ladder on {total} vectors (nprobes {list(nprobes)}) — "
+                "--target-recall serving stays unblocked"
             )
         elif stale:
             print(
@@ -447,12 +453,20 @@ def main(argv: list[str] | None = None) -> None:
                 k, rerank = ladder_k, ladder_rerank
             # staleness guard: appends grow the index without
             # re-measuring; refuse to resolve from a ladder the index
-            # has outgrown (similarity.LADDER_MAX_GROWTH_FRAC)
-            index_n = spark.read.parquet(f"{base}/index_assigned").count()
+            # has outgrown (similarity.LADDER_MAX_GROWTH_FRAC).  The
+            # count job only runs when there IS an anchor to compare
+            # against — pre-anchor manifests must not pay a wasted
+            # Spark action on every serve
+            anchor = manifest.get("ladder_index_n")
+            index_n = (
+                spark.read.parquet(f"{base}/index_assigned").count()
+                if anchor is not None
+                else None
+            )
             nprobe = similarity.resolve_nprobe(
                 ladder,
                 args.target_recall,
-                ladder_index_n=manifest.get("ladder_index_n"),
+                ladder_index_n=anchor,
                 index_n=index_n,
             )
             print(

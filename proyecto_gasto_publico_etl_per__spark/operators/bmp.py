@@ -94,7 +94,18 @@ def bmp_decode(payload: bytes) -> dict:
             raise ValueError("BMP palette truncated")
         lut = [pal[4 * i : 4 * i + 3][::-1] for i in range(n_colors)]  # BGR→RGB
         if compression == 1:
-            idx = _rle8(payload[data_off:], w, h)
+            # plausibility bound BEFORE allocating w*h rows: an RLE8
+            # packet (2 bytes) emits at most 255 pixels, so a payload
+            # this small can never legitimately fill the claimed
+            # dimensions — a corrupt header must raise the contract's
+            # ValueError, not a MemoryError from the allocation
+            data = payload[data_off:]
+            if w * h > 128 * max(1, len(data)):
+                raise ValueError(
+                    f"BMP RLE8 dimensions {w}x{h} implausible for "
+                    f"{len(data)} data bytes"
+                )
+            idx = _rle8(data, w, h)
         else:
             stride = (w + 3) & ~3
             need = stride * h

@@ -498,36 +498,64 @@ def simhash_pairs(
     hash's 8-bit chunks collapse to 256 buckets and the bucket join goes
     quadratic at corpus scale).
     """
+    sh = simhash(df, id_col, text_col, bits)
+    return hamming_pairs(sh, "doc", "simhash", max_hamming, bits)
+
+
+def hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    bits: int,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of a BIGINT hash
+    column — the shared pigeonhole candidate generator behind
+    ``simhash_pairs`` (text) and ``imagehash.phash_pairs`` (images):
+    split into ``max_hamming + 1`` chunks, bucket equi-join on
+    (chunk_idx, chunk_value), verify the full distance JVM-side.
+
+    ``shiftrightunsigned`` throughout: identical to an arithmetic shift
+    on non-negative hashes (simhash's 60-bit values) and REQUIRED for
+    signed-64 perceptual hashes, where an arithmetic shift would smear
+    the sign bit into every high chunk and collapse buckets."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
-    sh = simhash(df, id_col, text_col, bits)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk_idx")
-    chunked = sh.select("doc", "simhash", idx).withColumn(
-        "chunk_val",
-        F.expr(
-            "shiftright(simhash, chunk_idx * {0}) & {1}".format(
-                chunk_bits, (1 << chunk_bits) - 1
-            )
-        ),
+    idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias(
+        "chunk_idx"
+    )
+    chunked = (
+        hashes.where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("hid"), F.col(hash_col).alias("hv"), idx)
+        .withColumn(
+            "chunk_val",
+            F.expr(
+                "shiftrightunsigned(hv, chunk_idx * {0}) & {1}".format(
+                    chunk_bits, (1 << chunk_bits) - 1
+                )
+            ),
+        )
     )
     a, b = chunked.alias("a"), chunked.alias("b")
     cands = (
         a.join(b, on=["chunk_idx", "chunk_val"])
-        .where(F.col("a.doc") < F.col("b.doc"))
+        .where(F.col("a.hid") < F.col("b.hid"))
         .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.hid").alias(out_a),
+            F.col("b.hid").alias(out_b),
+            F.col("a.hv").alias("hv_a"),
+            F.col("b.hv").alias("hv_b"),
         )
         .distinct()
     )
     return (
         cands.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            "hamming", F.bit_count(F.col("hv_a").bitwiseXOR(F.col("hv_b")))
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(out_a, out_b, "hamming")
     )
 
 

@@ -124,46 +124,15 @@ def phash_pairs(
     exact radius-3 pass and treats anything farther as a second-pass /
     embedding problem, same trade the text SimHash path documents.
 
-    ``shiftrightunsigned`` (NOT ``shiftright``) because the hash column
-    is signed-64: an arithmetic shift would replicate the sign bit into
-    every high chunk and collapse buckets."""
-    from pyspark.sql import functions as F
+    Delegates to the shared pigeonhole generator
+    (``dedup.hamming_pairs`` — also behind ``simhash_pairs``), which
+    uses ``shiftrightunsigned`` so the signed-64 hash column's sign bit
+    can't smear into high chunks and collapse buckets."""
+    from .dedup import hamming_pairs
 
-    chunks = max_hamming + 1
-    chunk_bits = 64 // chunks
-    idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias(
-        "chunk_idx"
-    )
-    chunked = (
-        hashes.where(F.col(hash_col).isNotNull())
-        .select(F.col(id_col).alias("img"), F.col(hash_col).alias("ph"), idx)
-        .withColumn(
-            "chunk_val",
-            F.expr(
-                "shiftrightunsigned(ph, chunk_idx * {0}) & {1}".format(
-                    chunk_bits, (1 << chunk_bits) - 1
-                )
-            ),
-        )
-    )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    cands = (
-        a.join(b, on=["chunk_idx", "chunk_val"])
-        .where(F.col("a.img") < F.col("b.img"))
-        .select(
-            F.col("a.img").alias("img_a"),
-            F.col("b.img").alias("img_b"),
-            F.col("a.ph").alias("ph_a"),
-            F.col("b.ph").alias("ph_b"),
-        )
-        .distinct()
-    )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("img_a", "img_b", "hamming")
+    return hamming_pairs(
+        hashes, id_col, hash_col, max_hamming, bits=64,
+        out_a="img_a", out_b="img_b",
     )
 
 
@@ -181,10 +150,15 @@ def image_neardup_clusters(
 
     from .dedup import cluster_duplicates
 
+    # materialize the decode+hash map pass ONCE: it feeds the pair
+    # self-join and the final label join, and without the barrier each
+    # consumer re-decodes every image (the dominant cost) — the same
+    # rationale cluster_duplicates documents for its edges
     hashes = (
         image_hashes_df(assets, kind)
         .where(F.col("phash64").isNotNull())
         .select("asset_id", "phash64")
+        .localCheckpoint()
     )
     pairs = phash_pairs(hashes, max_hamming=max_hamming)
     clustered = cluster_duplicates(pairs, id_a="img_a", id_b="img_b")

@@ -439,7 +439,12 @@ def _decode_lossless_scan(
     tables = {}
     for c in comps:
         if c["id"] not in scan_tabs:
-            raise ValueError(f"lossless scan missing component {c['id']}")
+            # a per-component multi-scan SOF3 layout is spec-VALID
+            # (some DNG writers emit it) — unsupported, not corrupt,
+            # same contract as the baseline non-interleaved guard
+            raise NotImplementedError(
+                "non-interleaved multi-scan lossless JPEG needs Pillow"
+            )
         tables[c["id"]] = huff[(0, scan_tabs[c["id"]])]
     planes = {
         c["id"]: np.zeros((h, w), dtype=np.int64) for c in comps

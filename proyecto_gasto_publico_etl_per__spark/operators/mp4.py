@@ -124,6 +124,15 @@ def _sample_table(payload: bytes, stbl_b: int, stbl_e: int):
     spans: list[tuple[int, int]] = []  # (offset, size) per sample
     si = 0
     n_chunks = len(chunk_offsets)
+    # stsc first_chunk is 1-based and runs must strictly increase —
+    # first_chunk=0 would wrap to chunk_offsets[-1] via Python negative
+    # indexing and return silently wrong sample bytes
+    firsts = [f for f, _ in stsc_runs]
+    if firsts[0] < 1 or any(
+        b <= a for a, b in zip(firsts, firsts[1:])
+    ):
+        raise ValueError("MP4 stsc chunk runs invalid (non-increasing "
+                         "or zero first_chunk)")
     for ri, (first, per_chunk) in enumerate(stsc_runs):
         last = (
             stsc_runs[ri + 1][0] - 1 if ri + 1 < len(stsc_runs) else n_chunks

@@ -1180,14 +1180,19 @@ def remeasure_manifest_ladder(
     assertions.  Returns the updated manifest."""
     from . import model_store
 
+    import json
+
     payload, _ = model_store.load_model(
         spark, f"{base}/centroids", "ivf_centroids"
     )
     pairs = [(int(c), [float(x) for x in v]) for c, v in payload]
     cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
     try:
-        manifest, _ = model_store.load_model(spark, f"{base}/manifest")
-        kind = spark.read.parquet(f"{base}/manifest").collect()[0].kind
+        # one read: payload AND kind from the same single manifest row
+        # (kind must round-trip so kind-asserting loads keep working)
+        row = spark.read.parquet(f"{base}/manifest").collect()[0]
+        manifest = json.loads(row.payload)
+        kind = row.kind
     except Exception:
         manifest = {"residual": False, "m": 16, "n_codes": 16}
         kind = "ivf_pq_manifest"
@@ -1195,10 +1200,14 @@ def remeasure_manifest_ladder(
         spark.read.parquet(f"{base}/index_assigned"),
         spark.read.parquet(f"{base}/index_codes"),
     )
+    # k comes from the EXISTING ladder when there is one — a remeasure
+    # must not silently change the k the serving pin reads back
+    prev = manifest.get("recall_ladder") or []
+    k = int(prev[0]["k"]) if prev else 5
     manifest["recall_ladder"] = measure_recall_ladder(
         corpus,
         probes,
-        k=5,
+        k=k,
         nprobes=tuple(nprobes),
         m=manifest["m"],
         n_codes=manifest["n_codes"],
