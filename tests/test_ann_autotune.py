@@ -279,3 +279,40 @@ def test_append_remeasure_ladder_keeps_target_recall_serving(
     # serving resolves cleanly — no staleness refusal, no re-sweep
     cli.main(["ann-search", SF, idx, "3", "--target-recall", "0.0"])
     assert "measured ladder" in capsys.readouterr().out
+
+
+def test_append_remeasure_bootstraps_missing_ladder(spark, tmp_path, capsys):
+    """Review fix r11: --remeasure-ladder on an index whose manifest
+    never had a ladder (bare ann-build-index) BOOTSTRAPS one at the
+    default rungs instead of silently no-oping, and --target-recall
+    serves immediately after."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base_dir = tmp_path / "sf_base"
+    base_dir.mkdir()
+    emb.filter(F.col("vec_id") < 300).write.parquet(
+        str(base_dir / "embeddings.parquet")
+    )
+    idx = str(tmp_path / "annidx_boot")
+    cli.main(
+        ["ann-build-index", str(base_dir), idx, "--n-centroids", "8",
+         "--m", "4", "--n-codes", "8"]
+    )
+    capsys.readouterr()
+    cli.main(
+        ["ann-append-index", SF, idx, "--from-id", "300",
+         "--remeasure-ladder"]
+    )
+    out = capsys.readouterr().out
+    assert "bootstrapped the recall ladder on 500 vectors" in out
+    manifest, _ = model_store.load_model(spark, f"{idx}/manifest")
+    assert [p["nprobe"] for p in manifest["recall_ladder"]] == [2, 4, 8, 16]
+    assert manifest["ladder_index_n"] == 500
+    cli.main(["ann-search", SF, idx, "3", "--target-recall", "0.0"])
+    assert "measured ladder" in capsys.readouterr().out

@@ -212,3 +212,15 @@ def test_sample_frames_real_mp4_yields_decodable_jpegs(spark):
     span = max(1, len(h264ish) // 3)
     for i in range(3):
         assert rows[(2, i)] == h264ish[i * span : (i + 1) * span]
+
+
+def test_mp4_zero_first_chunk_is_corrupt_not_wraparound():
+    """stsc first_chunk is 1-based; 0 must raise (Python negative
+    indexing would silently read the LAST chunk's offset)."""
+    frames = _frames(2)
+    good = mjpeg_mp4(frames, chunking=[2])
+    at = good.index(b"stsc") + 4 + 4 + 4  # type + fullbox + entry_count
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, at, 0)  # first_chunk = 0
+    with pytest.raises(ValueError, match="stsc"):
+        mp4.mp4_mjpeg_frames(bytes(bad))

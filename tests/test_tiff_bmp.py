@@ -450,3 +450,14 @@ def test_box_resize_preserves_mean_and_flat_images():
             multimodal.resize_image_real(pf, *dims)
         )
         assert set(o["pixels"]) == {77}, dims  # flat stays exactly flat
+
+
+def test_bmp_rle8_implausible_dimensions_raise_before_allocating():
+    """A ~70-byte RLE8 BMP claiming 50000x50000 must raise the
+    contract's ValueError, not attempt a multi-GB allocation."""
+    tiny = bmp_encode(bytes(16), 4, 4, 1)
+    bad = bytearray(tiny)
+    struct.pack_into("<ii", bad, 18, 50000, 50000)  # width, height
+    struct.pack_into("<I", bad, 30, 1)  # compression = RLE8
+    with pytest.raises(ValueError, match="implausible"):
+        bmp.bmp_decode(bytes(bad))
