@@ -517,10 +517,11 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
 
     soundfile when importable (WAV/FLAC/OGG...); otherwise the stdlib
     paths — ``operators/flac.py`` for FLAC (full bitstream: all
-    subframe types, Rice partitions, stereo decorrelation) and the
-    ``wave`` module for 8/16/32-bit PCM WAV.  ``NotImplementedError``
-    only for formats none of those cover (e.g. MP3 without
-    soundfile)."""
+    subframe types, Rice partitions, stereo decorrelation),
+    ``operators/pcm_audio.py`` for AIFF and Sun AU incl. G.711
+    µ-law/A-law (round 11), and the ``wave`` module for 8/16/32-bit
+    PCM WAV.  ``NotImplementedError`` only for formats none of those
+    cover (e.g. MP3 without soundfile)."""
     import io
 
     try:
@@ -538,6 +539,14 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
         from .flac import flac_decode
 
         return flac_decode(payload)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        from .pcm_audio import aiff_decode
+
+        return aiff_decode(payload)
+    if payload[:4] == b".snd":
+        from .pcm_audio import au_decode
+
+        return au_decode(payload)
     import struct
     import wave
 

@@ -177,3 +177,23 @@ def test_fuzz_quarantine_end_to_end(spark):
     ids = {r["asset_id"] for r in out}
     assert ids == set(range(len(rows)))  # every row yielded frames
     assert all(len(bytes(r["frame"])) > 0 for r in out)
+
+
+def test_fuzz_aiff_and_au():
+    from test_pcm_audio import aiff_write, au_write
+    import struct as _struct
+
+    from proyecto_gasto_publico_etl_per__spark.operators import pcm_audio
+
+    rng = np.random.default_rng(11)
+    samples = [int(v) for v in rng.integers(-30000, 30000, 300)]
+    aiff = aiff_write(samples, rate=8000, nch=1)
+    au = au_write(
+        b"".join(_struct.pack(">h", s) for s in samples), enc=3
+    )
+    _assert_contract(
+        pcm_audio.aiff_decode, _mutations(aiff, np.random.default_rng(12))
+    )
+    _assert_contract(
+        pcm_audio.au_decode, _mutations(au, np.random.default_rng(13))
+    )
