@@ -547,49 +547,37 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
         from .pcm_audio import au_decode
 
         return au_decode(payload)
-    import struct
-    import wave
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # full WAV parser (round 11): PCM 8-32, float32/64, G.711
+        # µ-law/A-law, and WAVE_FORMAT_EXTENSIBLE — supersedes the
+        # stdlib `wave` fallback, which rejected everything but
+        # integer PCM (telephony corpora are largely G.711 WAV)
+        from .pcm_audio import wav_decode
 
-    try:
-        with wave.open(io.BytesIO(payload), "rb") as wf:
-            rate = wf.getframerate()
-            nch = wf.getnchannels()
-            width = wf.getsampwidth()
-            frames = wf.readframes(wf.getnframes())
-    except (wave.Error, EOFError) as exc:
-        # Why MP3/OGG get no stdlib path while FLAC/JPEG/PNG/GIF did
-        # (round-11 decision record): every shipped stdlib codec is
-        # verifiable IN-CONTAINER because its entropy/table state is
-        # either carried in the stream (JPEG ships its Huffman/quant
-        # tables in DHT/DQT segments; FLAC its predictors per
-        # subframe) or algorithmic (PNG zlib, GIF LZW, Rice codes).
-        # MPEG audio is the opposite: the 34 Layer-III Huffman
-        # codebooks (ISO 11172-3 Table B.7), the 512-tap synthesis
-        # window (Table B.3), and the Layer-II allocation tables
-        # (B.2a-d) are ~1k arbitrary constants that live in the SPEC,
-        # not the stream.  With no network, reference decoder, or
-        # sample files here, table data could only be reproduced from
-        # memory and tested for SELF-consistency — an encoder/decoder
-        # roundtrip cannot distinguish the standard's tables from any
-        # other prefix-free set, so wrong data would pass every
-        # in-container test and silently decode real-world MP3s to
-        # garbage.  A loud guard is the correct behavior until
-        # soundfile (or verified spec table data) is available.
-        raise NotImplementedError(
-            "non-PCM-WAV audio decoding requires soundfile, which is not "
-            f"importable in this environment ({exc})"
-        ) from None
-    if width == 2:
-        ints = struct.unpack(f"<{len(frames) // 2}h", frames)
-        samples = [x / 32768.0 for x in ints]
-    elif width == 4:
-        ints = struct.unpack(f"<{len(frames) // 4}i", frames)
-        samples = [x / 2147483648.0 for x in ints]
-    elif width == 1:  # WAV 8-bit is unsigned
-        samples = [(x - 128) / 128.0 for x in frames]
-    else:
-        raise NotImplementedError(f"unsupported PCM sample width {width}")
-    return {"sample_rate": rate, "n_channels": nch, "samples": samples}
+        return wav_decode(payload)
+    # Why MP3/OGG get no stdlib path while FLAC/JPEG/PNG/GIF did
+    # (round-11 decision record): every shipped stdlib codec is
+    # verifiable IN-CONTAINER because its entropy/table state is
+    # either carried in the stream (JPEG ships its Huffman/quant
+    # tables in DHT/DQT segments; FLAC its predictors per
+    # subframe) or algorithmic (PNG zlib, GIF LZW, Rice codes).
+    # MPEG audio is the opposite: the 34 Layer-III Huffman
+    # codebooks (ISO 11172-3 Table B.7), the 512-tap synthesis
+    # window (Table B.3), and the Layer-II allocation tables
+    # (B.2a-d) are ~1k arbitrary constants that live in the SPEC,
+    # not the stream.  With no network, reference decoder, or
+    # sample files here, table data could only be reproduced from
+    # memory and tested for SELF-consistency — an encoder/decoder
+    # roundtrip cannot distinguish the standard's tables from any
+    # other prefix-free set, so wrong data would pass every
+    # in-container test and silently decode real-world MP3s to
+    # garbage.  A loud guard is the correct behavior until
+    # soundfile (or verified spec table data) is available.
+    raise NotImplementedError(
+        "audio decoding beyond WAV (PCM/float/G.711), FLAC, AIFF, and "
+        "AU requires soundfile, which is not importable in this "
+        "environment"
+    )
 
 
 def audio_features(payload: bytes, dim: int = 4) -> list[float]:

@@ -186,3 +186,92 @@ def au_decode(payload: bytes) -> dict:
             f"AU encoding {enc} (ADPCM/...) requires soundfile"
         )
     return {"sample_rate": rate, "n_channels": nch, "samples": samples}
+
+
+#: WAVE fmt tags → decode kind (EXTENSIBLE resolves to its SubFormat)
+_WAV_PCM_WIDTHS = {8, 16, 24, 32}
+
+
+def _pcm_le_samples(data: bytes, width: int) -> list[float]:
+    """Little-endian WAV PCM → normalized floats (8-bit is UNSIGNED,
+    the WAV convention — AIFF/AU's is signed)."""
+    if width == 1:
+        return [(b - 128) / 128.0 for b in data]
+    n = len(data) // width
+    if width == 2:
+        return [x / 32768.0 for x in struct.unpack(f"<{n}h", data[: 2 * n])]
+    if width == 3:
+        out = []
+        for i in range(n):
+            x = int.from_bytes(
+                data[3 * i : 3 * i + 3], "little", signed=True
+            )
+            out.append(x / 8388608.0)
+        return out
+    if width == 4:
+        return [
+            x / 2147483648.0
+            for x in struct.unpack(f"<{n}i", data[: 4 * n])
+        ]
+    raise NotImplementedError(f"unsupported PCM width {width}")
+
+
+@corrupt_guard("WAV")
+def wav_decode(payload: bytes) -> dict:
+    """Full RIFF/WAVE decode: PCM 8/16/24/32 (tag 1), IEEE float32/64
+    (tag 3), G.711 A-law (6) / µ-law (7), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE, resolved through its SubFormat GUID).  This supersedes the
+    stdlib ``wave`` fallback, which rejects everything but integer PCM
+    — telephony corpora are largely G.711 WAV.  ADPCM and other
+    compressed tags raise the loud guard."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE)")
+    pos, end = 12, min(
+        len(payload), 8 + struct.unpack("<I", payload[4:8])[0]
+    )
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        ckid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("WAV chunk truncated")
+        if ckid == b"fmt ":
+            tag, nch, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if tag == 0xFFFE:  # EXTENSIBLE: real tag = SubFormat GUID
+                if len(body) < 26:
+                    raise ValueError("WAV extensible fmt truncated")
+                (tag,) = struct.unpack("<H", body[24:26])
+            fmt = (tag, nch, rate, bits)
+        elif ckid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, nch, rate, bits = fmt
+    if nch < 1 or rate < 1:
+        raise ValueError("WAV header with non-positive rate/channels")
+    if tag == 1:
+        if bits not in _WAV_PCM_WIDTHS:
+            raise NotImplementedError(f"{bits}-bit WAV PCM needs soundfile")
+        samples = _pcm_le_samples(data, bits // 8)
+    elif tag == 3:
+        if bits == 32:
+            n = len(data) // 4
+            samples = list(struct.unpack(f"<{n}f", data[: 4 * n]))
+        elif bits == 64:
+            n = len(data) // 8
+            samples = list(struct.unpack(f"<{n}d", data[: 8 * n]))
+        else:
+            raise ValueError(f"WAV float with {bits} bits")
+    elif tag == 6:
+        samples = [ALAW_TABLE[b] / 32768.0 for b in data]
+    elif tag == 7:
+        samples = [ULAW_TABLE[b] / 32768.0 for b in data]
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {tag} (ADPCM/MP3-in-WAV/...) needs soundfile"
+        )
+    return {"sample_rate": rate, "n_channels": nch, "samples": samples}

@@ -216,3 +216,107 @@ def test_audio_features_flow_through_aiff_and_au():
         feats = multimodal.audio_features(payload, dim=7)
         assert feats[0] == 8000.0 and feats[1] == 1.0
         assert any(abs(v) > 1e-6 for v in feats[5:])  # mel tail live
+
+
+# --- full WAV parser -----------------------------------------------------------
+
+
+def _wav_write(
+    data: bytes, tag: int, bits: int, rate: int = 8000, nch: int = 1,
+    extensible: bool = False,
+) -> bytes:
+    if extensible:
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, nch, rate, rate * nch * bits // 8,
+            nch * bits // 8, bits,
+        ) + struct.pack("<HHI", 22, bits, 0x1) + struct.pack(
+            "<H", tag
+        ) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", tag, nch, rate, rate * nch * bits // 8,
+            nch * bits // 8, bits,
+        )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_pcm_widths_match_wave_module_semantics():
+    rng = np.random.default_rng(5)
+    ints = [int(v) for v in rng.integers(-30000, 30000, 200)]
+    d16 = pcm_audio.wav_decode(
+        _wav_write(b"".join(struct.pack("<h", s) for s in ints), 1, 16)
+    )
+    assert d16["samples"] == [s / 32768.0 for s in ints]
+    b8 = bytes(rng.integers(0, 256, 100, dtype=np.uint8))
+    d8 = pcm_audio.wav_decode(_wav_write(b8, 1, 8))
+    assert d8["samples"] == [(b - 128) / 128.0 for b in b8]
+    # 24-bit: beyond what the wave-module path handled
+    s24 = [8388607, -8388608, 0, 12345]
+    data24 = b"".join(
+        x.to_bytes(3, "little", signed=True) for x in s24
+    )
+    d24 = pcm_audio.wav_decode(_wav_write(data24, 1, 24))
+    assert d24["samples"] == [x / 8388608.0 for x in s24]
+
+
+@pytest.mark.skipif(audioop is None, reason="audioop removed (3.13+)")
+def test_wav_g711_tags_match_audioop():
+    rng = np.random.default_rng(6)
+    lin = b"".join(
+        struct.pack("<h", int(v)) for v in rng.integers(-30000, 30000, 300)
+    )
+    for tag, compress, expand in (
+        (7, audioop.lin2ulaw, audioop.ulaw2lin),
+        (6, audioop.lin2alaw, audioop.alaw2lin),
+    ):
+        codes = compress(lin, 2)
+        d = pcm_audio.wav_decode(_wav_write(codes, tag, 8))
+        ref = struct.unpack(f"<{len(codes)}h", expand(codes, 2))
+        assert d["samples"] == [x / 32768.0 for x in ref]
+
+
+def test_wav_float_and_extensible_and_guards():
+    vals = [0.0, 0.5, -0.25, 1.0]
+    d = pcm_audio.wav_decode(
+        _wav_write(struct.pack("<4f", *vals), 3, 32)
+    )
+    assert d["samples"] == vals
+    # EXTENSIBLE wrapping PCM resolves through the SubFormat
+    ints = [100, -100]
+    d = pcm_audio.wav_decode(
+        _wav_write(
+            b"".join(struct.pack("<h", s) for s in ints), 1, 16,
+            extensible=True,
+        )
+    )
+    assert d["samples"] == [s / 32768.0 for s in ints]
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        pcm_audio.wav_decode(_wav_write(b"\x00\x00", 2, 4))  # MS ADPCM
+    with pytest.raises(ValueError, match="truncated"):
+        pcm_audio.wav_decode(_wav_write(b"\x00\x00", 1, 16)[:-1])
+
+
+def test_decode_audio_dispatches_wav_through_full_parser(spark=None):
+    """decode_audio keeps byte-identical WAV semantics through the new
+    parser, and now also decodes a mu-law WAV for real."""
+    import wave as wave_mod
+    from io import BytesIO as _B
+
+    buf = _B()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack("<4h", 0, 16384, -16384, 0))
+    d = multimodal.decode_audio(buf.getvalue())
+    assert d["samples"] == [0.0, 0.5, -0.5, 0.0]
+    if audioop is not None:
+        codes = audioop.lin2ulaw(struct.pack("<4h", 0, 8000, -8000, 0), 2)
+        d = multimodal.decode_audio(_wav_write(codes, 7, 8))
+        assert d["n_channels"] == 1 and len(d["samples"]) == 4
