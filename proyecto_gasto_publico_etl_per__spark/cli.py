@@ -184,6 +184,36 @@ def main(argv: list[str] | None = None) -> None:
              "tools/ann_knob_sweep.py --write-manifest)",
     )
 
+    mh = sub.add_parser(
+        "media-hash",
+        help="perceptual 64-bit image hashes over an assets parquet "
+             "(multimodal.ASSET_SCHEMA) — one map pass, BIGINT phash64 "
+             "column out; decode failures quarantine to NULL per row",
+    )
+    mh.add_argument("assets_parquet")
+    mh.add_argument("out_dir")
+    mh.add_argument(
+        "--kind", choices=["ahash", "dhash", "phash"], default="phash"
+    )
+
+    md = sub.add_parser(
+        "media-dedup",
+        help="image near-dup clusters over an assets parquet: hash map "
+             "pass → pigeonhole candidate pairs (never all-pairs) → "
+             "connected components; writes (asset_id, cluster_id)",
+    )
+    md.add_argument("assets_parquet")
+    md.add_argument("out_dir")
+    md.add_argument(
+        "--kind", choices=["ahash", "dhash", "phash"], default="phash"
+    )
+    md.add_argument(
+        "--max-hamming", type=int, default=3,
+        help="exact pigeonhole radius (chunks = max-hamming + 1; larger "
+             "radii shrink chunk width and grow buckets — see "
+             "operators/imagehash.phash_pairs)",
+    )
+
     dfz = sub.add_parser(
         "drift-freeze",
         help="persist the corpus reference token distribution (top-V "
@@ -490,6 +520,34 @@ def main(argv: list[str] | None = None) -> None:
         )
         result.orderBy("query_id", "rk").show(
             k * len(args.query_ids), truncate=False
+        )
+    elif args.cmd == "media-hash":
+        from .operators.multimodal import image_hashes
+
+        assets = spark.read.parquet(args.assets_parquet)
+        out = image_hashes(assets, args.kind).select("asset_id", "phash64")
+        out.write.mode("overwrite").parquet(args.out_dir)
+        done = spark.read.parquet(args.out_dir)
+        n = done.count()
+        nn = done.where("phash64 IS NOT NULL").count()
+        print(
+            f"hashed {nn}/{n} assets ({args.kind}) → {args.out_dir} "
+            f"({n - nn} quarantined/non-image)"
+        )
+    elif args.cmd == "media-dedup":
+        from .operators.imagehash import image_neardup_clusters
+
+        assets = spark.read.parquet(args.assets_parquet)
+        clusters = image_neardup_clusters(
+            assets, kind=args.kind, max_hamming=args.max_hamming
+        )
+        clusters.write.mode("overwrite").parquet(args.out_dir)
+        done = spark.read.parquet(args.out_dir)
+        n = done.count()
+        groups = done.select("cluster_id").distinct().count()
+        print(
+            f"clustered {n} hashed assets into {groups} groups "
+            f"(radius {args.max_hamming}) → {args.out_dir}"
         )
     elif args.cmd == "drift-freeze":
         from .operators.textstats import token_distribution

@@ -190,3 +190,102 @@ def test_phash_pairs_pigeonhole_and_cluster_pipeline(spark):
     assert out[1] == out[2] == 1  # the re-raster joins its source
     assert out[3] == 3  # unrelated scene stays a singleton
     assert 4 not in out  # quarantined rows carry no hash
+
+
+def test_cli_media_hash_and_dedup(spark, tmp_path, capsys):
+    """media-hash → media-dedup through the CLI: persisted hash column
+    with per-row quarantine counts, then clusters over the parquet."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    src = _scene(30)
+    assets_dir = str(tmp_path / "assets")
+    spark.createDataFrame(
+        [
+            (1, "image", bytearray(_png(src)), {}),
+            (2, "image", bytearray(
+                multimodal.resize_image_real(_png(src), 48, 48)
+            ), {}),
+            (3, "image", bytearray(_png(_scene(31))), {}),
+            (4, "image", bytearray(b"BMjunk"), {}),  # quarantined
+        ],
+        multimodal.ASSET_SCHEMA,
+    ).write.parquet(assets_dir)
+
+    hdir = str(tmp_path / "hashes")
+    cli.main(["media-hash", assets_dir, hdir])
+    out = capsys.readouterr().out
+    assert "hashed 3/4 assets (phash)" in out and "1 quarantined" in out
+    got = {
+        r["asset_id"]: r["phash64"]
+        for r in spark.read.parquet(hdir).collect()
+    }
+    assert got[1] == imagehash.image_phash64(_png(src), "phash")
+    assert got[4] is None
+
+    cdir = str(tmp_path / "clusters")
+    cli.main(["media-dedup", assets_dir, cdir])
+    out = capsys.readouterr().out
+    assert "clustered 3 hashed assets into 2 groups" in out
+    clusters = {
+        r["asset_id"]: r["cluster_id"]
+        for r in spark.read.parquet(cdir).collect()
+    }
+    assert clusters[1] == clusters[2] == 1
+    assert clusters[3] == 3
+
+
+def test_image_hash_at_ingest_streamed_equals_batch(spark, tmp_path):
+    """Perceptual hashing composes with streaming ingest (the
+    ann/dsir/drift at-ingest pattern): image assets arriving in
+    micro-batches hash inside foreachBatch, and the streamed hash set
+    is identical to batch-hashing the same assets — the map-only plan
+    has no cross-batch state to drift."""
+    rows = []
+    for i in range(4):
+        rows.append((i, "image", bytearray(_png(_scene(40 + i))), {}))
+    rows.append((9, "image", bytearray(b"BMjunk"), {}))  # quarantined
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema_ddl = (
+        "asset_id LONG, media_type STRING, payload BINARY, "
+        "meta MAP<STRING, STRING>"
+    )
+    spark.createDataFrame(rows[:2], multimodal.ASSET_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[2:], multimodal.ASSET_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+    out_dir = str(tmp_path / "hashes")
+
+    def hash_batch(batch_df, _epoch):
+        multimodal.image_hashes(batch_df, "phash").select(
+            "asset_id", "phash64"
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(hash_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r.asset_id, r.phash64)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.asset_id, r.phash64)
+        for r in multimodal.image_hashes(
+            spark.createDataFrame(rows, multimodal.ASSET_SCHEMA), "phash"
+        )
+        .select("asset_id", "phash64")
+        .collect()
+    }
+    assert streamed == batch
+    assert (9, None) in streamed  # quarantine identical across modes
