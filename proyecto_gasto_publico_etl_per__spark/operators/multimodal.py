@@ -664,6 +664,54 @@ def image_hashes(
     return assets.mapInPandas(batches, schema=schema)
 
 
+def audio_fingerprints(
+    assets: DataFrame, n_mels: int = 16, strict: bool = False
+) -> DataFrame:
+    """Duration-invariant log-mel fingerprint per audio asset (round
+    11): asset columns plus ``fingerprint`` — ``array<double>`` of
+    2·n_mels per-band mean/std stats (``audio_dsp.mel_fingerprint``).
+    The audio analogue of ``image_hashes``: one Arrow map pass, non-
+    audio / failed rows get NULL (the quarantine contract).  The column
+    is embedding-shaped on purpose — it feeds the existing
+    ``similarity``/``embedding_neardup`` operators (cosine top-k,
+    LSH/IVF bucketing) without new machinery."""
+    from .audio_dsp import mel_fingerprint
+
+    def one(b) -> list | None:
+        if b is None:
+            return None
+        try:
+            d = decode_audio(bytes(b))
+            return mel_fingerprint(
+                d["samples"], d["sample_rate"],
+                n_channels=d["n_channels"], n_mels=n_mels,
+            )
+        except Exception:
+            if strict:
+                raise
+            return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            is_audio = out["media_type"] == "audio"
+            out["fingerprint"] = [
+                one(p) if ok else None
+                for ok, p in zip(is_audio, out["payload"])
+            ]
+            yield out
+
+    schema = T.StructType(
+        [
+            *assets.schema.fields,
+            T.StructField(
+                "fingerprint", T.ArrayType(T.DoubleType()), True
+            ),
+        ]
+    )
+    return assets.mapInPandas(batches, schema=schema)
+
+
 def resize_images(
     assets: DataFrame, width: int = 64, height: int = 64,
     decoder: str = "fake", strict: bool = False,
