@@ -521,8 +521,19 @@ def hamming_pairs(
     on non-negative hashes (simhash's 60-bit values) and REQUIRED for
     signed-64 perceptual hashes, where an arithmetic shift would smear
     the sign bit into every high chunk and collapse buckets."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
+    if chunk_bits < 1:
+        # chunk width 0 would put EVERY hash in one bucket per position
+        # — a silent all-pairs product, the exact failure this operator
+        # exists to avoid
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more chunks than the "
+            f"{bits}-bit hash has bits; use a smaller radius (or the "
+            "embedding path for far pairs)"
+        )
     idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias(
         "chunk_idx"
     )

@@ -517,11 +517,12 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
 
     soundfile when importable (WAV/FLAC/OGG...); otherwise the stdlib
     paths — ``operators/flac.py`` for FLAC (full bitstream: all
-    subframe types, Rice partitions, stereo decorrelation),
-    ``operators/pcm_audio.py`` for AIFF and Sun AU incl. G.711
-    µ-law/A-law (round 11), and the ``wave`` module for 8/16/32-bit
-    PCM WAV.  ``NotImplementedError`` only for formats none of those
-    cover (e.g. MP3 without soundfile)."""
+    subframe types, Rice partitions, stereo decorrelation) and
+    ``operators/pcm_audio.py`` for AIFF, Sun AU, and WAV (round 11:
+    PCM 8-32 bit, float32/64, G.711 µ-law/A-law, EXTENSIBLE — the
+    stdlib ``wave`` module is no longer used).  ``NotImplementedError``
+    only for formats none of those cover (e.g. MP3 without
+    soundfile)."""
     import io
 
     try:

@@ -132,6 +132,10 @@ def aiff_decode(payload: bytes) -> dict:
     if comm is None or ssnd is None:
         raise ValueError("AIFF missing COMM or SSND chunk")
     nch, nframes, bits, rate = comm
+    if nch < 1 or not rate >= 1.0:
+        # a denormal / negative / zero 80-bit rate or zero channels is
+        # corrupt, not plausible-looking garbage for the feature tiers
+        raise ValueError("AIFF header with non-positive rate/channels")
     if bits % 8 or not 8 <= bits <= 32:
         raise NotImplementedError(f"{bits}-bit AIFF requires soundfile")
     width = bits // 8
@@ -241,9 +245,22 @@ def wav_decode(payload: bytes) -> dict:
             tag, nch, rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
             if tag == 0xFFFE:  # EXTENSIBLE: real tag = SubFormat GUID
-                if len(body) < 26:
+                if len(body) < 40:
                     raise ValueError("WAV extensible fmt truncated")
                 (tag,) = struct.unpack("<H", body[24:26])
+                # the first u16 alone doesn't identify the codec: only
+                # the Microsoft media-subtype GUID family maps its tag
+                # onto WAVE format tags — a vendor GUID sharing that
+                # u16 must hit the loud guard, not decode as PCM
+                if body[26:40] != (
+                    b"\x00\x00\x00\x00\x10\x00"
+                    b"\x80\x00\x00\xaa\x00\x38\x9b\x71"
+                ):
+                    raise NotImplementedError(
+                        "WAV extensible SubFormat GUID "
+                        f"{body[24:40].hex()} is not a standard media "
+                        "subtype; needs soundfile"
+                    )
             fmt = (tag, nch, rate, bits)
         elif ckid == b"data":
             data = body

@@ -302,7 +302,7 @@ def test_wav_float_and_extensible_and_guards():
         pcm_audio.wav_decode(_wav_write(b"\x00\x00", 1, 16)[:-1])
 
 
-def test_decode_audio_dispatches_wav_through_full_parser(spark=None):
+def test_decode_audio_dispatches_wav_through_full_parser():
     """decode_audio keeps byte-identical WAV semantics through the new
     parser, and now also decodes a mu-law WAV for real."""
     import wave as wave_mod
@@ -363,3 +363,45 @@ def test_audio_fingerprints_column_feeds_similarity(spark):
 
     assert cos(got[1], got[2]) > 0.999
     assert cos(got[1], got[3]) < cos(got[1], got[2])
+
+
+def test_second_review_fixes_locked():
+    """Late-r11 review findings, locked: denormal/negative AIFF rates
+    and zero channels are corrupt; a vendor EXTENSIBLE GUID sharing
+    PCM's first u16 hits the loud guard; hamming_pairs refuses radii
+    that would degrade to all-pairs."""
+    # denormal 80-bit rate (exp=0, mant=1) → rate < 1 → corrupt
+    samples = [0, 1, -1]
+    payload = bytearray(aiff_write(samples))
+    at = payload.index(b"COMM") + 8 + 8  # chunk hdr + nch/nframes/bits
+    payload[at : at + 10] = struct.pack(">HQ", 0, 1)
+    with pytest.raises(ValueError, match="non-positive"):
+        pcm_audio.aiff_decode(bytes(payload))
+    # sign-bit-set rate → negative → corrupt
+    payload[at : at + 10] = struct.pack(">HQ", 0x8000 | (16383 + 12), 1 << 63)
+    with pytest.raises(ValueError, match="non-positive"):
+        pcm_audio.aiff_decode(bytes(payload))
+    # zero channels
+    payload2 = bytearray(aiff_write(samples))
+    at2 = payload2.index(b"COMM") + 8
+    payload2[at2 : at2 + 2] = struct.pack(">H", 0)
+    with pytest.raises(ValueError, match="non-positive"):
+        pcm_audio.aiff_decode(bytes(payload2))
+
+    # vendor GUID with PCM's first u16: loud guard, never PCM garbage
+    wav = bytearray(
+        _wav_write(b"\x00\x00\x00\x00", 1, 16, extensible=True)
+    )
+    guid_at = wav.index(b"fmt ") + 8 + 26
+    wav[guid_at] ^= 0xFF  # corrupt one suffix byte
+    with pytest.raises(NotImplementedError, match="SubFormat"):
+        pcm_audio.wav_decode(bytes(wav))
+
+    from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_pairs(None, "id", "h", -1, 64)
+    with pytest.raises(ValueError, match="smaller radius"):
+        hamming_pairs(None, "id", "h", 64, 64)  # chunk width would be 0
