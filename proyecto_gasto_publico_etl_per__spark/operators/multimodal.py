@@ -297,10 +297,19 @@ def decode_image(payload: bytes) -> dict[str, Any]:
             from .bmp import bmp_decode
 
             return bmp_decode(payload)
+        if payload[:1] == b"P" and payload[1:2] in b"123456":
+            from .simple_images import pnm_decode
+
+            return pnm_decode(payload)
+        if _looks_like_tga(payload):
+            from .simple_images import tga_decode
+
+            return tga_decode(payload)
         raise NotImplementedError(
             "image decoding beyond PNG, JPEG (baseline/progressive/"
-            "lossless), GIF, baseline TIFF, and BMP requires Pillow, "
-            "which is not importable in this environment"
+            "lossless), GIF, baseline TIFF, BMP, netpbm, and TGA "
+            "requires Pillow, which is not importable in this "
+            "environment"
         ) from None
     img = Image.open(io.BytesIO(payload))
     if img.mode not in ("L", "LA", "RGB", "RGBA"):
@@ -360,6 +369,19 @@ def _box_weights(dst: int, src: int) -> "np.ndarray":
     return w * (dst / src)
 
 
+def _looks_like_tga(p: bytes) -> bool:
+    """TGA has no magic — sniff only headers the stdlib decoder handles
+    (uncolormapped type 2/3/10/11 at 8/24/32 bpp).  Checked LAST in the
+    dispatch, after every real magic, so it can't shadow other
+    formats."""
+    return (
+        len(p) >= 18
+        and p[1] == 0
+        and p[2] in (2, 3, 10, 11)
+        and p[16] in (8, 24, 32)
+    )
+
+
 def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
     """Real decode → resample → re-encode.  Pillow (LANCZOS, any format)
     when importable; else stdlib decode + exact area-average (box)
@@ -389,11 +411,19 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
             from .bmp import bmp_decode
 
             d = bmp_decode(payload)
+        elif payload[:1] == b"P" and payload[1:2] in b"123456":
+            from .simple_images import pnm_decode
+
+            d = pnm_decode(payload)
+        elif _looks_like_tga(payload):
+            from .simple_images import tga_decode
+
+            d = tga_decode(payload)
         else:
             raise NotImplementedError(
                 "resize beyond PNG, JPEG (baseline/progressive/lossless), "
-                "GIF, baseline TIFF, and BMP requires Pillow, not "
-                "importable here"
+                "GIF, baseline TIFF, BMP, netpbm, and TGA requires "
+                "Pillow, not importable here"
             ) from None
         import numpy as np
 

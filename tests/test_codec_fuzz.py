@@ -197,3 +197,25 @@ def test_fuzz_aiff_and_au():
     _assert_contract(
         pcm_audio.au_decode, _mutations(au, np.random.default_rng(13))
     )
+
+
+def test_fuzz_pnm_and_tga():
+    from test_simple_images import pnm_write, tga_write
+
+    from proyecto_gasto_publico_etl_per__spark.operators import (
+        simple_images,
+    )
+
+    src = _pixels(seed=14)
+    rng = np.random.default_rng(15)
+    for payload in (
+        pnm_write(src, 12, 10, 3),
+        pnm_write(src, 12, 10, 3, ascii_mode=True),
+        tga_write(src, 12, 10, 3, rle=True),
+    ):
+        decode = (
+            simple_images.pnm_decode
+            if payload[:1] == b"P"
+            else simple_images.tga_decode
+        )
+        _assert_contract(decode, _mutations(payload, rng))
