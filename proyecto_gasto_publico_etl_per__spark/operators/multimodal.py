@@ -438,8 +438,11 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
         # O(H·sh + W·sw) weight build + two matmuls per image.
         wy = _box_weights(height, sh)
         wx = _box_weights(width, sw)
-        res = np.einsum("ys,sxc,xw->ywc", wy, src.astype(np.float64),
-                        wx.T)
+        # Factored two-matmul contraction (Wy·S, then ·Wxᵀ) — a single
+        # three-operand einsum without optimize= evaluates the naive
+        # O(H·W·sh·sw·C) loop (measured 25 s for one 800×800→64×64).
+        tmp = np.tensordot(wy, src.astype(np.float64), axes=(1, 0))
+        res = np.moveaxis(np.tensordot(tmp, wx, axes=(1, 1)), 2, 1)
         out = np.clip(np.round(res), 0, 255).astype(np.uint8)
         return _png_encode(width, height, ch, out.tobytes())
     img = Image.open(io.BytesIO(payload))

@@ -1187,13 +1187,25 @@ def remeasure_manifest_ladder(
     )
     pairs = [(int(c), [float(x) for x in v]) for c, v in payload]
     cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+    # one read: payload AND kind from the same single manifest row
+    # (kind must round-trip so kind-asserting loads keep working)
     try:
-        # one read: payload AND kind from the same single manifest row
-        # (kind must round-trip so kind-asserting loads keep working)
-        row = spark.read.parquet(f"{base}/manifest").collect()[0]
+        rows = spark.read.parquet(f"{base}/manifest").collect()
+    except Exception:
+        rows = []  # missing manifest zone (legacy layout) — defaulted below
+    if rows:
+        # a manifest that EXISTS but cannot be parsed must raise, not
+        # re-default: re-measuring at mismatched PQ geometry would write
+        # back a corrupt staleness anchor
+        row = rows[0]
         manifest = json.loads(row.payload)
         kind = row.kind
-    except Exception:
+    else:
+        warnings.warn(
+            f"no manifest at {base}/manifest — re-measuring with default "
+            "geometry (m=16, n_codes=16); verify it matches the index",
+            stacklevel=2,
+        )
         manifest = {"residual": False, "m": 16, "n_codes": 16}
         kind = "ivf_pq_manifest"
     index = (

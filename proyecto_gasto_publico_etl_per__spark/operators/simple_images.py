@@ -22,9 +22,13 @@ from .codec_errors import corrupt_guard
 _PNM_CHANNELS = {b"P1": 1, b"P2": 1, b"P3": 3, b"P4": 1, b"P5": 1, b"P6": 3}
 
 
-def _pnm_tokens(payload: bytes, n: int, pos: int) -> tuple[list[int], int]:
+def _pnm_tokens(
+    payload: bytes, n: int, pos: int, single_digit: bool = False
+) -> tuple[list[int], int]:
     """Read ``n`` whitespace-separated ASCII integers starting at
-    ``pos``, skipping ``#`` comments; returns (values, next position)."""
+    ``pos``, skipping ``#`` comments; returns (values, next position).
+    ``single_digit`` treats each digit character as one sample — P1
+    rasters may omit whitespace between samples per the PBM spec."""
     vals: list[int] = []
     cur = b""
     while len(vals) < n and pos < len(payload):
@@ -41,7 +45,10 @@ def _pnm_tokens(payload: bytes, n: int, pos: int) -> tuple[list[int], int]:
             continue
         if not c.isdigit():
             raise ValueError(f"netpbm: non-numeric header byte {c!r}")
-        cur += c
+        if single_digit:
+            vals.append(int(c))
+        else:
+            cur += c
     if cur and len(vals) < n:
         vals.append(int(cur))
     if len(vals) < n:
@@ -51,9 +58,11 @@ def _pnm_tokens(payload: bytes, n: int, pos: int) -> tuple[list[int], int]:
 
 @corrupt_guard("netpbm")
 def pnm_decode(payload: bytes) -> dict:
-    """Decode P1-P6 netpbm.  16-bit maxvals downsample via the same
-    high-byte convention as the PNG path; P1/P4 bitmaps expand to
-    0/255 gray (1 = black per the PBM convention)."""
+    """Decode P1-P6 netpbm.  maxval=65535 downsamples via the same
+    high-byte convention as the PNG path; other maxvals (255, and
+    sub-range 10/12-bit sensor dumps) rescale exactly as
+    ``v*255//maxval``.  P1/P4 bitmaps expand to 0/255 gray (1 = black
+    per the PBM convention); P1 digits may be unseparated."""
     magic = payload[:2]
     if magic not in _PNM_CHANNELS:
         raise ValueError("not a netpbm payload (bad magic)")
@@ -67,15 +76,15 @@ def pnm_decode(payload: bytes) -> dict:
         raise ValueError("netpbm header out of range")
     n = w * h * ch
     if magic in (b"P1", b"P2", b"P3"):  # ASCII variants
-        vals, _ = _pnm_tokens(payload, n, pos)
+        vals, _ = _pnm_tokens(payload, n, pos, single_digit=bitmap)
         if any(v > maxval for v in vals):
             raise ValueError("netpbm sample exceeds maxval")
         if bitmap:
             px = bytes(0 if v else 255 for v in vals)
-        elif maxval < 256:
-            px = bytes(v * 255 // maxval for v in vals)
-        else:
+        elif maxval == 65535:
             px = bytes(v >> 8 for v in vals)
+        else:  # exact rescale — high-byte is only right at maxval 65535
+            px = bytes(v * 255 // maxval for v in vals)
         return {"width": w, "height": h, "channels": ch, "pixels": px}
     # binary variants: exactly ONE whitespace byte after the header
     data = payload[pos:]
@@ -98,15 +107,23 @@ def pnm_decode(payload: bytes) -> dict:
             px = bytes(data[:n])
         else:
             px = bytes(b * 255 // maxval for b in data[:n])
-    else:  # 16-bit big-endian: high-byte downsample (PNG convention)
+    elif maxval == 65535:  # high-byte downsample (PNG convention)
         px = bytes(data[2 * i] for i in range(n))
+    else:  # 16-bit big-endian, sub-full-range maxval (10/12-bit dumps):
+        # exact rescale — the high-byte shortcut maps e.g. maxval=1023
+        # sample 1023 to 3 instead of 255
+        v16 = [(data[2 * i] << 8) | data[2 * i + 1] for i in range(n)]
+        if any(v > maxval for v in v16):
+            raise ValueError("netpbm sample exceeds maxval")
+        px = bytes(v * 255 // maxval for v in v16)
     return {"width": w, "height": h, "channels": ch, "pixels": px}
 
 
 @corrupt_guard("TGA")
 def tga_decode(payload: bytes) -> dict:
     """Decode TGA types 2/3 (uncompressed true-color/gray) and 10/11
-    (RLE): 8-bit gray, 24-bit BGR, 32-bit BGRA, any origin corner.
+    (RLE): 8-bit gray, 24-bit BGR, 32-bit BGRA, any origin corner
+    (descriptor bit 5 = top/bottom, bit 4 = right-to-left mirror).
     Colormapped (1/9) and 15/16-bit payloads raise the loud guard."""
     if len(payload) < 18:
         raise ValueError("TGA header truncated")
@@ -163,9 +180,17 @@ def tga_decode(payload: bytes) -> dict:
         raw_px = bytes(b)
     # origin: bit 5 of the descriptor set = top-left (our contract);
     # clear = bottom-left → flip rows
+    rb = w * ch
     if not desc & 0x20:
-        rb = w * ch
         raw_px = b"".join(
             raw_px[y * rb : (y + 1) * rb] for y in range(h - 1, -1, -1)
         )
+    if desc & 0x10:  # bit 4 = right-to-left x-origin: mirror each row
+        rows = []
+        for y in range(h):
+            row = raw_px[y * rb : (y + 1) * rb]
+            rows.append(
+                b"".join(row[x : x + ch] for x in range(rb - ch, -1, -ch))
+            )
+        raw_px = b"".join(rows)
     return {"width": w, "height": h, "channels": ch, "pixels": raw_px}

@@ -281,6 +281,56 @@ def test_append_remeasure_ladder_keeps_target_recall_serving(
     assert "measured ladder" in capsys.readouterr().out
 
 
+def test_remeasure_raises_on_unparseable_manifest(spark, tmp_path):
+    """ADVICE r11: a manifest that EXISTS but cannot be parsed must
+    raise, not silently re-default geometry — a remeasure at mismatched
+    PQ knobs would write back a corrupt staleness anchor.  A genuinely
+    missing manifest still falls back (with a loud warning)."""
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.operators.similarity import (
+        remeasure_manifest_ladder,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base_dir = tmp_path / "sf_base"
+    base_dir.mkdir()
+    emb.filter(F.col("vec_id") < 200).write.parquet(
+        str(base_dir / "embeddings.parquet")
+    )
+    idx = str(tmp_path / "annidx_corrupt")
+    cli.main(
+        ["ann-build-index", str(base_dir), idx, "--n-centroids", "4",
+         "--m", "4", "--n-codes", "8"]
+    )
+    # corrupt the payload in place (still a valid parquet row)
+    mf = spark.read.parquet(f"{idx}/manifest").collect()[0]
+    spark.createDataFrame(
+        [(mf.kind, "{not json")], "kind string, payload string"
+    ).write.mode("overwrite").parquet(f"{idx}/manifest_bad")
+    import shutil
+
+    shutil.rmtree(f"{idx}/manifest")
+    shutil.move(f"{idx}/manifest_bad", f"{idx}/manifest")
+    corpus = emb.filter(F.col("vec_id") < 200)
+    probes = corpus.limit(3)
+    with pytest.raises(Exception):  # json parse error propagates
+        remeasure_manifest_ladder(spark, corpus, probes, idx)
+    # genuinely missing manifest: warns + defaults, does not raise
+    shutil.rmtree(f"{idx}/manifest")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = remeasure_manifest_ladder(spark, corpus, probes, idx)
+    assert any("no manifest" in str(w.message) for w in caught)
+    assert out["recall_ladder"]
+
+
 def test_append_remeasure_bootstraps_missing_ladder(spark, tmp_path, capsys):
     """Review fix r11: --remeasure-ladder on an index whose manifest
     never had a ladder (bare ann-build-index) BOOTSTRAPS one at the

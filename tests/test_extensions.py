@@ -476,6 +476,47 @@ def test_resize_image_real_roundtrip():
     assert at(0, 2) == blue and at(2, 2) == red
 
 
+def test_resize_image_real_is_factored_not_naive(monkeypatch):
+    """An 800×800→64×64 resize must run as two matmuls, not the naive
+    O(H·W·sh·sw·C) contraction a plain three-operand einsum evaluates
+    (ADVICE r11: measured 25 s naive vs ~6 ms factored).  Wall-clock
+    bound is generous for CI noise yet ~50× under the naive cost.
+    Values cross-checked against the imagehash module's independent
+    area-average implementation."""
+    import time
+
+    import numpy as np
+
+    from proyecto_gasto_publico_etl_per__spark.operators import imagehash
+
+    # force the stdlib path even if Pillow ever appears in-container
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_pil(name, *a, **k):
+        if name == "PIL" or name.startswith("PIL."):
+            raise ImportError("forced for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_pil)
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, (800, 800, 1), dtype=np.uint8)
+    png = multimodal._png_encode(800, 800, 1, src.tobytes())
+    t0 = time.monotonic()
+    out = multimodal.resize_image_real(png, 64, 64)
+    assert time.monotonic() - t0 < 5.0
+    got = np.frombuffer(
+        multimodal.decode_image(out)["pixels"], np.uint8
+    ).reshape(64, 64)
+    want = np.clip(
+        np.round(imagehash._downscale(src[:, :, 0].astype(np.float64),
+                                      64, 64)),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
 def test_resize_images_real_decoder(spark):
     png = _png_rgb8([[(255, 0, 0)]])
     assets = spark.createDataFrame(

@@ -116,6 +116,31 @@ def test_pnm_16bit_and_scaled_maxval():
     assert all(0 <= b <= 255 for b in d["pixels"])
 
 
+def test_pnm_16bit_subrange_maxval_rescales_exactly():
+    # 10-bit sensor dump: maxval=1023.  The old high-byte shortcut
+    # mapped sample 1023 to 3 — must be 255 (ADVICE r11).
+    for v, want in [(1023, 255), (0, 0), (512, 512 * 255 // 1023)]:
+        bin_p5 = b"P5\n1 1\n1023\n" + struct.pack(">H", v)
+        assert simple_images.pnm_decode(bin_p5)["pixels"][0] == want
+        asc_p2 = f"P2\n1 1\n1023\n{v}\n".encode()
+        assert simple_images.pnm_decode(asc_p2)["pixels"][0] == want
+    # binary sub-range sample above maxval is corrupt, not wrapped
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        simple_images.pnm_decode(b"P5\n1 1\n1023\n" + struct.pack(">H", 1024))
+
+
+def test_p1_unseparated_digits():
+    # whitespace between P1 samples is optional per the PBM spec
+    bits = [1, 0, 0, 1, 1, 1, 0, 0, 1, 0]  # 5x2
+    packed = b"P1\n5 2\n" + "".join(str(b) for b in bits).encode()
+    d = simple_images.pnm_decode(packed)
+    assert list(d["pixels"]) == [0 if b else 255 for b in bits]
+    # header integers still multi-digit (the 5x2 above proves width=5,
+    # and a 12-wide header must not split into 1,2)
+    wide = b"P1\n12 1\n" + b"0" * 12
+    assert simple_images.pnm_decode(wide)["width"] == 12
+
+
 def test_pbm_bitmaps_both_modes():
     bits = [1, 0, 0, 1, 1, 1, 0, 0, 1, 0]  # 5x2
     ascii_p1 = b"P1\n5 2\n" + " ".join(str(b) for b in bits).encode()
@@ -157,6 +182,21 @@ def test_tga_rle_compresses_runs_and_roundtrips():
     payload = tga_write(flat, 16, 8, 3, rle=True)
     assert len(payload) < 18 + len(flat) // 4  # actually compressed
     assert simple_images.tga_decode(payload)["pixels"] == flat
+
+
+@pytest.mark.parametrize("ch", [1, 3])
+@pytest.mark.parametrize("top_left", [True, False])
+def test_tga_right_to_left_origin_mirrors_rows(ch, top_left):
+    # descriptor bit 4 = right-to-left x-origin (ADVICE r11: was
+    # silently ignored → horizontally mirrored decode)
+    src = _noise(7, 3, ch, seed=40 + ch)
+    payload = bytearray(tga_write(src, 7, 3, ch, top_left=top_left))
+    base = simple_images.tga_decode(bytes(payload))["pixels"]
+    assert base == src
+    payload[17] |= 0x10  # flip the stored-order meaning, data unchanged
+    got = simple_images.tga_decode(bytes(payload))["pixels"]
+    arr = np.frombuffer(base, np.uint8).reshape(3, 7, ch)
+    assert got == arr[:, ::-1, :].tobytes()
 
 
 def test_tga_guards():
