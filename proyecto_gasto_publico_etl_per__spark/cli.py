@@ -198,20 +198,37 @@ def main(argv: list[str] | None = None) -> None:
 
     md = sub.add_parser(
         "media-dedup",
-        help="image near-dup clusters over an assets parquet: hash map "
-             "pass → pigeonhole candidate pairs (never all-pairs) → "
-             "connected components; writes (asset_id, cluster_id)",
+        help="media near-dup clusters over an assets parquet.  images: "
+             "hash map pass → pigeonhole candidate pairs (never "
+             "all-pairs) → connected components.  audio: log-mel "
+             "fingerprint map pass → LSH-bucketed cosine pairs → the "
+             "same components.  writes (asset_id, cluster_id)",
     )
     md.add_argument("assets_parquet")
     md.add_argument("out_dir")
+    md.add_argument(
+        "--media", choices=["image", "audio"], default="image",
+        help="which asset rows to cluster (the other media type is "
+             "ignored — run the command once per modality)",
+    )
     md.add_argument(
         "--kind", choices=["ahash", "dhash", "phash"], default="phash"
     )
     md.add_argument(
         "--max-hamming", type=int, default=3,
-        help="exact pigeonhole radius (chunks = max-hamming + 1; larger "
-             "radii shrink chunk width and grow buckets — see "
-             "operators/imagehash.phash_pairs)",
+        help="image mode: exact pigeonhole radius (chunks = max-hamming "
+             "+ 1; larger radii shrink chunk width and grow buckets — "
+             "see operators/imagehash.phash_pairs)",
+    )
+    md.add_argument(
+        "--threshold", type=float, default=0.95,
+        help="audio mode: fingerprint cosine threshold for a near-dup "
+             "pair (operators/multimodal.audio_neardup_clusters)",
+    )
+    md.add_argument(
+        "--n-mels", type=int, default=16,
+        help="audio mode: mel bands per fingerprint (2x this many "
+             "dimensions)",
     )
 
     dfz = sub.add_parser(
@@ -535,19 +552,31 @@ def main(argv: list[str] | None = None) -> None:
             f"({n - nn} quarantined/non-image)"
         )
     elif args.cmd == "media-dedup":
-        from .operators.imagehash import image_neardup_clusters
-
         assets = spark.read.parquet(args.assets_parquet)
-        clusters = image_neardup_clusters(
-            assets, kind=args.kind, max_hamming=args.max_hamming
-        )
+        if args.media == "audio":
+            from .operators.multimodal import audio_neardup_clusters
+
+            clusters = audio_neardup_clusters(
+                assets, n_mels=args.n_mels, threshold=args.threshold
+            )
+            knob = f"cosine >= {args.threshold}"
+            noun = "fingerprinted"
+        else:
+            from .operators.imagehash import image_neardup_clusters
+
+            clusters = image_neardup_clusters(
+                assets, kind=args.kind, max_hamming=args.max_hamming,
+                log_capped=True,
+            )
+            knob = f"radius {args.max_hamming}"
+            noun = "hashed"
         clusters.write.mode("overwrite").parquet(args.out_dir)
         done = spark.read.parquet(args.out_dir)
         n = done.count()
         groups = done.select("cluster_id").distinct().count()
         print(
-            f"clustered {n} hashed assets into {groups} groups "
-            f"(radius {args.max_hamming}) → {args.out_dir}"
+            f"clustered {n} {noun} assets into {groups} groups "
+            f"({knob}) → {args.out_dir}"
         )
     elif args.cmd == "drift-freeze":
         from .operators.textstats import token_distribution

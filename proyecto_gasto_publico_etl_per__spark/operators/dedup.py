@@ -18,7 +18,7 @@ product.  The n-gram all-pairs verifier is only applied to candidate sets
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_text
@@ -487,6 +487,8 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = 60,
+    max_bucket: int | None = 10_000,
+    log_capped: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -496,10 +498,14 @@ def simhash_pairs(
     the full Hamming distance.  No all-pairs product.  Chunk width is the
     scale knob: 60/4 = 15-bit chunks = 32k buckets per position (a 32-bit
     hash's 8-bit chunks collapse to 256 buckets and the bucket join goes
-    quadratic at corpus scale).
+    quadratic at corpus scale).  Identical-simhash groups collapse to
+    star edges and hot buckets are capped — see ``hamming_pairs``.
     """
     sh = simhash(df, id_col, text_col, bits)
-    return hamming_pairs(sh, "doc", "simhash", max_hamming, bits)
+    return hamming_pairs(
+        sh, "doc", "simhash", max_hamming, bits,
+        max_bucket=max_bucket, log_capped=log_capped,
+    )
 
 
 def hamming_pairs(
@@ -510,12 +516,42 @@ def hamming_pairs(
     bits: int,
     out_a: str = "doc_a",
     out_b: str = "doc_b",
+    max_bucket: int | None = 10_000,
+    log_capped: bool = False,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of a BIGINT hash
     column — the shared pigeonhole candidate generator behind
     ``simhash_pairs`` (text) and ``imagehash.phash_pairs`` (images):
     split into ``max_hamming + 1`` chunks, bucket equi-join on
     (chunk_idx, chunk_value), verify the full distance JVM-side.
+
+    Two structural guards keep degenerate corpora from going quadratic
+    (round 12 — the same shape ``ngram_jaccard_pairs`` caps with
+    ``max_df``):
+
+    - **Exact-hash collapse (always on).** Rows sharing an identical
+      hash value emit STAR edges — (min-id representative, member,
+      hamming 0) — and only the representative enters candidate
+      generation.  A 10k-identical-pHash cohort (blank / letterboxed
+      images, ubiquitous in real crawls) yields 9 999 linear star rows
+      instead of ~50M clique pairs, and its bucket contribution
+      collapses to ONE row per chunk.  Connected components (the
+      operator's downstream, ``cluster_duplicates``) are IDENTICAL to
+      full-pair semantics: identical hashes are distance-0, so every
+      within-radius relation a member had, its representative has.
+      Cross-group pairs are emitted at representative level (one row
+      per distinct-hash-value pair, not |A|×|B|).
+
+    - **Hot-bucket cap (``max_bucket``).** Even distinct hash values
+      can pile onto one (chunk_idx, chunk_val) bucket when a chunk
+      position is low-entropy (e.g. the near-constant low-frequency
+      DCT rows of dark scenes).  Buckets holding more than
+      ``max_bucket`` DISTINCT hash values are dropped from candidate
+      generation — a bounded recall trade: a pair is missed only if
+      EVERY chunk it shares lands in a dropped bucket.  ``None``
+      disables (test-scale exactness); ``log_capped=True`` runs one
+      eager count over the 2-col hash frame and prints what was
+      dropped (batch only — the CLI lanes turn it on).
 
     ``shiftrightunsigned`` throughout: identical to an arithmetic shift
     on non-negative hashes (simhash's 60-bit values) and REQUIRED for
@@ -534,21 +570,59 @@ def hamming_pairs(
             f"{bits}-bit hash has bits; use a smaller radius (or the "
             "embedding path for far pairs)"
         )
+    base = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("hid"), F.col(hash_col).alias("hv")
+    )
+    # exact-hash collapse: ONE shuffle on hv tags every row with its
+    # group representative; star edges and the rep set both read it
+    # (the two consumers share the exchange)
+    tagged = base.withColumn(
+        "rep", F.min("hid").over(Window.partitionBy("hv"))
+    )
+    star = tagged.where(F.col("hid") != F.col("rep")).select(
+        F.col("rep").alias(out_a),
+        F.col("hid").alias(out_b),
+        F.lit(0).alias("hamming"),
+    )
+    reps = tagged.where(F.col("hid") == F.col("rep")).select("hid", "hv")
     idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias(
         "chunk_idx"
     )
-    chunked = (
-        hashes.where(F.col(hash_col).isNotNull())
-        .select(F.col(id_col).alias("hid"), F.col(hash_col).alias("hv"), idx)
-        .withColumn(
-            "chunk_val",
-            F.expr(
-                "shiftrightunsigned(hv, chunk_idx * {0}) & {1}".format(
-                    chunk_bits, (1 << chunk_bits) - 1
-                )
-            ),
-        )
+    chunked = reps.select("hid", "hv", idx).withColumn(
+        "chunk_val",
+        F.expr(
+            "shiftrightunsigned(hv, chunk_idx * {0}) & {1}".format(
+                chunk_bits, (1 << chunk_bits) - 1
+            )
+        ),
     )
+    if max_bucket is not None:
+        if log_capped and not hashes.isStreaming:
+            hot = (
+                chunked.groupBy("chunk_idx", "chunk_val")
+                .agg(F.count("*").alias("bsz"))
+                .where(F.col("bsz") > max_bucket)
+                .agg(
+                    F.count("*").alias("n_buckets"),
+                    F.max("bsz").alias("largest"),
+                )
+                .collect()[0]
+            )
+            if hot["n_buckets"]:
+                print(
+                    f"hamming_pairs: capped {hot['n_buckets']} hot "
+                    f"bucket(s) over {max_bucket} distinct hashes "
+                    f"(largest {hot['largest']}) — pairs whose every "
+                    "shared chunk was capped are missed"
+                )
+        # window count pre-shuffles on the JOIN key, so the bucket
+        # equi-join below reuses the exchange instead of adding one
+        bw = Window.partitionBy("chunk_idx", "chunk_val")
+        chunked = (
+            chunked.withColumn("bsz", F.count("*").over(bw))
+            .where(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     a, b = chunked.alias("a"), chunked.alias("b")
     cands = (
         a.join(b, on=["chunk_idx", "chunk_val"])
@@ -561,13 +635,14 @@ def hamming_pairs(
         )
         .distinct()
     )
-    return (
+    cross = (
         cands.withColumn(
             "hamming", F.bit_count(F.col("hv_a").bitwiseXOR(F.col("hv_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select(out_a, out_b, "hamming")
     )
+    return cross.unionByName(star)
 
 
 # --- duplicate-cluster assignment (connected components) ---------------------

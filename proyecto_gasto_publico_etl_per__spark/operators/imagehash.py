@@ -109,6 +109,8 @@ def phash_pairs(
     id_col: str = "asset_id",
     hash_col: str = "phash64",
     max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+    log_capped: bool = False,
 ):
     """Near-dup image pairs with perceptual-hash Hamming distance ≤
     ``max_hamming`` — the image twin of ``dedup.simhash_pairs``.
@@ -127,12 +129,15 @@ def phash_pairs(
     Delegates to the shared pigeonhole generator
     (``dedup.hamming_pairs`` — also behind ``simhash_pairs``), which
     uses ``shiftrightunsigned`` so the signed-64 hash column's sign bit
-    can't smear into high chunks and collapse buckets."""
+    can't smear into high chunks and collapse buckets, collapses
+    identical-hash cohorts to star edges (a constant-pHash crawl
+    segment stays linear), and caps hot buckets at ``max_bucket``."""
     from .dedup import hamming_pairs
 
     return hamming_pairs(
         hashes, id_col, hash_col, max_hamming, bits=64,
         out_a="img_a", out_b="img_b",
+        max_bucket=max_bucket, log_capped=log_capped,
     )
 
 
@@ -140,6 +145,7 @@ def image_neardup_clusters(
     assets,
     kind: str = "phash",
     max_hamming: int = 3,
+    log_capped: bool = False,
 ):
     """End-to-end image near-dup grouping: hash column (one map pass) →
     pigeonhole pair generation → the shared connected-components
@@ -160,7 +166,9 @@ def image_neardup_clusters(
         .select("asset_id", "phash64")
         .localCheckpoint()
     )
-    pairs = phash_pairs(hashes, max_hamming=max_hamming)
+    pairs = phash_pairs(
+        hashes, max_hamming=max_hamming, log_capped=log_capped
+    )
     clustered = cluster_duplicates(pairs, id_a="img_a", id_b="img_b")
     return hashes.join(
         clustered, hashes.asset_id == clustered.doc_id, "left"

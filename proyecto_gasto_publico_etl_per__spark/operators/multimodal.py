@@ -746,6 +746,55 @@ def audio_fingerprints(
     return assets.mapInPandas(batches, schema=schema)
 
 
+def audio_neardup_clusters(
+    assets: DataFrame,
+    n_mels: int = 16,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+) -> DataFrame:
+    """End-to-end audio near-dup grouping (round 12 — the audio twin of
+    ``imagehash.image_neardup_clusters``): log-mel fingerprint column
+    (one Arrow map pass) → hyperplane-LSH-bucketed cosine pairs at
+    ``threshold`` (``similarity.embedding_neardup_pairs`` — bucketed,
+    never all-pairs) → the shared connected-components machinery.
+    Returns (asset_id, cluster_id) for every fingerprinted asset,
+    singletons included; non-audio / undecodable rows carry no
+    fingerprint and are excluded (the quarantine contract).
+
+    The fingerprint is duration- and container-invariant
+    (``audio_dsp.mel_fingerprint``), so the same clip re-encoded
+    WAV↔AIFF↔AU or resampled clusters together while distinct program
+    material does not — the CLI exposes ``threshold`` for corpora where
+    louder re-masters should (or should not) merge."""
+    from .dedup import cluster_duplicates
+    from .similarity import embedding_neardup_pairs
+
+    # one decode+fingerprint pass feeds the pair join AND the label
+    # join — same single-barrier rationale as the image lane
+    fps = (
+        audio_fingerprints(assets, n_mels=n_mels)
+        .where(F.col("fingerprint").isNotNull())
+        .select("asset_id", "fingerprint")
+        .localCheckpoint()
+    )
+    pairs = embedding_neardup_pairs(
+        fps,
+        id_col="asset_id",
+        vec_col="fingerprint",
+        threshold=threshold,
+        n_planes=n_planes,
+    )
+    clustered = cluster_duplicates(pairs, id_a="id_a", id_b="id_b")
+    return fps.join(
+        clustered, fps.asset_id == clustered.doc_id, "left"
+    ).select(
+        "asset_id",
+        F.coalesce(F.col("cluster_id"), F.col("asset_id")).alias(
+            "cluster_id"
+        ),
+    )
+
+
 def resize_images(
     assets: DataFrame, width: int = 64, height: int = 64,
     decoder: str = "fake", strict: bool = False,

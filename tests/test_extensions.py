@@ -117,12 +117,23 @@ def test_simhash_pigeonhole_candidates_complete(spark):
     hashes = {
         r.doc: r.simhash for r in dedup.simhash(df).collect()
     }
-    expect = {
-        (a, b)
-        for a in hashes
-        for b in hashes
-        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    # brute-force reference under the r12 collapse contract: identical
+    # hashes → star edges from the min-id rep; cross pairs at rep level
+    groups: dict = {}
+    for doc, h in hashes.items():
+        groups.setdefault(h, []).append(doc)
+    star = {
+        (min(ids), d) for ids in groups.values() for d in ids
+        if d != min(ids)
     }
+    reps = {h: min(ids) for h, ids in groups.items()}
+    cross = {
+        tuple(sorted((reps[ha], reps[hb])))
+        for ha in reps
+        for hb in reps
+        if ha < hb and bin(ha ^ hb).count("1") <= 3
+    }
+    expect = star | cross
     got = {
         (r.doc_a, r.doc_b)
         for r in dedup.simhash_pairs(df, max_hamming=3).collect()

@@ -192,6 +192,71 @@ def test_phash_pairs_pigeonhole_and_cluster_pipeline(spark):
     assert 4 not in out  # quarantined rows carry no hash
 
 
+def test_hamming_pairs_degenerate_corpus_stays_linear(spark):
+    """VERDICT r12 task 2: a 10k-identical-hash cohort (constant-color /
+    letterboxed crawl segment) must NOT go quadratic.  Collapse
+    semantics: 9 999 star edges from the min-id rep, not ~50M clique
+    pairs — and the near-dup neighbor attaches at rep level only."""
+    from proyecto_gasto_publico_etl_per__spark.operators.imagehash import (
+        phash_pairs,
+    )
+
+    const_hash = -(1 << 61) + 12345
+    rows = [(i, const_hash) for i in range(10_000)]
+    rows.append((20_000, const_hash ^ 0b11))  # distance-2 neighbor
+    hashes = spark.createDataFrame(rows, "asset_id long, phash64 long")
+    pairs = phash_pairs(hashes, max_hamming=3)
+    assert pairs.count() == 10_000  # 9 999 star + 1 rep-level cross
+    got = pairs.where("hamming > 0").collect()
+    assert [(r.img_a, r.img_b, r.hamming) for r in got] == [
+        (0, 20_000, 2)
+    ]
+    star = pairs.where("hamming = 0")
+    assert star.where("img_a <> 0").count() == 0  # all attach to the rep
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hamming_pairs_hot_bucket_cap_logs_and_bounds(spark, capsys):
+    """Distinct hashes engineered to share one chunk-0 value collapse
+    that bucket; with max_bucket set the bucket is dropped (pairs whose
+    only shared chunk was hot are missed — the documented recall
+    trade), the drop is printed, and pairs sharing another chunk
+    survive."""
+    from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    # 64-bit / radius 3 → 16-bit chunks.  All rows share chunk 0
+    # (=0xBEEF); ids 0/1 also share chunks 1-3 (distance 2 pair);
+    # the rest differ everywhere above chunk 0.
+    base = 0xBEEF
+    rows = [(0, (0xAAAA0000 << 16) | base), (1, (0xAAAA0003 << 16) | base)]
+    rows += [(i, ((0x1000 + i * 7) << 16) | base) for i in range(2, 40)]
+    hashes = spark.createDataFrame(rows, "asset_id long, phash64 long")
+    from proyecto_gasto_publico_etl_per__spark.operators.imagehash import (
+        phash_pairs,
+    )
+
+    uncapped = phash_pairs(hashes, max_hamming=3, max_bucket=None)
+    got_all = {(r.img_a, r.img_b) for r in uncapped.collect()}
+    assert (0, 1) in got_all
+    capped = phash_pairs(
+        hashes, max_hamming=3, max_bucket=10, log_capped=True
+    )
+    got_capped = {(r.img_a, r.img_b) for r in capped.collect()}
+    out = capsys.readouterr().out
+    # hot buckets: (0, 0xBEEF) size 40, plus the shared-zero high
+    # chunks (2, 0) size 38 and (3, 0) size 40
+    assert "capped 3 hot bucket(s) over 10 distinct hashes" in out
+    assert "largest 40" in out
+    # the (0,1) pair shares chunks 1-3 too, so it survives the cap
+    assert (0, 1) in got_capped
+    # nothing else was within radius anyway; capping added no pairs
+    assert got_capped <= got_all
+
+
 def test_cli_media_hash_and_dedup(spark, tmp_path, capsys):
     """media-hash → media-dedup through the CLI: persisted hash column
     with per-row quarantine counts, then clusters over the parquet."""

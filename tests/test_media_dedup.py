@@ -1,0 +1,152 @@
+"""Audio near-dup lane end-to-end (round 12, VERDICT task 5): log-mel
+fingerprints → LSH-bucketed cosine pairs → shared connected components,
+through the operator, the media-dedup CLI (audio mode), and the
+at-ingest streamed==batch twin — mirroring what the image lane got in
+round 11 (tests/test_imagehash.py)."""
+
+from __future__ import annotations
+
+import sys
+import wave
+from io import BytesIO
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from proyecto_gasto_publico_etl_per__spark.operators import (  # noqa: E402
+    multimodal,
+)
+
+
+def _wav(samples: np.ndarray, sr: int = 8000) -> bytes:
+    buf = BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(
+            (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+def _tone(freq: float, n: int, sr: int = 8000, amp: float = 0.5) -> np.ndarray:
+    t = np.arange(n) / sr
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+def _assets(spark, rows):
+    return spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+
+
+def test_audio_neardup_clusters_groups_same_program(spark):
+    """The same tone at different durations clusters (the fingerprint is
+    duration-invariant); distinct program material stays a singleton;
+    corrupt and non-audio rows carry no fingerprint and are excluded."""
+    sr = 8000
+    rows = [
+        (1, "audio", bytearray(_wav(_tone(1000.0, 4096), sr)), {}),
+        (2, "audio", bytearray(_wav(_tone(1000.0, 8192), sr)), {}),
+        (3, "audio", bytearray(_wav(_tone(2000.0, 4096), sr)), {}),
+        (4, "audio", bytearray(b"RIFFjunk"), {}),  # quarantined
+        (5, "image", bytearray(b"\x89PNGnope"), {}),  # wrong modality
+    ]
+    out = {
+        r["asset_id"]: r["cluster_id"]
+        for r in multimodal.audio_neardup_clusters(
+            _assets(spark, rows)
+        ).collect()
+    }
+    assert out[1] == out[2] == 1  # same tone, different length
+    assert out[3] == 3  # different program material
+    assert 4 not in out and 5 not in out
+
+
+def test_cli_media_dedup_audio_mode(spark, tmp_path, capsys):
+    """media-dedup --media audio over an assets parquet: clusters land
+    as (asset_id, cluster_id) with the cosine knob echoed."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    sr = 8000
+    assets_dir = str(tmp_path / "assets")
+    _assets(
+        spark,
+        [
+            (1, "audio", bytearray(_wav(_tone(700.0, 4096), sr)), {}),
+            (2, "audio", bytearray(_wav(_tone(700.0, 6144), sr)), {}),
+            (3, "audio", bytearray(_wav(_tone(2500.0, 4096), sr)), {}),
+            (4, "audio", bytearray(b"FORMjunk"), {}),
+        ],
+    ).write.parquet(assets_dir)
+    cdir = str(tmp_path / "clusters")
+    cli.main(["media-dedup", assets_dir, cdir, "--media", "audio"])
+    out = capsys.readouterr().out
+    assert "clustered 3 fingerprinted assets into 2 groups" in out
+    assert "cosine >= 0.95" in out
+    clusters = {
+        r["asset_id"]: r["cluster_id"]
+        for r in spark.read.parquet(cdir).collect()
+    }
+    assert clusters[1] == clusters[2] == 1
+    assert clusters[3] == 3
+    assert 4 not in clusters
+
+
+def test_audio_fingerprint_at_ingest_streamed_equals_batch(spark, tmp_path):
+    """Audio fingerprinting composes with streaming ingest (the image-
+    hash at-ingest pattern): assets arriving in micro-batches
+    fingerprint inside foreachBatch, and the streamed set is identical
+    to batch-fingerprinting the same assets — map-only, no cross-batch
+    state to drift."""
+    sr = 8000
+    rows = [
+        (i, "audio", bytearray(_wav(_tone(500.0 + 400 * i, 4096), sr)), {})
+        for i in range(4)
+    ]
+    rows.append((9, "audio", bytearray(b"RIFFjunk"), {}))  # quarantined
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema_ddl = (
+        "asset_id LONG, media_type STRING, payload BINARY, "
+        "meta MAP<STRING, STRING>"
+    )
+    _assets(spark, rows[:2]).coalesce(1).write.parquet(str(src / "b1"))
+    _assets(spark, rows[2:]).coalesce(1).write.parquet(str(src / "b2"))
+    out_dir = str(tmp_path / "fps")
+
+    def fp_batch(batch_df, _epoch):
+        multimodal.audio_fingerprints(batch_df).select(
+            "asset_id", "fingerprint"
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(fp_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def keyed(df):
+        return {
+            (
+                r.asset_id,
+                tuple(r.fingerprint) if r.fingerprint is not None else None,
+            )
+            for r in df.collect()
+        }
+
+    streamed = keyed(spark.read.parquet(out_dir))
+    batch = keyed(
+        multimodal.audio_fingerprints(_assets(spark, rows)).select(
+            "asset_id", "fingerprint"
+        )
+    )
+    assert streamed == batch
+    assert (9, None) in streamed  # quarantine identical across modes
