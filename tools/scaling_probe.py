@@ -116,10 +116,79 @@ def build_replicated(spark, sf_dir: str, k: int, out_dir: str) -> None:
     )
 
 
+def _synthetic_hashes(spark, n: int):
+    """Deterministic 64-bit perceptual-hash stand-in with entropy in
+    EVERY 16-bit pigeonhole chunk (round 12 — the media near-dup probe
+    sweeps HASH CARDINALITY, not decode cost).  Groups of 10 ids share
+    a base built from three non-overlapping shifted copies of the group
+    key (bits 4-19, 20-35, 40-55), so cross-group distance is
+    3·bit_count(g1^g2) — within radius 3 iff the groups differ in
+    exactly one bit (≈16 rep neighbors per group, output linear in n).
+    Within a group, roles flip 0-3 low bits: identical members (star
+    edges), near members at distance 1/2/3, and a far member at 8."""
+    return spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.expr(
+            "shiftleft(id div 10, 40) ^ shiftleft(id div 10, 20) ^ "
+            "shiftleft(id div 10, 4) ^ CAST(CASE CAST(id % 7 AS INT) "
+            "WHEN 3 THEN 1 WHEN 4 THEN 3 WHEN 5 THEN 7 WHEN 6 THEN 255 "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("phash64"),
+    )
+
+
+def media_neardup_probe(spark, k: int, n_base: int = 200_000) -> None:
+    """1× vs K× wall-clock exponent for the pigeonhole media near-dup
+    lane over synthetic hashes (VERDICT r12 task 3).  Production knobs
+    throughout (max_bucket default, radius 3)."""
+    from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
+        cluster_duplicates,
+    )
+    from proyecto_gasto_publico_etl_per__spark.operators.imagehash import (
+        phash_pairs,
+    )
+
+    probes = {
+        "media_neardup_pairs": lambda df: phash_pairs(
+            df, max_hamming=3
+        ).count(),
+        "media_neardup_clusters": lambda df: cluster_duplicates(
+            phash_pairs(df, max_hamming=3), id_a="img_a", id_b="img_b"
+        ).count(),
+    }
+    for name, run in probes.items():
+        times = {}
+        for label, n in (("1x", n_base), (f"{k}x", n_base * k)):
+            df = _synthetic_hashes(spark, n).localCheckpoint()
+            run(df)  # warm (codegen, broadcast decisions)
+            runs = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                run(df)
+                runs.append(time.monotonic() - t0)
+            times[label] = min(runs)
+        exp = math.log(times[f"{k}x"] / times["1x"]) / math.log(k)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "t_1x_sec": round(times["1x"], 2),
+                    f"t_{k}x_sec": round(times[f"{k}x"], 2),
+                    "exponent": round(exp, 3),
+                    "n_base": n_base,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     names = sys.argv[3:] or DEFAULT_QUERIES
+    if names == ["media-neardup"]:
+        media_neardup_probe(get_spark(), k)
+        return
     spark = get_spark()
     big_dir = tempfile.mkdtemp(prefix=f"scale{k}x_")
     build_replicated(spark, sf_dir, k, big_dir)
