@@ -161,6 +161,34 @@ def test_r10_window_rotates_in_the_r6_stale_names():
     ), "an r8/r9-fresh name occupies an r10 slot a staler name needs"
 
 
+def test_r12_window_front_loads_the_new_query_then_r8_stale_names():
+    """Round 12: with the r11 artifact committed (newest green round ==
+    11) and ONE new declared query (neardup_hamming_pairs — the shared
+    pigeonhole generator's oracle row, verdict task 4), the r12 window
+    must lead with that never-green name, then the 12 r8-era greens —
+    the stalest cohort — and fill the rest with r9 greens only (every
+    r10/r11-fresh name rotates outside).  Guarded on the artifact state
+    so the test stays valid after later rounds."""
+    names = list(entry.queries())
+    latest = DQ._latest_check_rows()
+    green_round = {
+        n: rnd for n, (rnd, row) in latest.items() if DQ._is_green(row)
+    }
+    newest = max(green_round.values(), default=0)
+    if newest != 11:
+        return  # a later round's artifact landed; generic tests cover it
+    never = [n for n in names if n not in green_round]
+    assert "neardup_hamming_pairs" in never
+    k = len(never)
+    assert set(names[:k]) == set(never)  # never-green sorts first
+    window = names[:50]
+    greens_in_window = [n for n in window if n in green_round]
+    assert sum(green_round[n] == 8 for n in greens_in_window) == 12
+    assert all(
+        green_round[n] <= 9 for n in greens_in_window
+    ), "an r10/r11-fresh name occupies an r12 slot a staler name needs"
+
+
 def test_r11_window_rotates_in_the_r7_stale_names():
     """Round-10 verdict task 1: with the r10 artifact committed (newest
     green round == 10) and zero new declared queries this round, the

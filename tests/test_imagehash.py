@@ -257,6 +257,93 @@ def test_hamming_pairs_hot_bucket_cap_logs_and_bounds(spark, capsys):
     assert got_capped <= got_all
 
 
+def _spread(g: int) -> int:
+    """Group base with non-overlapping shifted copies (the scaling
+    probe's construction): cross-group distance = 3·bit_count(g1^g2)."""
+    return (g << 40) ^ (g << 20) ^ (g << 4)
+
+
+def _cc_min_label(ids, pairs) -> dict:
+    """Union-find connected components labeled by min id."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def test_collapse_pairs_preserve_components_property(spark):
+    """The r12 collapse contract, property-checked: over random corpora
+    with identical / near / far hash cohorts, (1) the Spark pair set
+    equals a pure-python mirror of the collapse semantics exactly, and
+    (2) connected components over the collapsed pairs equal components
+    over the BRUTE-FORCE full pair set — the invariant that makes star
+    edges a safe replacement for cliques."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from proyecto_gasto_publico_etl_per__spark.operators.imagehash import (
+        phash_pairs,
+    )
+
+    masks = st.sampled_from([0, 0, 0, 1, 3, 7, 255, 1 << 20, (1 << 20) | 1])
+    hv = st.tuples(st.integers(0, 5), masks).map(
+        lambda t: _spread(t[0]) ^ t[1]
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(hvs=st.lists(hv, min_size=1, max_size=25))
+    def run(hvs):
+        ids = list(range(len(hvs)))
+        got = {
+            (r.img_a, r.img_b, r.hamming)
+            for r in phash_pairs(
+                spark.createDataFrame(
+                    list(zip(ids, hvs)), "asset_id long, phash64 long"
+                ),
+                max_hamming=3,
+            ).collect()
+        }
+        # python mirror of the collapse contract
+        groups: dict = {}
+        for i, h in zip(ids, hvs):
+            groups.setdefault(h, []).append(i)
+        star = {
+            (min(g), m, 0) for g in groups.values() for m in g if m != min(g)
+        }
+        reps = {h: min(g) for h, g in groups.items()}
+        cross = set()
+        for ha, ra in reps.items():
+            for hb, rb in reps.items():
+                d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                if ra < rb and 1 <= d <= 3:
+                    cross.add((ra, rb, d))
+        assert got == star | cross
+        # component identity vs brute-force full-pair semantics
+        brute = [
+            (a, b)
+            for ai, a in enumerate(ids)
+            for b in ids[ai + 1 :]
+            if bin((hvs[a] ^ hvs[b]) & ((1 << 64) - 1)).count("1") <= 3
+        ]
+        assert _cc_min_label(ids, [(a, b) for a, b, _ in got]) == \
+            _cc_min_label(ids, brute)
+
+    run()
+
+
 def test_cli_media_hash_and_dedup(spark, tmp_path, capsys):
     """media-hash → media-dedup through the CLI: persisted hash column
     with per-row quarantine counts, then clusters over the parquet."""
