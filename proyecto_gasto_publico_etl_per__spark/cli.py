@@ -211,24 +211,34 @@ def main(argv: list[str] | None = None) -> None:
         help="which asset rows to cluster (the other media type is "
              "ignored — run the command once per modality)",
     )
+    # per-modality knobs default to None so a knob set for the WRONG
+    # modality can be detected and warned about instead of silently
+    # ignored (resolved to the real defaults in the handler)
     md.add_argument(
-        "--kind", choices=["ahash", "dhash", "phash"], default="phash"
+        "--kind", choices=["ahash", "dhash", "phash"], default=None,
+        help="image mode hash kind (default phash)",
     )
     md.add_argument(
-        "--max-hamming", type=int, default=3,
-        help="image mode: exact pigeonhole radius (chunks = max-hamming "
-             "+ 1; larger radii shrink chunk width and grow buckets — "
-             "see operators/imagehash.phash_pairs)",
+        "--max-hamming", type=int, default=None,
+        help="image mode: exact pigeonhole radius, default 3 (chunks = "
+             "max-hamming + 1; larger radii shrink chunk width and grow "
+             "buckets — see operators/imagehash.phash_pairs)",
     )
     md.add_argument(
-        "--threshold", type=float, default=0.95,
+        "--threshold", type=float, default=None,
         help="audio mode: fingerprint cosine threshold for a near-dup "
-             "pair (operators/multimodal.audio_neardup_clusters)",
+             "pair, default 0.95 "
+             "(operators/multimodal.audio_neardup_clusters)",
     )
     md.add_argument(
-        "--n-mels", type=int, default=16,
+        "--n-mels", type=int, default=None,
         help="audio mode: mel bands per fingerprint (2x this many "
-             "dimensions)",
+             "dimensions), default 16",
+    )
+    md.add_argument(
+        "--n-planes", type=int, default=None,
+        help="audio mode: hyperplane LSH planes (2^n buckets — raise "
+             "for large corpora), default 4",
     )
 
     dfz = sub.add_parser(
@@ -556,19 +566,37 @@ def main(argv: list[str] | None = None) -> None:
         if args.media == "audio":
             from .operators.multimodal import audio_neardup_clusters
 
+            for flag, val in (("--kind", args.kind),
+                              ("--max-hamming", args.max_hamming)):
+                if val is not None:
+                    print(f"warning: {flag} is an image-mode knob — "
+                          "ignored with --media audio")
+            threshold = 0.95 if args.threshold is None else args.threshold
             clusters = audio_neardup_clusters(
-                assets, n_mels=args.n_mels, threshold=args.threshold
+                assets,
+                n_mels=16 if args.n_mels is None else args.n_mels,
+                threshold=threshold,
+                n_planes=4 if args.n_planes is None else args.n_planes,
             )
-            knob = f"cosine >= {args.threshold}"
+            knob = f"cosine >= {threshold}"
             noun = "fingerprinted"
         else:
             from .operators.imagehash import image_neardup_clusters
 
+            for flag, val in (("--threshold", args.threshold),
+                              ("--n-mels", args.n_mels),
+                              ("--n-planes", args.n_planes)):
+                if val is not None:
+                    print(f"warning: {flag} is an audio-mode knob — "
+                          "ignored with --media image")
+            max_hamming = 3 if args.max_hamming is None else args.max_hamming
             clusters = image_neardup_clusters(
-                assets, kind=args.kind, max_hamming=args.max_hamming,
+                assets,
+                kind="phash" if args.kind is None else args.kind,
+                max_hamming=max_hamming,
                 log_capped=True,
             )
-            knob = f"radius {args.max_hamming}"
+            knob = f"radius {max_hamming}"
             noun = "hashed"
         clusters.write.mode("overwrite").parquet(args.out_dir)
         done = spark.read.parquet(args.out_dir)

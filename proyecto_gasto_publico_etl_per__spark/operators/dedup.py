@@ -559,6 +559,14 @@ def hamming_pairs(
     the sign bit into every high chunk and collapse buckets."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if hashes.isStreaming:
+        # the collapse window and the bucket self-join have no streaming
+        # equivalent — run the batch operator per micro-batch inside
+        # foreachBatch (the at-ingest twin pattern) instead
+        raise ValueError(
+            "hamming_pairs is batch-only; snapshot the stream with "
+            "foreachBatch and pair each micro-batch as a batch frame"
+        )
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     if chunk_bits < 1:
@@ -588,16 +596,20 @@ def hamming_pairs(
     idx = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias(
         "chunk_idx"
     )
+    # at max_hamming=0 the single chunk spans all 64 bits: (1<<64)-1
+    # overflows BIGINT in the parsed expr, so use -1 (all ones in two's
+    # complement — `& -1` is the identity)
+    mask = (1 << chunk_bits) - 1 if chunk_bits < 64 else -1
     chunked = reps.select("hid", "hv", idx).withColumn(
         "chunk_val",
         F.expr(
             "shiftrightunsigned(hv, chunk_idx * {0}) & {1}".format(
-                chunk_bits, (1 << chunk_bits) - 1
+                chunk_bits, mask
             )
         ),
     )
     if max_bucket is not None:
-        if log_capped and not hashes.isStreaming:
+        if log_capped:
             hot = (
                 chunked.groupBy("chunk_idx", "chunk_val")
                 .agg(F.count("*").alias("bsz"))

@@ -764,8 +764,20 @@ def audio_neardup_clusters(
     The fingerprint is duration- and container-invariant
     (``audio_dsp.mel_fingerprint``), so the same clip re-encoded
     WAV↔AIFF↔AU or resampled clusters together while distinct program
-    material does not — the CLI exposes ``threshold`` for corpora where
-    louder re-masters should (or should not) merge."""
+    material does not — the CLI exposes ``threshold`` and ``n_planes``
+    (2^n_planes LSH buckets: the corpus-scale knob, exactly as
+    ``hyperplane_buckets`` documents).
+
+    Identical fingerprints (bit-for-bit re-ingests, silent/constant
+    clips — the audio analogue of the constant-pHash cohort) collapse
+    to star edges from the min-id representative BEFORE the LSH
+    self-join, the round-12 ``hamming_pairs`` contract: a 10k-identical
+    cohort contributes ONE row per bucket instead of a quadratic
+    in-bucket clique, and connected components are unchanged (identical
+    vectors have identical cosine relations, so the rep inherits every
+    ≥-threshold pair a member had)."""
+    from pyspark.sql import Window
+
     from .dedup import cluster_duplicates
     from .similarity import embedding_neardup_pairs
 
@@ -777,14 +789,27 @@ def audio_neardup_clusters(
         .select("asset_id", "fingerprint")
         .localCheckpoint()
     )
+    tagged = fps.withColumn(
+        "rep", F.min("asset_id").over(Window.partitionBy("fingerprint"))
+    )
+    star = tagged.where(F.col("asset_id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"),
+        F.col("asset_id").alias("id_b"),
+        F.lit(1000).cast("long").alias("score_q3"),  # cosine 1.0 on the grid
+    )
+    reps = tagged.where(F.col("asset_id") == F.col("rep")).select(
+        "asset_id", "fingerprint"
+    )
     pairs = embedding_neardup_pairs(
-        fps,
+        reps,
         id_col="asset_id",
         vec_col="fingerprint",
         threshold=threshold,
         n_planes=n_planes,
+    ).withColumn("score_q3", F.col("score_q3").cast("long"))
+    clustered = cluster_duplicates(
+        pairs.unionByName(star), id_a="id_a", id_b="id_b"
     )
-    clustered = cluster_duplicates(pairs, id_a="id_a", id_b="id_b")
     return fps.join(
         clustered, fps.asset_id == clustered.doc_id, "left"
     ).select(

@@ -1189,10 +1189,23 @@ def remeasure_manifest_ladder(
     cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
     # one read: payload AND kind from the same single manifest row
     # (kind must round-trip so kind-asserting loads keep working)
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(f"{base}/manifest").collect()
-    except Exception:
-        rows = []  # missing manifest zone (legacy layout) — defaulted below
+    except AnalysisException as e:
+        # ONLY a genuinely absent zone (legacy layout) may default; a
+        # manifest that exists but cannot be READ (truncated parquet,
+        # IO error) must raise like an unparseable one — defaulting
+        # would re-measure at mismatched geometry and overwrite kind
+        if e.getCondition() != "PATH_NOT_FOUND":
+            raise
+        rows = None
+    if rows is not None and not rows:
+        raise ValueError(
+            f"manifest zone at {base}/manifest exists but holds no rows "
+            "— refusing to re-default geometry over a corrupt manifest"
+        )
     if rows:
         # a manifest that EXISTS but cannot be parsed must raise, not
         # re-default: re-measuring at mismatched PQ geometry would write

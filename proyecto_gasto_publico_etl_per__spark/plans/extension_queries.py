@@ -277,10 +277,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bits), and far (8 bits) members per group, plus cross-group pairs
 #: wherever bit_count(g1^g2) <= 3.  Pure shifts/xor so Spark and DuckDB
 #: compute bit-identical BIGINTs (no overflow, no multiplication).
-_SYNTH_HASH_SQL = (
-    "CASE CAST(doc_id % 7 AS INT) WHEN 3 THEN 1 WHEN 4 THEN 3 "
+#: SYNTH_ROLE_CASE is the single source for the role→flip table — the
+#: scaling probe (tools/scaling_probe.py media-neardup) formats it with
+#: its own id column so probe workload and oracle stay in lockstep.
+SYNTH_ROLE_CASE = (
+    "CASE CAST({col} % 7 AS INT) WHEN 3 THEN 1 WHEN 4 THEN 3 "
     "WHEN 5 THEN 7 WHEN 6 THEN 255 ELSE 0 END"
 )
+_SYNTH_HASH_SQL = SYNTH_ROLE_CASE.format(col="doc_id")
 
 
 @register(

@@ -322,6 +322,13 @@ def test_remeasure_raises_on_unparseable_manifest(spark, tmp_path):
     probes = corpus.limit(3)
     with pytest.raises(Exception):  # json parse error propagates
         remeasure_manifest_ladder(spark, corpus, probes, idx)
+    # a manifest zone that EXISTS but holds no rows is corrupt, not
+    # missing — refuses instead of re-defaulting (review r12)
+    spark.createDataFrame(
+        [], "kind string, payload string"
+    ).write.mode("overwrite").parquet(f"{idx}/manifest")
+    with pytest.raises(ValueError, match="holds no rows"):
+        remeasure_manifest_ladder(spark, corpus, probes, idx)
     # genuinely missing manifest: warns + defaults, does not raise
     shutil.rmtree(f"{idx}/manifest")
     with _warnings.catch_warnings(record=True) as caught:

@@ -218,6 +218,35 @@ def test_hamming_pairs_degenerate_corpus_stays_linear(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_hamming_pairs_radius_zero_is_exact_dup_stars(spark):
+    """max_hamming=0 (one 64-bit chunk — the mask must not overflow
+    BIGINT) degenerates to exact-duplicate grouping: star edges only,
+    no cross pairs."""
+    from proyecto_gasto_publico_etl_per__spark.operators.imagehash import (
+        phash_pairs,
+    )
+
+    rows = [(1, 42), (2, 42), (3, 42), (4, -7), (5, -7), (6, 99)]
+    pairs = phash_pairs(
+        spark.createDataFrame(rows, "asset_id long, phash64 long"),
+        max_hamming=0,
+    )
+    got = {(r.img_a, r.img_b, r.hamming) for r in pairs.collect()}
+    assert got == {(1, 2, 0), (1, 3, 0), (4, 5, 0)}
+
+
+def test_hamming_pairs_rejects_streaming_input(spark):
+    """Batch-only contract: the collapse window and bucket self-join
+    have no streaming plan — a stream must go through foreachBatch."""
+    from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="batch-only"):
+        hamming_pairs(stream, "value", "value", 3, 64)
+
+
 def test_hamming_pairs_hot_bucket_cap_logs_and_bounds(spark, capsys):
     """Distinct hashes engineered to share one chunk-0 value collapse
     that bucket; with max_bucket set the bucket is dropped (pairs whose

@@ -64,6 +64,53 @@ def test_audio_neardup_clusters_groups_same_program(spark):
     assert 4 not in out and 5 not in out
 
 
+def test_audio_identical_cohort_collapses_to_stars(spark):
+    """The audio twin of the r12 collapse contract: a cohort of
+    bit-identical clips (silent/constant audio, re-ingests) collapses
+    to star edges from the min-id rep BEFORE the LSH self-join — the
+    in-bucket clique never materializes — and still clusters with a
+    near (but not identical) re-master through the rep."""
+    sr = 8000
+    same = _wav(_tone(600.0, 2048), sr)
+    rows = [(i, "audio", bytearray(same), {}) for i in range(300)]
+    # near member: same tone, longer take (duration-invariant print)
+    rows.append((900, "audio", bytearray(_wav(_tone(600.0, 4096), sr)), {}))
+    rows.append((901, "audio", bytearray(_wav(_tone(3000.0, 2048), sr)), {}))
+    out = {
+        r["asset_id"]: r["cluster_id"]
+        for r in multimodal.audio_neardup_clusters(
+            _assets(spark, rows)
+        ).collect()
+    }
+    assert all(out[i] == 0 for i in range(300))  # the whole cohort
+    assert out[900] == 0  # near re-master joins through the rep
+    assert out[901] == 901  # distinct program stays out
+
+
+def test_cli_media_dedup_warns_on_cross_modality_knobs(spark, tmp_path,
+                                                       capsys):
+    """A knob for the OTHER modality prints a warning instead of being
+    silently discarded (review r12)."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    assets_dir = str(tmp_path / "assets")
+    _assets(
+        spark,
+        [(1, "audio", bytearray(_wav(_tone(700.0, 2048), 8000)), {})],
+    ).write.parquet(assets_dir)
+    cdir = str(tmp_path / "c1")
+    cli.main(
+        ["media-dedup", assets_dir, cdir, "--media", "audio",
+         "--max-hamming", "2"]
+    )
+    out = capsys.readouterr().out
+    assert "--max-hamming is an image-mode knob" in out
+    cdir2 = str(tmp_path / "c2")
+    cli.main(["media-dedup", assets_dir, cdir2, "--threshold", "0.8"])
+    out = capsys.readouterr().out
+    assert "--threshold is an audio-mode knob" in out
+
+
 def test_cli_media_dedup_audio_mode(spark, tmp_path, capsys):
     """media-dedup --media audio over an assets parquet: clusters land
     as (asset_id, cluster_id) with the cosine knob echoed."""

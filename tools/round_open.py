@@ -67,11 +67,17 @@ def main() -> int:
         print(f"round artifacts to track: {pending}")
         if not dry:
             _git("add", "--", *pending)
+            # pathspec-limited commit: anything the builder had staged
+            # for other work stays staged, never swept into the
+            # bookkeeping commit
             _git(
                 "commit",
                 "-m",
                 f"round {newest_round()}: track driver artifacts "
                 "(round-open)",
+                "--only",
+                "--",
+                *pending,
             )
             print("committed")
     else:

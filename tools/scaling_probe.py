@@ -126,13 +126,16 @@ def _synthetic_hashes(spark, n: int):
     exactly one bit (≈16 rep neighbors per group, output linear in n).
     Within a group, roles flip 0-3 low bits: identical members (star
     edges), near members at distance 1/2/3, and a far member at 8."""
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        SYNTH_ROLE_CASE,
+    )
+
+    role_case = SYNTH_ROLE_CASE.format(col="id")
     return spark.range(n).select(
         F.col("id").alias("asset_id"),
         F.expr(
             "shiftleft(id div 10, 40) ^ shiftleft(id div 10, 20) ^ "
-            "shiftleft(id div 10, 4) ^ CAST(CASE CAST(id % 7 AS INT) "
-            "WHEN 3 THEN 1 WHEN 4 THEN 3 WHEN 5 THEN 7 WHEN 6 THEN 255 "
-            "ELSE 0 END AS BIGINT)"
+            f"shiftleft(id div 10, 4) ^ CAST({role_case} AS BIGINT)"
         ).alias("phash64"),
     )
 
