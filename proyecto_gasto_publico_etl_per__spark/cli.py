@@ -186,14 +186,25 @@ def main(argv: list[str] | None = None) -> None:
 
     mh = sub.add_parser(
         "media-hash",
-        help="perceptual 64-bit image hashes over an assets parquet "
-             "(multimodal.ASSET_SCHEMA) — one map pass, BIGINT phash64 "
-             "column out; decode failures quarantine to NULL per row",
+        help="per-asset near-dup keys over an assets parquet "
+             "(multimodal.ASSET_SCHEMA) — one map pass.  images: BIGINT "
+             "phash64 column.  audio: array<double> log-mel fingerprint "
+             "column.  decode failures quarantine to NULL per row",
     )
     mh.add_argument("assets_parquet")
     mh.add_argument("out_dir")
     mh.add_argument(
-        "--kind", choices=["ahash", "dhash", "phash"], default="phash"
+        "--media", choices=["image", "audio"], default="image",
+        help="which asset rows to key (run once per modality)",
+    )
+    mh.add_argument(
+        "--kind", choices=["ahash", "dhash", "phash"], default=None,
+        help="image mode hash kind (default phash)",
+    )
+    mh.add_argument(
+        "--n-mels", type=int, default=None,
+        help="audio mode: mel bands per fingerprint (2x this many "
+             "dimensions), default 16",
     )
 
     md = sub.add_parser(
@@ -549,17 +560,33 @@ def main(argv: list[str] | None = None) -> None:
             k * len(args.query_ids), truncate=False
         )
     elif args.cmd == "media-hash":
-        from .operators.multimodal import image_hashes
-
         assets = spark.read.parquet(args.assets_parquet)
-        out = image_hashes(assets, args.kind).select("asset_id", "phash64")
+        if args.media == "audio":
+            from .operators.multimodal import audio_fingerprints
+
+            if args.kind is not None:
+                print("warning: --kind is an image-mode knob — ignored "
+                      "with --media audio")
+            out = audio_fingerprints(
+                assets, n_mels=16 if args.n_mels is None else args.n_mels
+            ).select("asset_id", "fingerprint")
+            key_col, label = "fingerprint", "mel-fingerprint"
+        else:
+            from .operators.multimodal import image_hashes
+
+            if args.n_mels is not None:
+                print("warning: --n-mels is an audio-mode knob — ignored "
+                      "with --media image")
+            kind = "phash" if args.kind is None else args.kind
+            out = image_hashes(assets, kind).select("asset_id", "phash64")
+            key_col, label = "phash64", kind
         out.write.mode("overwrite").parquet(args.out_dir)
         done = spark.read.parquet(args.out_dir)
         n = done.count()
-        nn = done.where("phash64 IS NOT NULL").count()
+        nn = done.where(f"{key_col} IS NOT NULL").count()
         print(
-            f"hashed {nn}/{n} assets ({args.kind}) → {args.out_dir} "
-            f"({n - nn} quarantined/non-image)"
+            f"hashed {nn}/{n} assets ({label}) → {args.out_dir} "
+            f"({n - nn} quarantined/non-{args.media})"
         )
     elif args.cmd == "media-dedup":
         assets = spark.read.parquet(args.assets_parquet)

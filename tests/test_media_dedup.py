@@ -141,6 +141,35 @@ def test_cli_media_dedup_audio_mode(spark, tmp_path, capsys):
     assert 4 not in clusters
 
 
+def test_cli_media_hash_audio_mode(spark, tmp_path, capsys):
+    """media-hash --media audio persists the fingerprint column with
+    the quarantine count (lane symmetry with the image media-hash)."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    assets_dir = str(tmp_path / "assets")
+    _assets(
+        spark,
+        [
+            (1, "audio", bytearray(_wav(_tone(440.0, 2048), 8000)), {}),
+            (2, "audio", bytearray(b"RIFFjunk"), {}),
+            (3, "image", bytearray(b"\x89PNGnope"), {}),
+        ],
+    ).write.parquet(assets_dir)
+    fdir = str(tmp_path / "fps")
+    cli.main(
+        ["media-hash", assets_dir, fdir, "--media", "audio", "--kind",
+         "ahash"]
+    )
+    out = capsys.readouterr().out
+    assert "--kind is an image-mode knob" in out
+    assert "hashed 1/3 assets (mel-fingerprint)" in out
+    got = {
+        r["asset_id"]: r["fingerprint"]
+        for r in spark.read.parquet(fdir).collect()
+    }
+    assert len(got[1]) == 32 and got[2] is None and got[3] is None
+
+
 def test_audio_fingerprint_at_ingest_streamed_equals_batch(spark, tmp_path):
     """Audio fingerprinting composes with streaming ingest (the image-
     hash at-ingest pattern): assets arriving in micro-batches
