@@ -604,6 +604,7 @@ def main(argv: list[str] | None = None) -> None:
                 n_mels=16 if args.n_mels is None else args.n_mels,
                 threshold=threshold,
                 n_planes=4 if args.n_planes is None else args.n_planes,
+                log_capped=True,
             )
             knob = f"cosine >= {threshold}"
             noun = "fingerprinted"

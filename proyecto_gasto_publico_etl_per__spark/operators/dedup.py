@@ -582,11 +582,17 @@ def hamming_pairs(
         F.col(id_col).alias("hid"), F.col(hash_col).alias("hv")
     )
     # exact-hash collapse: ONE shuffle on hv tags every row with its
-    # group representative; star edges and the rep set both read it
-    # (the two consumers share the exchange)
+    # group representative.  The tagged frame has THREE consumers (star
+    # edges + both sides of the bucket self-join) whose differing
+    # column pruning defeats ReuseExchange (the canonicalization gotcha
+    # cluster_duplicates documents), so a lazy localCheckpoint pins the
+    # upstream hash computation — possibly a full corpus pass like
+    # simhash — to exactly one execution (measured: 12 static
+    # exchanges → 5, wall 1.14s → below at sf0.01).  Lazy, not eager:
+    # plan build stays job-free; the first action materializes it.
     tagged = base.withColumn(
         "rep", F.min("hid").over(Window.partitionBy("hv"))
-    )
+    ).localCheckpoint(eager=False)
     star = tagged.where(F.col("hid") != F.col("rep")).select(
         F.col("rep").alias(out_a),
         F.col("hid").alias(out_b),

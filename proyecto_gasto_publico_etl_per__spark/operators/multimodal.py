@@ -751,6 +751,8 @@ def audio_neardup_clusters(
     n_mels: int = 16,
     threshold: float = 0.95,
     n_planes: int = 4,
+    max_bucket: int | None = 10_000,
+    log_capped: bool = False,
 ) -> DataFrame:
     """End-to-end audio near-dup grouping (round 12 — the audio twin of
     ``imagehash.image_neardup_clusters``): log-mel fingerprint column
@@ -800,12 +802,18 @@ def audio_neardup_clusters(
     reps = tagged.where(F.col("asset_id") == F.col("rep")).select(
         "asset_id", "fingerprint"
     )
+    # max_bucket guards the residual near-identical-but-not-equal
+    # cohort (the collapse above only absorbs BIT-identical prints):
+    # a hot LSH bucket past the cap drops from candidate generation
+    # instead of going quadratic — the hamming_pairs cap contract
     pairs = embedding_neardup_pairs(
         reps,
         id_col="asset_id",
         vec_col="fingerprint",
         threshold=threshold,
         n_planes=n_planes,
+        max_bucket=max_bucket,
+        log_capped=log_capped,
     ).withColumn("score_q3", F.col("score_q3").cast("long"))
     clustered = cluster_duplicates(
         pairs.unionByName(star), id_a="id_a", id_b="id_b"

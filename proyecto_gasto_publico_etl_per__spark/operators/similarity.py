@@ -1495,13 +1495,51 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 4,
+    max_bucket: int | None = None,
+    log_capped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
 
     Pairs are generated within LSH buckets (few planes → high recall at
     high thresholds) and verified with exact cosine.
-    """
+
+    ``max_bucket`` (round 12, the ``hamming_pairs`` cap pattern): LSH
+    buckets holding more than this many vectors are dropped from
+    candidate generation — the guard against the low-rank-collection
+    hazard ``hyperplane_buckets`` documents, where a collapsed
+    embedding source realizes only a few sign patterns and one bucket
+    holds most of the corpus.  Bounded recall trade (a pair is missed
+    only if its one shared bucket was hot); the bucket-size window
+    pre-shuffles on the join key, so the cap adds no exchange.
+    ``None`` (the default — existing oracle semantics) disables;
+    ``log_capped=True`` prints what was dropped (one eager count over
+    the bucketed frame — batch only)."""
     b = hyperplane_buckets(df, id_col, vec_col, n_planes)
+    if max_bucket is not None:
+        if log_capped and not df.isStreaming:
+            hot = (
+                b.groupBy("bucket")
+                .agg(F.count("*").alias("bsz"))
+                .where(F.col("bsz") > max_bucket)
+                .agg(
+                    F.count("*").alias("n_buckets"),
+                    F.max("bsz").alias("largest"),
+                )
+                .collect()[0]
+            )
+            if hot["n_buckets"]:
+                print(
+                    f"embedding_neardup_pairs: capped {hot['n_buckets']} "
+                    f"hot LSH bucket(s) over {max_bucket} vectors "
+                    f"(largest {hot['largest']}) — raise n_planes or "
+                    "check for a low-rank embedding source"
+                )
+        bw = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("bsz", F.count("*").over(bw))
+            .where(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, "bucket")

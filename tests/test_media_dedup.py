@@ -141,6 +141,34 @@ def test_cli_media_dedup_audio_mode(spark, tmp_path, capsys):
     assert 4 not in clusters
 
 
+def test_embedding_neardup_hot_bucket_cap(spark, capsys):
+    """The r12 LSH cap: near-identical (but not bit-equal) vectors all
+    land in one hyperplane bucket — the low-rank hazard
+    hyperplane_buckets documents.  Past max_bucket the bucket drops
+    from candidate generation with a printed accounting (bounded recall
+    trade); None keeps the exact test-scale semantics the declared
+    oracles pin."""
+    from proyecto_gasto_publico_etl_per__spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    # one direction, tiny per-row jitter: same sign pattern under any
+    # hyperplane, cosine ~1
+    rows = [
+        (i, [1.0 + i * 1e-6, 2.0, -1.0, 0.5]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = embedding_neardup_pairs(df, threshold=0.9, n_planes=4)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = embedding_neardup_pairs(
+        df, threshold=0.9, n_planes=4, max_bucket=10, log_capped=True
+    )
+    assert capped.count() == 0  # the single hot bucket was dropped
+    out = capsys.readouterr().out
+    assert "capped 1 hot LSH bucket(s) over 10 vectors" in out
+    assert "largest 30" in out
+
+
 def test_cli_media_hash_audio_mode(spark, tmp_path, capsys):
     """media-hash --media audio persists the fingerprint column with
     the quarantine count (lane symmetry with the image media-hash)."""
