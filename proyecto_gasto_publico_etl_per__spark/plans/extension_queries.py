@@ -334,6 +334,73 @@ def neardup_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_hamming_capped",
+    f"""
+    WITH hashes AS (
+      SELECT doc_id,
+             xor((doc_id % 50) << 40,
+                 CAST({_SYNTH_HASH_SQL} AS BIGINT)) AS hv
+      FROM documents
+    ),
+    reps AS (SELECT hv, MIN(doc_id) AS rep FROM hashes GROUP BY hv),
+    star AS (
+      SELECT r.rep AS doc_a, h.doc_id AS doc_b, 0 AS hamming
+      FROM hashes h JOIN reps r USING (hv) WHERE h.doc_id <> r.rep
+    ),
+    -- the CAP is part of the contract here: buckets over 100 distinct
+    -- hashes drop from candidate generation, so this oracle mirrors
+    -- the ALGORITHM (pigeonhole chunks + bucket-size filter), not a
+    -- brute-force distance scan.  hv is non-negative by construction,
+    -- so DuckDB's arithmetic >> equals Spark's shiftrightunsigned.
+    chunks AS (
+      SELECT rep, hv, c.chunk_idx,
+             (hv >> (c.chunk_idx * 16)) & 65535 AS chunk_val
+      FROM reps CROSS JOIN (SELECT unnest(range(4)) AS chunk_idx) c
+    ),
+    kept AS (
+      SELECT chunk_idx, chunk_val FROM chunks
+      GROUP BY 1, 2 HAVING COUNT(*) <= 100
+    ),
+    cands AS (
+      SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
+             a.hv AS hv_a, b.hv AS hv_b
+      FROM chunks a
+      JOIN kept USING (chunk_idx, chunk_val)
+      JOIN chunks b USING (chunk_idx, chunk_val)
+      WHERE a.rep < b.rep
+    ),
+    crossp AS (
+      SELECT doc_a, doc_b, bit_count(xor(hv_a, hv_b)) AS hamming
+      FROM cands WHERE bit_count(xor(hv_a, hv_b)) <= 3
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM crossp
+    UNION ALL
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM star
+    """,
+)
+def neardup_hamming_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket cap under the driver gate (round 12): same
+    synthetic hash table as ``neardup_hamming_pairs`` but with
+    ``max_bucket=100``, which FIRES on this corpus — the all-groups
+    chunk-1/chunk-3 buckets hold every representative (250) and drop,
+    so pairs whose every shared chunk was hot are (deterministically)
+    missed by Spark and oracle alike.  Near pairs keep their kept
+    chunk-0/chunk-2 routes.  Locks the cap's filter placement, not just
+    its existence."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = docs.select(
+        "doc_id",
+        F.expr(
+            f"shiftleft(doc_id % 50, 40) ^ CAST({_SYNTH_HASH_SQL} AS BIGINT)"
+        ).alias("hv"),
+    )
+    pairs = dedup.hamming_pairs(
+        hashes, "doc_id", "hv", 3, 64, max_bucket=100
+    )
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_DOCS_CTE}, {_JACCARD_CTE},
