@@ -194,17 +194,21 @@ def main(argv: list[str] | None = None) -> None:
     mh.add_argument("assets_parquet")
     mh.add_argument("out_dir")
     mh.add_argument(
-        "--media", choices=["image", "audio"], default="image",
+        "--media", choices=["image", "audio", "video"], default="image",
         help="which asset rows to key (run once per modality)",
     )
     mh.add_argument(
         "--kind", choices=["ahash", "dhash", "phash"], default=None,
-        help="image mode hash kind (default phash)",
+        help="image/video mode hash kind (default phash)",
     )
     mh.add_argument(
         "--n-mels", type=int, default=None,
         help="audio mode: mel bands per fingerprint (2x this many "
              "dimensions), default 16",
+    )
+    mh.add_argument(
+        "--n-frames", type=int, default=None,
+        help="video mode: evenly sampled frames per video (default 5)",
     )
 
     md = sub.add_parser(
@@ -213,13 +217,15 @@ def main(argv: list[str] | None = None) -> None:
              "hash map pass → pigeonhole candidate pairs (never "
              "all-pairs) → connected components.  audio: log-mel "
              "fingerprint map pass → LSH-bucketed cosine pairs → the "
-             "same components.  writes (asset_id, cluster_id)",
+             "same components.  video: frame-hash map pass → pigeonhole "
+             "frame pairs → video-pair threshold → the same components. "
+             "writes (asset_id, cluster_id)",
     )
     md.add_argument("assets_parquet")
     md.add_argument("out_dir")
     md.add_argument(
-        "--media", choices=["image", "audio"], default="image",
-        help="which asset rows to cluster (the other media type is "
+        "--media", choices=["image", "audio", "video"], default="image",
+        help="which asset rows to cluster (the other media types are "
              "ignored — run the command once per modality)",
     )
     # per-modality knobs default to None so a knob set for the WRONG
@@ -227,13 +233,22 @@ def main(argv: list[str] | None = None) -> None:
     # ignored (resolved to the real defaults in the handler)
     md.add_argument(
         "--kind", choices=["ahash", "dhash", "phash"], default=None,
-        help="image mode hash kind (default phash)",
+        help="image/video mode hash kind (default phash)",
     )
     md.add_argument(
         "--max-hamming", type=int, default=None,
-        help="image mode: exact pigeonhole radius, default 3 (chunks = "
-             "max-hamming + 1; larger radii shrink chunk width and grow "
-             "buckets — see operators/imagehash.phash_pairs)",
+        help="image/video mode: exact pigeonhole radius, default 3 "
+             "(chunks = max-hamming + 1; larger radii shrink chunk width "
+             "and grow buckets — see operators/imagehash.phash_pairs)",
+    )
+    md.add_argument(
+        "--n-frames", type=int, default=None,
+        help="video mode: evenly sampled frames per video (default 5)",
+    )
+    md.add_argument(
+        "--min-matches", type=int, default=None,
+        help="video mode: frame-hash matches required for a video pair "
+             "(default 2)",
     )
     md.add_argument(
         "--threshold", type=float, default=None,
@@ -561,22 +576,36 @@ def main(argv: list[str] | None = None) -> None:
         )
     elif args.cmd == "media-hash":
         assets = spark.read.parquet(args.assets_parquet)
+
+        def warn_foreign(*flags):
+            for flag, val in flags:
+                if val is not None:
+                    print(f"warning: {flag} does not apply to --media "
+                          f"{args.media} — ignored")
+
         if args.media == "audio":
             from .operators.multimodal import audio_fingerprints
 
-            if args.kind is not None:
-                print("warning: --kind is an image-mode knob — ignored "
-                      "with --media audio")
+            warn_foreign(("--kind", args.kind), ("--n-frames", args.n_frames))
             out = audio_fingerprints(
                 assets, n_mels=16 if args.n_mels is None else args.n_mels
             ).select("asset_id", "fingerprint")
             key_col, label = "fingerprint", "mel-fingerprint"
+        elif args.media == "video":
+            from .operators.videohash import video_hashes
+
+            warn_foreign(("--n-mels", args.n_mels))
+            kind = "phash" if args.kind is None else args.kind
+            out = video_hashes(
+                assets, kind,
+                n_frames=5 if args.n_frames is None else args.n_frames,
+            ).select("asset_id", "frame_hashes")
+            key_col, label = "frame_hashes", f"frame-{kind}"
         else:
             from .operators.multimodal import image_hashes
 
-            if args.n_mels is not None:
-                print("warning: --n-mels is an audio-mode knob — ignored "
-                      "with --media image")
+            warn_foreign(("--n-mels", args.n_mels),
+                         ("--n-frames", args.n_frames))
             kind = "phash" if args.kind is None else args.kind
             out = image_hashes(assets, kind).select("asset_id", "phash64")
             key_col, label = "phash64", kind
@@ -590,14 +619,20 @@ def main(argv: list[str] | None = None) -> None:
         )
     elif args.cmd == "media-dedup":
         assets = spark.read.parquet(args.assets_parquet)
+        def warn_dedup_foreign(*flags):
+            for flag, val in flags:
+                if val is not None:
+                    print(f"warning: {flag} does not apply to --media "
+                          f"{args.media} — ignored")
+
         if args.media == "audio":
             from .operators.multimodal import audio_neardup_clusters
 
-            for flag, val in (("--kind", args.kind),
-                              ("--max-hamming", args.max_hamming)):
-                if val is not None:
-                    print(f"warning: {flag} is an image-mode knob — "
-                          "ignored with --media audio")
+            warn_dedup_foreign(
+                ("--kind", args.kind), ("--max-hamming", args.max_hamming),
+                ("--n-frames", args.n_frames),
+                ("--min-matches", args.min_matches),
+            )
             threshold = 0.95 if args.threshold is None else args.threshold
             clusters = audio_neardup_clusters(
                 assets,
@@ -608,15 +643,34 @@ def main(argv: list[str] | None = None) -> None:
             )
             knob = f"cosine >= {threshold}"
             noun = "fingerprinted"
+        elif args.media == "video":
+            from .operators.videohash import video_neardup_clusters
+
+            warn_dedup_foreign(
+                ("--threshold", args.threshold), ("--n-mels", args.n_mels),
+                ("--n-planes", args.n_planes),
+            )
+            max_hamming = 3 if args.max_hamming is None else args.max_hamming
+            min_matches = 2 if args.min_matches is None else args.min_matches
+            clusters = video_neardup_clusters(
+                assets,
+                kind="phash" if args.kind is None else args.kind,
+                n_frames=5 if args.n_frames is None else args.n_frames,
+                max_hamming=max_hamming,
+                min_matches=min_matches,
+                log_capped=True,
+            )
+            knob = f"radius {max_hamming}, matches >= {min_matches}"
+            noun = "frame-hashed"
         else:
             from .operators.imagehash import image_neardup_clusters
 
-            for flag, val in (("--threshold", args.threshold),
-                              ("--n-mels", args.n_mels),
-                              ("--n-planes", args.n_planes)):
-                if val is not None:
-                    print(f"warning: {flag} is an audio-mode knob — "
-                          "ignored with --media image")
+            warn_dedup_foreign(
+                ("--threshold", args.threshold), ("--n-mels", args.n_mels),
+                ("--n-planes", args.n_planes),
+                ("--n-frames", args.n_frames),
+                ("--min-matches", args.min_matches),
+            )
             max_hamming = 3 if args.max_hamming is None else args.max_hamming
             clusters = image_neardup_clusters(
                 assets,

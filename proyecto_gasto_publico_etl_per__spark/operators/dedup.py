@@ -559,6 +559,18 @@ def hamming_pairs(
     the sign bit into every high chunk and collapse buckets."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    if chunk_bits < 1:
+        # chunk width 0 would put EVERY hash in one bucket per position
+        # — a silent all-pairs product, the exact failure this operator
+        # exists to avoid.  Parameter guards run BEFORE the frame is
+        # touched so knob validation needs no DataFrame.
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more chunks than the "
+            f"{bits}-bit hash has bits; use a smaller radius (or the "
+            "embedding path for far pairs)"
+        )
     if hashes.isStreaming:
         # the collapse window and the bucket self-join have no streaming
         # equivalent — run the batch operator per micro-batch inside
@@ -566,17 +578,6 @@ def hamming_pairs(
         raise ValueError(
             "hamming_pairs is batch-only; snapshot the stream with "
             "foreachBatch and pair each micro-batch as a batch frame"
-        )
-    chunks = max_hamming + 1
-    chunk_bits = bits // chunks
-    if chunk_bits < 1:
-        # chunk width 0 would put EVERY hash in one bucket per position
-        # — a silent all-pairs product, the exact failure this operator
-        # exists to avoid
-        raise ValueError(
-            f"max_hamming={max_hamming} needs more chunks than the "
-            f"{bits}-bit hash has bits; use a smaller radius (or the "
-            "embedding path for far pairs)"
         )
     base = hashes.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("hid"), F.col(hash_col).alias("hv")

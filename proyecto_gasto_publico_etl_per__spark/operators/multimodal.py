@@ -958,27 +958,12 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
         bulk ingest must never abort on one row, so the loud-guard
         contract belongs to the direct ``gif_frames``/``decode_image``
         calls, and here unsupported degrades to the deterministic
-        fallback like any other undecodable payload."""
-        try:
-            if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
-                return _avi_mjpeg_frames(p) or None
-            if p[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV): real demux
-                from .mp4 import mp4_mjpeg_frames
+        fallback like any other undecodable payload.  The dispatch is
+        shared with the video near-dup lane (round 12) — one walk
+        table for both consumers."""
+        from .videohash import real_video_frames
 
-                return mp4_mjpeg_frames(p) or None
-            if p[:6] in (b"GIF87a", b"GIF89a"):
-                from .gif import gif_frames
-
-                return [
-                    _png_encode(
-                        fr["width"], fr["height"], fr["channels"],
-                        fr["pixels"],
-                    )
-                    for fr in gif_frames(p)
-                ]
-        except Exception:
-            return None
-        return None
+        return real_video_frames(p)
 
     def frame_at(p: bytes, real: list[bytes] | None, i: int) -> bytes:
         if real:

@@ -1,0 +1,221 @@
+"""Video near-dup keys and clustering — the third media lane (round 12).
+
+Images key on one 64-bit perceptual hash (``imagehash``), audio on a
+log-mel fingerprint (``audio_dsp``); a video's near-dup key is the
+SEQUENCE of perceptual hashes of evenly-sampled REAL frames.  Two cuts
+of the same footage (re-encode, container swap, prepended intro) share
+many frame hashes within a small Hamming radius even when no byte is
+equal, while unrelated footage shares none.
+
+Scale shape, end to end:
+
+- ``video_hashes``: one Arrow map pass per asset — container demux
+  (AVI/MP4 MJPEG, animated GIF — the stdlib-verified surfaces) →
+  ``n_frames`` evenly-sampled frames → 64-bit pHash each →
+  ``array<long> frame_hashes``.  Payload bytes never leave the
+  executor; undecodable/inter-coded containers quarantine to NULL (the
+  span-slicing fake ``sample_frames`` falls back to is fine for
+  PLUMBING tests but its bytes are not pixels, so hashing it would
+  manufacture false near-dups — quarantine is the honest key here).
+- ``video_neardup_clusters``: explode to (frame_key, hash) and reuse
+  the shared pigeonhole generator ``dedup.hamming_pairs`` — collapse,
+  hot-bucket cap and all — then aggregate frame-pair matches to video
+  pairs, threshold at ``min_matches``, and label components with the
+  shared ``cluster_duplicates``.  Every stage is a bucket-bounded
+  equi-join or a hash aggregate; nothing is all-pairs.
+
+Frame keys pack (asset_id, frame_idx) into one BIGINT
+(``asset_id * n_frames + frame_idx``) because the pair generator
+orders ids with ``<``; asset ids must stay below 2^62 / n_frames —
+loudly checked, not silently wrapped (ANSI mode would throw
+mid-stage otherwise).
+
+Threshold semantics: ``min_matches`` applies to DIRECT video pairs;
+clusters are the connected components OVER those pairs, so two videos
+can share a cluster through a third even if their direct match count
+is below threshold (exact-hash collapse routes identical frames
+through a representative — same contract as the text/image lanes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def real_video_frames(payload: bytes) -> list[bytes] | None:
+    """Container demux for the stdlib-verified video surfaces: a list
+    of standalone image payloads (JPEG for MJPEG tracks, PNG for GIF
+    frames), or None when the container is unsupported or the walk
+    fails — per-row quarantine, never a job abort (the
+    ``extract_features`` convention ``multimodal.sample_frames``
+    documents)."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from .multimodal import _avi_mjpeg_frames
+
+            return _avi_mjpeg_frames(payload) or None
+        if payload[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV)
+            from .mp4 import mp4_mjpeg_frames
+
+            return mp4_mjpeg_frames(payload) or None
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import gif_frames
+            from .multimodal import _png_encode
+
+            return [
+                _png_encode(
+                    fr["width"], fr["height"], fr["channels"], fr["pixels"]
+                )
+                for fr in gif_frames(payload)
+            ]
+    except Exception:
+        return None
+    return None
+
+
+def video_hashes(
+    assets: DataFrame,
+    kind: str = "phash",
+    n_frames: int = 5,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-video frame-hash key: asset columns plus ``frame_hashes``
+    (array<long>, length ``n_frames``, evenly sampled — frame i is
+    ``real[i * len(real) // n_frames]``, the ``sample_frames`` pick).
+    Non-video / NULL-payload rows and containers without a real decode
+    path get NULL (``strict=True`` restores loud failure)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .imagehash import image_phash64
+
+    def one(b) -> list | None:
+        if b is None:
+            return None
+        try:
+            frames = real_video_frames(bytes(b))
+            if not frames:
+                raise ValueError("no real frame decode path")
+            return [
+                image_phash64(frames[i * len(frames) // n_frames], kind)
+                for i in range(n_frames)
+            ]
+        except Exception:
+            if strict:
+                raise
+            return None
+
+    def batches(it):
+        for pdf in it:
+            out = pdf.copy()
+            is_video = out["media_type"] == "video"
+            out["frame_hashes"] = pd.Series(
+                [
+                    one(p) if ok else None
+                    for ok, p in zip(is_video, out["payload"])
+                ],
+                index=out.index,
+                dtype="object",
+            )
+            yield out
+
+    schema = T.StructType(
+        [
+            *assets.schema.fields,
+            T.StructField(
+                "frame_hashes", T.ArrayType(T.LongType()), True
+            ),
+        ]
+    )
+    return assets.mapInPandas(batches, schema=schema)
+
+
+def video_pairs(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    hashes_col: str = "frame_hashes",
+    n_frames: int = 5,
+    max_hamming: int = 3,
+    min_matches: int = 2,
+    max_bucket: int | None = 10_000,
+    log_capped: bool = False,
+) -> DataFrame:
+    """Video near-dup pairs: ≥ ``min_matches`` frame-hash pairs within
+    ``max_hamming``.  Returns (vid_a, vid_b, n_matches) with
+    vid_a < vid_b.  Candidate generation is the shared pigeonhole
+    generator over the exploded frame hashes — bucket-bounded, exact-
+    dup-collapsed, hot-bucket-capped (see ``dedup.hamming_pairs``)."""
+    from .dedup import hamming_pairs
+
+    frames = (
+        hashes.where(F.col(hashes_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(hashes_col).alias("fidx", "fhash"),
+        )
+    )
+    # packed BIGINT frame key: the generator orders ids with `<`
+    frames = frames.where(
+        F.col("vid").between(0, (1 << 62) // n_frames - 1)
+    ).select(
+        (F.col("vid") * F.lit(n_frames) + F.col("fidx")).alias("fid"),
+        "fhash",
+    )
+    fpairs = hamming_pairs(
+        frames, "fid", "fhash", max_hamming, 64,
+        out_a="f_a", out_b="f_b",
+        max_bucket=max_bucket, log_capped=log_capped,
+    )
+    vids = fpairs.select(
+        F.expr(f"f_a div {n_frames}").alias("va"),
+        F.expr(f"f_b div {n_frames}").alias("vb"),
+    ).where(F.col("va") != F.col("vb"))
+    return (
+        vids.select(
+            F.least("va", "vb").alias("vid_a"),
+            F.greatest("va", "vb").alias("vid_b"),
+        )
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count("*").alias("n_matches"))
+        .where(F.col("n_matches") >= min_matches)
+    )
+
+
+def video_neardup_clusters(
+    assets: DataFrame,
+    kind: str = "phash",
+    n_frames: int = 5,
+    max_hamming: int = 3,
+    min_matches: int = 2,
+    log_capped: bool = False,
+) -> DataFrame:
+    """End-to-end video near-dup grouping — the video twin of
+    ``imagehash.image_neardup_clusters`` / ``multimodal.
+    audio_neardup_clusters``: hash column (one map pass, materialized
+    ONCE — the demux+decode is the dominant cost) → frame-level
+    pigeonhole pairs → video-pair threshold → shared connected
+    components.  Returns (asset_id, cluster_id) for every hashed
+    video, singletons included."""
+    from .dedup import cluster_duplicates
+
+    vh = (
+        video_hashes(assets, kind, n_frames)
+        .where(F.col("frame_hashes").isNotNull())
+        .select("asset_id", "frame_hashes")
+        .localCheckpoint()
+    )
+    vp = video_pairs(
+        vh, n_frames=n_frames, max_hamming=max_hamming,
+        min_matches=min_matches, log_capped=log_capped,
+    )
+    clustered = cluster_duplicates(vp, id_a="vid_a", id_b="vid_b")
+    return vh.join(
+        clustered, vh.asset_id == clustered.doc_id, "left"
+    ).select(
+        "asset_id",
+        F.coalesce(F.col("cluster_id"), F.col("asset_id")).alias(
+            "cluster_id"
+        ),
+    )

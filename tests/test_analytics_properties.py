@@ -268,8 +268,16 @@ def test_sq8_codes_match_python_reference(spark, vecs):
     for i, v in enumerate(vecs):
         expect = [code_ref(x, mn, mx) for x, (mn, mx) in zip(v, minmax)]
         assert got[i] == expect
-        # midpoint reconstruction: within half a cell on live dims
+        # midpoint reconstruction: within half a cell on live dims.
+        # The half-cell bound is exact in REAL arithmetic; the computed
+        # dq expression rounds at ulp(mn)-scale, which dominates when
+        # the dim's RANGE is billions of times smaller than its
+        # magnitude (hypothesis round 12: two denormal-boundary floats
+        # 1.7e-48 apart at 1.2e-38 — excess ~30 ulp) — so the bound
+        # carries an explicit few-ulp absolute slack, not just a
+        # relative one.
         for x, c, (mn, mx) in zip(v, expect, minmax):
             if mx > mn:
                 dq = mn + (c + 0.5) * (mx - mn) / 256.0
-                assert abs(x - dq) <= (mx - mn) / 512.0 * (1 + 1e-9)
+                slack = 64.0 * math.ulp(max(abs(mn), abs(mx)))
+                assert abs(x - dq) <= (mx - mn) / 512.0 * (1 + 1e-9) + slack

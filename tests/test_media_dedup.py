@@ -104,11 +104,11 @@ def test_cli_media_dedup_warns_on_cross_modality_knobs(spark, tmp_path,
          "--max-hamming", "2"]
     )
     out = capsys.readouterr().out
-    assert "--max-hamming is an image-mode knob" in out
+    assert "--max-hamming does not apply to --media audio" in out
     cdir2 = str(tmp_path / "c2")
     cli.main(["media-dedup", assets_dir, cdir2, "--threshold", "0.8"])
     out = capsys.readouterr().out
-    assert "--threshold is an audio-mode knob" in out
+    assert "--threshold does not apply to --media image" in out
 
 
 def test_cli_media_dedup_audio_mode(spark, tmp_path, capsys):
@@ -189,7 +189,7 @@ def test_cli_media_hash_audio_mode(spark, tmp_path, capsys):
          "ahash"]
     )
     out = capsys.readouterr().out
-    assert "--kind is an image-mode knob" in out
+    assert "--kind does not apply to --media audio" in out
     assert "hashed 1/3 assets (mel-fingerprint)" in out
     got = {
         r["asset_id"]: r["fingerprint"]

@@ -1,0 +1,181 @@
+"""Video near-dup lane (round 12): frame-hash keys over real MJPEG/AVI
+demux, pigeonhole frame pairing, video-pair thresholding, clusters —
+the video twin of the image/audio lanes.  The AVI writer and JPEG
+reference encoder are test-side (tests/test_video.py convention)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from jpeg_ref import jpeg_encode  # noqa: E402
+from test_video import mjpeg_avi  # noqa: E402
+
+from proyecto_gasto_publico_etl_per__spark.operators import (  # noqa: E402
+    multimodal,
+    videohash,
+)
+from proyecto_gasto_publico_etl_per__spark.operators.imagehash import (  # noqa: E402
+    image_phash64,
+)
+
+W = H = 64
+
+
+def _scene(seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:H, 0:W]
+    fx, fy = rng.uniform(1.0, 3.0, 2)
+    px, py = rng.uniform(0, 2 * np.pi, 2)
+    base = (
+        np.sin(2 * np.pi * fx * x / W + px)
+        + np.sin(2 * np.pi * fy * y / H + py)
+    )
+    img = (base + 2.0) * 63.0
+    for _ in range(4):
+        x0, y0 = rng.integers(0, W - 16), rng.integers(0, H - 16)
+        img[y0 : y0 + 12, x0 : x0 + 12] = rng.integers(0, 256)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _jpeg(seed: int) -> bytes:
+    return jpeg_encode(_scene(seed).tobytes(), W, H, 1, quality=95)
+
+
+def _avi(seeds: list[int]) -> bytes:
+    return mjpeg_avi([_jpeg(s) for s in seeds], W, H)
+
+
+def _assets(spark, rows):
+    return spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+
+
+def test_video_hashes_column(spark):
+    """One map pass adds frame_hashes: n_frames pHashes of the evenly
+    sampled REAL frames; corrupt and non-video rows quarantine to
+    NULL (the span-slicing fake is never hashed — its bytes are not
+    pixels)."""
+    payload = _avi([0, 1, 2, 3, 4, 5])
+    rows = [
+        (1, "video", bytearray(payload), {}),
+        (2, "video", bytearray(b"RIFFxxxxAVI junk"), {}),
+        (3, "image", bytearray(b"\x89PNGnope"), {}),
+    ]
+    got = {
+        r["asset_id"]: r["frame_hashes"]
+        for r in videohash.video_hashes(
+            _assets(spark, rows), n_frames=5
+        ).collect()
+    }
+    assert got[2] is None and got[3] is None
+    assert len(got[1]) == 5
+    # sampled indices from 6 real frames at n_frames=5: i*6//5 = 0,1,2,3,4
+    want = [image_phash64(_jpeg(s), "phash") for s in range(5)]
+    assert list(got[1]) == want
+
+
+def test_video_neardup_clusters_same_footage_different_cut(spark):
+    """Two cuts sharing footage cluster (A samples scenes 0-4, B
+    samples 2-6 → 3 identical sampled frames ≥ min_matches=2); an
+    unrelated video stays a singleton; corrupt rows carry no key."""
+    rows = [
+        (1, "video", bytearray(_avi([0, 1, 2, 3, 4, 5])), {}),
+        (2, "video", bytearray(_avi([2, 3, 4, 5, 6, 7])), {}),
+        (3, "video", bytearray(_avi([20, 21, 22, 23, 24, 25])), {}),
+        (4, "video", bytearray(b"RIFFxxxxAVI junk"), {}),
+    ]
+    out = {
+        r["asset_id"]: r["cluster_id"]
+        for r in videohash.video_neardup_clusters(
+            _assets(spark, rows), n_frames=5, min_matches=2
+        ).collect()
+    }
+    assert out[1] == out[2] == 1
+    assert out[3] == 3
+    assert 4 not in out
+
+
+def test_video_pairs_threshold_and_plan(spark):
+    """min_matches gates direct pairs (3 shared sampled frames pass 2,
+    fail 4); the frame pair plan inherits the pigeonhole guarantees —
+    no cartesian."""
+    vh = videohash.video_hashes(
+        _assets(
+            spark,
+            [
+                (1, "video", bytearray(_avi([0, 1, 2, 3, 4, 5])), {}),
+                (2, "video", bytearray(_avi([2, 3, 4, 5, 6, 7])), {}),
+            ],
+        ),
+        n_frames=5,
+    ).where("frame_hashes IS NOT NULL").select("asset_id", "frame_hashes")
+    vp2 = videohash.video_pairs(vh, n_frames=5, min_matches=2)
+    got = [(r.vid_a, r.vid_b, r.n_matches) for r in vp2.collect()]
+    assert got == [(1, 2, 3)]
+    assert videohash.video_pairs(vh, n_frames=5, min_matches=4).count() == 0
+    plan = vp2._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cli_media_hash_and_dedup_video_mode(spark, tmp_path, capsys):
+    """media-hash / media-dedup --media video through the CLI:
+    persisted frame_hashes column with quarantine count, then clusters
+    over the same parquet; cross-modality knobs warn."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    assets_dir = str(tmp_path / "assets")
+    _assets(
+        spark,
+        [
+            (1, "video", bytearray(_avi([0, 1, 2, 3, 4, 5])), {}),
+            (2, "video", bytearray(_avi([2, 3, 4, 5, 6, 7])), {}),
+            (3, "video", bytearray(_avi([30, 31, 32, 33, 34, 35])), {}),
+            (4, "video", bytearray(b"RIFFxxxxAVI junk"), {}),
+        ],
+    ).write.parquet(assets_dir)
+
+    hdir = str(tmp_path / "hashes")
+    cli.main(
+        ["media-hash", assets_dir, hdir, "--media", "video",
+         "--n-mels", "8"]
+    )
+    out = capsys.readouterr().out
+    assert "--n-mels does not apply to --media video" in out
+    assert "hashed 3/4 assets (frame-phash)" in out
+    got = {
+        r["asset_id"]: r["frame_hashes"]
+        for r in spark.read.parquet(hdir).collect()
+    }
+    assert len(got[1]) == 5 and got[4] is None
+
+    cdir = str(tmp_path / "clusters")
+    cli.main(["media-dedup", assets_dir, cdir, "--media", "video"])
+    out = capsys.readouterr().out
+    assert "clustered 3 frame-hashed assets into 2 groups" in out
+    assert "radius 3, matches >= 2" in out
+    clusters = {
+        r["asset_id"]: r["cluster_id"]
+        for r in spark.read.parquet(cdir).collect()
+    }
+    assert clusters[1] == clusters[2] == 1
+    assert clusters[3] == 3
+    assert 4 not in clusters
+
+
+def test_video_pairs_rejects_giant_asset_ids(spark):
+    """The packed BIGINT frame key refuses ids that would overflow
+    instead of silently wrapping (ANSI would throw mid-stage): rows
+    out of range are excluded from pairing."""
+    vh = spark.createDataFrame(
+        [(1 << 62, [1, 2, 3, 4, 5]), (7, [1, 2, 3, 4, 5])],
+        "asset_id long, frame_hashes array<long>",
+    )
+    # the in-range video has no partner left → no pairs, no crash
+    assert videohash.video_pairs(vh, n_frames=5).count() == 0
