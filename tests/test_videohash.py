@@ -169,6 +169,63 @@ def test_cli_media_hash_and_dedup_video_mode(spark, tmp_path, capsys):
     assert 4 not in clusters
 
 
+def test_video_hash_at_ingest_streamed_equals_batch(spark, tmp_path):
+    """Frame hashing composes with streaming ingest (the image/audio
+    at-ingest pattern): video assets arriving in micro-batches hash
+    inside foreachBatch, and the streamed key set is identical to
+    batch-hashing the same assets — map-only, no cross-batch state."""
+    rows = [
+        (i, "video", bytearray(_avi([10 * i + j for j in range(6)])), {})
+        for i in range(3)
+    ]
+    rows.append((9, "video", bytearray(b"RIFFxxxxAVI junk"), {}))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema_ddl = (
+        "asset_id LONG, media_type STRING, payload BINARY, "
+        "meta MAP<STRING, STRING>"
+    )
+    _assets(spark, rows[:2]).coalesce(1).write.parquet(str(src / "b1"))
+    _assets(spark, rows[2:]).coalesce(1).write.parquet(str(src / "b2"))
+    out_dir = str(tmp_path / "vh")
+
+    def hash_batch(batch_df, _epoch):
+        videohash.video_hashes(batch_df, n_frames=5).select(
+            "asset_id", "frame_hashes"
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(hash_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def keyed(df):
+        return {
+            (
+                r.asset_id,
+                tuple(r.frame_hashes) if r.frame_hashes is not None
+                else None,
+            )
+            for r in df.collect()
+        }
+
+    streamed = keyed(spark.read.parquet(out_dir))
+    batch = keyed(
+        videohash.video_hashes(_assets(spark, rows), n_frames=5).select(
+            "asset_id", "frame_hashes"
+        )
+    )
+    assert streamed == batch
+    assert (9, None) in streamed  # quarantine identical across modes
+
+
 def test_video_pairs_rejects_giant_asset_ids(spark):
     """The packed BIGINT frame key refuses ids that would overflow
     instead of silently wrapping (ANSI would throw mid-stage): rows

@@ -151,12 +151,32 @@ def media_neardup_probe(spark, k: int, n_base: int = 200_000) -> None:
         phash_pairs,
     )
 
+    from pyspark.sql import functions as SF
+
+    from proyecto_gasto_publico_etl_per__spark.operators.videohash import (
+        video_pairs,
+    )
+
+    def video_frame_table(df):
+        """Reshape the synthetic hashes into video keys: 5 consecutive
+        frame hashes per video (vid = asset_id div 5) — sweeps the
+        VIDEO lane's explode → pair → per-pair aggregate shape at the
+        same hash cardinality."""
+        return (
+            df.groupBy(SF.expr("asset_id div 5").alias("asset_id"))
+            .agg(SF.collect_list("phash64").alias("frame_hashes"))
+            .localCheckpoint()
+        )
+
     probes = {
         "media_neardup_pairs": lambda df: phash_pairs(
             df, max_hamming=3
         ).count(),
         "media_neardup_clusters": lambda df: cluster_duplicates(
             phash_pairs(df, max_hamming=3), id_a="img_a", id_b="img_b"
+        ).count(),
+        "video_neardup_pairs": lambda df: video_pairs(
+            video_frame_table(df), n_frames=5, min_matches=2
         ).count(),
     }
     for name, run in probes.items():
