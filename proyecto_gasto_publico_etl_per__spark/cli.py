@@ -25,6 +25,17 @@ from .plans import queries as Q
 from .session import get_spark
 
 
+def _warn_cross_modality(media: str, *flags) -> None:
+    """Print a warning for each explicitly-set knob that does not apply
+    to the selected --media (review r12: never silently discard)."""
+    for flag, val in flags:
+        if val is not None:
+            print(
+                f"warning: {flag} does not apply to --media {media} "
+                "— ignored"
+            )
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(prog="gasto-engine")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -577,16 +588,10 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "media-hash":
         assets = spark.read.parquet(args.assets_parquet)
 
-        def warn_foreign(*flags):
-            for flag, val in flags:
-                if val is not None:
-                    print(f"warning: {flag} does not apply to --media "
-                          f"{args.media} — ignored")
-
         if args.media == "audio":
             from .operators.multimodal import audio_fingerprints
 
-            warn_foreign(("--kind", args.kind), ("--n-frames", args.n_frames))
+            _warn_cross_modality(args.media, ("--kind", args.kind), ("--n-frames", args.n_frames))
             out = audio_fingerprints(
                 assets, n_mels=16 if args.n_mels is None else args.n_mels
             ).select("asset_id", "fingerprint")
@@ -594,7 +599,7 @@ def main(argv: list[str] | None = None) -> None:
         elif args.media == "video":
             from .operators.videohash import video_hashes
 
-            warn_foreign(("--n-mels", args.n_mels))
+            _warn_cross_modality(args.media, ("--n-mels", args.n_mels))
             kind = "phash" if args.kind is None else args.kind
             out = video_hashes(
                 assets, kind,
@@ -604,7 +609,7 @@ def main(argv: list[str] | None = None) -> None:
         else:
             from .operators.multimodal import image_hashes
 
-            warn_foreign(("--n-mels", args.n_mels),
+            _warn_cross_modality(args.media, ("--n-mels", args.n_mels),
                          ("--n-frames", args.n_frames))
             kind = "phash" if args.kind is None else args.kind
             out = image_hashes(assets, kind).select("asset_id", "phash64")
@@ -619,16 +624,10 @@ def main(argv: list[str] | None = None) -> None:
         )
     elif args.cmd == "media-dedup":
         assets = spark.read.parquet(args.assets_parquet)
-        def warn_dedup_foreign(*flags):
-            for flag, val in flags:
-                if val is not None:
-                    print(f"warning: {flag} does not apply to --media "
-                          f"{args.media} — ignored")
-
         if args.media == "audio":
             from .operators.multimodal import audio_neardup_clusters
 
-            warn_dedup_foreign(
+            _warn_cross_modality(args.media, 
                 ("--kind", args.kind), ("--max-hamming", args.max_hamming),
                 ("--n-frames", args.n_frames),
                 ("--min-matches", args.min_matches),
@@ -646,7 +645,7 @@ def main(argv: list[str] | None = None) -> None:
         elif args.media == "video":
             from .operators.videohash import video_neardup_clusters
 
-            warn_dedup_foreign(
+            _warn_cross_modality(args.media, 
                 ("--threshold", args.threshold), ("--n-mels", args.n_mels),
                 ("--n-planes", args.n_planes),
             )
@@ -665,7 +664,7 @@ def main(argv: list[str] | None = None) -> None:
         else:
             from .operators.imagehash import image_neardup_clusters
 
-            warn_dedup_foreign(
+            _warn_cross_modality(args.media, 
                 ("--threshold", args.threshold), ("--n-mels", args.n_mels),
                 ("--n-planes", args.n_planes),
                 ("--n-frames", args.n_frames),

@@ -1516,13 +1516,17 @@ def embedding_neardup_pairs(
     the bucketed frame — batch only)."""
     b = hyperplane_buckets(df, id_col, vec_col, n_planes)
     if max_bucket is not None:
+        bw = Window.partitionBy("bucket")
+        b = b.withColumn("bsz", F.count("*").over(bw))
         if log_capped and not df.isStreaming:
+            # pin the bucketing pass: the eager hot-bucket count would
+            # otherwise recompute the md5-per-plane aggregate a second
+            # time when the pair join runs (review r12)
+            b = b.localCheckpoint(eager=False)
             hot = (
-                b.groupBy("bucket")
-                .agg(F.count("*").alias("bsz"))
-                .where(F.col("bsz") > max_bucket)
+                b.where(F.col("bsz") > max_bucket)
                 .agg(
-                    F.count("*").alias("n_buckets"),
+                    F.countDistinct("bucket").alias("n_buckets"),
                     F.max("bsz").alias("largest"),
                 )
                 .collect()[0]
@@ -1534,12 +1538,7 @@ def embedding_neardup_pairs(
                     f"(largest {hot['largest']}) — raise n_planes or "
                     "check for a low-rank embedding source"
                 )
-        bw = Window.partitionBy("bucket")
-        b = (
-            b.withColumn("bsz", F.count("*").over(bw))
-            .where(F.col("bsz") <= max_bucket)
-            .drop("bsz")
-        )
+        b = b.where(F.col("bsz") <= max_bucket).drop("bsz")
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, "bucket")

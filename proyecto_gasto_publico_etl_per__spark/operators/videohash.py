@@ -24,17 +24,12 @@ Scale shape, end to end:
   shared ``cluster_duplicates``.  Every stage is a bucket-bounded
   equi-join or a hash aggregate; nothing is all-pairs.
 
-Frame keys pack (asset_id, frame_idx) into one BIGINT
-(``asset_id * n_frames + frame_idx``) because the pair generator
-orders ids with ``<``; asset ids must stay below 2^62 / n_frames —
-loudly checked, not silently wrapped (ANSI mode would throw
-mid-stage otherwise).
-
-Threshold semantics: ``min_matches`` applies to DIRECT video pairs;
-clusters are the connected components OVER those pairs, so two videos
-can share a cluster through a third even if their direct match count
-is below threshold (exact-hash collapse routes identical frames
-through a representative — same contract as the text/image lanes).
+Threshold semantics: ``min_matches`` counts DISTINCT unordered
+matched hash-value pairs per DIRECT video pair (freeze-frame repeats
+count once; no third video can perturb a pair's count — see
+``video_pairs``); clusters are the connected components OVER those
+pairs, so two videos can share a cluster through a third even if
+their direct match count is below threshold.
 """
 
 from __future__ import annotations
@@ -85,6 +80,8 @@ def video_hashes(
     ``real[i * len(real) // n_frames]``, the ``sample_frames`` pick).
     Non-video / NULL-payload rows and containers without a real decode
     path get NULL (``strict=True`` restores loud failure)."""
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -136,49 +133,73 @@ def video_pairs(
     hashes: DataFrame,
     id_col: str = "asset_id",
     hashes_col: str = "frame_hashes",
-    n_frames: int = 5,
     max_hamming: int = 3,
     min_matches: int = 2,
     max_bucket: int | None = 10_000,
     log_capped: bool = False,
 ) -> DataFrame:
-    """Video near-dup pairs: ≥ ``min_matches`` frame-hash pairs within
-    ``max_hamming``.  Returns (vid_a, vid_b, n_matches) with
-    vid_a < vid_b.  Candidate generation is the shared pigeonhole
-    generator over the exploded frame hashes — bucket-bounded, exact-
-    dup-collapsed, hot-bucket-capped (see ``dedup.hamming_pairs``)."""
+    """Video near-dup pairs: ``n_matches`` = the number of DISTINCT
+    unordered frame-hash-VALUE pairs within ``max_hamming`` between the
+    two videos' distinct hash sets, thresholded at ``min_matches``.
+    Returns (vid_a, vid_b, n_matches) with vid_a < vid_b.
+
+    Matching runs at HASH-VALUE level (round-12 review fix): the
+    generator's exact-hash collapse routes identical hashes through a
+    global min-id representative, so counting its edges per video pair
+    both undercounts (a third video owning the rep steals a legit
+    match) and inflates (star fan-out from one repeated freeze-frame).
+    Instead the pigeonhole generator pairs the DISTINCT hash values
+    (id == the value, so no two rows share a hash and no star edges
+    exist), identical shared values match through an identity term,
+    and per-video-pair counting is countDistinct over the canonical
+    value pair — freeze-frame repeats count once, and no third video
+    can perturb a pair's count.  Every stage stays bucket-bounded; no
+    frame-key packing, so asset ids have no range restriction."""
     from .dedup import hamming_pairs
 
     frames = (
         hashes.where(F.col(hashes_col).isNotNull())
         .select(
             F.col(id_col).alias("vid"),
-            F.posexplode(hashes_col).alias("fidx", "fhash"),
+            F.explode(hashes_col).alias("fhash"),
+        )
+        .distinct()  # per-video distinct hash values
+    )
+    vals = frames.select(F.col("fhash").alias("hv")).distinct()
+    vpairs = hamming_pairs(
+        vals.select(F.col("hv").alias("h_id"), "hv"),
+        "h_id", "hv", max_hamming, 64,
+        out_a="v_a", out_b="v_b",
+        max_bucket=max_bucket, log_capped=log_capped,
+    ).select("v_a", "v_b")
+    # symmetric closure + the identity term (identical values shared
+    # across videos ARE distance-0 matches)
+    sym = (
+        vpairs.unionByName(
+            vpairs.select(
+                F.col("v_b").alias("v_a"), F.col("v_a").alias("v_b")
+            )
+        )
+        .unionByName(
+            vals.select(F.col("hv").alias("v_a"), F.col("hv").alias("v_b"))
         )
     )
-    # packed BIGINT frame key: the generator orders ids with `<`
-    frames = frames.where(
-        F.col("vid").between(0, (1 << 62) // n_frames - 1)
-    ).select(
-        (F.col("vid") * F.lit(n_frames) + F.col("fidx")).alias("fid"),
-        "fhash",
+    fa = frames.select(F.col("vid").alias("vida"), F.col("fhash").alias("v_a"))
+    fb = frames.select(F.col("vid").alias("vidb"), F.col("fhash").alias("v_b"))
+    m = (
+        fa.join(sym, "v_a")
+        .join(fb, "v_b")
+        .where(F.col("vida") != F.col("vidb"))
     )
-    fpairs = hamming_pairs(
-        frames, "fid", "fhash", max_hamming, 64,
-        out_a="f_a", out_b="f_b",
-        max_bucket=max_bucket, log_capped=log_capped,
-    )
-    vids = fpairs.select(
-        F.expr(f"f_a div {n_frames}").alias("va"),
-        F.expr(f"f_b div {n_frames}").alias("vb"),
-    ).where(F.col("va") != F.col("vb"))
     return (
-        vids.select(
-            F.least("va", "vb").alias("vid_a"),
-            F.greatest("va", "vb").alias("vid_b"),
+        m.select(
+            F.least("vida", "vidb").alias("vid_a"),
+            F.greatest("vida", "vidb").alias("vid_b"),
+            F.least("v_a", "v_b").alias("pv_a"),
+            F.greatest("v_a", "v_b").alias("pv_b"),
         )
         .groupBy("vid_a", "vid_b")
-        .agg(F.count("*").alias("n_matches"))
+        .agg(F.count_distinct("pv_a", "pv_b").alias("n_matches"))
         .where(F.col("n_matches") >= min_matches)
     )
 
@@ -207,7 +228,7 @@ def video_neardup_clusters(
         .localCheckpoint()
     )
     vp = video_pairs(
-        vh, n_frames=n_frames, max_hamming=max_hamming,
+        vh, max_hamming=max_hamming,
         min_matches=min_matches, log_capped=log_capped,
     )
     clustered = cluster_duplicates(vp, id_a="vid_a", id_b="vid_b")

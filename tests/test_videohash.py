@@ -115,10 +115,10 @@ def test_video_pairs_threshold_and_plan(spark):
         ),
         n_frames=5,
     ).where("frame_hashes IS NOT NULL").select("asset_id", "frame_hashes")
-    vp2 = videohash.video_pairs(vh, n_frames=5, min_matches=2)
+    vp2 = videohash.video_pairs(vh, min_matches=2)
     got = [(r.vid_a, r.vid_b, r.n_matches) for r in vp2.collect()]
     assert got == [(1, 2, 3)]
-    assert videohash.video_pairs(vh, n_frames=5, min_matches=4).count() == 0
+    assert videohash.video_pairs(vh, min_matches=4).count() == 0
     plan = vp2._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -226,13 +226,37 @@ def test_video_hash_at_ingest_streamed_equals_batch(spark, tmp_path):
     assert (9, None) in streamed  # quarantine identical across modes
 
 
-def test_video_pairs_rejects_giant_asset_ids(spark):
-    """The packed BIGINT frame key refuses ids that would overflow
-    instead of silently wrapping (ANSI would throw mid-stage): rows
-    out of range are excluded from pairing."""
+def test_video_pairs_value_level_counting(spark):
+    """Review r12 semantics: counts are per distinct matched hash-VALUE
+    pair, so (1) a third video sharing a hash cannot steal a pair's
+    match (the rep-routing undercount), (2) freeze-frame repeats of one
+    hash count once (the star fan-out inflation), and (3) asset ids
+    carry no range restriction (no frame-key packing)."""
+    h1, h2 = 0x1111, (0x77 << 32)
+    rows = [
+        (0, [h1, 555 << 40]),          # third video sharing h1 only
+        (5, [h1, h2]),
+        (9, [h1, h2]),
+        # freeze-frame video: h1 repeated, nothing else shared
+        (12, [h1, h1, h1, 999 << 40]),
+        ((1 << 62) + 3, [h1, h2]),     # giant id works now
+    ]
     vh = spark.createDataFrame(
-        [(1 << 62, [1, 2, 3, 4, 5]), (7, [1, 2, 3, 4, 5])],
-        "asset_id long, frame_hashes array<long>",
+        rows, "asset_id long, frame_hashes array<long>"
     )
-    # the in-range video has no partner left → no pairs, no crash
-    assert videohash.video_pairs(vh, n_frames=5).count() == 0
+    got = {
+        (r.vid_a, r.vid_b): r.n_matches
+        for r in videohash.video_pairs(vh, min_matches=2).collect()
+    }
+    big = (1 << 62) + 3
+    # the h1+h2 trio all pair with 2 matches despite video 0 owning h1
+    assert got[(5, 9)] == 2 and got[(5, big)] == 2 and got[(9, big)] == 2
+    # freeze-frame video never reaches 2 distinct matched value pairs
+    assert not any(12 in p for p in got)
+    # the h1-only video pairs with nobody at min_matches=2
+    assert not any(0 in p for p in got)
+
+
+def test_video_hashes_rejects_bad_n_frames(spark):
+    with pytest.raises(ValueError, match="n_frames"):
+        videohash.video_hashes(_assets(spark, []), n_frames=0)

@@ -176,7 +176,7 @@ def media_neardup_probe(spark, k: int, n_base: int = 200_000) -> None:
             phash_pairs(df, max_hamming=3), id_a="img_a", id_b="img_b"
         ).count(),
         "video_neardup_pairs": lambda df: video_pairs(
-            video_frame_table(df), n_frames=5, min_matches=2
+            video_frame_table(df), min_matches=2
         ).count(),
     }
     for name, run in probes.items():
