@@ -119,10 +119,13 @@ EXTENSIONS = (
     # round 10 additions (baseline starts at r10): integer-exact
     # corpus AUC of the quality classifier
     "classifier_auc_eval",
-    # round 12 addition (baseline starts at r12): the shared pigeonhole
+    # round 12 additions (baseline starts at r12): the shared pigeonhole
     # Hamming pair generator (text simhash + image phash) with the
-    # collapse + hot-bucket-cap guards on production defaults
+    # collapse + hot-bucket-cap guards on production defaults, and the
+    # video near-dup pair operator (value-level counting + the
+    # ubiquitous-frame cap)
     "neardup_hamming_pairs",
+    "video_neardup_pairs",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

@@ -34,7 +34,7 @@ their direct match count is below threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -136,6 +136,7 @@ def video_pairs(
     max_hamming: int = 3,
     min_matches: int = 2,
     max_bucket: int | None = 10_000,
+    max_value_df: int | None = 10_000,
     log_capped: bool = False,
 ) -> DataFrame:
     """Video near-dup pairs: ``n_matches`` = the number of DISTINCT
@@ -154,7 +155,18 @@ def video_pairs(
     and per-video-pair counting is countDistinct over the canonical
     value pair — freeze-frame repeats count once, and no third video
     can perturb a pair's count.  Every stage stays bucket-bounded; no
-    frame-key packing, so asset ids have no range restriction."""
+    frame-key packing, so asset ids have no range restriction.
+
+    ``max_value_df`` is the identity-term guard the pigeonhole's own
+    bucket cap cannot provide: a frame value present in more than this
+    many VIDEOS (black frames, title cards, network idents — present
+    in a large fraction of any real crawl) would fan the identity join
+    out quadratically (V videos sharing one value → V² match rows).
+    Ubiquitous frames carry no discriminative signal, so they drop
+    from matching entirely — the ``ngram_jaccard_pairs`` ``max_df``
+    stop-shingle trade: only pairs whose EVERY shared frame is
+    ubiquitous are missed.  ``None`` disables; ``log_capped=True``
+    prints what was dropped."""
     from .dedup import hamming_pairs
 
     frames = (
@@ -165,6 +177,32 @@ def video_pairs(
         )
         .distinct()  # per-video distinct hash values
     )
+    if max_value_df is not None:
+        vw = Window.partitionBy("fhash")
+        frames = frames.withColumn("vdf", F.count("*").over(vw))
+        if log_capped and not hashes.isStreaming:
+            frames = frames.localCheckpoint(eager=False)
+            hot = (
+                frames.where(F.col("vdf") > max_value_df)
+                .agg(
+                    F.countDistinct("fhash").alias("n_values"),
+                    F.max("vdf").alias("largest"),
+                )
+                .collect()[0]
+            )
+            if hot["n_values"]:
+                print(
+                    f"video_pairs: dropped {hot['n_values']} ubiquitous "
+                    f"frame value(s) in over {max_value_df} videos "
+                    f"(largest {hot['largest']}) — black frames/title "
+                    "cards carry no matching signal"
+                )
+        frames = frames.where(F.col("vdf") <= max_value_df).drop("vdf")
+    # frames feeds THREE consumers (both match-join sides + the value
+    # set) whose differing pruning defeats ReuseExchange — pin it once
+    # (the hamming_pairs tagged-frame lesson; lazy, so plan build stays
+    # job-free)
+    frames = frames.localCheckpoint(eager=False)
     vals = frames.select(F.col("fhash").alias("hv")).distinct()
     vpairs = hamming_pairs(
         vals.select(F.col("hv").alias("h_id"), "hv"),

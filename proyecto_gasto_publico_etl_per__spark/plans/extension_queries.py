@@ -401,6 +401,62 @@ def neardup_hamming_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_neardup_pairs",
+    """
+    WITH fr AS (
+      -- synthetic 5-frame videos: group g = doc_id//10; frames are the
+      -- consecutive values (g+s)<<20, so adjacent groups overlap on 4
+      -- of 5 values and near-value matches arise wherever
+      -- bit_count((g+s) ^ (g'+s')) <= 3.  Non-negative by construction.
+      SELECT DISTINCT doc_id AS vid, ((doc_id // 10) + s.s) << 20 AS hv
+      FROM documents, (SELECT unnest(range(5)) AS s) s
+    ),
+    -- the ubiquity cap IS part of the contract (max_value_df=40 FIRES:
+    -- mid-range values appear in 50 videos and drop; only the edge
+    -- values survive) — the oracle mirrors the algorithm's filter
+    -- placement, not a brute-force scan of the uncapped corpus
+    kept AS (SELECT hv FROM fr GROUP BY hv HAVING COUNT(*) <= 40),
+    fr2 AS (SELECT fr.vid, fr.hv FROM fr JOIN kept USING (hv)),
+    vals AS (SELECT DISTINCT hv FROM fr2),
+    near AS (
+      SELECT a.hv AS v_a, b.hv AS v_b FROM vals a JOIN vals b
+      ON bit_count(xor(a.hv, b.hv)) <= 3
+    ),
+    m AS (
+      SELECT fa.vid AS vida, fb.vid AS vidb,
+             least(n.v_a, n.v_b) AS pa, greatest(n.v_a, n.v_b) AS pb
+      FROM fr2 fa JOIN near n ON fa.hv = n.v_a
+      JOIN fr2 fb ON fb.hv = n.v_b
+      WHERE fa.vid <> fb.vid
+    )
+    SELECT least(vida, vidb) AS vid_a, greatest(vida, vidb) AS vid_b,
+           CAST(COUNT(DISTINCT pa * 1073741824 + pb) AS INT) AS n_matches
+    FROM m GROUP BY 1, 2
+    HAVING COUNT(DISTINCT pa * 1073741824 + pb) >= 2
+    """,
+)
+def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video near-dup pair operator under the driver gate (round
+    12): value-level match counting (distinct matched hash-value pairs
+    — immune to rep-routing distortion) AND the ubiquitous-frame cap
+    (``max_value_df=40``, which fires on this corpus) against a DuckDB
+    brute-force mirror of the same algorithm.  See
+    ``operators/videohash.video_pairs``."""
+    from ..operators.videohash import video_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            "transform(sequence(0, 4), "
+            "s -> shiftleft(doc_id div 10 + s, 20))"
+        ).alias("frame_hashes"),
+    )
+    pairs = video_pairs(hashes, min_matches=2, max_value_df=40)
+    return pairs.withColumn("n_matches", F.col("n_matches").cast("int"))
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_DOCS_CTE}, {_JACCARD_CTE},

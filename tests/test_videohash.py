@@ -257,6 +257,36 @@ def test_video_pairs_value_level_counting(spark):
     assert not any(0 in p for p in got)
 
 
+def test_video_pairs_ubiquitous_frame_cap(spark, capsys):
+    """A frame value present in (almost) every video — black frames,
+    title cards — would fan the identity join out quadratically; past
+    max_value_df it drops from matching with a printed accounting,
+    while genuinely duplicated videos still pair through their OTHER
+    shared frames."""
+    black = 0  # the ubiquitous frame
+    # fillers live in bits 48-58, the true-pair values in bits 0-15,
+    # ≥8 bits apart from each other and from every filler — no
+    # accidental near-value matches muddy the assertion
+    rows = [(i, [black, (1000 + i) << 48]) for i in range(500)]
+    # a real near-dup pair sharing two NON-ubiquitous values
+    rows.append((900, [black, 0xFF, 0xFF00]))
+    rows.append((901, [black, 0xFF, 0xFF00]))
+    vh = spark.createDataFrame(
+        rows, "asset_id long, frame_hashes array<long>"
+    )
+    got = {
+        (r.vid_a, r.vid_b): r.n_matches
+        for r in videohash.video_pairs(
+            vh, min_matches=2, max_value_df=100, log_capped=True
+        ).collect()
+    }
+    out = capsys.readouterr().out
+    assert "dropped 1 ubiquitous frame value(s) in over 100 videos" in out
+    assert "largest 502" in out
+    # the black frame contributed nothing: only the true pair remains
+    assert got == {(900, 901): 2}
+
+
 def test_video_hashes_rejects_bad_n_frames(spark):
     with pytest.raises(ValueError, match="n_frames"):
         videohash.video_hashes(_assets(spark, []), n_frames=0)
