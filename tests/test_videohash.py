@@ -287,6 +287,73 @@ def test_video_pairs_ubiquitous_frame_cap(spark, capsys):
     assert got == {(900, 901): 2}
 
 
+def test_video_pairs_match_python_reference_property(spark):
+    """Value-level counting, property-checked against a brute-force
+    python reference over random corpora with shared / near / repeated
+    hash values — with and without the ubiquity cap."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def spread(g):
+        return (g << 40) ^ (g << 20) ^ (g << 4)
+
+    hv = st.tuples(
+        st.integers(0, 4),
+        st.sampled_from([0, 0, 1, 3, 255]),
+    ).map(lambda t: spread(t[0]) ^ t[1])
+    video = st.lists(hv, min_size=1, max_size=6)
+
+    def ref(vids, max_hamming, min_matches, max_value_df):
+        frames = {i: set(v) for i, v in enumerate(vids)}
+        if max_value_df is not None:
+            df = {}
+            for s in frames.values():
+                for h in s:
+                    df[h] = df.get(h, 0) + 1
+            frames = {
+                i: {h for h in s if df[h] <= max_value_df}
+                for i, s in frames.items()
+            }
+        out = {}
+        ids = sorted(frames)
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1 :]:
+                matched = {
+                    tuple(sorted((x, y)))
+                    for x in frames[a]
+                    for y in frames[b]
+                    if bin((x ^ y) & ((1 << 64) - 1)).count("1")
+                    <= max_hamming
+                }
+                if len(matched) >= min_matches:
+                    out[(a, b)] = len(matched)
+        return out
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vids=st.lists(video, min_size=1, max_size=8),
+        cap=st.sampled_from([None, 2, 4]),
+    )
+    def run(vids, cap):
+        vh = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vids)],
+            "asset_id long, frame_hashes array<long>",
+        )
+        got = {
+            (r.vid_a, r.vid_b): r.n_matches
+            for r in videohash.video_pairs(
+                vh, min_matches=1, max_value_df=cap
+            ).collect()
+        }
+        assert got == ref(vids, 3, 1, cap)
+
+    run()
+
+
 def test_video_hashes_rejects_bad_n_frames(spark):
     with pytest.raises(ValueError, match="n_frames"):
         videohash.video_hashes(_assets(spark, []), n_frames=0)
