@@ -18,12 +18,16 @@ product.  The n-gram all-pairs verifier is only applied to candidate sets
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_text
 from ..sources.tables import fan_out
 from .textstats import fingerprint
+
+log = logging.getLogger(__name__)
 
 # --- exact -------------------------------------------------------------------
 
@@ -550,7 +554,7 @@ def hamming_pairs(
       generation — a bounded recall trade: a pair is missed only if
       EVERY chunk it shares lands in a dropped bucket.  ``None``
       disables (test-scale exactness); ``log_capped=True`` runs one
-      eager count over the 2-col hash frame and prints what was
+      eager count over the 2-col hash frame and logs what was
       dropped (batch only — the CLI lanes turn it on).
 
     ``shiftrightunsigned`` throughout: identical to an arithmetic shift
@@ -628,11 +632,11 @@ def hamming_pairs(
                 .collect()[0]
             )
             if hot["n_buckets"]:
-                print(
-                    f"hamming_pairs: capped {hot['n_buckets']} hot "
-                    f"bucket(s) over {max_bucket} distinct hashes "
-                    f"(largest {hot['largest']}) — pairs whose every "
-                    "shared chunk was capped are missed"
+                log.info(
+                    "hamming_pairs: capped %s hot bucket(s) over %s "
+                    "distinct hashes (largest %s) — pairs whose every "
+                    "shared chunk was capped are missed",
+                    hot["n_buckets"], max_bucket, hot["largest"],
                 )
         # window count pre-shuffles on the JOIN key, so the bucket
         # equi-join below reuses the exchange instead of adding one

@@ -23,6 +23,7 @@ All cosine math is double-precision, presented on an integer grid
 
 from __future__ import annotations
 
+import logging
 import math
 import warnings
 from collections.abc import Sequence
@@ -31,6 +32,8 @@ from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import fan_out
+
+log = logging.getLogger(__name__)
 
 
 def _as_double(vec: Column) -> Column:
@@ -1512,7 +1515,7 @@ def embedding_neardup_pairs(
     only if its one shared bucket was hot); the bucket-size window
     pre-shuffles on the join key, so the cap adds no exchange.
     ``None`` (the default — existing oracle semantics) disables;
-    ``log_capped=True`` prints what was dropped (one eager count over
+    ``log_capped=True`` logs what was dropped (one eager count over
     the bucketed frame — batch only)."""
     b = hyperplane_buckets(df, id_col, vec_col, n_planes)
     if max_bucket is not None:
@@ -1532,11 +1535,11 @@ def embedding_neardup_pairs(
                 .collect()[0]
             )
             if hot["n_buckets"]:
-                print(
-                    f"embedding_neardup_pairs: capped {hot['n_buckets']} "
-                    f"hot LSH bucket(s) over {max_bucket} vectors "
-                    f"(largest {hot['largest']}) — raise n_planes or "
-                    "check for a low-rank embedding source"
+                log.info(
+                    "embedding_neardup_pairs: capped %s hot LSH "
+                    "bucket(s) over %s vectors (largest %s) — raise "
+                    "n_planes or check for a low-rank embedding source",
+                    hot["n_buckets"], max_bucket, hot["largest"],
                 )
         b = b.where(F.col("bsz") <= max_bucket).drop("bsz")
     a, c = b.alias("a"), b.alias("b")

@@ -34,8 +34,12 @@ their direct match count is below threshold.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def real_video_frames(payload: bytes) -> list[bytes] | None:
@@ -166,7 +170,7 @@ def video_pairs(
     from matching entirely — the ``ngram_jaccard_pairs`` ``max_df``
     stop-shingle trade: only pairs whose EVERY shared frame is
     ubiquitous are missed.  ``None`` disables; ``log_capped=True``
-    prints what was dropped."""
+    logs what was dropped (INFO on this module's logger)."""
     from .dedup import hamming_pairs
 
     frames = (
@@ -191,11 +195,11 @@ def video_pairs(
                 .collect()[0]
             )
             if hot["n_values"]:
-                print(
-                    f"video_pairs: dropped {hot['n_values']} ubiquitous "
-                    f"frame value(s) in over {max_value_df} videos "
-                    f"(largest {hot['largest']}) — black frames/title "
-                    "cards carry no matching signal"
+                log.info(
+                    "video_pairs: dropped %s ubiquitous frame value(s) "
+                    "in over %s videos (largest %s) — black frames/"
+                    "title cards carry no matching signal",
+                    hot["n_values"], max_value_df, hot["largest"],
                 )
         frames = frames.where(F.col("vdf") <= max_value_df).drop("vdf")
     # frames feeds THREE consumers (both match-join sides + the value

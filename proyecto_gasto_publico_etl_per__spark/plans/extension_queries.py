@@ -428,11 +428,19 @@ def neardup_hamming_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fr2 fa JOIN near n ON fa.hv = n.v_a
       JOIN fr2 fb ON fb.hv = n.v_b
       WHERE fa.vid <> fb.vid
+    ),
+    -- distinct at the TUPLE level (vid pair x value pair): packing the
+    -- value pair into one integer (pa * 2^30 + pb) overflows once hv
+    -- exceeds 2^30 and the collided keys silently under-count, so the
+    -- dedup happens on the raw columns instead (round-13 advice)
+    md AS (
+      SELECT DISTINCT least(vida, vidb) AS vid_a,
+             greatest(vida, vidb) AS vid_b, pa, pb
+      FROM m
     )
-    SELECT least(vida, vidb) AS vid_a, greatest(vida, vidb) AS vid_b,
-           CAST(COUNT(DISTINCT pa * 1073741824 + pb) AS INT) AS n_matches
-    FROM m GROUP BY 1, 2
-    HAVING COUNT(DISTINCT pa * 1073741824 + pb) >= 2
+    SELECT vid_a, vid_b, CAST(COUNT(*) AS INT) AS n_matches
+    FROM md GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
     """,
 )
 def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

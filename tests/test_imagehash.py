@@ -247,12 +247,19 @@ def test_hamming_pairs_rejects_streaming_input(spark):
         hamming_pairs(stream, "value", "value", 3, 64)
 
 
-def test_hamming_pairs_hot_bucket_cap_logs_and_bounds(spark, capsys):
+def test_hamming_pairs_hot_bucket_cap_logs_and_bounds(spark, caplog):
     """Distinct hashes engineered to share one chunk-0 value collapse
     that bucket; with max_bucket set the bucket is dropped (pairs whose
     only shared chunk was hot are missed — the documented recall
-    trade), the drop is printed, and pairs sharing another chunk
-    survive."""
+    trade), the drop is logged (INFO on the operator logger — the
+    round-13 advice moved the accounting off stdout), and pairs sharing
+    another chunk survive."""
+    import logging
+
+    caplog.set_level(
+        logging.INFO,
+        logger="proyecto_gasto_publico_etl_per__spark.operators.dedup",
+    )
     from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
         hamming_pairs,
     )
@@ -275,7 +282,7 @@ def test_hamming_pairs_hot_bucket_cap_logs_and_bounds(spark, capsys):
         hashes, max_hamming=3, max_bucket=10, log_capped=True
     )
     got_capped = {(r.img_a, r.img_b) for r in capped.collect()}
-    out = capsys.readouterr().out
+    out = caplog.text
     # hot buckets: (0, 0xBEEF) size 40, plus the shared-zero high
     # chunks (2, 0) size 38 and (3, 0) size 40
     assert "capped 3 hot bucket(s) over 10 distinct hashes" in out

@@ -141,13 +141,19 @@ def test_cli_media_dedup_audio_mode(spark, tmp_path, capsys):
     assert 4 not in clusters
 
 
-def test_embedding_neardup_hot_bucket_cap(spark, capsys):
+def test_embedding_neardup_hot_bucket_cap(spark, caplog):
     """The r12 LSH cap: near-identical (but not bit-equal) vectors all
     land in one hyperplane bucket — the low-rank hazard
     hyperplane_buckets documents.  Past max_bucket the bucket drops
-    from candidate generation with a printed accounting (bounded recall
-    trade); None keeps the exact test-scale semantics the declared
-    oracles pin."""
+    from candidate generation with a logged accounting (bounded recall
+    trade — INFO on the operator logger since round 13); None keeps the
+    exact test-scale semantics the declared oracles pin."""
+    import logging
+
+    caplog.set_level(
+        logging.INFO,
+        logger="proyecto_gasto_publico_etl_per__spark.operators.similarity",
+    )
     from proyecto_gasto_publico_etl_per__spark.operators.similarity import (
         embedding_neardup_pairs,
     )
@@ -164,7 +170,7 @@ def test_embedding_neardup_hot_bucket_cap(spark, capsys):
         df, threshold=0.9, n_planes=4, max_bucket=10, log_capped=True
     )
     assert capped.count() == 0  # the single hot bucket was dropped
-    out = capsys.readouterr().out
+    out = caplog.text
     assert "capped 1 hot LSH bucket(s) over 10 vectors" in out
     assert "largest 30" in out
 

@@ -257,12 +257,18 @@ def test_video_pairs_value_level_counting(spark):
     assert not any(0 in p for p in got)
 
 
-def test_video_pairs_ubiquitous_frame_cap(spark, capsys):
+def test_video_pairs_ubiquitous_frame_cap(spark, caplog):
     """A frame value present in (almost) every video — black frames,
     title cards — would fan the identity join out quadratically; past
-    max_value_df it drops from matching with a printed accounting,
-    while genuinely duplicated videos still pair through their OTHER
-    shared frames."""
+    max_value_df it drops from matching with a logged accounting (INFO
+    on the operator logger since round 13), while genuinely duplicated
+    videos still pair through their OTHER shared frames."""
+    import logging
+
+    caplog.set_level(
+        logging.INFO,
+        logger="proyecto_gasto_publico_etl_per__spark.operators.videohash",
+    )
     black = 0  # the ubiquitous frame
     # fillers live in bits 48-58, the true-pair values in bits 0-15,
     # ≥8 bits apart from each other and from every filler — no
@@ -280,7 +286,7 @@ def test_video_pairs_ubiquitous_frame_cap(spark, capsys):
             vh, min_matches=2, max_value_df=100, log_capped=True
         ).collect()
     }
-    out = capsys.readouterr().out
+    out = caplog.text
     assert "dropped 1 ubiquitous frame value(s) in over 100 videos" in out
     assert "largest 502" in out
     # the black frame contributed nothing: only the true pair remains
