@@ -380,6 +380,125 @@ def test_collapse_pairs_preserve_components_property(spark):
     run()
 
 
+def test_hamming_cap_recall_bound_property(spark):
+    """The r12 hot-bucket cap, property-checked the way r12 pinned
+    ``video_pairs`` (round-13 verdict task 4): over random corpora with
+    identical / near / shared-chunk cohorts and small ``max_bucket``
+    values that actually fire, (1) the Spark pair set equals a
+    pure-python mirror of the documented algorithm — buckets counted
+    over DISTINCT hash values, dropped past the cap, pairs kept iff
+    SOME shared chunk survived — both with and without the cap, and
+    (2) the documented recall bound holds: a within-radius rep pair is
+    missed ONLY if every chunk it shares was hot (dedup.hamming_pairs
+    docstring), and capping never invents pairs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    M64 = (1 << 64) - 1
+
+    def chunk(h: int, i: int) -> int:
+        return ((h & M64) >> (16 * i)) & 0xFFFF
+
+    # _spread groups 0-5 share chunk 3 (= 0): a natural hot bucket.
+    # The sign mask exercises negative int64 hashes (perceptual-hash
+    # territory, where shiftrightunsigned vs arithmetic shift matters).
+    masks = st.sampled_from(
+        [0, 0, 0, 1, 3, 7, 255, 1 << 20, (1 << 20) | 1, 0xFFFF << 48]
+    )
+    hv = st.tuples(st.integers(0, 5), masks).map(
+        lambda t: _spread(t[0]) ^ t[1]
+    )
+
+    def ref(hvs, max_bucket):
+        """Pure-python mirror: collapse + bucket cap + verify."""
+        groups: dict = {}
+        for i, h in enumerate(hvs):
+            groups.setdefault(h, []).append(i)
+        star = {
+            (min(g), m, 0) for g in groups.values() for m in g if m != min(g)
+        }
+        reps = {h: min(g) for h, g in groups.items()}
+        occ: dict = {}
+        for h in reps:
+            for i in range(4):
+                k = (i, chunk(h, i))
+                occ[k] = occ.get(k, 0) + 1
+        hot = {
+            k
+            for k, c in occ.items()
+            if max_bucket is not None and c > max_bucket
+        }
+        cross = set()
+        for ha, ra in reps.items():
+            for hb, rb in reps.items():
+                if ra >= rb:
+                    continue
+                d = bin((ha ^ hb) & M64).count("1")
+                shared = [i for i in range(4) if chunk(ha, i) == chunk(hb, i)]
+                if 1 <= d <= 3 and any(
+                    (i, chunk(ha, i)) not in hot for i in shared
+                ):
+                    cross.add((ra, rb, d))
+        return star | cross
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        hvs=st.lists(hv, min_size=1, max_size=25),
+        cap=st.sampled_from([1, 2, 3]),
+    )
+    def run(hvs, cap):
+        signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hvs]
+        frame = spark.createDataFrame(
+            list(enumerate(signed)), "asset_id long, phash64 long"
+        )
+
+        def pairs(max_bucket):
+            return {
+                (r.doc_a, r.doc_b, r.hamming)
+                for r in hamming_pairs(
+                    frame, "asset_id", "phash64", 3, 64,
+                    max_bucket=max_bucket,
+                ).collect()
+            }
+
+        exact, capped = pairs(None), pairs(cap)
+        assert exact == ref(hvs, None)
+        assert capped == ref(hvs, cap)
+        # the documented recall bound, stated directly: capping only
+        # ever REMOVES pairs, and a removed pair had every shared
+        # chunk in a hot bucket
+        assert capped <= exact
+        occ: dict = {}
+        for h in {hh & M64 for hh in hvs}:
+            for i in range(4):
+                k = (i, chunk(h, i))
+                occ[k] = occ.get(k, 0) + 1
+        rep_hv = {}
+        for i, h in enumerate(hvs):
+            rep_hv.setdefault(h, i)
+        by_rep = {i: h for h, i in rep_hv.items()}
+        for ra, rb, d in exact - capped:
+            assert d >= 1  # star edges are never capped
+            shared = [
+                i
+                for i in range(4)
+                if chunk(by_rep[ra], i) == chunk(by_rep[rb], i)
+            ]
+            assert shared and all(
+                occ[(i, chunk(by_rep[ra], i))] > cap for i in shared
+            )
+
+    run()
+
+
 def test_cli_media_hash_and_dedup(spark, tmp_path, capsys):
     """media-hash → media-dedup through the CLI: persisted hash column
     with per-row quarantine counts, then clusters over the parquet."""
