@@ -746,6 +746,65 @@ def audio_fingerprints(
     return assets.mapInPandas(batches, schema=schema)
 
 
+def audio_fingerprint_pairs(
+    fps: DataFrame,
+    id_col: str = "asset_id",
+    fp_col: str = "fingerprint",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    max_bucket: int | None = 10_000,
+    log_capped: bool = False,
+) -> DataFrame:
+    """Near-dup pairs over a fingerprint frame — the audio lane's pair
+    stage, factored out of ``audio_neardup_clusters`` (round 13) so the
+    driver-oracle query ``audio_neardup_pairs`` can exercise it over
+    synthesized fingerprints the way ``video_neardup_pairs`` feeds
+    ``videohash.video_pairs`` synthesized frame hashes.  Input is any
+    (id, array<double>) frame — typically ``audio_fingerprints`` output
+    with NULLs filtered; returns (id_a, id_b, score_q3) with cosine
+    quantized to the 1e-3 grid.
+
+    Two-stage shape, the ``hamming_pairs`` contract: bit-identical
+    fingerprints (re-ingests, silent/constant clips) collapse to star
+    edges (score 1000) from the min-id representative BEFORE the LSH
+    self-join — connected components are unchanged because identical
+    vectors have identical cosine relations — and only representatives
+    enter ``similarity.embedding_neardup_pairs`` (hyperplane-LSH
+    buckets, exact-cosine verify, ``max_bucket`` hot-bucket cap)."""
+    from pyspark.sql import Window
+
+    from .similarity import embedding_neardup_pairs
+
+    base = fps.where(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("asset_id"), F.col(fp_col).alias("fingerprint")
+    )
+    tagged = base.withColumn(
+        "rep", F.min("asset_id").over(Window.partitionBy("fingerprint"))
+    ).localCheckpoint(eager=False)
+    star = tagged.where(F.col("asset_id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"),
+        F.col("asset_id").alias("id_b"),
+        F.lit(1000).cast("long").alias("score_q3"),  # cosine 1.0 on the grid
+    )
+    reps = tagged.where(F.col("asset_id") == F.col("rep")).select(
+        "asset_id", "fingerprint"
+    )
+    # max_bucket guards the residual near-identical-but-not-equal
+    # cohort (the collapse above only absorbs BIT-identical prints):
+    # a hot LSH bucket past the cap drops from candidate generation
+    # instead of going quadratic — the hamming_pairs cap contract
+    pairs = embedding_neardup_pairs(
+        reps,
+        id_col="asset_id",
+        vec_col="fingerprint",
+        threshold=threshold,
+        n_planes=n_planes,
+        max_bucket=max_bucket,
+        log_capped=log_capped,
+    ).withColumn("score_q3", F.col("score_q3").cast("long"))
+    return pairs.unionByName(star)
+
+
 def audio_neardup_clusters(
     assets: DataFrame,
     n_mels: int = 16,
@@ -778,10 +837,7 @@ def audio_neardup_clusters(
     in-bucket clique, and connected components are unchanged (identical
     vectors have identical cosine relations, so the rep inherits every
     ≥-threshold pair a member had)."""
-    from pyspark.sql import Window
-
     from .dedup import cluster_duplicates
-    from .similarity import embedding_neardup_pairs
 
     # one decode+fingerprint pass feeds the pair join AND the label
     # join — same single-barrier rationale as the image lane
@@ -791,33 +847,14 @@ def audio_neardup_clusters(
         .select("asset_id", "fingerprint")
         .localCheckpoint()
     )
-    tagged = fps.withColumn(
-        "rep", F.min("asset_id").over(Window.partitionBy("fingerprint"))
-    )
-    star = tagged.where(F.col("asset_id") != F.col("rep")).select(
-        F.col("rep").alias("id_a"),
-        F.col("asset_id").alias("id_b"),
-        F.lit(1000).cast("long").alias("score_q3"),  # cosine 1.0 on the grid
-    )
-    reps = tagged.where(F.col("asset_id") == F.col("rep")).select(
-        "asset_id", "fingerprint"
-    )
-    # max_bucket guards the residual near-identical-but-not-equal
-    # cohort (the collapse above only absorbs BIT-identical prints):
-    # a hot LSH bucket past the cap drops from candidate generation
-    # instead of going quadratic — the hamming_pairs cap contract
-    pairs = embedding_neardup_pairs(
-        reps,
-        id_col="asset_id",
-        vec_col="fingerprint",
+    pairs = audio_fingerprint_pairs(
+        fps,
         threshold=threshold,
         n_planes=n_planes,
         max_bucket=max_bucket,
         log_capped=log_capped,
-    ).withColumn("score_q3", F.col("score_q3").cast("long"))
-    clustered = cluster_duplicates(
-        pairs.unionByName(star), id_a="id_a", id_b="id_b"
     )
+    clustered = cluster_duplicates(pairs, id_a="id_a", id_b="id_b")
     return fps.join(
         clustered, fps.asset_id == clustered.doc_id, "left"
     ).select(

@@ -464,6 +464,110 @@ def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("n_matches", F.col("n_matches").cast("int"))
 
 
+#: audio pair-lane knobs — the cap FIRES at every shipped SF by
+#: construction (120-rep fingerprint universe, see the query docstring)
+AUDIO_PAIR_T = 0.25
+AUDIO_PAIR_CAP = 9
+
+
+@register(
+    "audio_neardup_pairs",
+    f"""
+    WITH fps AS (
+      -- synthetic fingerprints: every asset carries the embedding of
+      -- its leader (vec_id % 120), so the distinct-fingerprint universe
+      -- is a CONSTANT 120 vectors at every SF — bucket occupancy (and
+      -- therefore cap firing) is scale-invariant while star edges
+      -- scale with the corpus
+      SELECT m.vec_id AS asset_id, l.embedding::DOUBLE[] AS fp
+      FROM embeddings m JOIN embeddings l ON l.vec_id = m.vec_id % 120
+    ),
+    reps AS (SELECT fp, MIN(asset_id) AS rep FROM fps GROUP BY fp),
+    star AS (
+      SELECT r.rep AS id_a, f.asset_id AS id_b,
+             CAST(1000 AS BIGINT) AS score_q3
+      FROM fps f JOIN reps r ON f.fp = r.fp
+      WHERE f.asset_id <> r.rep
+    ),
+    dims AS (
+      SELECT rep AS vec_id, generate_subscripts(fp, 1) - 1 AS d,
+             unnest(fp) AS x
+      FROM reps
+    ),
+    planes AS (SELECT unnest(range(4)) AS p),
+    dots AS (
+      SELECT vec_id, p,
+             SUM(x * CASE WHEN CAST(('0x' || substr(
+                       md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1)) AS INT)
+                       & 1 = 0
+                     THEN 1.0 ELSE -1.0 END) AS dot
+      FROM dims CROSS JOIN planes GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    -- the hot-bucket cap IS part of the contract (the
+    -- neardup_hamming_capped precedent): buckets holding more than
+    -- {AUDIO_PAIR_CAP} representatives drop from candidate generation,
+    -- and on this corpus the cap FIRES (16 hyperplane buckets over 120
+    -- reps put 3-4 buckets past it at every shipped SF)
+    kept AS (
+      SELECT bucket FROM buckets
+      GROUP BY bucket HAVING COUNT(*) <= {AUDIO_PAIR_CAP}
+    ),
+    v AS (
+      SELECT b.vec_id, b.bucket, r.fp
+      FROM buckets b JOIN kept USING (bucket) JOIN reps r ON r.rep = b.vec_id
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(floor(list_cosine_similarity(a.fp, b.fp) * 1000 + 0.5)
+                  AS BIGINT) AS score_q3
+      FROM v a JOIN v b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+        AND CAST(floor(list_cosine_similarity(a.fp, b.fp) * 1000 + 0.5)
+                 AS BIGINT) >= {int(AUDIO_PAIR_T * 1000)}
+    )
+    SELECT id_a, id_b, score_q3 FROM pairs
+    UNION ALL
+    SELECT id_a, id_b, score_q3 FROM star
+    """,
+)
+def audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio near-dup pair stage under the driver gate (round 13 —
+    closes the lane symmetry: image and video near-dup both had green
+    CORRECTNESS rows, audio was pytest-only): synthesized deterministic
+    fingerprint vectors (each asset carries its vec_id%120 leader's
+    embedding, the ``video_neardup_pairs`` synthesis pattern) through
+    ``multimodal.audio_fingerprint_pairs`` — bit-identical-fingerprint
+    collapse to star edges, hyperplane-LSH bucketing of the 120
+    representatives, the ``max_bucket`` hot-bucket cap (which FIRES at
+    every shipped SF by construction), and exact quantized-cosine
+    verification — against a DuckDB mirror of the same algorithm
+    including the cap's filter placement."""
+    from ..operators.multimodal import audio_fingerprint_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    leaders = emb.select(
+        F.col("vec_id").alias("lead_id"),
+        F.col("embedding").cast("array<double>").alias("fingerprint"),
+    )
+    fps = (
+        emb.select("vec_id", (F.col("vec_id") % 120).alias("lead_id"))
+        .join(F.broadcast(leaders), "lead_id")
+        .select(F.col("vec_id").alias("asset_id"), "fingerprint")
+    )
+    return audio_fingerprint_pairs(
+        fps,
+        threshold=AUDIO_PAIR_T,
+        n_planes=4,
+        max_bucket=AUDIO_PAIR_CAP,
+    )
+
+
 @register(
     "dedup_clusters",
     f"""

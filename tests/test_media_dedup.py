@@ -87,6 +87,35 @@ def test_audio_identical_cohort_collapses_to_stars(spark):
     assert out[901] == 901  # distinct program stays out
 
 
+def test_audio_fingerprint_pairs_collapse_and_threshold(spark):
+    """The factored pair stage (round 13 — feeds the audio_neardup_pairs
+    driver oracle): bit-identical fingerprints emit star edges at score
+    1000 from the min-id rep, near prints pair through the LSH bucket
+    with exact quantized cosine, far prints stay out, and NULL
+    fingerprints are quarantined."""
+    rows = [
+        (10, [1.0, 2.0, -1.0, 0.5]),
+        (11, [1.0, 2.0, -1.0, 0.5]),   # bit-identical → star edge
+        (12, [1.0, 2.0, -1.0, 0.5]),   # second member
+        (20, [1.001, 2.0, -1.0, 0.5]),  # near rep 10 (cosine ~1)
+        (30, [-1.0, -2.0, 1.0, -0.5]),  # opposite direction
+        (40, None),                     # quarantined
+    ]
+    fps = spark.createDataFrame(
+        rows, "asset_id long, fingerprint array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b): r.score_q3
+        for r in multimodal.audio_fingerprint_pairs(
+            fps, threshold=0.95, n_planes=4
+        ).collect()
+    }
+    assert got[(10, 11)] == 1000 and got[(10, 12)] == 1000  # star edges
+    assert got[(10, 20)] == 1000  # cosine rounds to 1.000 on the grid
+    assert not any(30 in p or 40 in p for p in got)
+    assert set(got) == {(10, 11), (10, 12), (10, 20)}
+
+
 def test_cli_media_dedup_warns_on_cross_modality_knobs(spark, tmp_path,
                                                        capsys):
     """A knob for the OTHER modality prints a warning instead of being
