@@ -235,9 +235,13 @@ def main(argv: list[str] | None = None) -> None:
     md.add_argument("assets_parquet")
     md.add_argument("out_dir")
     md.add_argument(
-        "--media", choices=["image", "audio", "video"], default="image",
+        "--media", choices=["image", "audio", "video", "auto"],
+        default="image",
         help="which asset rows to cluster (the other media types are "
-             "ignored — run the command once per modality)",
+             "ignored — run the command once per modality).  'auto' "
+             "sniffs each payload's MAGIC BYTES, routes it to the "
+             "right lane, and runs all three in one invocation "
+             "(mixed crawl directories; labels are ignored)",
     )
     # per-modality knobs default to None so a knob set for the WRONG
     # modality can be detected and warned about instead of silently
@@ -624,6 +628,69 @@ def main(argv: list[str] | None = None) -> None:
         )
     elif args.cmd == "media-dedup":
         assets = spark.read.parquet(args.assets_parquet)
+        if args.media == "auto":
+            from .operators.imagehash import image_neardup_clusters
+            from .operators.multimodal import (
+                audio_neardup_clusters,
+                sniff_media_types,
+            )
+            from .operators.videohash import video_neardup_clusters
+
+            # every knob applies to its own lane in auto mode — no
+            # cross-modality warnings.  One sniff pass relabels
+            # media_type from magic bytes; each lane then filters on
+            # the label exactly as a single-media run would, so the
+            # per-modality outputs are identical to three separate
+            # invocations with correct labels (tested).  The relabeled
+            # frame is checkpointed once: three lanes would otherwise
+            # each rerun the Arrow sniff pass over the payload bytes.
+            sniffed = sniff_media_types(assets).localCheckpoint()
+            max_hamming = 3 if args.max_hamming is None else args.max_hamming
+            threshold = 0.95 if args.threshold is None else args.threshold
+            min_matches = 2 if args.min_matches is None else args.min_matches
+            lanes = {
+                "image": image_neardup_clusters(
+                    sniffed,
+                    kind="phash" if args.kind is None else args.kind,
+                    max_hamming=max_hamming,
+                    log_capped=True,
+                ),
+                "audio": audio_neardup_clusters(
+                    sniffed,
+                    n_mels=16 if args.n_mels is None else args.n_mels,
+                    threshold=threshold,
+                    n_planes=4 if args.n_planes is None else args.n_planes,
+                    log_capped=True,
+                ),
+                "video": video_neardup_clusters(
+                    sniffed,
+                    kind="phash" if args.kind is None else args.kind,
+                    n_frames=5 if args.n_frames is None else args.n_frames,
+                    max_hamming=max_hamming,
+                    min_matches=min_matches,
+                    log_capped=True,
+                ),
+            }
+            # asset ids are globally unique, so the min-id cluster
+            # labels of disjoint modality lanes can never collide
+            out = None
+            for frame in lanes.values():
+                out = frame if out is None else out.unionByName(frame)
+            out.write.mode("overwrite").parquet(args.out_dir)
+            done = spark.read.parquet(args.out_dir)
+            per_mode = {
+                m: lanes[m].count() for m in ("image", "audio", "video")
+            }
+            n = done.count()
+            groups = done.select("cluster_id").distinct().count()
+            total = sniffed.count()
+            print(
+                f"clustered {n} sniffed assets into {groups} groups "
+                f"(image {per_mode['image']}, audio {per_mode['audio']}, "
+                f"video {per_mode['video']}; "
+                f"{total - n} unrecognized/quarantined) → {args.out_dir}"
+            )
+            return
         if args.media == "audio":
             from .operators.multimodal import audio_neardup_clusters
 

@@ -382,6 +382,121 @@ def _looks_like_tga(p: bytes) -> bool:
     )
 
 
+def sniff_media_type(payload: bytes | None) -> str | None:
+    """Classify an asset payload as ``"image"``/``"audio"``/``"video"``
+    by MAGIC BYTES alone (round 13 — the ``--media auto`` dispatcher):
+    a real crawl directory's labels are unreliable, so mixed-media
+    ingest sniffs each payload and routes it to the right near-dup
+    lane in one pass.  Returns None for unrecognized / empty payloads
+    (quarantine — no lane claims them).
+
+    Rules mirror the decoders' own dispatch byte-for-byte
+    (``decode_image`` / ``decode_audio`` / ``real_video_frames``), so
+    a sniffed row is one its lane can actually open:
+
+    - RIFF container splits on the form type: ``AVI `` → video,
+      ``WAVE`` → audio.  ISO BMFF (``ftyp`` at offset 4) → video.
+    - GIF is the one genuinely ambiguous magic: ≥2 image descriptors
+      (a cheap block walk — sub-block skipping, no LZW decode) →
+      video (animated), else image (still).  A truncated/corrupt GIF
+      sniffs as image and quarantines in the image lane's decoder.
+    - FORM/AIFF, ``.snd`` (AU), ``fLaC`` → audio.
+    - PNG / JPEG / TIFF / BMP / netpbm / TGA-heuristic (last, it has
+      no magic) → image.
+    """
+    if not payload:
+        return None
+    p = bytes(payload[:16])
+    if len(payload) >= 12 and p[:4] == b"RIFF":
+        form = p[8:12]
+        if form == b"AVI ":
+            return "video"
+        if form == b"WAVE":
+            return "audio"
+        return None
+    if len(payload) >= 8 and p[4:8] == b"ftyp":
+        return "video"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "video" if _gif_is_animated(bytes(payload)) else "image"
+    if len(payload) >= 12 and p[:4] == b"FORM" and p[8:12] in (
+        b"AIFF", b"AIFC",
+    ):
+        return "audio"
+    if p[:4] == b".snd" or p[:4] == b"fLaC":
+        return "audio"
+    if (
+        p[:8] == _PNG_MAGIC
+        or p[:2] == b"\xff\xd8"
+        or p[:4] in (b"II*\x00", b"MM\x00*")
+        or p[:2] == b"BM"
+        or (p[:1] == b"P" and p[1:2] in b"123456")
+        or _looks_like_tga(bytes(payload[:18]))
+    ):
+        return "image"
+    return None
+
+
+def _gif_is_animated(payload: bytes) -> bool:
+    """True when the GIF holds ≥2 image descriptors — a sub-block SKIP
+    walk (length bytes only, LZW data never touched), so sniffing a
+    large still costs header bytes, not a decode.  Any structural error
+    answers False: the still-image lane owns the loud failure."""
+    try:
+        if len(payload) < 14:
+            return False
+        pos = 13
+        if payload[10] & 0x80:
+            pos += 3 * (2 ** ((payload[10] & 7) + 1))
+        frames = 0
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:
+                break
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+            elif b == 0x2C:  # image descriptor
+                p2 = payload[pos + 9]
+                pos += 10
+                if p2 & 0x80:
+                    pos += 3 * (2 ** ((p2 & 7) + 1))
+                pos += 1  # LZW min-code byte
+                frames += 1
+                if frames >= 2:
+                    return True
+            else:
+                return False
+            # skip the sub-block chain (extension payload / LZW data)
+            while pos < len(payload):
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                pos += n
+        return False
+    except (IndexError, struct.error):
+        return False
+
+
+def sniff_media_types(assets: DataFrame) -> DataFrame:
+    """Relabel ``media_type`` from payload magic bytes — one Arrow map
+    pass, schema preserved (``sniff_media_type`` per row; unrecognized
+    payloads get ``"unknown"`` so no modality lane claims them).  The
+    ``--media auto`` front door: downstream lanes keep filtering on
+    ``media_type`` exactly as in single-media runs, so per-modality
+    outputs are identical to three separate invocations with correct
+    labels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["media_type"] = [
+                sniff_media_type(p) or "unknown" for p in out["payload"]
+            ]
+            yield out
+
+    return assets.mapInPandas(batches, schema=assets.schema)
+
+
 def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
     """Real decode → resample → re-encode.  Pillow (LANCZOS, any format)
     when importable; else stdlib decode + exact area-average (box)
