@@ -141,9 +141,18 @@ def _synthetic_hashes(spark, n: int):
 
 
 def media_neardup_probe(spark, k: int, n_base: int = 200_000) -> None:
-    """1× vs K× wall-clock exponent for the pigeonhole media near-dup
-    lane over synthetic hashes (VERDICT r12 task 3).  Production knobs
-    throughout (max_bucket default, radius 3)."""
+    """Wall-clock scaling exponents for the pigeonhole media near-dup
+    lane over synthetic hashes (VERDICT r12 task 3; r13 task 2 widened
+    the sweep).  Production knobs throughout (max_bucket default,
+    radius 3).
+
+    K is the TOP multiplier of a geometric ×3 ladder (k=27 → 1, 3, 9,
+    27): at 2-5 s absolute walls the ~2.3 s scheduling floor dominates
+    a single 3× leg, so the probe reports the per-leg exponent of
+    EVERY rung plus a least-squares slope over the whole ladder — the
+    top leg (where walls are tens of seconds) is the number to trust,
+    and a top-leg/fit disagreement with the bottom leg is the floor's
+    signature, not super-linearity."""
     from proyecto_gasto_publico_etl_per__spark.operators.dedup import (
         cluster_duplicates,
     )
@@ -179,25 +188,42 @@ def media_neardup_probe(spark, k: int, n_base: int = 200_000) -> None:
             video_frame_table(df), min_matches=2
         ).count(),
     }
+    ladder = [1]
+    while ladder[-1] * 3 <= k:
+        ladder.append(ladder[-1] * 3)
+    if ladder[-1] != k:
+        ladder.append(k)
     for name, run in probes.items():
         times = {}
-        for label, n in (("1x", n_base), (f"{k}x", n_base * k)):
-            df = _synthetic_hashes(spark, n).localCheckpoint()
+        for mult in ladder:
+            df = _synthetic_hashes(spark, n_base * mult).localCheckpoint()
             run(df)  # warm (codegen, broadcast decisions)
             runs = []
             for _ in range(2):
                 t0 = time.monotonic()
                 run(df)
                 runs.append(time.monotonic() - t0)
-            times[label] = min(runs)
-        exp = math.log(times[f"{k}x"] / times["1x"]) / math.log(k)
+            times[mult] = min(runs)
+        legs = {
+            f"exp_{a}x_{b}x": round(
+                math.log(times[b] / times[a]) / math.log(b / a), 3
+            )
+            for a, b in zip(ladder, ladder[1:])
+        }
+        # least-squares slope of log t vs log n over the whole ladder
+        xs = [math.log(m) for m in ladder]
+        ys = [math.log(times[m]) for m in ladder]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        denom = sum((x - mx) ** 2 for x in xs)
+        fit = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
         print(
             json.dumps(
                 {
                     "query": name,
-                    "t_1x_sec": round(times["1x"], 2),
-                    f"t_{k}x_sec": round(times[f"{k}x"], 2),
-                    "exponent": round(exp, 3),
+                    "t_sec": {f"{m}x": round(times[m], 2) for m in ladder},
+                    **legs,
+                    "exp_fit": round(fit, 3),
+                    "exp_top": legs[f"exp_{ladder[-2]}x_{ladder[-1]}x"],
                     "n_base": n_base,
                 }
             ),
