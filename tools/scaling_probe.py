@@ -193,9 +193,16 @@ def media_neardup_probe(spark, k: int, n_base: int = 200_000) -> None:
         ladder.append(ladder[-1] * 3)
     if ladder[-1] != k:
         ladder.append(k)
+    import gc
+
     for name, run in probes.items():
         times = {}
         for mult in ladder:
+            # drop the previous leg's checkpoint blocks before sizing
+            # up: a 27x ladder otherwise accumulates every leg's (and
+            # every video reshape's) localCheckpoint in the one-JVM
+            # storage pool and starves execution memory (r13 OOM)
+            gc.collect()
             df = _synthetic_hashes(spark, n_base * mult).localCheckpoint()
             run(df)  # warm (codegen, broadcast decisions)
             runs = []
@@ -204,6 +211,7 @@ def media_neardup_probe(spark, k: int, n_base: int = 200_000) -> None:
                 run(df)
                 runs.append(time.monotonic() - t0)
             times[mult] = min(runs)
+            df.unpersist()
         legs = {
             f"exp_{a}x_{b}x": round(
                 math.log(times[b] / times[a]) / math.log(b / a), 3
