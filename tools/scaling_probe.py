@@ -247,32 +247,59 @@ def main() -> None:
         media_neardup_probe(get_spark(), k)
         return
     spark = get_spark()
-    big_dir = tempfile.mkdtemp(prefix=f"scale{k}x_")
-    build_replicated(spark, sf_dir, k, big_dir)
+    # geometric ×3 ladder up to K (same rationale as the media probe:
+    # a single leg at 2-5 s walls is scheduling-floor-dominated; the
+    # per-leg exponents + whole-ladder fit separate floor from data
+    # term, and the top leg is the number to trust)
+    ladder = [1]
+    while ladder[-1] * 3 <= k:
+        ladder.append(ladder[-1] * 3)
+    if ladder[-1] != k:
+        ladder.append(k)
+    dirs = {1: sf_dir}
+    for mult in ladder[1:]:
+        d = tempfile.mkdtemp(prefix=f"scale{mult}x_")
+        build_replicated(spark, sf_dir, mult, d)
+        dirs[mult] = d
 
     from proyecto_gasto_publico_etl_per__spark.plans import driver_queries
+
+    import gc
 
     queries = driver_queries.all_queries()
     for name in names:
         fn = queries[name]
         times = {}
-        for label, d in (("1x", sf_dir), (f"{k}x", big_dir)):
+        for mult in ladder:
+            gc.collect()  # let ContextCleaner drop the last leg's blocks
             # warm once (scan caches, codegen), then min-of-2
-            fn(spark, d).count()
+            fn(spark, dirs[mult]).count()
             runs = []
             for _ in range(2):
                 t0 = time.monotonic()
-                fn(spark, d).count()
+                fn(spark, dirs[mult]).count()
                 runs.append(time.monotonic() - t0)
-            times[label] = min(runs)
-        exp = math.log(times[f"{k}x"] / times["1x"]) / math.log(k)
+            times[mult] = min(runs)
+        legs = {
+            f"exp_{a}x_{b}x": round(
+                math.log(times[b] / times[a]) / math.log(b / a), 3
+            )
+            for a, b in zip(ladder, ladder[1:])
+        }
+        xs = [math.log(m) for m in ladder]
+        ys = [math.log(times[m]) for m in ladder]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        fit = sum(
+            (x - mx) * (y - my) for x, y in zip(xs, ys)
+        ) / sum((x - mx) ** 2 for x in xs)
         print(
             json.dumps(
                 {
                     "query": name,
-                    "t_1x_sec": round(times["1x"], 2),
-                    f"t_{k}x_sec": round(times[f"{k}x"], 2),
-                    "exponent": round(exp, 3),
+                    "t_sec": {f"{m}x": round(times[m], 2) for m in ladder},
+                    **legs,
+                    "exp_fit": round(fit, 3),
+                    "exp_top": legs[f"exp_{ladder[-2]}x_{ladder[-1]}x"],
                     "sf_dir": sf_dir,
                 }
             ),
