@@ -204,6 +204,96 @@ def test_embedding_neardup_hot_bucket_cap(spark, caplog):
     assert "largest 30" in out
 
 
+def test_embedding_lsh_cap_recall_bound_property(spark):
+    """The LSH cap's recall bound, property-pinned the way round 13
+    pinned ``hamming_pairs`` (tests/test_imagehash.py): over corpora
+    mixing several direction cohorts so the cap fires PARTIALLY — some
+    buckets hot, some not — (1) the uncapped pair set is exactly the
+    same-direction pairs (cross-direction candidates sharing a sign
+    pattern are rejected by the exact-cosine verify), (2) capping only
+    removes pairs, (3) the capped set is exactly the uncapped pairs
+    whose one shared bucket stayed at or under ``max_bucket`` — a pair
+    is missed ONLY if its single shared bucket was hot, the
+    embedding_neardup_pairs docstring's bound stated directly.
+
+    Vectors are ±one-hot with per-coordinate jitter ≤ 1e-3, so the
+    hyperplane sign pattern cannot flip (|⟨v, plane⟩| ≥ 1 − 3e-3) and
+    every cosine sits far from the 0.9 threshold's quantization grid
+    (same direction ≈ 1, cross direction ≈ 0 or −1)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from proyecto_gasto_publico_etl_per__spark.operators.similarity import (
+        embedding_neardup_pairs,
+        hyperplane_buckets,
+    )
+
+    member = st.tuples(
+        st.integers(0, 7),  # direction: ±e_d over 4 dims
+        st.integers(0, 999),  # jitter seed
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        members=st.lists(member, min_size=2, max_size=24),
+        cap=st.sampled_from([1, 2, 4]),
+    )
+    def run(members, cap):
+        rows = []
+        for i, (direction, seed) in enumerate(members):
+            d, sign = direction % 4, 1.0 if direction < 4 else -1.0
+            vec = [((seed * (j + 1)) % 7) * 1e-4 for j in range(4)]
+            vec[d] += sign
+            rows.append((i, direction, vec))
+        df = spark.createDataFrame(
+            [(i, v) for i, _, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+        def pairs(max_bucket):
+            return {
+                (r.id_a, r.id_b)
+                for r in embedding_neardup_pairs(
+                    df, threshold=0.9, n_planes=4, max_bucket=max_bucket
+                ).collect()
+            }
+
+        uncapped, capped = pairs(None), pairs(cap)
+        same_direction = {
+            (a, b)
+            for a in range(len(rows))
+            for b in range(a + 1, len(rows))
+            if rows[a][1] == rows[b][1]
+        }
+        assert uncapped == same_direction
+        # bucket ground truth from the operator's own bucketing pass
+        # (its determinism is pinned elsewhere); the cap counts FULL
+        # bucket occupancy, so an unrelated cohort sharing a sign
+        # pattern can push a small cohort's bucket over the cap
+        bucket_of = {
+            r.doc: r.bucket
+            for r in hyperplane_buckets(
+                df, "vec_id", "embedding", n_planes=4
+            ).collect()
+        }
+        size = {}
+        for b in bucket_of.values():
+            size[b] = size.get(b, 0) + 1
+        assert capped <= uncapped
+        assert capped == {
+            (a, b) for a, b in uncapped if size[bucket_of[a]] <= cap
+        }
+        for a, b in uncapped - capped:
+            assert bucket_of[a] == bucket_of[b]
+            assert size[bucket_of[a]] > cap
+
+    run()
+
+
 def test_cli_media_hash_audio_mode(spark, tmp_path, capsys):
     """media-hash --media audio persists the fingerprint column with
     the quarantine count (lane symmetry with the image media-hash)."""
