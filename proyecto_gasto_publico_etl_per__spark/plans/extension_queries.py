@@ -1086,6 +1086,120 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed retrieval query for bm25_topk — three terms known to appear in
+#: the synthetic corpus vocabulary at every SF
+_BM25_TERMS = ("spark", "hash", "merge")
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH {_DOCS_CTE},
+    words AS (SELECT doc, unnest(toks) AS tok FROM toks),
+    w2 AS (SELECT doc, tok FROM words WHERE tok <> ''),
+    tf AS (SELECT doc, tok, count(*) AS cnt FROM w2 GROUP BY 1, 2),
+    ntok AS (SELECT doc, count(*) AS dl FROM w2 GROUP BY 1),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    corpus AS (SELECT count(*) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS s_tokens FROM ntok),
+    q AS (SELECT unnest(['spark', 'hash', 'merge']) AS tok),
+    scored AS (
+      SELECT tf.doc,
+             CAST(floor(
+               CAST((2 * (c.n_docs - dfreq.df) + 1)
+                    * 22 * tf.cnt * c.s_tokens AS DOUBLE)
+               / CAST((2 * dfreq.df + 1)
+                      * (10 * c.s_tokens * tf.cnt + 3 * c.s_tokens
+                         + 9 * ntok.dl * c.n_docs) AS DOUBLE)
+               * 1000000000 + 0.5) AS BIGINT) AS term_q
+      FROM tf JOIN q USING (tok) JOIN ntok USING (doc)
+           JOIN dfreq USING (tok) CROSS JOIN corpus c
+    ),
+    agg AS (SELECT doc AS doc_id, CAST(SUM(term_q) AS BIGINT) AS bm25_q
+            FROM scored GROUP BY 1)
+    SELECT doc_id, bm25_q, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rk
+      FROM agg
+    ) WHERE rk <= 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed 3-term query under BM25 (k1=1.2,
+    b=0.75) with the log-free rational idf (the same BM25 idf core as
+    `tfidf_top_terms`, idf = (N - df + ½)/(df + ½)) — the missing
+    retrieval-side twin of the tf-idf characterization query.
+
+    Exactness: with k1 = 6/5 and b = 3/4 the whole per-term score is one
+    rational —
+
+        (2(N-df)+1) · 22 · tf · S
+        --------------------------------------------
+        (2df+1) · (10·S·tf + 3·S + 9·dl·N)
+
+    (S = total corpus tokens, dl = doc length) — so numerator and
+    denominator are each a single exact BIGINT, the division is one
+    double op, and the per-term score quantizes to a 1e-9-grid long
+    BEFORE the per-doc sum.  No distributed double accumulation, no
+    libm log: both engines produce identical longs.
+
+    Shape (the 100 TB story): explode → two hash aggs (tf, dl) → df agg
+    → the posting list is FILTERED to the query terms before any join
+    (|postings(q)| rows, not |corpus|), the df side and the 1-row
+    corpus stats broadcast, and the final top-k is orderBy+limit
+    (TakeOrderedAndProject — no global sort); the rank window then runs
+    over ≤10 rows.  Scoring cost is proportional to the matched
+    postings, exactly like an inverted-index BM25 scatter-gather."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(dedup._tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = words.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    ntok = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    corpus = ntok.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("s_tokens")
+    )
+    scored = (
+        tf.filter(F.col("tok").isin(*_BM25_TERMS))
+        .join(ntok, "doc_id")
+        .join(
+            F.broadcast(dfreq.filter(F.col("tok").isin(*_BM25_TERMS))),
+            "tok",
+        )
+        .crossJoin(F.broadcast(corpus))
+    )
+    num = (
+        (2 * (F.col("n_docs") - F.col("df")) + 1)
+        * 22
+        * F.col("cnt")
+        * F.col("s_tokens")
+    ).cast("double")
+    den = (
+        (2 * F.col("df") + 1)
+        * (
+            10 * F.col("s_tokens") * F.col("cnt")
+            + 3 * F.col("s_tokens")
+            + 9 * F.col("dl") * F.col("n_docs")
+        )
+    ).cast("double")
+    scored = scored.withColumn(
+        "term_q",
+        F.floor(num / den * 1000000000 + F.lit(0.5)).cast("long"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_q").cast("long").alias("bm25_q")
+    )
+    top = agg.orderBy(F.desc("bm25_q"), "doc_id").limit(10)
+    w = Window.orderBy(F.desc("bm25_q"), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "bm25_q", "rk")
+    )
+
+
 @register(
     "embedding_outliers",
     """

@@ -226,3 +226,48 @@ def test_r11_window_rotates_in_the_r7_stale_names():
     assert all(
         green_round[n] <= 8 for n in window if n in green_round
     ), "an r9/r10-fresh name occupies an r11 slot a staler name needs"
+
+
+def test_r13_window_front_loads_the_new_queries_then_r9_stale_names():
+    """Round 13: with the r12 artifact committed (newest green round ==
+    12) and TWO new declared queries (audio_neardup_pairs — the audio
+    lane's oracle row, r12 verdict task 3 — and bm25_topk, the
+    retrieval-side twin of tfidf_top_terms), the r13 window must lead
+    with the never-green pair, then the 15 r9-era greens — the stalest
+    cohort — and fill the remaining 33 slots with r10 greens only
+    (every r11/r12-fresh name rotates outside).  Guarded on the
+    artifact state so the test stays valid after later rounds."""
+    names = list(entry.queries())
+    latest = DQ._latest_check_rows()
+    green_round = {
+        n: rnd for n, (rnd, row) in latest.items() if DQ._is_green(row)
+    }
+    newest = max(green_round.values(), default=0)
+    if newest != 12:
+        return  # a later round's artifact landed; generic tests cover it
+    never = [n for n in names if n not in green_round]
+    assert {"audio_neardup_pairs", "bm25_topk"} <= set(never)
+    k = len(never)
+    assert set(names[:k]) == set(never)  # never-green sorts first
+    r9_stale = {
+        "ann_append_serving",
+        "ann_ivf_pq_residual",
+        "ann_ndcg_eval",
+        "ann_rrf_fusion",
+        "chi2_domain_shift",
+        "decontaminate_report",
+        "events_window_agg",
+        "json_extract_typed",
+        "mmr_diverse_topk",
+        "pagerank_centrality",
+        "percentile_by_sector",
+        "pps_sample_docs",
+        "salsa_trade_rank",
+        "sim_topk_ivf_sq8",
+        "skew_salted_join",
+    }
+    assert set(names[k : k + 15]) == r9_stale  # then the stalest cohort
+    window = names[:50]
+    assert all(
+        green_round[n] <= 10 for n in window if n in green_round
+    ), "an r11/r12-fresh name occupies an r13 slot a staler name needs"

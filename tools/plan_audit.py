@@ -38,6 +38,8 @@ CARTESIAN_OK = {
     "month_spine_gapfill",  # |sectors| × 12-row generated month spine
     "sim_topk_brute",  # brute-force baseline: corpus × 10-probe set
     "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
+    "bm25_topk",  # 1-row corpus-stats (n_docs, s_tokens) scalar broadcast
+    #               onto the query-term-filtered posting list (r13)
     "unigram_freq_score",  # 1-row corpus-total scalar broadcast
     "ann_recall_eval",  # brute ground truth (corpus × 10 probes) +
     #                     1-row n_expected scalar broadcast
