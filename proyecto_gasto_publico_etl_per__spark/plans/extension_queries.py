@@ -12,7 +12,7 @@ expression-for-expression:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import (
@@ -1090,11 +1090,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the synthetic corpus vocabulary at every SF
 _BM25_TERMS = ("spark", "hash", "merge")
 
-
-@register(
-    "bm25_topk",
-    f"""
-    WITH {_DOCS_CTE},
+#: BM25 oracle body shared by bm25_topk (inline scoring) and
+#: bm25_serving (persisted inverted-index zone) — the serving twin is
+#: value-identical by the build==inline identity, so one SQL gates both.
+_BM25_SQL = f"""
+    WITH {{docs_cte}},
     words AS (SELECT doc, unnest(toks) AS tok FROM toks),
     w2 AS (SELECT doc, tok FROM words WHERE tok <> ''),
     tf AS (SELECT doc, tok, count(*) AS cnt FROM w2 GROUP BY 1, 2),
@@ -1122,8 +1122,49 @@ _BM25_TERMS = ("spark", "hash", "merge")
       SELECT *, row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rk
       FROM agg
     ) WHERE rk <= 10
-    """,
-)
+    """
+
+
+def _bm25_term_q() -> Column:
+    """The exact-rational BM25 per-term score as a 1e-9-grid long.
+
+    Expects columns cnt (tf), dl, df, n_docs, s_tokens; k1=6/5, b=3/4
+    folded into integer coefficients (see bm25_topk's docstring for the
+    derivation).  Numerator and denominator are each one exact BIGINT,
+    so the single double division is bit-identical across engines."""
+    num = (
+        (2 * (F.col("n_docs") - F.col("df")) + 1)
+        * 22
+        * F.col("cnt")
+        * F.col("s_tokens")
+    ).cast("double")
+    den = (
+        (2 * F.col("df") + 1)
+        * (
+            10 * F.col("s_tokens") * F.col("cnt")
+            + 3 * F.col("s_tokens")
+            + 9 * F.col("dl") * F.col("n_docs")
+        )
+    ).cast("double")
+    return F.floor(num / den * 1000000000 + F.lit(0.5)).cast("long")
+
+
+def _bm25_rank(scored: DataFrame) -> DataFrame:
+    """Per-doc sum of term_q → top-10 (orderBy+limit, then a 10-row
+    rank window) — shared tail of both BM25 entries."""
+    from pyspark.sql import Window
+
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_q").cast("long").alias("bm25_q")
+    )
+    top = agg.orderBy(F.desc("bm25_q"), "doc_id").limit(10)
+    w = Window.orderBy(F.desc("bm25_q"), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "bm25_q", "rk"
+    )
+
+
+@register("bm25_topk", _BM25_SQL.format(docs_cte=_DOCS_CTE))
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents for a fixed 3-term query under BM25 (k1=1.2,
     b=0.75) with the log-free rational idf (the same BM25 idf core as
@@ -1170,34 +1211,78 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
         )
         .crossJoin(F.broadcast(corpus))
+        .withColumn("term_q", _bm25_term_q())
     )
-    num = (
-        (2 * (F.col("n_docs") - F.col("df")) + 1)
-        * 22
-        * F.col("cnt")
-        * F.col("s_tokens")
-    ).cast("double")
-    den = (
-        (2 * F.col("df") + 1)
-        * (
-            10 * F.col("s_tokens") * F.col("cnt")
-            + 3 * F.col("s_tokens")
-            + 9 * F.col("dl") * F.col("n_docs")
-        )
-    ).cast("double")
-    scored = scored.withColumn(
-        "term_q",
-        F.floor(num / den * 1000000000 + F.lit(0.5)).cast("long"),
+    return _bm25_rank(scored)
+
+
+#: per-process inverted-index zones for bm25_serving, keyed by sf_dir
+#: (deliberately not cross-process: regenerated testdata can never be
+#: served from a stale index — the dsir/ann serving-cache discipline)
+_BM25_INDEX_ZONES: dict[str, str] = {}
+
+
+def _bm25_build_index(spark: SparkSession, sf_dir: str) -> str:
+    """One corpus pass → four parquet zones: postings (tok, doc_id,
+    cnt) PARTITIONED BY tok so a query's scan is partition-pruned to
+    its terms' directories, doclen (doc_id, dl), dfreq (tok, df), and
+    the 1-row corpus stats.  Exactly the layout an inverted-index
+    build job would leave in object storage."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bm25_index_") + "/zones"
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(dedup._tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = words.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    ntok = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf.write.partitionBy("tok").parquet(f"{root}/postings")
+    ntok.write.parquet(f"{root}/doclen")
+    tf.groupBy("tok").agg(F.count("*").alias("df")).write.parquet(
+        f"{root}/dfreq"
     )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("term_q").cast("long").alias("bm25_q")
+    ntok.groupBy().agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("s_tokens")
+    ).write.parquet(f"{root}/stats")
+    return root
+
+
+@register("bm25_serving", _BM25_SQL.format(docs_cte=_DOCS_CTE))
+def bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 path production actually repeats: build the inverted
+    index ONCE (first call in a process — the bench's warm run), then
+    every query reads ONLY its terms' postings from the tok-partitioned
+    zone (partition pruning does the inverted-index seek; the scan
+    never touches the corpus), broadcasts the filtered postings onto
+    the doclen zone, and scores with the same exact-rational term math
+    as ``bm25_topk``.  Value-identical to the inline twin because the
+    zones persist exactly the aggregates the inline plan computes
+    (integer counts — nothing lossy in the round trip), so both entries
+    share one oracle, putting index-build == inline-scoring equivalence
+    under the driver's hash gate.  At 100 TB this is the only BM25
+    shape that works: the index build is the one corpus-sized job, and
+    per-query cost is |postings(q)| + a doc-length lookup."""
+    root = _BM25_INDEX_ZONES.get(sf_dir)
+    if root is None:
+        root = _bm25_build_index(spark, sf_dir)
+        _BM25_INDEX_ZONES[sf_dir] = root
+    postings = spark.read.parquet(f"{root}/postings").filter(
+        F.col("tok").isin(*_BM25_TERMS)
     )
-    top = agg.orderBy(F.desc("bm25_q"), "doc_id").limit(10)
-    w = Window.orderBy(F.desc("bm25_q"), "doc_id")
-    return (
-        top.withColumn("rk", F.row_number().over(w))
-        .select("doc_id", "bm25_q", "rk")
+    doclen = spark.read.parquet(f"{root}/doclen")
+    dfreq = spark.read.parquet(f"{root}/dfreq").filter(
+        F.col("tok").isin(*_BM25_TERMS)
     )
+    stats = spark.read.parquet(f"{root}/stats")
+    scored = (
+        F.broadcast(postings)
+        .join(doclen, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_q", _bm25_term_q())
+    )
+    return _bm25_rank(scored)
 
 
 @register(

@@ -230,11 +230,11 @@ def test_r11_window_rotates_in_the_r7_stale_names():
 
 def test_r13_window_front_loads_the_new_queries_then_r9_stale_names():
     """Round 13: with the r12 artifact committed (newest green round ==
-    12) and TWO new declared queries (audio_neardup_pairs — the audio
-    lane's oracle row, r12 verdict task 3 — and bm25_topk, the
-    retrieval-side twin of tfidf_top_terms), the r13 window must lead
-    with the never-green pair, then the 15 r9-era greens — the stalest
-    cohort — and fill the remaining 33 slots with r10 greens only
+    12) and THREE new declared queries (audio_neardup_pairs — the audio
+    lane's oracle row, r12 verdict task 3 — plus the BM25 retrieval
+    pair bm25_topk / bm25_serving), the r13 window must lead with the
+    never-green names, then the 15 r9-era greens — the stalest
+    cohort — and fill the remaining slots with r10 greens only
     (every r11/r12-fresh name rotates outside).  Guarded on the
     artifact state so the test stays valid after later rounds."""
     names = list(entry.queries())
@@ -246,7 +246,11 @@ def test_r13_window_front_loads_the_new_queries_then_r9_stale_names():
     if newest != 12:
         return  # a later round's artifact landed; generic tests cover it
     never = [n for n in names if n not in green_round]
-    assert {"audio_neardup_pairs", "bm25_topk"} <= set(never)
+    assert {
+        "audio_neardup_pairs",
+        "bm25_topk",
+        "bm25_serving",
+    } <= set(never)
     k = len(never)
     assert set(names[:k]) == set(never)  # never-green sorts first
     r9_stale = {

@@ -1913,3 +1913,29 @@ def test_token_distribution_deterministic_tie_cut(spark):
         r["tok"] for r in textstats.token_distribution(df, top_v=2).collect()
     )
     assert out == ["aa", "bb"]
+
+
+def test_bm25_serving_equals_inline_and_prunes_partitions(spark):
+    """bm25_serving must (a) return value-identical rows to bm25_topk
+    (the build==inline identity both entries' shared oracle rests on)
+    and (b) read the postings zone through a tok partition filter —
+    the inverted-index seek, not a corpus scan."""
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        _BM25_TERMS,
+        bm25_serving,
+        bm25_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inline = {tuple(r) for r in bm25_topk(spark, sf).collect()}
+    serving_df = bm25_serving(spark, sf)
+    served = {tuple(r) for r in serving_df.collect()}
+    assert served == inline and len(served) == 10
+
+    plan = serving_df._jdf.queryExecution().executedPlan().toString()
+    # the postings scan must carry the tok IN (...) partition filter
+    start = plan.index("zones/postings")
+    window = plan[start : start + 600]
+    assert "PartitionFilters: [" in window
+    pf = window.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert all(t in pf for t in _BM25_TERMS)

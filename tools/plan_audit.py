@@ -40,6 +40,8 @@ CARTESIAN_OK = {
     "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
     "bm25_topk",  # 1-row corpus-stats (n_docs, s_tokens) scalar broadcast
     #               onto the query-term-filtered posting list (r13)
+    "bm25_serving",  # same 1-row stats scalar, read from the persisted
+    #                  index zone (r13)
     "unigram_freq_score",  # 1-row corpus-total scalar broadcast
     "ann_recall_eval",  # brute ground truth (corpus × 10 probes) +
     #                     1-row n_expected scalar broadcast
