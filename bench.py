@@ -126,6 +126,14 @@ EXTENSIONS = (
     # ubiquitous-frame cap)
     "neardup_hamming_pairs",
     "video_neardup_pairs",
+    # round 13 additions (baseline starts at r13): the audio lane's
+    # capped LSH pair stage and the BM25 retrieval pair — bm25_topk
+    # rescans the corpus by design (rebuild), bm25_serving reads the
+    # persisted tok-partitioned index zone (serving; build is the warm
+    # run, like the other serving splits)
+    "audio_neardup_pairs",
+    "bm25_topk",
+    "bm25_serving",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension
@@ -145,6 +153,7 @@ REBUILD_LANE = frozenset(
         "ann_rrf_fusion",
         "pagerank_centrality",
         "salsa_trade_rank",
+        "bm25_topk",  # inline twin: full corpus tokenize+agg per run
     }
 )
 
