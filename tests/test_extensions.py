@@ -1939,3 +1939,84 @@ def test_bm25_serving_equals_inline_and_prunes_partitions(spark):
     assert "PartitionFilters: [" in window
     pf = window.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert all(t in pf for t in _BM25_TERMS)
+
+
+def test_bm25_matches_python_reference_property(spark, tmp_path):
+    """End-to-end BM25 pin against an independent pure-python reference:
+    random mini-corpora (vocab includes the fixed query terms) written
+    as a documents.parquet zone, then bm25_topk's top-10 must equal the
+    reference's — same rational idf (2(N-df)+1)/(2df+1), same k1=6/5 /
+    b=3/4 folded to the integer coefficients, per-term scores quantized
+    to 1e-9-grid longs before the per-doc sum (Python float division is
+    the same IEEE double the engines use, so the pin is exact, not
+    approximate)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        _BM25_TERMS,
+        bm25_topk,
+    )
+
+    vocab = list(_BM25_TERMS) + ["agg", "row", "scan", "table", "value"]
+
+    def reference_topk(texts):
+        toks = {i: t.split() for i, t in enumerate(texts) if t.split()}
+        dl = {i: len(ws) for i, ws in toks.items()}
+        n_docs, s_tokens = len(toks), sum(dl.values())
+        df = {}
+        for ws in toks.values():
+            for w in set(ws):
+                df[w] = df.get(w, 0) + 1
+        scores = {}
+        for i, ws in toks.items():
+            total = 0
+            for term in _BM25_TERMS:
+                cnt = ws.count(term)
+                if cnt == 0:
+                    continue
+                num = (2 * (n_docs - df[term]) + 1) * 22 * cnt * s_tokens
+                den = (2 * df[term] + 1) * (
+                    10 * s_tokens * cnt + 3 * s_tokens + 9 * dl[i] * n_docs
+                )
+                total += math.floor(num / den * 1000000000 + 0.5)
+            if total:
+                scores[i] = total
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [
+            (doc_id, sc, rk + 1)
+            for rk, (doc_id, sc) in enumerate(ranked[:10])
+        ]
+
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=30),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def run(docs):
+        texts = [" ".join(ws) for ws in docs]
+        counter[0] += 1
+        zone = tmp_path / f"corpus_{counter[0]}"
+        zone.mkdir()
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id LONG, text STRING",
+        ).coalesce(1).write.parquet(str(zone / "documents.parquet"))
+        got = sorted(
+            (r.doc_id, r.bm25_q, r.rk)
+            for r in bm25_topk(spark, str(zone)).collect()
+        )
+        assert got == sorted(reference_topk(texts))
+
+    run()
