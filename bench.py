@@ -134,6 +134,7 @@ EXTENSIONS = (
     "audio_neardup_pairs",
     "bm25_topk",
     "bm25_serving",
+    "bm25_append_serving",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

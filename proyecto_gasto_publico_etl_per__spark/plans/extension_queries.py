@@ -1222,16 +1222,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_INDEX_ZONES: dict[str, str] = {}
 
 
-def _bm25_build_index(spark: SparkSession, sf_dir: str) -> str:
-    """One corpus pass → four parquet zones: postings (tok, doc_id,
-    cnt) PARTITIONED BY tok so a query's scan is partition-pruned to
-    its terms' directories, doclen (doc_id, dl), dfreq (tok, df), and
-    the 1-row corpus stats.  Exactly the layout an inverted-index
-    build job would leave in object storage."""
+def _bm25_build_index(spark: SparkSession, docs: DataFrame) -> str:
+    """One pass over ``docs`` → four parquet zones: postings (tok,
+    doc_id, cnt) PARTITIONED BY tok so a query's scan is
+    partition-pruned to its terms' directories, doclen (doc_id, dl),
+    dfreq (tok, df), and the 1-row corpus stats.  Exactly the layout an
+    inverted-index build job would leave in object storage.  Every zone
+    holds associative integer aggregates, so zones built over disjoint
+    doc subsets merge exactly (the append path's foundation)."""
     import tempfile
 
     root = tempfile.mkdtemp(prefix="bm25_index_") + "/zones"
-    docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(dedup._tokens("text")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -1265,7 +1266,9 @@ def bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query cost is |postings(q)| + a doc-length lookup."""
     root = _BM25_INDEX_ZONES.get(sf_dir)
     if root is None:
-        root = _bm25_build_index(spark, sf_dir)
+        root = _bm25_build_index(
+            spark, load_table(spark, sf_dir, "documents")
+        )
         _BM25_INDEX_ZONES[sf_dir] = root
     postings = spark.read.parquet(f"{root}/postings").filter(
         F.col("tok").isin(*_BM25_TERMS)
@@ -1275,6 +1278,63 @@ def bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").isin(*_BM25_TERMS)
     )
     stats = spark.read.parquet(f"{root}/stats")
+    scored = (
+        F.broadcast(postings)
+        .join(doclen, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_q", _bm25_term_q())
+    )
+    return _bm25_rank(scored)
+
+
+#: per-process (base, delta) zone pair for bm25_append_serving
+_BM25_APPEND_ZONES: dict[str, tuple[str, str]] = {}
+
+
+@register("bm25_append_serving", _BM25_SQL.format(docs_cte=_DOCS_CTE))
+def bm25_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance without rebuild: a 10% document delta
+    (doc_id % 10 == 7) is indexed into its OWN zone set and served
+    ALONGSIDE the base index — postings and doclen scan both roots,
+    dfreq re-sums per term, and the corpus stats add.  Because every
+    zone holds associative integer aggregates over disjoint doc
+    subsets, the merged view is EXACTLY the full rebuild's aggregates,
+    so this entry shares the inline twin's oracle: append-maintained ==
+    rebuilt, under the driver's hash gate (the ann_append_serving
+    contract applied to the text-retrieval lane).  At 100 TB this is
+    the shape that makes a living index affordable: each ingest batch
+    writes one delta zone (tok-partitioned, so per-query pruning still
+    applies across all roots) and a periodic compaction folds deltas
+    into the base — queries never wait for a corpus-sized job."""
+    roots = _BM25_APPEND_ZONES.get(sf_dir)
+    if roots is None:
+        docs = load_table(spark, sf_dir, "documents")
+        is_delta = F.col("doc_id") % 10 == F.lit(7)
+        roots = (
+            _bm25_build_index(spark, docs.where(~is_delta)),
+            _bm25_build_index(spark, docs.where(is_delta)),
+        )
+        _BM25_APPEND_ZONES[sf_dir] = roots
+    base, delta = roots
+    # tok-partitioned roots live in unrelated directories, so partition
+    # discovery must run per root (one multi-path read would try to
+    # infer a single directory structure and fail) — each branch still
+    # gets its own tok partition filter
+    postings = spark.read.parquet(f"{base}/postings").unionByName(
+        spark.read.parquet(f"{delta}/postings")
+    ).filter(F.col("tok").isin(*_BM25_TERMS))
+    doclen = spark.read.parquet(f"{base}/doclen", f"{delta}/doclen")
+    dfreq = (
+        spark.read.parquet(f"{base}/dfreq", f"{delta}/dfreq")
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = spark.read.parquet(f"{base}/stats", f"{delta}/stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("s_tokens").alias("s_tokens"),
+    )
     scored = (
         F.broadcast(postings)
         .join(doclen, "doc_id")

@@ -2020,3 +2020,34 @@ def test_bm25_matches_python_reference_property(spark, tmp_path):
         assert got == sorted(reference_topk(texts))
 
     run()
+
+
+def test_bm25_append_serving_equals_rebuild_and_prunes_both_roots(spark):
+    """The append contract: serving over base+delta zones must equal
+    the full-rebuild serving rows exactly (associative integer zones
+    over disjoint doc subsets), and BOTH postings scans must carry the
+    tok partition filter — pruning survives the union."""
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        _BM25_TERMS,
+        bm25_append_serving,
+        bm25_serving,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rebuilt = {tuple(r) for r in bm25_serving(spark, sf).collect()}
+    appended_df = bm25_append_serving(spark, sf)
+    appended = {tuple(r) for r in appended_df.collect()}
+    assert appended == rebuilt and len(appended) == 10
+
+    plan = appended_df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        seg
+        for seg in plan.split("FileScan parquet ")
+        if "zones/postings" in seg.split("\n", 1)[0][:600]
+    ]
+    # ≥2 (base + delta); the printer may repeat subtrees under reused
+    # broadcast stages / dynamic-pruning subqueries
+    assert len(scans) >= 2, "expected base and delta postings scans"
+    for seg in scans:
+        pf = seg.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert all(t in pf for t in _BM25_TERMS)

@@ -42,6 +42,8 @@ CARTESIAN_OK = {
     #               onto the query-term-filtered posting list (r13)
     "bm25_serving",  # same 1-row stats scalar, read from the persisted
     #                  index zone (r13)
+    "bm25_append_serving",  # same 1-row stats scalar, summed across the
+    #                         base+delta zone pair (r13)
     "unigram_freq_score",  # 1-row corpus-total scalar broadcast
     "ann_recall_eval",  # brute ground truth (corpus × 10 probes) +
     #                     1-row n_expected scalar broadcast
