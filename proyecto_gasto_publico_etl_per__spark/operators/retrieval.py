@@ -1,0 +1,156 @@
+"""Inverted-index BM25 retrieval: zone build, N-root serving, exact
+rational scoring.
+
+The index layout is four parquet zones per build root —
+
+- ``postings``  (tok, doc_id, cnt)  PARTITIONED BY tok, so a query's
+  scan is partition-pruned to its terms' directories (the
+  inverted-index seek);
+- ``doclen``    (doc_id, dl);
+- ``dfreq``     (tok, df);
+- ``stats``     one row (n_docs, s_tokens).
+
+Every zone holds associative integer aggregates, so zones built over
+DISJOINT document subsets merge exactly: postings/doclen union, dfreq
+re-sums per term, stats add.  That associativity is what makes both
+the append path (`plans.extension_queries.bm25_append_serving`) and
+the streaming at-ingest path (`streaming.incremental.bm25_index_
+ingest`) value-identical to a full rebuild — contracts the test suite
+and the driver's oracle gate both pin.
+
+Scoring is BM25 with k1=6/5, b=3/4 and the log-free rational idf
+idf = (N - df + ½)/(df + ½) (the BM25 idf core without the log; see
+``plans.extension_queries.bm25_topk`` for the derivation).  With
+rational knobs each per-term score is one exact-BIGINT numerator over
+one exact-BIGINT denominator; the single double division quantizes to
+a 1e-9-grid long BEFORE the per-doc sum, so scores are engine- and
+partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup
+
+
+def bm25_term_q() -> Column:
+    """The exact-rational BM25 per-term score as a 1e-9-grid long.
+
+    Expects columns cnt (tf), dl, df, n_docs, s_tokens; k1=6/5 and
+    b=3/4 folded into integer coefficients:
+
+        (2(N-df)+1) · 22 · tf · S
+        --------------------------------------------
+        (2df+1) · (10·S·tf + 3·S + 9·dl·N)
+
+    Numerator and denominator are each one exact BIGINT, so the single
+    double division is bit-identical across engines."""
+    num = (
+        (2 * (F.col("n_docs") - F.col("df")) + 1)
+        * 22
+        * F.col("cnt")
+        * F.col("s_tokens")
+    ).cast("double")
+    den = (
+        (2 * F.col("df") + 1)
+        * (
+            10 * F.col("s_tokens") * F.col("cnt")
+            + 3 * F.col("s_tokens")
+            + 9 * F.col("dl") * F.col("n_docs")
+        )
+    ).cast("double")
+    return F.floor(num / den * 1000000000 + F.lit(0.5)).cast("long")
+
+
+def build_bm25_index(
+    spark: SparkSession, docs: DataFrame, root: str | None = None
+) -> str:
+    """One pass over ``docs`` (doc_id, text) → the four zones under
+    ``root`` (a fresh tempdir when None).  Returns the root.
+
+    Writes are plain parquet saves (mode default = errorifexists for a
+    fresh root); streaming callers that replay an epoch pass an
+    epoch-scoped root and overwrite it (`bm25_index_ingest`)."""
+    import tempfile
+
+    if root is None:
+        root = tempfile.mkdtemp(prefix="bm25_index_") + "/zones"
+        mode = "errorifexists"
+    else:
+        # epoch-scoped root: at-least-once replays rewrite in place
+        mode = "overwrite"
+    words = docs.select(
+        "doc_id", F.explode(dedup._tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = words.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    ntok = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf.write.mode(mode).partitionBy("tok").parquet(f"{root}/postings")
+    ntok.write.mode(mode).parquet(f"{root}/doclen")
+    tf.groupBy("tok").agg(F.count("*").alias("df")).write.mode(
+        mode
+    ).parquet(f"{root}/dfreq")
+    ntok.groupBy().agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("s_tokens")
+    ).write.mode(mode).parquet(f"{root}/stats")
+    return root
+
+
+def bm25_serve(
+    spark: SparkSession,
+    roots: Sequence[str],
+    terms: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` (doc_id, bm25_q, rk) for ``terms`` over the merged
+    view of one or more index roots built on DISJOINT doc subsets.
+
+    Per root, the postings read keeps its own tok partition filter
+    (roots live in unrelated directories, so partition discovery runs
+    per root — one multi-path read would fail on conflicting
+    structures).  dfreq re-sums per term and the 1-row stats add, which
+    is exactly the full rebuild's aggregates by associativity.  The
+    filtered postings side broadcasts onto the doclen union; top-k is
+    orderBy+limit (TakeOrderedAndProject), then the rank window runs
+    over k rows."""
+    from pyspark.sql import Window
+
+    if not roots:
+        raise ValueError("bm25_serve: need at least one index root")
+
+    def _union(sub: str) -> DataFrame:
+        out = spark.read.parquet(f"{roots[0]}/{sub}")
+        for r in roots[1:]:
+            out = out.unionByName(spark.read.parquet(f"{r}/{sub}"))
+        return out
+
+    postings = _union("postings").filter(F.col("tok").isin(*terms))
+    doclen = _union("doclen")
+    dfreq = (
+        _union("dfreq")
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = _union("stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("s_tokens").alias("s_tokens"),
+    )
+    scored = (
+        F.broadcast(postings)
+        .join(doclen, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_q", bm25_term_q())
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_q").cast("long").alias("bm25_q")
+    )
+    top = agg.orderBy(F.desc("bm25_q"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("bm25_q"), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "bm25_q", "rk"
+    )

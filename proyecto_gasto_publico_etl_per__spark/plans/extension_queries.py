@@ -19,6 +19,7 @@ from ..operators import (
     chunking,
     dedup,
     multimodal,
+    retrieval,
     sampling,
     similarity,
     textstats,
@@ -1126,27 +1127,10 @@ _BM25_SQL = f"""
 
 
 def _bm25_term_q() -> Column:
-    """The exact-rational BM25 per-term score as a 1e-9-grid long.
-
-    Expects columns cnt (tf), dl, df, n_docs, s_tokens; k1=6/5, b=3/4
-    folded into integer coefficients (see bm25_topk's docstring for the
-    derivation).  Numerator and denominator are each one exact BIGINT,
-    so the single double division is bit-identical across engines."""
-    num = (
-        (2 * (F.col("n_docs") - F.col("df")) + 1)
-        * 22
-        * F.col("cnt")
-        * F.col("s_tokens")
-    ).cast("double")
-    den = (
-        (2 * F.col("df") + 1)
-        * (
-            10 * F.col("s_tokens") * F.col("cnt")
-            + 3 * F.col("s_tokens")
-            + 9 * F.col("dl") * F.col("n_docs")
-        )
-    ).cast("double")
-    return F.floor(num / den * 1000000000 + F.lit(0.5)).cast("long")
+    """Delegates to ``operators.retrieval.bm25_term_q`` (the shared
+    exact-rational scoring expression; see bm25_topk's docstring for
+    the derivation)."""
+    return retrieval.bm25_term_q()
 
 
 def _bm25_rank(scored: DataFrame) -> DataFrame:
@@ -1223,30 +1207,11 @@ _BM25_INDEX_ZONES: dict[str, str] = {}
 
 
 def _bm25_build_index(spark: SparkSession, docs: DataFrame) -> str:
-    """One pass over ``docs`` → four parquet zones: postings (tok,
-    doc_id, cnt) PARTITIONED BY tok so a query's scan is
-    partition-pruned to its terms' directories, doclen (doc_id, dl),
-    dfreq (tok, df), and the 1-row corpus stats.  Exactly the layout an
-    inverted-index build job would leave in object storage.  Every zone
-    holds associative integer aggregates, so zones built over disjoint
-    doc subsets merge exactly (the append path's foundation)."""
-    import tempfile
-
-    root = tempfile.mkdtemp(prefix="bm25_index_") + "/zones"
-    words = docs.select(
-        "doc_id", F.explode(dedup._tokens("text")).alias("tok")
-    ).filter(F.col("tok") != "")
-    tf = words.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
-    ntok = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf.write.partitionBy("tok").parquet(f"{root}/postings")
-    ntok.write.parquet(f"{root}/doclen")
-    tf.groupBy("tok").agg(F.count("*").alias("df")).write.parquet(
-        f"{root}/dfreq"
-    )
-    ntok.groupBy().agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("s_tokens")
-    ).write.parquet(f"{root}/stats")
-    return root
+    """Delegates to ``operators.retrieval.build_bm25_index`` (fresh
+    tempdir root): one pass over ``docs`` → postings PARTITIONED BY
+    tok + doclen/dfreq/stats zones, the layout an inverted-index build
+    job would leave in object storage."""
+    return retrieval.build_bm25_index(spark, docs)
 
 
 @register("bm25_serving", _BM25_SQL.format(docs_cte=_DOCS_CTE))
@@ -1270,22 +1235,7 @@ def bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, load_table(spark, sf_dir, "documents")
         )
         _BM25_INDEX_ZONES[sf_dir] = root
-    postings = spark.read.parquet(f"{root}/postings").filter(
-        F.col("tok").isin(*_BM25_TERMS)
-    )
-    doclen = spark.read.parquet(f"{root}/doclen")
-    dfreq = spark.read.parquet(f"{root}/dfreq").filter(
-        F.col("tok").isin(*_BM25_TERMS)
-    )
-    stats = spark.read.parquet(f"{root}/stats")
-    scored = (
-        F.broadcast(postings)
-        .join(doclen, "doc_id")
-        .join(F.broadcast(dfreq), "tok")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("term_q", _bm25_term_q())
-    )
-    return _bm25_rank(scored)
+    return retrieval.bm25_serve(spark, [root], _BM25_TERMS)
 
 
 #: per-process (base, delta) zone pair for bm25_append_serving
@@ -1317,32 +1267,7 @@ def bm25_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _BM25_APPEND_ZONES[sf_dir] = roots
     base, delta = roots
-    # tok-partitioned roots live in unrelated directories, so partition
-    # discovery must run per root (one multi-path read would try to
-    # infer a single directory structure and fail) — each branch still
-    # gets its own tok partition filter
-    postings = spark.read.parquet(f"{base}/postings").unionByName(
-        spark.read.parquet(f"{delta}/postings")
-    ).filter(F.col("tok").isin(*_BM25_TERMS))
-    doclen = spark.read.parquet(f"{base}/doclen", f"{delta}/doclen")
-    dfreq = (
-        spark.read.parquet(f"{base}/dfreq", f"{delta}/dfreq")
-        .filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("tok")
-        .agg(F.sum("df").alias("df"))
-    )
-    stats = spark.read.parquet(f"{base}/stats", f"{delta}/stats").agg(
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("s_tokens").alias("s_tokens"),
-    )
-    scored = (
-        F.broadcast(postings)
-        .join(doclen, "doc_id")
-        .join(F.broadcast(dfreq), "tok")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("term_q", _bm25_term_q())
-    )
-    return _bm25_rank(scored)
+    return retrieval.bm25_serve(spark, [base, delta], _BM25_TERMS)
 
 
 @register(

@@ -477,3 +477,48 @@ def streaming_drift_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bm25_index_ingest(
+    stream: DataFrame,
+    zones_dir: str,
+    checkpoint_dir: str,
+):
+    """Living inverted-index maintenance at the ingest door: every
+    arriving micro-batch of documents (doc_id, text) is indexed into
+    its OWN epoch-scoped zone set under ``zones_dir/epoch=<id>`` —
+    postings PARTITIONED BY tok, doclen, dfreq, and the 1-row corpus
+    stats (`operators.retrieval.build_bm25_index`).
+
+    Because every zone holds associative integer aggregates and a
+    file-source epoch owns a disjoint set of documents, serving over
+    ALL epoch roots (`retrieval.bm25_serve`) reproduces a full batch
+    rebuild EXACTLY — the same associativity contract
+    ``bm25_append_serving`` puts under the driver's hash gate, here
+    proven streamed==batch by test.  At-least-once replays rewrite
+    their epoch's zones in place (per-epoch OVERWRITE), so a retried
+    batch cannot double-count.
+
+    Cost per batch is O(batch tokens) — the index build never touches
+    previously ingested epochs; a periodic compaction job can fold
+    epoch roots into one (zone-level unions + re-sums, no re-tokenize).
+
+    Returns the started StreamingQuery (AvailableNow trigger).
+    """
+    from ..operators.retrieval import build_bm25_index
+
+    def index(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_bm25_index(
+            batch_df.sparkSession,
+            batch_df,
+            root=f"{zones_dir}/epoch={epoch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(index)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -786,3 +786,70 @@ def test_streaming_drift_monitor_equals_batch_twin(spark, tmp_path):
     # file order == epoch order under maxFilesPerTrigger=1 (batch1 first)
     assert got == expected
     assert got[1][1] > 10 * got[0][1]  # shifted batch spikes the score
+
+
+def test_bm25_index_ingest_streamed_equals_batch(spark, tmp_path):
+    """At-ingest inverted-index maintenance: three source files → three
+    micro-batch epoch zone sets; serving over ALL epoch roots must
+    equal serving over one batch-built index of the whole corpus (the
+    associative-zone contract, streamed edition), and a checkpointed
+    re-run must add no epochs (idempotent replay)."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+    )
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        _BM25_TERMS,
+    )
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        bm25_index_ingest,
+    )
+
+    schema = "doc_id LONG, text STRING"
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, "spark hash merge spark table"), (2, "hash value row scan")],
+        [(3, "merge merge spark"), (4, "table value agg"), (5, "")],
+        [(6, "spark spark spark hash merge hash")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"batch{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    zones = tmp_path / "zones"
+    q = bm25_index_ingest(stream, str(zones), str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    roots = sorted(str(p) for p in zones.glob("epoch=*"))
+    assert len(roots) == 3  # one zone set per micro-batch
+
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    batch_root = build_bm25_index(spark, all_docs)
+    streamed = {
+        tuple(r)
+        for r in bm25_serve(spark, roots, _BM25_TERMS).collect()
+    }
+    rebuilt = {
+        tuple(r)
+        for r in bm25_serve(spark, [batch_root], _BM25_TERMS).collect()
+    }
+    assert streamed == rebuilt and len(streamed) == 4  # docs 4, 5 unmatched
+
+    # idempotent replay: same checkpoint, no new epochs
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q2 = bm25_index_ingest(stream2, str(zones), str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert sorted(str(p) for p in zones.glob("epoch=*")) == roots
