@@ -154,3 +154,45 @@ def bm25_serve(
     return top.withColumn("rk", F.row_number().over(w)).select(
         "doc_id", "bm25_q", "rk"
     )
+
+
+def compact_bm25_index(
+    spark: SparkSession, roots: Sequence[str], out_root: str
+) -> str:
+    """Fold many zone roots (append deltas, streaming epochs) into ONE
+    — zone-level unions and re-sums only, never a re-tokenize:
+    postings and dfreq re-sum per key across roots (a doc split across
+    roots would double-count otherwise — inputs must be disjoint-doc
+    roots, which both producers guarantee), doclen unions, stats add.
+    Serving over the compacted root equals serving over the inputs by
+    the same associativity the producers rely on; at scale this is the
+    periodic job that keeps the per-query root fan-in (and file count)
+    bounded while ingest keeps appending epochs."""
+    if not roots:
+        raise ValueError("compact_bm25_index: need at least one root")
+
+    def _union(sub: str) -> DataFrame:
+        out = spark.read.parquet(f"{roots[0]}/{sub}")
+        for r in roots[1:]:
+            out = out.unionByName(spark.read.parquet(f"{r}/{sub}"))
+        return out
+
+    (
+        _union("postings")
+        .groupBy("doc_id", "tok")
+        .agg(F.sum("cnt").alias("cnt"))
+        .write.mode("overwrite")
+        .partitionBy("tok")
+        .parquet(f"{out_root}/postings")
+    )
+    _union("doclen").groupBy("doc_id").agg(
+        F.sum("dl").alias("dl")
+    ).write.mode("overwrite").parquet(f"{out_root}/doclen")
+    _union("dfreq").groupBy("tok").agg(F.sum("df").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_root}/dfreq")
+    _union("stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("s_tokens").alias("s_tokens"),
+    ).write.mode("overwrite").parquet(f"{out_root}/stats")
+    return out_root

@@ -853,3 +853,38 @@ def test_bm25_index_ingest_streamed_equals_batch(spark, tmp_path):
     q2 = bm25_index_ingest(stream2, str(zones), str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     assert sorted(str(p) for p in zones.glob("epoch=*")) == roots
+
+
+def test_bm25_compaction_preserves_serving(spark, tmp_path):
+    """Folding epoch/delta roots into one compacted root (zone-level
+    re-sums, no re-tokenize) must not change serving output."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        _BM25_TERMS,
+    )
+
+    schema = "doc_id LONG, text STRING"
+    parts = [
+        [(1, "spark hash merge spark table"), (2, "hash value row scan")],
+        [(3, "merge merge spark"), (4, "table value agg")],
+        [(6, "spark spark spark hash merge hash")],
+    ]
+    roots = [
+        build_bm25_index(spark, spark.createDataFrame(rows, schema))
+        for rows in parts
+    ]
+    compacted = compact_bm25_index(
+        spark, roots, str(tmp_path / "compacted")
+    )
+    multi = {
+        tuple(r) for r in bm25_serve(spark, roots, _BM25_TERMS).collect()
+    }
+    single = {
+        tuple(r)
+        for r in bm25_serve(spark, [compacted], _BM25_TERMS).collect()
+    }
+    assert single == multi and len(single) == 4
