@@ -3,10 +3,18 @@ rational scoring.
 
 The index layout is four parquet zones per build root —
 
-- ``postings``  (tok, doc_id, cnt)  PARTITIONED BY tok, so a query's
-  scan is partition-pruned to its terms' directories (the
-  inverted-index seek);
-- ``doclen``    (doc_id, dl);
+- ``postings``  (tok, doc_id, cnt, dl)  PARTITIONED BY ``tok_bucket =
+  crc32(tok) % N_TOK_BUCKETS``, one file per bucket, so a query's scan
+  is partition-pruned to its terms' bucket directories and the exact
+  ``tok IN (...)`` predicate pushes into parquet row groups (the
+  inverted-index seek).  Bucketing — not directory-per-term — keeps
+  the partition count CONSTANT under vocabulary and corpus growth
+  (a web-scale vocab would otherwise mean millions of directories and
+  a driver-side listing bill that grows with the corpus; the r13
+  ladder measured exactly that with a per-term layout).  dl is
+  denormalized into the entry (the norms-in-postings layout) so
+  scoring never joins a corpus-sized zone;
+- ``doclen``    (doc_id, dl) — per-doc stats consumers / compaction;
 - ``dfreq``     (tok, df);
 - ``stats``     one row (n_docs, s_tokens).
 
@@ -35,6 +43,18 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup
+
+#: posting-zone partition fan-out — constant under vocab/corpus growth
+N_TOK_BUCKETS = 64
+
+
+def tok_bucket_of(term: str) -> int:
+    """Python twin of the zone's bucket key expression
+    ``pmod(crc32(tok), N_TOK_BUCKETS)`` — zlib.crc32 is the same
+    CRC-32 Spark's crc32() computes, and both are non-negative."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % N_TOK_BUCKETS
 
 
 def bm25_term_q() -> Column:
@@ -88,7 +108,24 @@ def build_bm25_index(
     ).filter(F.col("tok") != "")
     tf = words.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
     ntok = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf.write.mode(mode).partitionBy("tok").parquet(f"{root}/postings")
+    # denormalize dl INTO the posting entry (the classic norms-in-
+    # postings layout): scoring then never joins the corpus-sized
+    # doclen zone — a query's cost is |postings(q)| alone (SCALE.md
+    # r13 BM25 ladder).  The doc_id join is co-partitioned (both sides
+    # hash off the same explode), and the doclen zone is still written
+    # for per-doc stats consumers and compaction.  repartition on the
+    # bucket key → one file per bucket directory, so the whole zone is
+    # N_TOK_BUCKETS files no matter the corpus.
+    (
+        tf.join(ntok, "doc_id")
+        .withColumn(
+            "tok_bucket", F.pmod(F.crc32(F.col("tok")), N_TOK_BUCKETS)
+        )
+        .repartition(F.col("tok_bucket"))
+        .write.mode(mode)
+        .partitionBy("tok_bucket")
+        .parquet(f"{root}/postings")
+    )
     ntok.write.mode(mode).parquet(f"{root}/doclen")
     tf.groupBy("tok").agg(F.count("*").alias("df")).write.mode(
         mode
@@ -108,14 +145,14 @@ def bm25_serve(
     """Top-``k`` (doc_id, bm25_q, rk) for ``terms`` over the merged
     view of one or more index roots built on DISJOINT doc subsets.
 
-    Per root, the postings read keeps its own tok partition filter
-    (roots live in unrelated directories, so partition discovery runs
-    per root — one multi-path read would fail on conflicting
-    structures).  dfreq re-sums per term and the 1-row stats add, which
-    is exactly the full rebuild's aggregates by associativity.  The
-    filtered postings side broadcasts onto the doclen union; top-k is
-    orderBy+limit (TakeOrderedAndProject), then the rank window runs
-    over k rows."""
+    Per root, the postings read keeps its own tok_bucket partition
+    filter plus the pushed ``tok IN (...)`` row-group predicate (roots
+    live in unrelated directories, so partition discovery runs per
+    root — one multi-path read would fail on conflicting structures).  dfreq re-sums per term and the 1-row stats add, which
+    is exactly the full rebuild's aggregates by associativity.  dl
+    rides in the posting entry, so the query touches nothing
+    corpus-sized; top-k is orderBy+limit (TakeOrderedAndProject), then
+    the rank window runs over k rows."""
     from pyspark.sql import Window
 
     if not roots:
@@ -127,8 +164,10 @@ def bm25_serve(
             out = out.unionByName(spark.read.parquet(f"{r}/{sub}"))
         return out
 
-    postings = _union("postings").filter(F.col("tok").isin(*terms))
-    doclen = _union("doclen")
+    buckets = sorted({tok_bucket_of(t) for t in terms})
+    postings = _union("postings").filter(
+        F.col("tok_bucket").isin(*buckets) & F.col("tok").isin(*terms)
+    )
     dfreq = (
         _union("dfreq")
         .filter(F.col("tok").isin(*terms))
@@ -139,10 +178,10 @@ def bm25_serve(
         F.sum("n_docs").alias("n_docs"),
         F.sum("s_tokens").alias("s_tokens"),
     )
+    # dl rides in the posting entry, so nothing corpus-sized is read:
+    # the plan is postings(q) ⋈ broadcast(dfreq) × broadcast(stats)
     scored = (
-        F.broadcast(postings)
-        .join(doclen, "doc_id")
-        .join(F.broadcast(dfreq), "tok")
+        postings.join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(stats))
         .withColumn("term_q", bm25_term_q())
     )
@@ -179,10 +218,14 @@ def compact_bm25_index(
 
     (
         _union("postings")
-        .groupBy("doc_id", "tok")
-        .agg(F.sum("cnt").alias("cnt"))
+        .groupBy("doc_id", "tok", "tok_bucket")
+        # disjoint-doc roots: each (doc_id, tok) lives in exactly one
+        # root, so sum(cnt) == cnt and max(dl) == dl — the aggregate is
+        # a concatenation, written here as re-sums for shape uniformity
+        .agg(F.sum("cnt").alias("cnt"), F.max("dl").alias("dl"))
+        .repartition(F.col("tok_bucket"))
         .write.mode("overwrite")
-        .partitionBy("tok")
+        .partitionBy("tok_bucket")
         .parquet(f"{out_root}/postings")
     )
     _union("doclen").groupBy("doc_id").agg(

@@ -1933,12 +1933,20 @@ def test_bm25_serving_equals_inline_and_prunes_partitions(spark):
     assert served == inline and len(served) == 10
 
     plan = serving_df._jdf.queryExecution().executedPlan().toString()
-    # the postings scan must carry the tok IN (...) partition filter
+    # the postings scan must carry the tok_bucket partition filter (the
+    # bounded-directory inverted-index seek) AND push the exact tok
+    # predicate into the parquet row groups
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        tok_bucket_of,
+    )
+
     start = plan.index("zones/postings")
-    window = plan[start : start + 600]
-    assert "PartitionFilters: [" in window
+    window = plan[start : start + 800]
     pf = window.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-    assert all(t in pf for t in _BM25_TERMS)
+    assert "tok_bucket" in pf
+    assert all(str(tok_bucket_of(t)) in pf for t in _BM25_TERMS)
+    pushed = window.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "In(tok" in pushed
 
 
 def test_bm25_matches_python_reference_property(spark, tmp_path):
@@ -2050,4 +2058,6 @@ def test_bm25_append_serving_equals_rebuild_and_prunes_both_roots(spark):
     assert len(scans) >= 2, "expected base and delta postings scans"
     for seg in scans:
         pf = seg.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-        assert all(t in pf for t in _BM25_TERMS)
+        assert "tok_bucket" in pf
+        pushed = seg.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "In(tok" in pushed
