@@ -36,6 +36,32 @@ def _warn_cross_modality(media: str, *flags) -> None:
             )
 
 
+def _text_index_roots(index_dir: str) -> list[str]:
+    """base + delta=N zone roots of a text index dir, deltas in append
+    order; a bare zone root (postings/ present, no base/) serves as-is
+    — so `text-search` also works directly on a compacted out_dir."""
+    import os
+    import re
+
+    if os.path.isdir(f"{index_dir}/postings"):
+        return [index_dir]
+    roots = []
+    if os.path.isdir(f"{index_dir}/base"):
+        roots.append(f"{index_dir}/base")
+    deltas = sorted(
+        int(m.group(1))
+        for name in os.listdir(index_dir)
+        if (m := re.fullmatch(r"delta=(\d+)", name))
+    )
+    roots += [f"{index_dir}/delta={n}" for n in deltas]
+    if not roots:
+        raise SystemExit(
+            f"{index_dir}: no text index here (expected base/, "
+            "delta=N/, or a bare zone root with postings/)"
+        )
+    return roots
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(prog="gasto-engine")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -194,6 +220,45 @@ def main(argv: list[str] | None = None) -> None:
              "ladder instead of --nprobe (write the ladder with "
              "tools/ann_knob_sweep.py --write-manifest)",
     )
+
+    tib = sub.add_parser(
+        "text-index-build",
+        help="build the persisted BM25 inverted index over a documents "
+             "parquet (doc_id, text): tok-bucketed postings with "
+             "denormalized doc lengths + dfreq/stats zones at "
+             "<index_dir>/base",
+    )
+    tib.add_argument("docs_parquet")
+    tib.add_argument("index_dir")
+
+    tia = sub.add_parser(
+        "text-index-append",
+        help="index a NEW document batch into its own delta zone set "
+             "(<index_dir>/delta=N) — never re-tokenizes the existing "
+             "corpus; search serves base+deltas merged (associative "
+             "zones, append == rebuild)",
+    )
+    tia.add_argument("docs_parquet")
+    tia.add_argument("index_dir")
+
+    tsr = sub.add_parser(
+        "text-search",
+        help="BM25 top-k over a persisted text index (base + any "
+             "deltas): partition-pruned postings read, never a corpus "
+             "scan",
+    )
+    tsr.add_argument("index_dir")
+    tsr.add_argument("terms", nargs="+")
+    tsr.add_argument("--k", type=int, default=10)
+
+    tic = sub.add_parser(
+        "text-index-compact",
+        help="fold base + delta zone sets into one root at out_dir "
+             "(zone-level re-sums, no re-tokenize) — bounds per-query "
+             "root fan-in after many appends",
+    )
+    tic.add_argument("index_dir")
+    tic.add_argument("out_dir")
 
     mh = sub.add_parser(
         "media-hash",
@@ -589,6 +654,43 @@ def main(argv: list[str] | None = None) -> None:
         result.orderBy("query_id", "rk").show(
             k * len(args.query_ids), truncate=False
         )
+    elif args.cmd == "text-index-build":
+        from .operators.retrieval import build_bm25_index
+
+        docs = spark.read.parquet(args.docs_parquet)
+        root = build_bm25_index(spark, docs, root=f"{args.index_dir}/base")
+        n = spark.read.parquet(f"{root}/doclen").count()
+        print(f"indexed {n} documents → {root}")
+    elif args.cmd == "text-index-append":
+        import os as _os
+        import re as _re
+
+        from .operators.retrieval import build_bm25_index
+
+        existing = [
+            int(m.group(1))
+            for name in _os.listdir(args.index_dir)
+            if (m := _re.fullmatch(r"delta=(\d+)", name))
+        ]
+        nxt = max(existing, default=-1) + 1
+        docs = spark.read.parquet(args.docs_parquet)
+        root = build_bm25_index(
+            spark, docs, root=f"{args.index_dir}/delta={nxt}"
+        )
+        n = spark.read.parquet(f"{root}/doclen").count()
+        print(f"appended {n} documents → {root}")
+    elif args.cmd == "text-search":
+        from .operators.retrieval import bm25_serve
+
+        roots = _text_index_roots(args.index_dir)
+        for r in bm25_serve(spark, roots, args.terms, k=args.k).collect():
+            print(f"{r.rk:3d}  doc {r.doc_id}  score_q {r.bm25_q}")
+    elif args.cmd == "text-index-compact":
+        from .operators.retrieval import compact_bm25_index
+
+        roots = _text_index_roots(args.index_dir)
+        out = compact_bm25_index(spark, roots, args.out_dir)
+        print(f"compacted {len(roots)} roots → {out}")
     elif args.cmd == "media-hash":
         assets = spark.read.parquet(args.assets_parquet)
 

@@ -2061,3 +2061,59 @@ def test_bm25_append_serving_equals_rebuild_and_prunes_both_roots(spark):
         assert "tok_bucket" in pf
         pushed = seg.split("PushedFilters: [", 1)[1].split("]", 1)[0]
         assert "In(tok" in pushed
+
+
+def test_cli_text_index_lifecycle(spark, tmp_path, capsys):
+    """text-index-build → text-search → text-index-append →
+    text-search (== rebuilding over the full corpus) →
+    text-index-compact → text-search on the bare compacted root:
+    one user-facing lifecycle over the persisted inverted index."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+    )
+
+    schema = "doc_id LONG, text STRING"
+    batch1 = [(1, "spark hash merge spark table"), (2, "hash value row")]
+    batch2 = [(3, "merge merge spark"), (4, "table value agg")]
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    spark.createDataFrame(batch1, schema).write.parquet(d1)
+    spark.createDataFrame(batch2, schema).write.parquet(d2)
+    idx = str(tmp_path / "idx")
+
+    cli.main(["text-index-build", d1, idx])
+    assert "indexed 2 documents" in capsys.readouterr().out
+    cli.main(["text-search", idx, "spark", "hash", "merge"])
+    out1 = capsys.readouterr().out
+    assert "doc 1" in out1 and "doc 2" in out1 and "doc 3" not in out1
+
+    cli.main(["text-index-append", d2, idx])
+    assert "appended 2 documents" in capsys.readouterr().out
+    cli.main(["text-search", idx, "spark", "hash", "merge"])
+    out2 = capsys.readouterr().out
+
+    # append == rebuild over the full corpus
+    full_root = build_bm25_index(
+        spark, spark.createDataFrame(batch1 + batch2, schema)
+    )
+    want = {
+        (r.rk, r.doc_id, r.bm25_q)
+        for r in bm25_serve(
+            spark, [full_root], ("spark", "hash", "merge")
+        ).collect()
+    }
+    got = {
+        (int(m[0]), int(m[1]), int(m[2]))
+        for m in (
+            line.split()[0:1] + [line.split()[2], line.split()[4]]
+            for line in out2.strip().splitlines()
+        )
+    }
+    assert got == want
+
+    out_dir = str(tmp_path / "compacted")
+    cli.main(["text-index-compact", idx, out_dir])
+    assert "compacted 2 roots" in capsys.readouterr().out
+    cli.main(["text-search", out_dir, "spark", "hash", "merge"])
+    assert capsys.readouterr().out == out2
