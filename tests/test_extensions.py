@@ -2117,3 +2117,43 @@ def test_cli_text_index_lifecycle(spark, tmp_path, capsys):
     assert "compacted 2 roots" in capsys.readouterr().out
     cli.main(["text-search", out_dir, "spark", "hash", "merge"])
     assert capsys.readouterr().out == out2
+
+
+def test_tok_bucket_python_twin_matches_spark_crc32(spark):
+    """tok_bucket_of must equal the zone's pmod(crc32(tok), N) for any
+    token the tokenizer can emit — a drifting twin would silently
+    prune away the query's own postings directories."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        N_TOK_BUCKETS,
+        tok_bucket_of,
+    )
+
+    tokens = []
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"),
+                max_codepoint=0x2FFF,
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def collect(tok):
+        tokens.append(tok)
+
+    collect()
+    df = spark.createDataFrame([(t,) for t in tokens], "tok STRING")
+    got = {
+        r.tok: r.b
+        for r in df.select(
+            "tok",
+            F.pmod(F.crc32(F.col("tok")), F.lit(N_TOK_BUCKETS)).alias("b"),
+        ).collect()
+    }
+    assert got == {t: tok_bucket_of(t) for t in tokens}
