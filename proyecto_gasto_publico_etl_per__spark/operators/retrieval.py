@@ -47,6 +47,24 @@ from . import dedup
 #: posting-zone partition fan-out — constant under vocab/corpus growth
 N_TOK_BUCKETS = 64
 
+#: explicit zone read schemas: a batch whose docs are all empty-text
+#: produces an EMPTY postings frame, and a partitioned parquet write of
+#: an empty frame leaves no data files — schema inference then fails at
+#: serve time.  Reading with declared schemas keeps every zone readable
+#: regardless of content (edge-case test-pinned).
+_POSTINGS_SCHEMA = (
+    "doc_id LONG, cnt LONG, dl LONG, tok STRING, tok_bucket LONG"
+)
+_DOCLEN_SCHEMA = "doc_id LONG, dl LONG"
+_DFREQ_SCHEMA = "tok STRING, df LONG"
+_STATS_SCHEMA = "n_docs LONG, s_tokens LONG"
+_ZONE_SCHEMAS = {
+    "postings": _POSTINGS_SCHEMA,
+    "doclen": _DOCLEN_SCHEMA,
+    "dfreq": _DFREQ_SCHEMA,
+    "stats": _STATS_SCHEMA,
+}
+
 
 def tok_bucket_of(term: str) -> int:
     """Python twin of the zone's bucket key expression
@@ -159,9 +177,10 @@ def bm25_serve(
         raise ValueError("bm25_serve: need at least one index root")
 
     def _union(sub: str) -> DataFrame:
-        out = spark.read.parquet(f"{roots[0]}/{sub}")
+        rd = spark.read.schema(_ZONE_SCHEMAS[sub])
+        out = rd.parquet(f"{roots[0]}/{sub}")
         for r in roots[1:]:
-            out = out.unionByName(spark.read.parquet(f"{r}/{sub}"))
+            out = out.unionByName(rd.parquet(f"{r}/{sub}"))
         return out
 
     buckets = sorted({tok_bucket_of(t) for t in terms})
@@ -211,9 +230,10 @@ def compact_bm25_index(
         raise ValueError("compact_bm25_index: need at least one root")
 
     def _union(sub: str) -> DataFrame:
-        out = spark.read.parquet(f"{roots[0]}/{sub}")
+        rd = spark.read.schema(_ZONE_SCHEMAS[sub])
+        out = rd.parquet(f"{roots[0]}/{sub}")
         for r in roots[1:]:
-            out = out.unionByName(spark.read.parquet(f"{r}/{sub}"))
+            out = out.unionByName(rd.parquet(f"{r}/{sub}"))
         return out
 
     (

@@ -2157,3 +2157,37 @@ def test_tok_bucket_python_twin_matches_spark_crc32(spark):
         ).collect()
     }
     assert got == {t: tok_bucket_of(t) for t in tokens}
+
+
+def test_bm25_edge_cases(spark, tmp_path):
+    """Zone robustness: an all-empty corpus builds a valid (zero-row)
+    index that serves an empty result; a query whose terms miss the
+    vocabulary serves empty; a dir without zones fails loudly."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+    )
+
+    schema = "doc_id LONG, text STRING"
+    empty_root = build_bm25_index(
+        spark,
+        spark.createDataFrame([(1, ""), (2, None), (3, "   ")], schema),
+    )
+    assert bm25_serve(spark, [empty_root], ("spark",)).count() == 0
+
+    root = build_bm25_index(
+        spark, spark.createDataFrame([(1, "spark hash")], schema)
+    )
+    assert (
+        bm25_serve(spark, [root], ("nonexistent_term_xyz",)).count() == 0
+    )
+
+    with _pytest.raises(ValueError):
+        bm25_serve(spark, [], ("spark",))
+    with _pytest.raises(AnalysisException):
+        bm25_serve(
+            spark, [str(tmp_path / "not_an_index")], ("spark",)
+        ).count()
