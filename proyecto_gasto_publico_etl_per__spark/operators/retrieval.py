@@ -175,6 +175,8 @@ def bm25_serve(
 
     if not roots:
         raise ValueError("bm25_serve: need at least one index root")
+    if not terms:
+        raise ValueError("bm25_serve: need at least one query term")
 
     def _union(sub: str) -> DataFrame:
         rd = spark.read.schema(_ZONE_SCHEMAS[sub])

@@ -2187,6 +2187,8 @@ def test_bm25_edge_cases(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         bm25_serve(spark, [], ("spark",))
+    with _pytest.raises(ValueError):
+        bm25_serve(spark, [root], ())
     with _pytest.raises(AnalysisException):
         bm25_serve(
             spark, [str(tmp_path / "not_an_index")], ("spark",)
