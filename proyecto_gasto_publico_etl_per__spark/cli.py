@@ -36,24 +36,36 @@ def _warn_cross_modality(media: str, *flags) -> None:
             )
 
 
+def _text_index_deltas(index_dir: str) -> list[int]:
+    """delta=N numbers present under a text index dir, ascending."""
+    import os
+    import re
+
+    try:
+        names = os.listdir(index_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1))
+        for name in names
+        if (m := re.fullmatch(r"delta=(\d+)", name))
+    )
+
+
 def _text_index_roots(index_dir: str) -> list[str]:
     """base + delta=N zone roots of a text index dir, deltas in append
     order; a bare zone root (postings/ present, no base/) serves as-is
     — so `text-search` also works directly on a compacted out_dir."""
     import os
-    import re
 
     if os.path.isdir(f"{index_dir}/postings"):
         return [index_dir]
     roots = []
     if os.path.isdir(f"{index_dir}/base"):
         roots.append(f"{index_dir}/base")
-    deltas = sorted(
-        int(m.group(1))
-        for name in os.listdir(index_dir)
-        if (m := re.fullmatch(r"delta=(\d+)", name))
-    )
-    roots += [f"{index_dir}/delta={n}" for n in deltas]
+    roots += [
+        f"{index_dir}/delta={n}" for n in _text_index_deltas(index_dir)
+    ]
     if not roots:
         raise SystemExit(
             f"{index_dir}: no text index here (expected base/, "
@@ -657,22 +669,25 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "text-index-build":
         from .operators.retrieval import build_bm25_index
 
+        stale = _text_index_deltas(args.index_dir)
+        if stale:
+            # rebuilding base while deltas survive would double-count
+            # every delta-indexed document at search time (r13 review)
+            raise SystemExit(
+                f"{args.index_dir} has existing delta zones "
+                f"(delta={stale}); a rebuilt base plus stale deltas "
+                "double-counts their documents. Remove the delta=N "
+                "directories (the rebuild covers them) or compact to a "
+                "fresh directory instead."
+            )
         docs = spark.read.parquet(args.docs_parquet)
         root = build_bm25_index(spark, docs, root=f"{args.index_dir}/base")
         n = spark.read.parquet(f"{root}/doclen").count()
         print(f"indexed {n} documents → {root}")
     elif args.cmd == "text-index-append":
-        import os as _os
-        import re as _re
-
         from .operators.retrieval import build_bm25_index
 
-        existing = [
-            int(m.group(1))
-            for name in _os.listdir(args.index_dir)
-            if (m := _re.fullmatch(r"delta=(\d+)", name))
-        ]
-        nxt = max(existing, default=-1) + 1
+        nxt = max(_text_index_deltas(args.index_dir), default=-1) + 1
         docs = spark.read.parquet(args.docs_parquet)
         root = build_bm25_index(
             spark, docs, root=f"{args.index_dir}/delta={nxt}"
@@ -780,10 +795,23 @@ def main(argv: list[str] | None = None) -> None:
                 out = frame if out is None else out.unionByName(frame)
             out.write.mode("overwrite").parquet(args.out_dir)
             done = spark.read.parquet(args.out_dir)
+            # per-lane counts from the WRITTEN frame (one join against
+            # the sniffed labels) — re-running the three lane pipelines
+            # just to count them doubled the command's wall clock
+            # (r13 review)
             per_mode = {
-                m: lanes[m].count() for m in ("image", "audio", "video")
+                r["media_type"]: r["count"]
+                for r in done.join(
+                    sniffed.select("asset_id", "media_type"), "asset_id"
+                )
+                .groupBy("media_type")
+                .count()
+                .collect()
             }
-            n = done.count()
+            per_mode = {
+                m: per_mode.get(m, 0) for m in ("image", "audio", "video")
+            }
+            n = sum(per_mode.values())
             groups = done.select("cluster_id").distinct().count()
             total = sniffed.count()
             print(

@@ -632,7 +632,7 @@ def hamming_pairs(
                 .collect()[0]
             )
             if hot["n_buckets"]:
-                log.info(
+                log.warning(
                     "hamming_pairs: capped %s hot bucket(s) over %s "
                     "distinct hashes (largest %s) — pairs whose every "
                     "shared chunk was capped are missed",

@@ -473,7 +473,11 @@ def _gif_is_animated(payload: bytes) -> bool:
                     break
                 pos += n
         return False
-    except (IndexError, struct.error):
+    except IndexError:
+        # truncated walk (the loop indexes ahead of bounds checks);
+        # struct is never used here — a stale struct.error in this
+        # tuple was an unbound name that turned the quarantine into a
+        # NameError crash on corrupt GIFs (r13 review)
         return False
 
 

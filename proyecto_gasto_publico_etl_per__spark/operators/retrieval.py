@@ -124,8 +124,18 @@ def build_bm25_index(
     words = docs.select(
         "doc_id", F.explode(dedup._tokens("text")).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = words.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
-    ntok = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # ONE tokenize pass for the whole build: four zone writes are four
+    # Spark jobs, and an uncached lineage re-runs the explode for each
+    # (r13 review measured ~4-6 corpus tokenizations per build).  tf is
+    # the post-aggregate frame — lazily checkpoint it and derive dl
+    # FROM it (dl = Σ cnt per doc, exactly the token count), so every
+    # zone reads the materialized tf instead of the raw corpus.
+    tf = (
+        words.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    ntok = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
     # denormalize dl INTO the posting entry (the classic norms-in-
     # postings layout): scoring then never joins the corpus-sized
     # doclen zone — a query's cost is |postings(q)| alone (SCALE.md
@@ -154,6 +164,19 @@ def build_bm25_index(
     return root
 
 
+def _read_zones(
+    spark: SparkSession, roots: Sequence[str], sub: str
+) -> DataFrame:
+    """Schema-declared union of one zone across roots (partition
+    discovery runs per root; declared schemas keep empty zones readable
+    — see _ZONE_SCHEMAS)."""
+    rd = spark.read.schema(_ZONE_SCHEMAS[sub])
+    out = rd.parquet(f"{roots[0]}/{sub}")
+    for r in roots[1:]:
+        out = out.unionByName(rd.parquet(f"{r}/{sub}"))
+    return out
+
+
 def bm25_serve(
     spark: SparkSession,
     roots: Sequence[str],
@@ -178,24 +201,17 @@ def bm25_serve(
     if not terms:
         raise ValueError("bm25_serve: need at least one query term")
 
-    def _union(sub: str) -> DataFrame:
-        rd = spark.read.schema(_ZONE_SCHEMAS[sub])
-        out = rd.parquet(f"{roots[0]}/{sub}")
-        for r in roots[1:]:
-            out = out.unionByName(rd.parquet(f"{r}/{sub}"))
-        return out
-
     buckets = sorted({tok_bucket_of(t) for t in terms})
-    postings = _union("postings").filter(
+    postings = _read_zones(spark, roots, "postings").filter(
         F.col("tok_bucket").isin(*buckets) & F.col("tok").isin(*terms)
     )
     dfreq = (
-        _union("dfreq")
+        _read_zones(spark, roots, "dfreq")
         .filter(F.col("tok").isin(*terms))
         .groupBy("tok")
         .agg(F.sum("df").alias("df"))
     )
-    stats = _union("stats").agg(
+    stats = _read_zones(spark, roots, "stats").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("s_tokens").alias("s_tokens"),
     )
@@ -231,15 +247,8 @@ def compact_bm25_index(
     if not roots:
         raise ValueError("compact_bm25_index: need at least one root")
 
-    def _union(sub: str) -> DataFrame:
-        rd = spark.read.schema(_ZONE_SCHEMAS[sub])
-        out = rd.parquet(f"{roots[0]}/{sub}")
-        for r in roots[1:]:
-            out = out.unionByName(rd.parquet(f"{r}/{sub}"))
-        return out
-
     (
-        _union("postings")
+        _read_zones(spark, roots, "postings")
         .groupBy("doc_id", "tok", "tok_bucket")
         # disjoint-doc roots: each (doc_id, tok) lives in exactly one
         # root, so sum(cnt) == cnt and max(dl) == dl — the aggregate is
@@ -250,13 +259,13 @@ def compact_bm25_index(
         .partitionBy("tok_bucket")
         .parquet(f"{out_root}/postings")
     )
-    _union("doclen").groupBy("doc_id").agg(
+    _read_zones(spark, roots, "doclen").groupBy("doc_id").agg(
         F.sum("dl").alias("dl")
     ).write.mode("overwrite").parquet(f"{out_root}/doclen")
-    _union("dfreq").groupBy("tok").agg(F.sum("df").alias("df")).write.mode(
+    _read_zones(spark, roots, "dfreq").groupBy("tok").agg(F.sum("df").alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{out_root}/dfreq")
-    _union("stats").agg(
+    _read_zones(spark, roots, "stats").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("s_tokens").alias("s_tokens"),
     ).write.mode("overwrite").parquet(f"{out_root}/stats")

@@ -1535,7 +1535,7 @@ def embedding_neardup_pairs(
                 .collect()[0]
             )
             if hot["n_buckets"]:
-                log.info(
+                log.warning(
                     "embedding_neardup_pairs: capped %s hot LSH "
                     "bucket(s) over %s vectors (largest %s) — raise "
                     "n_planes or check for a low-rank embedding source",

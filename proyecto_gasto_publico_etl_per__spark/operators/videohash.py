@@ -195,7 +195,7 @@ def video_pairs(
                 .collect()[0]
             )
             if hot["n_values"]:
-                log.info(
+                log.warning(
                     "video_pairs: dropped %s ubiquitous frame value(s) "
                     "in over %s videos (largest %s) — black frames/"
                     "title cards carry no matching signal",

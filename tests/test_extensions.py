@@ -2193,3 +2193,20 @@ def test_bm25_edge_cases(spark, tmp_path):
         bm25_serve(
             spark, [str(tmp_path / "not_an_index")], ("spark",)
         ).count()
+
+
+def test_cli_text_index_build_refuses_stale_deltas(spark, tmp_path):
+    """Rebuilding base while delta zones survive would double-count
+    every delta document at search time — the CLI must refuse."""
+    import pytest as _pytest
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    schema = "doc_id LONG, text STRING"
+    d1 = str(tmp_path / "d1")
+    spark.createDataFrame([(1, "spark hash")], schema).write.parquet(d1)
+    idx = str(tmp_path / "idx")
+    cli.main(["text-index-build", d1, idx])
+    cli.main(["text-index-append", d1, idx])
+    with _pytest.raises(SystemExit, match="double-counts"):
+        cli.main(["text-index-build", d1, idx])

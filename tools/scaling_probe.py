@@ -188,6 +188,12 @@ def media_neardup_probe(spark, k: int, n_base: int = 200_000) -> None:
             video_frame_table(df), min_matches=2
         ).count(),
     }
+    if k < 2:
+        raise SystemExit(
+            "scaling probe needs k >= 2: a single-rung ladder has no "
+            "leg to fit an exponent over (log-log fit denominator is "
+            "zero at k=1)"
+        )
     ladder = [1]
     while ladder[-1] * 3 <= k:
         ladder.append(ladder[-1] * 3)
@@ -251,6 +257,12 @@ def main() -> None:
     # a single leg at 2-5 s walls is scheduling-floor-dominated; the
     # per-leg exponents + whole-ladder fit separate floor from data
     # term, and the top leg is the number to trust)
+    if k < 2:
+        raise SystemExit(
+            "scaling probe needs k >= 2: a single-rung ladder has no "
+            "leg to fit an exponent over (log-log fit denominator is "
+            "zero at k=1)"
+        )
     ladder = [1]
     while ladder[-1] * 3 <= k:
         ladder.append(ladder[-1] * 3)
