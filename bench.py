@@ -135,6 +135,11 @@ EXTENSIONS = (
     "bm25_topk",
     "bm25_serving",
     "bm25_append_serving",
+    # late round-13 additions: exact-phrase retrieval — brute bigram
+    # sweep (rebuild: full corpus scan per run) vs positional posting
+    # intersection over the same persisted index bm25_serving reads
+    "phrase_topk",
+    "phrase_serving",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension
@@ -155,6 +160,7 @@ REBUILD_LANE = frozenset(
         "pagerank_centrality",
         "salsa_trade_rank",
         "bm25_topk",  # inline twin: full corpus tokenize+agg per run
+        "phrase_topk",  # brute twin: full corpus bigram sweep per run
     }
 )
 

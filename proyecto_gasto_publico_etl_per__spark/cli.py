@@ -262,6 +262,13 @@ def main(argv: list[str] | None = None) -> None:
     tsr.add_argument("index_dir")
     tsr.add_argument("terms", nargs="+")
     tsr.add_argument("--k", type=int, default=10)
+    tsr.add_argument(
+        "--phrase",
+        action="store_true",
+        help="treat the terms as one exact adjacent-token phrase "
+             "(positional posting intersection) instead of a BM25 "
+             "bag-of-terms query — same index, no corpus re-read",
+    )
 
     tic = sub.add_parser(
         "text-index-compact",
@@ -695,11 +702,17 @@ def main(argv: list[str] | None = None) -> None:
         n = spark.read.parquet(f"{root}/doclen").count()
         print(f"appended {n} documents → {root}")
     elif args.cmd == "text-search":
-        from .operators.retrieval import bm25_serve
+        from .operators.retrieval import bm25_serve, phrase_serve
 
         roots = _text_index_roots(args.index_dir)
-        for r in bm25_serve(spark, roots, args.terms, k=args.k).collect():
-            print(f"{r.rk:3d}  doc {r.doc_id}  score_q {r.bm25_q}")
+        if args.phrase:
+            rows = phrase_serve(spark, roots, args.terms, k=args.k)
+            for r in rows.collect():
+                print(f"{r.rk:3d}  doc {r.doc_id}  occurrences {r.n_occur}")
+        else:
+            rows = bm25_serve(spark, roots, args.terms, k=args.k)
+            for r in rows.collect():
+                print(f"{r.rk:3d}  doc {r.doc_id}  score_q {r.bm25_q}")
     elif args.cmd == "text-index-compact":
         from .operators.retrieval import compact_bm25_index
 

@@ -55,6 +55,13 @@ N_TOK_BUCKETS = 64
 _POSTINGS_SCHEMA = (
     "doc_id LONG, cnt LONG, dl LONG, tok STRING, tok_bucket LONG"
 )
+#: the same zone carries in-doc token positions for phrase queries;
+#: BM25 readers keep the narrower schema above (parquet reads project
+#: by name, so the positions column costs them nothing)
+_POSTINGS_POS_SCHEMA = (
+    "doc_id LONG, cnt LONG, dl LONG, positions ARRAY<INTEGER>, "
+    "tok STRING, tok_bucket LONG"
+)
 _DOCLEN_SCHEMA = "doc_id LONG, dl LONG"
 _DFREQ_SCHEMA = "tok STRING, df LONG"
 _STATS_SCHEMA = "n_docs LONG, s_tokens LONG"
@@ -122,17 +129,23 @@ def build_bm25_index(
         # epoch-scoped root: at-least-once replays rewrite in place
         mode = "overwrite"
     words = docs.select(
-        "doc_id", F.explode(dedup._tokens("text")).alias("tok")
+        "doc_id", F.posexplode(dedup._tokens("text")).alias("pos", "tok")
     ).filter(F.col("tok") != "")
     # ONE tokenize pass for the whole build: four zone writes are four
     # Spark jobs, and an uncached lineage re-runs the explode for each
     # (r13 review measured ~4-6 corpus tokenizations per build).  tf is
     # the post-aggregate frame — lazily checkpoint it and derive dl
     # FROM it (dl = Σ cnt per doc, exactly the token count), so every
-    # zone reads the materialized tf instead of the raw corpus.
+    # zone reads the materialized tf instead of the raw corpus.  The
+    # sorted in-doc position list rides in the same entry (the
+    # positional-index layout) — phrase queries intersect positions of
+    # adjacent terms on postings(q) alone, never re-reading text.
     tf = (
         words.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
         .localCheckpoint(eager=False)
     )
     ntok = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
@@ -165,12 +178,22 @@ def build_bm25_index(
 
 
 def _read_zones(
-    spark: SparkSession, roots: Sequence[str], sub: str
+    spark: SparkSession,
+    roots: Sequence[str],
+    sub: str,
+    positions: bool = False,
 ) -> DataFrame:
     """Schema-declared union of one zone across roots (partition
     discovery runs per root; declared schemas keep empty zones readable
-    — see _ZONE_SCHEMAS)."""
-    rd = spark.read.schema(_ZONE_SCHEMAS[sub])
+    — see _ZONE_SCHEMAS).  ``positions=True`` widens a postings read to
+    include the positional column (phrase path / compaction); BM25
+    scoring keeps the narrow schema so the column is never decoded."""
+    schema = (
+        _POSTINGS_POS_SCHEMA
+        if positions and sub == "postings"
+        else _ZONE_SCHEMAS[sub]
+    )
+    rd = spark.read.schema(schema)
     out = rd.parquet(f"{roots[0]}/{sub}")
     for r in roots[1:]:
         out = out.unionByName(rd.parquet(f"{r}/{sub}"))
@@ -248,12 +271,17 @@ def compact_bm25_index(
         raise ValueError("compact_bm25_index: need at least one root")
 
     (
-        _read_zones(spark, roots, "postings")
+        _read_zones(spark, roots, "postings", positions=True)
         .groupBy("doc_id", "tok", "tok_bucket")
         # disjoint-doc roots: each (doc_id, tok) lives in exactly one
-        # root, so sum(cnt) == cnt and max(dl) == dl — the aggregate is
-        # a concatenation, written here as re-sums for shape uniformity
-        .agg(F.sum("cnt").alias("cnt"), F.max("dl").alias("dl"))
+        # root, so sum(cnt) == cnt, max(dl) == dl and first(positions)
+        # is the single row's list — the aggregate is a concatenation,
+        # written here as re-sums for shape uniformity
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.max("dl").alias("dl"),
+            F.first("positions").alias("positions"),
+        )
         .repartition(F.col("tok_bucket"))
         .write.mode("overwrite")
         .partitionBy("tok_bucket")
@@ -270,3 +298,74 @@ def compact_bm25_index(
         F.sum("s_tokens").alias("s_tokens"),
     ).write.mode("overwrite").parquet(f"{out_root}/stats")
     return out_root
+
+
+def phrase_serve(
+    spark: SparkSession,
+    roots: Sequence[str],
+    phrase: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` (doc_id, n_occur, rk) documents containing the exact
+    adjacent-token ``phrase``, served from the positional posting zone
+    — the classic positional-index phrase algorithm, distributed:
+
+    1. read ONLY the phrase terms' postings (bucket partition filter +
+       pushed tok predicate, same seek as BM25);
+    2. inner-join the n terms' postings on doc_id (a doc must contain
+       every term to match — the joins shrink the candidate set);
+    3. per doc, shift term i's position list left by i and intersect:
+       |∩ᵢ (positions(tᵢ) − i)| is EXACTLY the occurrence count of the
+       phrase (positions are distinct within a list, so the
+       intersection is duplicate-free).
+
+    Work is proportional to |postings(phrase terms)|; the corpus text
+    is never re-read.  Value-identity with the brute zip-compare count
+    over the tokenized text is property-pinned and shared-oracle-gated
+    (`plans.extension_queries.phrase_topk` / `phrase_serving`)."""
+    from pyspark.sql import Window
+
+    if not roots:
+        raise ValueError("phrase_serve: need at least one index root")
+    if len(phrase) < 2:
+        raise ValueError("phrase_serve: a phrase needs >= 2 terms")
+
+    # one INDEPENDENT zone read per phrase term: deriving all sides
+    # from a single filtered frame is the classic self-join trap —
+    # Catalyst can conflate the per-term filters across the shared
+    # lineage (observed returning "hash hash" matches for
+    # "spark hash") — and per-term reads also prune to exactly one
+    # bucket directory each
+    def _shift_by(shift: int):
+        # MUST be a one-arg lambda: F.transform calls a TWO-arg lambda
+        # with (element, index), which would silently overwrite a
+        # `shift=i` default with the element index (found the hard way)
+        return lambda p: p - F.lit(shift)
+
+    joined = None
+    for i, term in enumerate(phrase):
+        side = (
+            _read_zones(spark, roots, "postings", positions=True)
+            .filter(
+                (F.col("tok_bucket") == tok_bucket_of(term))
+                & (F.col("tok") == term)
+            )
+            .select(
+                "doc_id",
+                F.transform("positions", _shift_by(i)).alias(f"p{i}"),
+            )
+        )
+        joined = side if joined is None else joined.join(side, "doc_id")
+    inter = F.col("p0")
+    for i in range(1, len(phrase)):
+        inter = F.array_intersect(inter, F.col(f"p{i}"))
+    occ = (
+        joined.withColumn("n_occur", F.size(inter).cast("long"))
+        .filter(F.col("n_occur") > 0)
+        .select("doc_id", "n_occur")
+    )
+    top = occ.orderBy(F.desc("n_occur"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("n_occur"), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "n_occur", "rk"
+    )

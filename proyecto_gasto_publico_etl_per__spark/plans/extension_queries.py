@@ -1270,6 +1270,78 @@ def bm25_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_serve(spark, [base, delta], _BM25_TERMS)
 
 
+#: fixed 2-term phrase for the phrase queries — an adjacent-token pair
+#: present in the synthetic corpus at every SF
+_PHRASE = ("spark", "hash")
+
+#: shared oracle for phrase_topk (brute zip-compare over the tokenized
+#: text) and phrase_serving (positional posting intersection) — the
+#: serving twin is value-identical because |∩ᵢ(positions(tᵢ)−i)| counts
+#: exactly the adjacent occurrences the brute pass counts.
+_PHRASE_SQL = f"""
+    WITH {_DOCS_CTE},
+    occ AS (
+      SELECT doc AS doc_id,
+             CAST(len([i FOR i IN range(1, len(toks))
+                       IF toks[i] = 'spark' AND toks[i + 1] = 'hash'])
+                  AS BIGINT) AS n_occur
+      FROM toks WHERE len(toks) >= 2
+    ),
+    nz AS (SELECT doc_id, n_occur FROM occ WHERE n_occur > 0)
+    SELECT doc_id, n_occur, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n_occur DESC, doc_id) AS rk
+      FROM nz
+    ) WHERE rk <= 10
+    """
+
+
+@register("phrase_topk", _PHRASE_SQL)
+def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by exact-phrase occurrence count ("spark hash",
+    adjacent tokens) — the brute scan: one `word_grams` bigram sweep
+    over the tokenized text (zip_with over shifted slices, O(L) JVM
+    work per doc), count equal grams, TakeOrderedAndProject.  Integer
+    counts, so cross-engine exactness is free.  `phrase_serving` is the
+    index path that never re-reads text; both share this oracle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dedup.word_grams("text", 2)
+    occ = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(grams, lambda g: g == F.lit(" ".join(_PHRASE)))
+        )
+        .cast("long")
+        .alias("n_occur"),
+    ).filter(F.col("n_occur") > 0)
+    top = occ.orderBy(F.desc("n_occur"), "doc_id").limit(10)
+    w = Window.orderBy(F.desc("n_occur"), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "n_occur", "rk"
+    )
+
+
+@register("phrase_serving", _PHRASE_SQL)
+def phrase_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search from the SAME persisted index `bm25_serving`
+    reads (one inverted index, two query types): the posting entries
+    carry sorted in-doc position lists, so the phrase count is the
+    size of the shifted-position intersection over the phrase terms'
+    postings — |∩ᵢ(positions(tᵢ)−i)| — computed on |postings(phrase)|
+    rows with the corpus text never re-read (`retrieval.phrase_serve`).
+    Shares `phrase_topk`'s oracle: positional-index == brute-scan,
+    under the driver's hash gate."""
+    root = _BM25_INDEX_ZONES.get(sf_dir)
+    if root is None:
+        root = _bm25_build_index(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        _BM25_INDEX_ZONES[sf_dir] = root
+    return retrieval.phrase_serve(spark, [root], _PHRASE)
+
+
 @register(
     "embedding_outliers",
     """

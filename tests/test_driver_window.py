@@ -251,6 +251,8 @@ def test_r13_window_front_loads_the_new_queries_then_r9_stale_names():
         "bm25_topk",
         "bm25_serving",
         "bm25_append_serving",
+        "phrase_topk",
+        "phrase_serving",
     } <= set(never)
     k = len(never)
     assert set(names[:k]) == set(never)  # never-green sorts first

@@ -2210,3 +2210,92 @@ def test_cli_text_index_build_refuses_stale_deltas(spark, tmp_path):
     cli.main(["text-index-append", d1, idx])
     with _pytest.raises(SystemExit, match="double-counts"):
         cli.main(["text-index-build", d1, idx])
+
+
+def test_phrase_serve_matches_python_reference_property(spark):
+    """Positional-index phrase counting pinned against a pure-python
+    brute count over random corpora — phrases of length 2 AND 3, docs
+    with repeats/overlaps ("spark spark hash"), empty docs.  This is
+    the regression net for the F.transform arity trap (a two-arg
+    lambda silently receives (element, index)) that shipped the first
+    version counting the wrong pairs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        phrase_serve,
+    )
+
+    vocab = ["spark", "hash", "merge", "agg", "row"]
+
+    def brute(texts, phrase):
+        out = {}
+        for i, t in enumerate(texts):
+            ws = t.split()
+            n = sum(
+                1
+                for j in range(len(ws) - len(phrase) + 1)
+                if tuple(ws[j : j + len(phrase)]) == tuple(phrase)
+            )
+            if n:
+                out[i] = n
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        return {
+            (doc, n, rk + 1) for rk, (doc, n) in enumerate(ranked)
+        }
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=25),
+            min_size=1,
+            max_size=10,
+        ),
+        plen=st.sampled_from([2, 3]),
+    )
+    def run(docs, plen):
+        phrase = ("spark", "hash", "spark")[:plen]
+        texts = [" ".join(ws) for ws in docs]
+        root = build_bm25_index(
+            spark,
+            spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id LONG, text STRING",
+            ),
+        )
+        got = {
+            tuple(r) for r in phrase_serve(spark, [root], phrase).collect()
+        }
+        assert got == brute(texts, phrase)
+
+    run()
+
+
+def test_cli_text_search_phrase_mode(spark, tmp_path, capsys):
+    """text-search --phrase serves exact-phrase counts from the same
+    index the BM25 mode reads."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    schema = "doc_id LONG, text STRING"
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "spark hash merge"),
+            (2, "hash spark x spark hash"),
+            (3, "hash spark"),
+        ],
+        schema,
+    ).write.parquet(d)
+    idx = str(tmp_path / "idx")
+    cli.main(["text-index-build", d, idx])
+    capsys.readouterr()
+    cli.main(["text-search", idx, "spark", "hash", "--phrase"])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.strip().splitlines() if "doc " in ln]
+    assert len(lines) == 2  # docs 1 and 2 contain "spark hash"; 3 not
+    assert "doc 1" in out and "doc 2" in out and "doc 3" not in out
