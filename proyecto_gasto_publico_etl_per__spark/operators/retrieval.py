@@ -92,22 +92,26 @@ def bm25_term_q() -> Column:
         --------------------------------------------
         (2df+1) · (10·S·tf + 3·S + 9·dl·N)
 
-    Numerator and denominator are each one exact BIGINT, so the single
-    double division is bit-identical across engines."""
-    num = (
-        (2 * (F.col("n_docs") - F.col("df")) + 1)
-        * 22
-        * F.col("cnt")
-        * F.col("s_tokens")
-    ).cast("double")
-    den = (
-        (2 * F.col("df") + 1)
-        * (
-            10 * F.col("s_tokens") * F.col("cnt")
-            + 3 * F.col("s_tokens")
-            + 9 * F.col("dl") * F.col("n_docs")
-        )
-    ).cast("double")
+    Numerator and denominator are each one exact integer computed in
+    DECIMAL(38,0) — NOT BIGINT: the denominator's 10·S·tf factor alone
+    exceeds int64 once S·tf ≳ 9.2e17 (a ~1e14-token corpus with tf
+    ~1e4, i.e. well below 100 TB), where ANSI Spark would error the
+    query and non-ANSI would silently wrap into wrong rankings
+    (round-13 review).  DECIMAL(38,0) products stay exact up to 1e38,
+    which bounds the den term (2df+1)·10·S·tf ≲ 2N·10·S·tf — safe for
+    any corpus with N·S·tf_max < 5e36, i.e. far past exabyte scale.
+    The single double division then quantizes to the 1e-9 grid, so
+    scores are bit-identical across engines (the DuckDB oracle's
+    BIGINT arithmetic agrees in the no-overflow regime it runs in)."""
+    n = F.col("n_docs").cast("decimal(38,0)")
+    df = F.col("df").cast("decimal(38,0)")
+    tf = F.col("cnt").cast("decimal(38,0)")
+    dl = F.col("dl").cast("decimal(38,0)")
+    s = F.col("s_tokens").cast("decimal(38,0)")
+    num = ((2 * (n - df) + 1) * 22 * tf * s).cast("double")
+    den = ((2 * df + 1) * (10 * s * tf + 3 * s + 9 * dl * n)).cast(
+        "double"
+    )
     return F.floor(num / den * 1000000000 + F.lit(0.5)).cast("long")
 
 
@@ -134,46 +138,57 @@ def build_bm25_index(
     # ONE tokenize pass for the whole build: four zone writes are four
     # Spark jobs, and an uncached lineage re-runs the explode for each
     # (r13 review measured ~4-6 corpus tokenizations per build).  tf is
-    # the post-aggregate frame — lazily checkpoint it and derive dl
-    # FROM it (dl = Σ cnt per doc, exactly the token count), so every
-    # zone reads the materialized tf instead of the raw corpus.  The
-    # sorted in-doc position list rides in the same entry (the
-    # positional-index layout) — phrase queries intersect positions of
-    # adjacent terms on postings(q) alone, never re-reading text.
+    # the post-aggregate frame — persist it and derive dl FROM it
+    # (dl = Σ cnt per doc, exactly the token count), so every zone
+    # reads the materialized tf instead of the raw corpus.  persist,
+    # NOT localCheckpoint: the cache is explicitly released in the
+    # finally block below, where checkpoint blocks would sit in the
+    # one-JVM storage pool until driver GC happened to run the
+    # ContextCleaner — a long-running bm25_index_ingest stream calling
+    # this per micro-batch accumulated them without bound (r13
+    # review).  The sorted in-doc position list rides in the same
+    # entry (the positional-index layout) — phrase queries intersect
+    # positions of adjacent terms on postings(q) alone, never
+    # re-reading text.
     tf = (
         words.groupBy("doc_id", "tok")
         .agg(
             F.count("*").alias("cnt"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    ntok = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
-    # denormalize dl INTO the posting entry (the classic norms-in-
-    # postings layout): scoring then never joins the corpus-sized
-    # doclen zone — a query's cost is |postings(q)| alone (SCALE.md
-    # r13 BM25 ladder).  The doc_id join is co-partitioned (both sides
-    # hash off the same explode), and the doclen zone is still written
-    # for per-doc stats consumers and compaction.  repartition on the
-    # bucket key → one file per bucket directory, so the whole zone is
-    # N_TOK_BUCKETS files no matter the corpus.
-    (
-        tf.join(ntok, "doc_id")
-        .withColumn(
-            "tok_bucket", F.pmod(F.crc32(F.col("tok")), N_TOK_BUCKETS)
+    try:
+        ntok = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+        # denormalize dl INTO the posting entry (the classic norms-in-
+        # postings layout): scoring then never joins the corpus-sized
+        # doclen zone — a query's cost is |postings(q)| alone (SCALE.md
+        # r13 BM25 ladder).  The doc_id join is co-partitioned (both
+        # sides hash off the same explode), and the doclen zone is
+        # still written for per-doc stats consumers and compaction.
+        # repartition on the bucket key → one file per bucket
+        # directory, so the whole zone is N_TOK_BUCKETS files no
+        # matter the corpus.
+        (
+            tf.join(ntok, "doc_id")
+            .withColumn(
+                "tok_bucket",
+                F.pmod(F.crc32(F.col("tok")), N_TOK_BUCKETS),
+            )
+            .repartition(F.col("tok_bucket"))
+            .write.mode(mode)
+            .partitionBy("tok_bucket")
+            .parquet(f"{root}/postings")
         )
-        .repartition(F.col("tok_bucket"))
-        .write.mode(mode)
-        .partitionBy("tok_bucket")
-        .parquet(f"{root}/postings")
-    )
-    ntok.write.mode(mode).parquet(f"{root}/doclen")
-    tf.groupBy("tok").agg(F.count("*").alias("df")).write.mode(
-        mode
-    ).parquet(f"{root}/dfreq")
-    ntok.groupBy().agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("s_tokens")
-    ).write.mode(mode).parquet(f"{root}/stats")
+        ntok.write.mode(mode).parquet(f"{root}/doclen")
+        tf.groupBy("tok").agg(F.count("*").alias("df")).write.mode(
+            mode
+        ).parquet(f"{root}/dfreq")
+        ntok.groupBy().agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("s_tokens")
+        ).write.mode(mode).parquet(f"{root}/stats")
+    finally:
+        tf.unpersist()
     return root
 
 
