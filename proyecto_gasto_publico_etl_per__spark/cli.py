@@ -55,23 +55,35 @@ def _text_index_deltas(index_dir: str) -> list[int]:
 def _text_index_roots(index_dir: str) -> list[str]:
     """base + delta=N zone roots of a text index dir, deltas in append
     order; a bare zone root (postings/ present, no base/) serves as-is
-    — so `text-search` also works directly on a compacted out_dir."""
+    — so `text-search` also works directly on a compacted out_dir.
+    A directory that is BOTH (postings/ alongside base/ or delta=N/)
+    is ambiguous — serving only the bare zones would silently drop the
+    structured roots' documents (r13 review) — so it errors."""
     import os
 
-    if os.path.isdir(f"{index_dir}/postings"):
-        return [index_dir]
-    roots = []
+    bare = os.path.isdir(f"{index_dir}/postings")
+    structured = []
     if os.path.isdir(f"{index_dir}/base"):
-        roots.append(f"{index_dir}/base")
-    roots += [
+        structured.append(f"{index_dir}/base")
+    structured += [
         f"{index_dir}/delta={n}" for n in _text_index_deltas(index_dir)
     ]
-    if not roots:
+    if bare and structured:
+        raise SystemExit(
+            f"{index_dir}: ambiguous text index — it is a bare zone "
+            "root (postings/) AND contains structured roots "
+            f"({[os.path.basename(r) for r in structured]}). Serving "
+            "either subset alone would silently drop the other's "
+            "documents; separate them into distinct directories."
+        )
+    if bare:
+        return [index_dir]
+    if not structured:
         raise SystemExit(
             f"{index_dir}: no text index here (expected base/, "
             "delta=N/, or a bare zone root with postings/)"
         )
-    return roots
+    return structured
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -274,10 +286,29 @@ def main(argv: list[str] | None = None) -> None:
         "text-index-compact",
         help="fold base + delta zone sets into one root at out_dir "
              "(zone-level re-sums, no re-tokenize) — bounds per-query "
-             "root fan-in after many appends",
+             "root fan-in after many appends; folds any tombstones "
+             "out physically",
     )
     tic.add_argument("index_dir")
     tic.add_argument("out_dir")
+
+    tid = sub.add_parser(
+        "text-index-delete",
+        help="tombstone documents in a text index (takedown/"
+             "retraction without rebuild): search subtracts their "
+             "contributions exactly (delete == rebuild-on-remaining); "
+             "the next compact folds them out physically",
+    )
+    tid.add_argument("index_dir")
+    tid.add_argument(
+        "doc_ids", nargs="*", type=int,
+        help="document ids to delete",
+    )
+    tid.add_argument(
+        "--ids-parquet", default=None,
+        help="parquet whose first column holds the doc ids to delete "
+             "(for batch takedowns)",
+    )
 
     mh = sub.add_parser(
         "media-hash",
@@ -674,8 +705,21 @@ def main(argv: list[str] | None = None) -> None:
             k * len(args.query_ids), truncate=False
         )
     elif args.cmd == "text-index-build":
+        import os
+
         from .operators.retrieval import build_bm25_index
 
+        if os.path.isdir(f"{args.index_dir}/postings"):
+            # a bare zone root (e.g. a compacted out_dir): writing
+            # base/ under it would create an index text-search refuses
+            # as ambiguous — the indexed documents would effectively
+            # vanish from results (r13 review)
+            raise SystemExit(
+                f"{args.index_dir} is a bare zone root (postings/ "
+                "present — e.g. a compacted out_dir); building base/ "
+                "under it would make the index ambiguous. Build into "
+                "a fresh directory."
+            )
         stale = _text_index_deltas(args.index_dir)
         if stale:
             # rebuilding base while deltas survive would double-count
@@ -692,8 +736,21 @@ def main(argv: list[str] | None = None) -> None:
         n = spark.read.parquet(f"{root}/doclen").count()
         print(f"indexed {n} documents → {root}")
     elif args.cmd == "text-index-append":
+        import os
+
         from .operators.retrieval import build_bm25_index
 
+        if os.path.isdir(f"{args.index_dir}/postings"):
+            # appending delta=0 under a bare zone root would create an
+            # ambiguous index (text-search refuses it) — the appended
+            # documents would silently vanish from results otherwise
+            raise SystemExit(
+                f"{args.index_dir} is a bare zone root (postings/ "
+                "present — e.g. a compacted out_dir); delta zones "
+                "under it would make the index ambiguous. Append to a "
+                "directory with base/ (move the compacted zones to "
+                f"{args.index_dir}/base first)."
+            )
         nxt = max(_text_index_deltas(args.index_dir), default=-1) + 1
         docs = spark.read.parquet(args.docs_parquet)
         root = build_bm25_index(
@@ -714,11 +771,49 @@ def main(argv: list[str] | None = None) -> None:
             for r in rows.collect():
                 print(f"{r.rk:3d}  doc {r.doc_id}  score_q {r.bm25_q}")
     elif args.cmd == "text-index-compact":
+        import os
+
         from .operators.retrieval import compact_bm25_index
 
         roots = _text_index_roots(args.index_dir)
+        out_real = os.path.realpath(args.out_dir)
+        # index_dir itself is checked too: out_dir == index_dir would
+        # write postings/ beside base/ (an ambiguous index), and any
+        # nesting either way risks Spark overwriting a path it is
+        # reading — realpath comparison also catches symlink aliases
+        # (r13 review)
+        for r in (args.index_dir, *roots):
+            r_real = os.path.realpath(r)
+            if (
+                out_real == r_real
+                or out_real.startswith(r_real + os.sep)
+                or r_real.startswith(out_real + os.sep)
+            ):
+                raise SystemExit(
+                    f"out_dir {args.out_dir} overlaps {r}; compact to "
+                    "a directory outside the index being read."
+                )
         out = compact_bm25_index(spark, roots, args.out_dir)
         print(f"compacted {len(roots)} roots → {out}")
+    elif args.cmd == "text-index-delete":
+        from .operators.retrieval import delete_from_bm25_index
+
+        roots = _text_index_roots(args.index_dir)
+        if args.ids_parquet is not None:
+            ids = spark.read.parquet(args.ids_parquet)
+        elif args.doc_ids:
+            ids = spark.createDataFrame(
+                [(int(i),) for i in args.doc_ids], "doc_id LONG"
+            )
+        else:
+            raise SystemExit(
+                "text-index-delete: pass doc ids or --ids-parquet"
+            )
+        n = delete_from_bm25_index(spark, roots, ids)
+        print(
+            f"tombstoned {n} documents (search subtracts them now; "
+            "the next text-index-compact folds them out physically)"
+        )
     elif args.cmd == "media-hash":
         assets = spark.read.parquet(args.assets_parquet)
 

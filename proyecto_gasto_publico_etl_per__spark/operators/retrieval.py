@@ -16,7 +16,10 @@ The index layout is four parquet zones per build root —
   scoring never joins a corpus-sized zone;
 - ``doclen``    (doc_id, dl) — per-doc stats consumers / compaction;
 - ``dfreq``     (tok, df);
-- ``stats``     one row (n_docs, s_tokens).
+- ``stats``     one row (n_docs, s_tokens);
+- ``tombstones`` (doc_id, dl), OPTIONAL — deletion markers appended by
+  `delete_from_bm25_index`; serving subtracts their contributions
+  algebraically, compaction folds them out physically.
 
 Every zone holds associative integer aggregates, so zones built over
 DISJOINT document subsets merge exactly: postings/doclen union, dfreq
@@ -65,11 +68,16 @@ _POSTINGS_POS_SCHEMA = (
 _DOCLEN_SCHEMA = "doc_id LONG, dl LONG"
 _DFREQ_SCHEMA = "tok STRING, df LONG"
 _STATS_SCHEMA = "n_docs LONG, s_tokens LONG"
+#: deletion tombstones: (doc_id, dl) per deleted doc — dl is captured
+#: at delete time (one keyed doclen lookup) so serving can adjust the
+#: corpus stats without ever re-reading a corpus-sized zone
+_TOMBSTONES_SCHEMA = "doc_id LONG, dl LONG"
 _ZONE_SCHEMAS = {
     "postings": _POSTINGS_SCHEMA,
     "doclen": _DOCLEN_SCHEMA,
     "dfreq": _DFREQ_SCHEMA,
     "stats": _STATS_SCHEMA,
+    "tombstones": _TOMBSTONES_SCHEMA,
 }
 
 
@@ -215,6 +223,86 @@ def _read_zones(
     return out
 
 
+def _tombstone_roots(roots: Sequence[str]) -> list[str]:
+    """Roots that carry a tombstones zone.  A directory probe per root
+    (on a cluster this is the manifest/catalog lookup every table
+    format does before planning a scan) — when NO deletes ever
+    happened, the serving plan is byte-identical to the pre-deletion
+    one: zero extra joins, zero extra reads."""
+    import os
+
+    return [r for r in roots if os.path.isdir(f"{r}/tombstones")]
+
+
+def _read_tombstones(spark: SparkSession, roots: Sequence[str]) -> DataFrame:
+    """Distinct (doc_id, dl) across the roots' tombstone zones.  The
+    distinct makes repeated deletes of the same doc idempotent (the
+    rows are identical — dl is a function of doc_id) and tombstone
+    placement irrelevant (producers guarantee disjoint-doc roots, so a
+    doc's tombstone can live in any root without double-subtracting)."""
+    return _read_zones(spark, roots, "tombstones").distinct()
+
+
+def delete_from_bm25_index(
+    spark: SparkSession,
+    roots: Sequence[str],
+    doc_ids: DataFrame | Sequence[int],
+    tomb_root: str | None = None,
+) -> int:
+    """Delete documents from a living index WITHOUT a rebuild: append
+    (doc_id, dl) tombstones under ``tomb_root`` (default: the first
+    root).  Returns the number of newly tombstoned documents.
+
+    Cost is one keyed lookup against the doclen zones (broadcast
+    semi-join of the delete batch — the per-doc zone, never postings),
+    NOT a corpus re-tokenize: serving subtracts the deleted docs'
+    contributions algebraically (`bm25_serve`), and the next
+    compaction folds them out physically (`compact_bm25_index`).
+    This is the takedown/retraction path a 100 TB corpus needs —
+    delete latency is proportional to the delete batch, and
+    delete == rebuild-on-remaining is exact (driver-oracle-gated via
+    ``plans.extension_queries.bm25_delete_serving``):
+
+    - per-doc tf/dl ride in posting entries keyed by doc_id, so an
+      anti-join removes them exactly;
+    - df decrements by the deleted docs' postings ON THE QUERY TERMS —
+      computable from the already-pruned postings(q) read at serve
+      time, nothing corpus-sized;
+    - stats decrement by (count, Σdl) of the tombstones, captured here.
+
+    Ids absent from the index are ignored (no doclen row → no
+    tombstone); re-deleting an already-tombstoned doc is a no-op."""
+    if not roots:
+        raise ValueError("delete_from_bm25_index: need at least one root")
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id LONG"
+        )
+    doclen = _read_zones(spark, roots, "doclen")
+    batch = doclen.join(F.broadcast(ids.distinct()), "doc_id")
+    existing = _tombstone_roots(roots)
+    if existing:
+        batch = batch.join(
+            F.broadcast(
+                _read_tombstones(spark, existing).select("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    target = tomb_root if tomb_root is not None else roots[0]
+    # tiny frame (the delete batch): one file keeps the zone compact
+    batch = batch.coalesce(1).persist()
+    try:
+        n = batch.count()
+        if n:
+            batch.write.mode("append").parquet(f"{target}/tombstones")
+    finally:
+        batch.unpersist()
+    return n
+
+
 def bm25_serve(
     spark: SparkSession,
     roots: Sequence[str],
@@ -253,6 +341,39 @@ def bm25_serve(
         F.sum("n_docs").alias("n_docs"),
         F.sum("s_tokens").alias("s_tokens"),
     )
+    tomb_roots = _tombstone_roots(roots)
+    if tomb_roots:
+        # deletion adjustments, all computed from the ALREADY-PRUNED
+        # postings(q) read plus the (delete-batch-sized, broadcast)
+        # tombstone zone — serving stays |postings(q)|-bounded:
+        #  - deleted docs' posting rows drop (anti-join);
+        #  - df decrements by the deleted docs' postings per query
+        #    term (postings(q) ⋉ tombstones, counted per tok);
+        #  - stats decrement by (count, Σdl) captured at delete time.
+        # The result is EXACTLY the rebuild-on-remaining-docs zones
+        # restricted to the query terms (oracle-gated contract).
+        tomb = _read_tombstones(spark, tomb_roots)
+        tomb_ids = F.broadcast(tomb.select("doc_id"))
+        df_rm = (
+            postings.join(tomb_ids, "doc_id")
+            .groupBy("tok")
+            .agg(F.count("*").alias("df_rm"))
+        )
+        postings = postings.join(tomb_ids, "doc_id", "left_anti")
+        dfreq = dfreq.join(df_rm, "tok", "left").select(
+            "tok",
+            (F.col("df") - F.coalesce(F.col("df_rm"), F.lit(0))).alias(
+                "df"
+            ),
+        )
+        trm = tomb.agg(
+            F.count("*").alias("n_rm"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s_rm"),
+        )
+        stats = stats.crossJoin(trm).select(
+            (F.col("n_docs") - F.col("n_rm")).alias("n_docs"),
+            (F.col("s_tokens") - F.col("s_rm")).alias("s_tokens"),
+        )
     # dl rides in the posting entry, so nothing corpus-sized is read:
     # the plan is postings(q) ⋈ broadcast(dfreq) × broadcast(stats)
     scored = (
@@ -281,37 +402,84 @@ def compact_bm25_index(
     Serving over the compacted root equals serving over the inputs by
     the same associativity the producers rely on; at scale this is the
     periodic job that keeps the per-query root fan-in (and file count)
-    bounded while ingest keeps appending epochs."""
+    bounded while ingest keeps appending epochs.
+
+    Tombstones FOLD here: deleted docs' posting/doclen rows are
+    anti-joined out and dfreq/stats recomputed from the folded zones,
+    so the output root carries NO tombstones zone — serving it needs
+    no per-query adjustment, and the tombstone set never grows past
+    one compaction interval (the lifecycle: delete appends a
+    tombstone, serve subtracts it algebraically, compact erases it
+    physically)."""
     if not roots:
         raise ValueError("compact_bm25_index: need at least one root")
 
-    (
-        _read_zones(spark, roots, "postings", positions=True)
-        .groupBy("doc_id", "tok", "tok_bucket")
+    tomb_roots = _tombstone_roots(roots)
+    postings = _read_zones(spark, roots, "postings", positions=True)
+    doclen = _read_zones(spark, roots, "doclen")
+    if tomb_roots:
+        tomb_ids = F.broadcast(
+            _read_tombstones(spark, tomb_roots).select("doc_id")
+        )
+        postings = postings.join(tomb_ids, "doc_id", "left_anti")
+        doclen = doclen.join(tomb_ids, "doc_id", "left_anti")
+    folded = postings.groupBy("doc_id", "tok", "tok_bucket").agg(
         # disjoint-doc roots: each (doc_id, tok) lives in exactly one
         # root, so sum(cnt) == cnt, max(dl) == dl and first(positions)
         # is the single row's list — the aggregate is a concatenation,
         # written here as re-sums for shape uniformity
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.max("dl").alias("dl"),
-            F.first("positions").alias("positions"),
-        )
-        .repartition(F.col("tok_bucket"))
+        F.sum("cnt").alias("cnt"),
+        F.max("dl").alias("dl"),
+        F.first("positions").alias("positions"),
+    )
+    (
+        folded.repartition(F.col("tok_bucket"))
         .write.mode("overwrite")
         .partitionBy("tok_bucket")
         .parquet(f"{out_root}/postings")
     )
-    _read_zones(spark, roots, "doclen").groupBy("doc_id").agg(
+    doclen_folded = doclen.groupBy("doc_id").agg(
         F.sum("dl").alias("dl")
-    ).write.mode("overwrite").parquet(f"{out_root}/doclen")
-    _read_zones(spark, roots, "dfreq").groupBy("tok").agg(F.sum("df").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{out_root}/dfreq")
-    _read_zones(spark, roots, "stats").agg(
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("s_tokens").alias("s_tokens"),
-    ).write.mode("overwrite").parquet(f"{out_root}/stats")
+    )
+    doclen_folded.write.mode("overwrite").parquet(f"{out_root}/doclen")
+    if tomb_roots:
+        # df must EXCLUDE tombstoned docs: recompute from the JUST-
+        # WRITTEN folded zones (one row per live (doc, tok) → count
+        # per tok; doclen → count + Σdl).  Reading the compacted
+        # output back is deliberate — the folded frames' lineage would
+        # re-run the anti-join aggregation per consumer, while the
+        # parquet round-trip costs one bounded re-read.
+        (
+            spark.read.parquet(f"{out_root}/postings")
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .write.mode("overwrite")
+            .parquet(f"{out_root}/dfreq")
+        )
+        (
+            spark.read.parquet(f"{out_root}/doclen")
+            .groupBy()
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("s_tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_root}/stats")
+        )
+    else:
+        # no deletes: the vocab-sized dfreq zones re-sum and the 1-row
+        # stats zones add — nothing corpus-sized re-aggregated
+        (
+            _read_zones(spark, roots, "dfreq")
+            .groupBy("tok")
+            .agg(F.sum("df").alias("df"))
+            .write.mode("overwrite")
+            .parquet(f"{out_root}/dfreq")
+        )
+        _read_zones(spark, roots, "stats").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("s_tokens").alias("s_tokens"),
+        ).write.mode("overwrite").parquet(f"{out_root}/stats")
     return out_root
 
 
@@ -379,6 +547,17 @@ def phrase_serve(
         .filter(F.col("n_occur") > 0)
         .select("doc_id", "n_occur")
     )
+    tomb_roots = _tombstone_roots(roots)
+    if tomb_roots:
+        # phrase counts are per-doc (no corpus stats), so deletion is
+        # one anti-join on the (already term-bounded) match frame
+        occ = occ.join(
+            F.broadcast(
+                _read_tombstones(spark, tomb_roots).select("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
     top = occ.orderBy(F.desc("n_occur"), "doc_id").limit(k)
     w = Window.orderBy(F.desc("n_occur"), "doc_id")
     return top.withColumn("rk", F.row_number().over(w)).select(

@@ -1270,6 +1270,7 @@ def ivf_pq_search(
     target_recall: float | None = None,
     recall_ladder: list[dict] | None = None,
     ladder_index_n: int | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """The full production ANN serving path, composed from the audited
     pieces: IVF coarse quantizer restricts candidates to ``nprobe``
@@ -1345,6 +1346,15 @@ def ivf_pq_search(
     over raw codes at identical knobs because no codebook capacity is
     spent explaining the coarse cell means; see SCALE.md's serving
     ladder for the numbers.
+
+    ``tombstones``: optional deletion markers (any one-column id
+    frame) — tombstoned vectors are anti-joined out of the assigned
+    zone before candidate generation, making a takedown on a living
+    index a delete-batch-sized operation instead of a rebuild.  Search
+    with tombstones == search over the index rebuilt on the remaining
+    vectors (same codebook/centroids), exactly, because assign/encode
+    are per-row maps (test-pinned; the BM25 lane's
+    ``delete_from_bm25_index`` contract applied to ANN).
     """
     if index is not None and (codebook is None or centroids is None):
         raise ValueError(
@@ -1418,6 +1428,25 @@ def ivf_pq_search(
             vec_col,
         ).select("neighbor_id", "cid")
         codes = pq_encode(corpus, id_col, vec_col, m, n_codes, quant, codebook)
+    if tombstones is not None:
+        # index deletion (the BM25 tombstone lane's ANN twin): drop
+        # tombstoned vectors from the assigned zone BEFORE candidate
+        # generation — assign/encode are per-row maps, so a filtered
+        # persisted index is EXACTLY the index rebuilt on the
+        # remaining vectors under the same codebook/centroids
+        # (test-pinned), and the delete costs one broadcast anti-join
+        # instead of a corpus re-encode.  The exact re-rank below
+        # looks up only shortlist ids, which the filter already
+        # excludes, so the full corpus frame needs no second filter.
+        assigned = assigned.join(
+            F.broadcast(
+                tombstones.select(
+                    F.col(tombstones.columns[0]).alias("neighbor_id")
+                ).distinct()
+            ),
+            "neighbor_id",
+            "left_anti",
+        )
     probed = ivf_probe(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")

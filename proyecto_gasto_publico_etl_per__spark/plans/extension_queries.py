@@ -1272,6 +1272,83 @@ def bm25_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_serve(spark, [base, delta], _BM25_TERMS)
 
 
+#: per-process tombstoned-index root for bm25_delete_serving
+_BM25_DELETE_ZONES: dict[str, str] = {}
+
+#: the delete entry's oracle is the SHARED BM25 oracle computed over
+#: the corpus MINUS the deleted docs — rebuild-on-remaining, i.e. the
+#: append==rebuild contract inverted.  The single replace keeps the
+#: docs CTE in lockstep with _DOCS_CTE (one source of truth for the
+#: tokenization mirror).
+_DOCS_CTE_DELETED = _DOCS_CTE.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 10 <> 3", 1
+)
+
+
+@register(
+    "bm25_delete_serving", _BM25_SQL.format(docs_cte=_DOCS_CTE_DELETED)
+)
+def bm25_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETION without rebuild — the lifecycle gap the build/
+    append/compact trio left open (a takedown or dedup-retraction on a
+    100 TB corpus must not cost a corpus re-tokenize): 10% of the docs
+    (doc_id % 10 == 3) are tombstoned on a fully-built index
+    (`retrieval.delete_from_bm25_index` — one keyed doclen lookup per
+    delete batch), and serving subtracts their contributions
+    algebraically from the already-pruned postings(q) read — posting
+    rows anti-joined, per-term df decremented by the deleted docs'
+    matches, corpus stats decremented by the tombstones' (count, Σdl).
+    The oracle is the full rebuild over the REMAINING docs, so
+    delete == rebuild-on-remaining sits under the driver's hash gate
+    (the append==rebuild contract inverted).  Compaction later folds
+    tombstones out physically (pytest-pinned), bounding the adjustment
+    set at one compaction interval."""
+    root = _BM25_DELETE_ZONES.get(sf_dir)
+    if root is None:
+        docs = load_table(spark, sf_dir, "documents")
+        root = _bm25_build_index(spark, docs)
+        retrieval.delete_from_bm25_index(
+            spark,
+            [root],
+            docs.select("doc_id").where(F.col("doc_id") % 10 == 3),
+        )
+        _BM25_DELETE_ZONES[sf_dir] = root
+    return retrieval.bm25_serve(spark, [root], _BM25_TERMS)
+
+
+#: per-process compacted root for bm25_compacted_serving
+_BM25_COMPACT_ZONES: dict[str, str] = {}
+
+
+@register("bm25_compacted_serving", _BM25_SQL.format(docs_cte=_DOCS_CTE))
+def bm25_compacted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The periodic maintenance job a living index depends on, under
+    the driver gate: a (base, delta) pair — the same 90/10 split as
+    `bm25_append_serving` — is FOLDED into one root by
+    `retrieval.compact_bm25_index` (zone-level unions and re-sums,
+    never a re-tokenize) and served from the compacted root alone.
+    Shares the inline twin's oracle: compacted == rebuilt, closing the
+    associativity triangle the lane rests on (inline == served ==
+    append-merged == compacted).  At 100 TB compaction is what bounds
+    per-query root fan-in and file count while ingest keeps appending
+    epoch zones."""
+    root = _BM25_COMPACT_ZONES.get(sf_dir)
+    if root is None:
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        is_delta = F.col("doc_id") % 10 == F.lit(7)
+        base = _bm25_build_index(spark, docs.where(~is_delta))
+        delta = _bm25_build_index(spark, docs.where(is_delta))
+        root = retrieval.compact_bm25_index(
+            spark,
+            [base, delta],
+            tempfile.mkdtemp(prefix="bm25_compacted_") + "/zones",
+        )
+        _BM25_COMPACT_ZONES[sf_dir] = root
+    return retrieval.bm25_serve(spark, [root], _BM25_TERMS)
+
+
 #: fixed 2-term phrase for the phrase queries — an adjacent-token pair
 #: present in the synthetic corpus at every SF
 _PHRASE = ("spark", "hash")
@@ -3684,6 +3761,72 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in ("sim_topk_lsh_multiprobe", "sim_topk_ivf", "sim_topk_sq8")
     ]
     return similarity.rrf_fuse(lists, k_const=60, topk=5)
+
+
+#: the hybrid entry's single probe: its dense ranking comes from the
+#: sim_topk_ivf probe set (vec_id < 10), its lexical ranking from the
+#: fixed 3-term BM25 query — vec_id and doc_id share one id space in
+#: the synthetic corpus, standing in for "every document has both text
+#: and an embedding" (the RAG-stack reality)
+HYBRID_PROBE = 3
+
+
+def _hybrid_oracle() -> str:
+    """Composes the lexical (bm25_serving) and dense (sim_topk_ivf)
+    registered oracles as nested-WITH CTEs, then mirrors rrf_fuse's
+    integer arithmetic — the ann_rrf_fusion pattern applied across
+    retrieval modalities."""
+    return f"""
+    WITH lex AS ({REGISTRY["bm25_serving"][1]}),
+    dense AS ({REGISTRY["sim_topk_ivf"][1]}),
+    allc AS (
+      SELECT doc_id, 1000000 // (60 + rk) AS c FROM lex
+      UNION ALL
+      SELECT neighbor_id AS doc_id, 1000000 // (60 + rk) AS c
+      FROM dense WHERE query_id = {HYBRID_PROBE}
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM allc GROUP BY 1
+    )
+    SELECT doc_id, rrf_score, n_lists, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 5
+    """
+
+
+@register("hybrid_retrieval_topk", _hybrid_oracle())
+def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-stack serving shape: ONE fused ranking from a lexical
+    BM25 index scan and a dense ANN index probe, combined by
+    reciprocal-rank fusion (similarity.rrf_fuse, k=60, exact-integer
+    grid).  The lexical list is `bm25_serving`'s persisted-index top-10
+    (postings(q)-bounded); the dense list is `sim_topk_ivf`'s ranking
+    for one probe (nprobe-bounded inverted lists).  Fusion touches only
+    the two OUTPUT lists, so the hybrid's serving cost is the max of
+    its components — both index-bounded, nothing corpus-sized — and
+    the fused scores are BIGINT sums, order-independent and
+    bit-identical across engines.  The oracle composes both components'
+    FULL registered oracles, so the driver's hash gate certifies the
+    end-to-end composition, not just the parts."""
+    lex = REGISTRY["bm25_serving"][0](spark, sf_dir).select(
+        F.lit(HYBRID_PROBE).cast("long").alias("query_id"),
+        "doc_id",
+        "rk",
+    )
+    dense = (
+        REGISTRY["sim_topk_ivf"][0](spark, sf_dir)
+        .filter(F.col("query_id") == HYBRID_PROBE)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    )
+    fused = similarity.rrf_fuse(
+        [lex, dense], k_const=60, topk=5, id_col="doc_id"
+    )
+    return fused.select("doc_id", "rrf_score", "n_lists", "rk")
 
 
 # --- distribution drift (operators/textstats.chi2_source_drift) ---------------

@@ -278,3 +278,32 @@ def test_r13_window_front_loads_the_new_queries_then_r9_stale_names():
     assert all(
         green_round[n] <= 10 for n in window if n in green_round
     ), "an r11/r12-fresh name occupies an r13 slot a staler name needs"
+
+
+def test_r14_window_front_loads_the_new_queries_then_r10_stale_names():
+    """Round 14: with the r13 artifact committed (newest green round ==
+    13) and THREE new declared queries (the index-lifecycle closers
+    bm25_delete_serving / bm25_compacted_serving plus the RAG-stack
+    composition hybrid_retrieval_topk), the window must lead with the
+    never-green names, then contain the ENTIRE r10-stale cohort (21
+    names, 3 driver rounds old — the r13 verdict's rotation ask).
+    Guarded on the artifact state so the test stays valid later."""
+    names = list(entry.queries())
+    latest = DQ._latest_check_rows()
+    green_round = {
+        n: rnd for n, (rnd, row) in latest.items() if DQ._is_green(row)
+    }
+    newest = max(green_round.values(), default=0)
+    if newest != 13:
+        return  # a later round's artifact landed; generic tests cover it
+    never = [n for n in names if n not in green_round]
+    assert {
+        "bm25_delete_serving",
+        "bm25_compacted_serving",
+        "hybrid_retrieval_topk",
+    } <= set(never)
+    k = len(never)
+    assert set(names[:k]) == set(never)  # never-green sorts first
+    r10_stale = {n for n, rnd in green_round.items() if rnd == 10}
+    assert len(r10_stale) == 21
+    assert r10_stale <= set(names[:50])  # whole stale cohort in-window

@@ -2299,3 +2299,274 @@ def test_cli_text_search_phrase_mode(spark, tmp_path, capsys):
     lines = [ln for ln in out.strip().splitlines() if "doc " in ln]
     assert len(lines) == 2  # docs 1 and 2 contain "spark hash"; 3 not
     assert "doc 1" in out and "doc 2" in out and "doc 3" not in out
+
+
+# --- index deletion (tombstones) ----------------------------------------------
+
+
+_TOMB_SCHEMA = "doc_id LONG, text STRING"
+_TOMB_DOCS = [
+    (1, "spark hash merge spark table"),
+    (2, "hash value row hash"),
+    (3, "merge merge spark hash"),
+    (4, "table value agg"),
+    (5, "spark spark spark"),
+    (6, "hash merge"),
+]
+_TOMB_TERMS = ("spark", "hash", "merge")
+
+
+def _serve_set(spark, roots, terms=_TOMB_TERMS):
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+    )
+
+    return {tuple(r) for r in bm25_serve(spark, roots, terms).collect()}
+
+
+def test_bm25_delete_equals_rebuild_and_is_idempotent(spark):
+    """delete == rebuild-on-remaining, exactly (the append==rebuild
+    contract inverted): tombstoned docs drop out of the ranking, the
+    survivors' scores equal a fresh build over the remaining docs
+    (df/stats adjustments included — scores CHANGE for survivors when
+    the corpus shrinks, so a bare row-filter would fail this).
+    Deletes are idempotent and ignore ids absent from the index."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        delete_from_bm25_index,
+        phrase_serve,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    full = build_bm25_index(spark, docs)
+    before = _serve_set(spark, [full])
+
+    n = delete_from_bm25_index(spark, [full], [2, 5])
+    assert n == 2
+    rebuilt = build_bm25_index(
+        spark, docs.where(~F.col("doc_id").isin(2, 5))
+    )
+    after = _serve_set(spark, [full])
+    assert after == _serve_set(spark, [rebuilt])
+    assert after != before  # survivors' scores shifted with the stats
+    assert not any(row[0] in (2, 5) for row in after)
+
+    # phrase lane honors tombstones through the same zone
+    pa = {
+        tuple(r)
+        for r in phrase_serve(spark, [full], ("spark", "hash")).collect()
+    }
+    pb = {
+        tuple(r)
+        for r in phrase_serve(
+            spark, [rebuilt], ("spark", "hash")
+        ).collect()
+    }
+    assert pa == pb
+
+    # idempotent: re-delete (overlapping + absent ids) adds nothing
+    assert delete_from_bm25_index(spark, [full], [2, 5, 999]) == 0
+    assert _serve_set(spark, [full]) == after
+
+    # DataFrame-shaped delete batch works too
+    assert (
+        delete_from_bm25_index(
+            spark, [full], spark.createDataFrame([(4,)], "doc_id LONG")
+        )
+        == 1
+    )
+    rebuilt2 = build_bm25_index(
+        spark, docs.where(~F.col("doc_id").isin(2, 4, 5))
+    )
+    assert _serve_set(spark, [full]) == _serve_set(spark, [rebuilt2])
+
+
+def test_bm25_delete_spans_multi_root_indexes(spark):
+    """Tombstones live in ONE root (the first by default) but apply to
+    the merged view — deleting a base doc and a delta doc in one batch
+    must equal the rebuild over the remaining docs of BOTH roots."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    base = build_bm25_index(spark, docs.where(F.col("doc_id") <= 4))
+    delta = build_bm25_index(spark, docs.where(F.col("doc_id") > 4))
+    assert delete_from_bm25_index(spark, [base, delta], [1, 6]) == 2
+    rebuilt = build_bm25_index(
+        spark, docs.where(~F.col("doc_id").isin(1, 6))
+    )
+    assert _serve_set(spark, [base, delta]) == _serve_set(
+        spark, [rebuilt]
+    )
+
+
+def test_bm25_compaction_folds_tombstones(spark, tmp_path):
+    """Compacting a tombstoned index folds the deletions out
+    PHYSICALLY: the output root serves identically, carries no
+    tombstones zone, and its dfreq/stats zones equal a fresh build
+    over the remaining docs (zone-level equality, stronger than
+    serving equality for the query terms)."""
+    import os
+
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    full = build_bm25_index(spark, docs)
+    delete_from_bm25_index(spark, [full], [1, 4])
+    out = str(tmp_path / "compacted")
+    compact_bm25_index(spark, [full], out)
+
+    rebuilt = build_bm25_index(
+        spark, docs.where(~F.col("doc_id").isin(1, 4))
+    )
+    assert _serve_set(spark, [out]) == _serve_set(spark, [rebuilt])
+    assert not os.path.isdir(f"{out}/tombstones")
+    for zone in ("dfreq", "doclen", "stats"):
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{out}/{zone}").collect()
+        }
+        want = {
+            tuple(r)
+            for r in spark.read.parquet(f"{rebuilt}/{zone}").collect()
+        }
+        assert got == want, zone
+
+
+def test_bm25_delete_every_doc_with_a_term(spark):
+    """Deleting every doc containing a term empties that term's
+    serving result (df reaches 0 with no posting rows left) without
+    touching other terms."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    full = build_bm25_index(spark, docs)
+    # 'merge' appears only in docs 1, 3, 6
+    delete_from_bm25_index(spark, [full], [1, 3, 6])
+    assert _serve_set(spark, [full], ("merge",)) == set()
+    rebuilt = build_bm25_index(
+        spark, docs.where(~F.col("doc_id").isin(1, 3, 6))
+    )
+    assert _serve_set(spark, [full], ("spark", "hash")) == _serve_set(
+        spark, [rebuilt], ("spark", "hash")
+    )
+
+
+def test_ivf_pq_search_tombstones_equal_rebuilt_index(spark):
+    """The ANN twin of the BM25 delete contract: searching a persisted
+    index with tombstones == searching the index rebuilt on the
+    remaining vectors (same codebook/centroids — assign/encode are
+    per-row maps, so filtering the index IS the rebuild)."""
+    from proyecto_gasto_publico_etl_per__spark.operators.similarity import (
+        ivf_centroids,
+        ivf_pq_build_index,
+        ivf_pq_search,
+        sampled_codebook,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = ivf_centroids(emb, "vec_id", "embedding", 8)
+    cb = sampled_codebook(emb, "vec_id", "embedding", 16, 8)
+    full_idx = ivf_pq_build_index(
+        emb, n_centroids=8, m=16, n_codes=8, codebook=cb, centroids=cents
+    )
+    tomb = emb.select("vec_id").where(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= 3)
+    )
+    kw = dict(
+        k=5,
+        n_centroids=8,
+        nprobe=4,
+        m=16,
+        n_codes=8,
+        rerank=8,
+        codebook=cb,
+        centroids=cents,
+    )
+    got = {
+        tuple(r)
+        for r in ivf_pq_search(
+            emb, queries, index=full_idx, tombstones=tomb, **kw
+        ).collect()
+    }
+    remaining = emb.join(tomb, "vec_id", "left_anti")
+    rebuilt_idx = ivf_pq_build_index(
+        remaining,
+        n_centroids=8,
+        m=16,
+        n_codes=8,
+        codebook=cb,
+        centroids=cents,
+    )
+    want = {
+        tuple(r)
+        for r in ivf_pq_search(
+            remaining, queries, index=rebuilt_idx, **kw
+        ).collect()
+    }
+    assert got == want
+    tomb_ids = {r.vec_id for r in tomb.collect()}
+    assert not any(row[1] in tomb_ids for row in got)
+
+
+def test_cli_text_index_delete_and_guards(spark, tmp_path, capsys):
+    """text-index-delete tombstones through the CLI; the r13-review
+    guards fire: bare-root build/append refusal, ambiguous-index
+    refusal, compact-overlap refusal."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA).write.parquet(d)
+    idx = str(tmp_path / "idx")
+    cli.main(["text-index-build", d, idx])
+    capsys.readouterr()
+
+    cli.main(["text-index-delete", idx, "1", "4"])
+    assert "tombstoned 2 documents" in capsys.readouterr().out
+    cli.main(["text-search", idx, "spark", "hash"])
+    out = capsys.readouterr().out
+    assert "doc 1 " not in out and "doc 4 " not in out
+
+    # ids-parquet form
+    ids = str(tmp_path / "ids")
+    spark.createDataFrame([(2,)], "doc_id LONG").write.parquet(ids)
+    cli.main(["text-index-delete", idx, "--ids-parquet", ids])
+    assert "tombstoned 1 documents" in capsys.readouterr().out
+
+    # compact folds; compacted output serves without the deleted docs
+    out_dir = str(tmp_path / "compacted")
+    cli.main(["text-index-compact", idx, out_dir])
+    capsys.readouterr()
+    cli.main(["text-search", out_dir, "spark", "hash"])
+    assert "doc 2 " not in capsys.readouterr().out
+
+    # guards
+    with pytest.raises(SystemExit, match="bare zone root"):
+        cli.main(["text-index-build", d, out_dir])
+    with pytest.raises(SystemExit, match="bare zone root"):
+        cli.main(["text-index-append", d, out_dir])
+    with pytest.raises(SystemExit, match="overlaps"):
+        cli.main(["text-index-compact", idx, f"{idx}/sub"])
+    with pytest.raises(SystemExit, match="overlaps"):
+        cli.main(["text-index-compact", idx, idx])
+    # an index dir that is BOTH bare and structured is refused
+    import os
+
+    os.makedirs(f"{idx}/postings", exist_ok=True)
+    with pytest.raises(SystemExit, match="ambiguous"):
+        cli.main(["text-search", idx, "spark"])
+    with pytest.raises(SystemExit, match="no text index"):
+        cli.main(["text-search", str(tmp_path / "nothing"), "spark"])

@@ -44,6 +44,12 @@ CARTESIAN_OK = {
     #                  index zone (r13)
     "bm25_append_serving",  # same 1-row stats scalar, summed across the
     #                         base+delta zone pair (r13)
+    "bm25_delete_serving",  # same 1-row stats scalar, minus the 1-row
+    #                         tombstone (count, Σdl) adjustment (r14)
+    "bm25_compacted_serving",  # same 1-row stats scalar, read from the
+    #                            compacted zone root (r14)
+    "hybrid_retrieval_topk",  # composes bm25_serving, inheriting its
+    #                           allowlisted 1-row stats broadcast (r14)
     "unigram_freq_score",  # 1-row corpus-total scalar broadcast
     "ann_recall_eval",  # brute ground truth (corpus × 10 probes) +
     #                     1-row n_expected scalar broadcast
