@@ -167,6 +167,16 @@ REBUILD_LANE = frozenset(
 #: a serving entry regresses when min-of-runs exceeds FACTOR × its floor
 REGRESSION_FACTOR = 1.5
 
+#: entries whose floor sits under this are REPORT-ONLY (round-14 rule,
+#: closing the two-round pps_sample_docs watchlist): at sub-second
+#: absolute walls the gate's 1.5× headroom is smaller than this box's
+#: demonstrated non-code variance (bimodal JIT / scheduling jitter —
+#: the r12/r13 A/B runs proved the flags weren't code), so a flag there
+#: carries no signal.  Sub-second entries still print a NOTE and land
+#: in the detail artifact, but never trip the strict gate; everything
+#: at ≥1 s keeps the hard gate unchanged.
+SUBSECOND_REPORT_ONLY_SEC = 1.0
+
 FLOOR_PATH = Path(__file__).resolve().parent / "BENCH_FLOOR.json"
 
 
@@ -202,6 +212,9 @@ def check_regressions(
                     "sec": sec,
                     "floor_sec": floor,
                     "ratio": round(sec / floor, 2),
+                    # sub-second floors: box jitter exceeds the gate's
+                    # headroom (see SUBSECOND_REPORT_ONLY_SEC)
+                    "report_only": floor < SUBSECOND_REPORT_ONLY_SEC,
                 }
             )
     return out
@@ -315,8 +328,9 @@ def main() -> None:
     for r in (*regressions, *headline_regressions):
         # loud but artifact-safe: stderr only — the driver's stdout
         # tail-capture must still see the compact JSON line
+        label = "NOTE (sub-second, report-only)" if r["report_only"] else "REGRESSION"
         print(
-            f"REGRESSION {r['query']}: {r['sec']}s vs floor "
+            f"{label} {r['query']}: {r['sec']}s vs floor "
             f"{r['floor_sec']}s ({r['ratio']}x, gate "
             f"{REGRESSION_FACTOR}x) — re-measure min-of-5 on a quiet "
             f"box before trusting (BENCH_NOTES discipline)",
@@ -390,9 +404,12 @@ def main() -> None:
         )
 
     print(json.dumps(compact))
-    if (regressions or headline_regressions) and os.environ.get(
-        "SPARK_GRAFT_BENCH_STRICT"
-    ) == "1":
+    gating = [
+        r
+        for r in (*regressions, *headline_regressions)
+        if not r["report_only"]
+    ]
+    if gating and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         sys.exit(1)
 
 

@@ -166,3 +166,26 @@ def test_bench_headline_floor_names_are_current():
     stale = set(floors) - set(bench.HEADLINE)
     assert not stale, stale
     assert all(v > 0 for v in floors.values())
+
+
+def test_subsecond_floors_are_report_only(tmp_path):
+    """Round-14 rule (closes the two-round pps_sample_docs watchlist):
+    a flag against a sub-second floor is marked report_only — at that
+    absolute wall the box's demonstrated non-code variance (bimodal
+    JIT) exceeds the gate's 1.5x headroom, so the strict gate must not
+    trip on it — while floors >= 1 s keep the hard gate."""
+    import json
+
+    floor = tmp_path / "floor.json"
+    serving = sorted(set(bench.EXTENSIONS) - bench.REBUILD_LANE)[:2]
+    floor.write_text(
+        json.dumps(
+            {"extension_min_sec": {serving[0]: 0.5, serving[1]: 2.0}}
+        )
+    )
+    out = bench.check_regressions(
+        {serving[0]: 0.9, serving[1]: 3.6}, floor
+    )
+    flags = {r["query"]: r["report_only"] for r in out}
+    assert flags == {serving[0]: True, serving[1]: False}
+    assert bench.SUBSECOND_REPORT_ONLY_SEC == 1.0
