@@ -281,6 +281,13 @@ def main(argv: list[str] | None = None) -> None:
              "(positional posting intersection) instead of a BM25 "
              "bag-of-terms query — same index, no corpus re-read",
     )
+    tsr.add_argument(
+        "--max-df-frac", type=float, default=None,
+        help="hot-term guard: drop query terms whose df exceeds this "
+             "fraction of the corpus (a stopword's posting list is "
+             "corpus-sized — the one shape where per-query cost stops "
+             "being flat); drops are logged with the firing count",
+    )
 
     tic = sub.add_parser(
         "text-index-compact",
@@ -767,7 +774,13 @@ def main(argv: list[str] | None = None) -> None:
             for r in rows.collect():
                 print(f"{r.rk:3d}  doc {r.doc_id}  occurrences {r.n_occur}")
         else:
-            rows = bm25_serve(spark, roots, args.terms, k=args.k)
+            rows = bm25_serve(
+                spark,
+                roots,
+                args.terms,
+                k=args.k,
+                max_df_frac=args.max_df_frac,
+            )
             for r in rows.collect():
                 print(f"{r.rk:3d}  doc {r.doc_id}  score_q {r.bm25_q}")
     elif args.cmd == "text-index-compact":

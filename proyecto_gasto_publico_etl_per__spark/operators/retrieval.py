@@ -42,10 +42,14 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import logging
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup
+
+log = logging.getLogger(__name__)
 
 #: posting-zone partition fan-out — constant under vocab/corpus growth
 N_TOK_BUCKETS = 64
@@ -308,6 +312,7 @@ def bm25_serve(
     roots: Sequence[str],
     terms: Sequence[str],
     k: int = 10,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-``k`` (doc_id, bm25_q, rk) for ``terms`` over the merged
     view of one or more index roots built on DISJOINT doc subsets.
@@ -319,13 +324,63 @@ def bm25_serve(
     is exactly the full rebuild's aggregates by associativity.  dl
     rides in the posting entry, so the query touches nothing
     corpus-sized; top-k is orderBy+limit (TakeOrderedAndProject), then
-    the rank window runs over k rows."""
+    the rank window runs over k rows.
+
+    ``max_df_frac`` (round 14): the hot-term guard — the ONE input
+    shape where per-query cost stops being flat is a term with df ≈ N
+    (a stopword), whose posting list is corpus-sized by definition.
+    When set, terms with df > max_df_frac·N are DROPPED before their
+    postings are read: the decision costs one bounded metadata action
+    (the query's ≤|terms| dfreq rows × the 1-row stats — the same
+    pre-read a production query planner does), and the drop is logged
+    with the firing count (the ``max_bucket``/``max_value_df`` cap
+    discipline applied to postings).  Dropping a saturated term is the
+    classic stopword cut: its idf ≈ (N−df+½)/(df+½) is near the floor,
+    so it contributes almost nothing to ranking while costing almost
+    everything to scan.  With no hot term the served scores are
+    IDENTICAL to the unguarded query (property-pinned); df here is the
+    zone df (pre-tombstone — the guard is a cost bound, not a scoring
+    input).  Queries reduced to ONLY hot terms return empty."""
     from pyspark.sql import Window
 
     if not roots:
         raise ValueError("bm25_serve: need at least one index root")
     if not terms:
         raise ValueError("bm25_serve: need at least one query term")
+
+    terms = list(dict.fromkeys(terms))
+    if max_df_frac is not None:
+        stats_pre = _read_zones(spark, roots, "stats").agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs")
+        )
+        df_pre = (
+            _read_zones(spark, roots, "dfreq")
+            .filter(F.col("tok").isin(*terms))
+            .groupBy("tok")
+            .agg(F.sum("df").alias("df"))
+            .crossJoin(F.broadcast(stats_pre))
+        )
+        hot = {
+            r.tok: (r.df, r.n_docs)
+            for r in df_pre.collect()
+            if r.df > max_df_frac * r.n_docs
+        }
+        if hot:
+            worst = max(f / n for f, n in hot.values())
+            log.warning(
+                "bm25_serve: max_df_frac=%.3g dropped %d of %d query "
+                "terms (df/N up to %.3g): %s",
+                max_df_frac,
+                len(hot),
+                len(terms),
+                worst,
+                sorted(hot),
+            )
+            terms = [t for t in terms if t not in hot]
+            if not terms:
+                return spark.createDataFrame(
+                    [], "doc_id LONG, bm25_q LONG, rk INT"
+                )
 
     buckets = sorted({tok_bucket_of(t) for t in terms})
     postings = _read_zones(spark, roots, "postings").filter(

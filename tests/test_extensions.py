@@ -2570,3 +2570,84 @@ def test_cli_text_index_delete_and_guards(spark, tmp_path, capsys):
         cli.main(["text-search", idx, "spark"])
     with pytest.raises(SystemExit, match="no text index"):
         cli.main(["text-search", str(tmp_path / "nothing"), "spark"])
+
+
+def test_bm25_hot_term_guard(spark, caplog):
+    """max_df_frac drops saturated terms (with the firing count
+    logged) and is score-IDENTICAL to the unguarded query when no term
+    is hot — the max_bucket cap discipline applied to postings."""
+    import logging
+
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    # 'the' saturates (every doc), 'spark'/'merge' stay selective
+    docs = spark.createDataFrame(
+        [
+            (1, "the spark merge the"),
+            (2, "the value row"),
+            (3, "the merge spark the the"),
+            (4, "the table"),
+            (5, "the spark"),
+        ],
+        _TOMB_SCHEMA,
+    )
+    root = build_bm25_index(spark, docs)
+    terms = ("spark", "merge", "the")
+
+    # no term hot at frac=1.0 (df == N is not > 1.0*N): identical to
+    # the unguarded query
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+    )
+
+    unguarded = {tuple(r) for r in bm25_serve(spark, [root], terms).collect()}
+    assert {
+        tuple(r)
+        for r in bm25_serve(
+            spark, [root], terms, max_df_frac=1.0
+        ).collect()
+    } == unguarded
+
+    # at frac=0.8 'the' (df=5=N) is dropped: result == querying only
+    # the surviving terms, and the drop is logged with the count
+    with caplog.at_level(
+        logging.WARNING,
+        logger="proyecto_gasto_publico_etl_per__spark.operators.retrieval",
+    ):
+        guarded = {
+            tuple(r)
+            for r in bm25_serve(
+                spark, [root], terms, max_df_frac=0.8
+            ).collect()
+        }
+    assert guarded == {
+        tuple(r)
+        for r in bm25_serve(spark, [root], ("spark", "merge")).collect()
+    }
+    assert any(
+        "dropped 1 of 3" in rec.getMessage() for rec in caplog.records
+    )
+
+    # a query of ONLY hot terms returns empty with the right schema
+    only_hot = bm25_serve(spark, [root], ("the",), max_df_frac=0.8)
+    assert only_hot.count() == 0
+    assert [f.name for f in only_hot.schema.fields] == [
+        "doc_id",
+        "bm25_q",
+        "rk",
+    ]
+
+    # guard uses the ZONE df (pre-tombstone): still fires after deletes
+    delete_from_bm25_index(spark, [root], [2])
+    assert {
+        tuple(r)
+        for r in bm25_serve(
+            spark, [root], terms, max_df_frac=0.8
+        ).collect()
+    } == {
+        tuple(r)
+        for r in bm25_serve(spark, [root], ("spark", "merge")).collect()
+    }
