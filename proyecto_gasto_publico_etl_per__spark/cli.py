@@ -327,8 +327,12 @@ def main(argv: list[str] | None = None) -> None:
     mh.add_argument("assets_parquet")
     mh.add_argument("out_dir")
     mh.add_argument(
-        "--media", choices=["image", "audio", "video"], default="image",
-        help="which asset rows to key (run once per modality)",
+        "--media", choices=["image", "audio", "video", "auto"],
+        default="image",
+        help="which asset rows to key (run once per modality).  'auto' "
+             "sniffs each payload's MAGIC BYTES and keys all three "
+             "modalities in ONE fused Arrow pass (stored labels "
+             "ignored; unrecognized payloads quarantine as 'unknown')",
     )
     mh.add_argument(
         "--kind", choices=["ahash", "dhash", "phash"], default=None,
@@ -830,6 +834,35 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "media-hash":
         assets = spark.read.parquet(args.assets_parquet)
 
+        if args.media == "auto":
+            from .operators.multimodal import media_keys_auto
+
+            # every knob applies to its own lane in auto mode
+            out = media_keys_auto(
+                assets,
+                kind="phash" if args.kind is None else args.kind,
+                n_mels=16 if args.n_mels is None else args.n_mels,
+                n_frames=5 if args.n_frames is None else args.n_frames,
+            )
+            out.write.mode("overwrite").parquet(args.out_dir)
+            done = spark.read.parquet(args.out_dir)
+            per_mode = {
+                r["media_type"]: r["count"]
+                for r in done.groupBy("media_type").count().collect()
+            }
+            n = done.count()
+            keyed = sum(
+                v for m, v in per_mode.items() if m != "unknown"
+            )
+            print(
+                f"recognized {keyed}/{n} assets (image "
+                f"{per_mode.get('image', 0)}, audio "
+                f"{per_mode.get('audio', 0)}, video "
+                f"{per_mode.get('video', 0)}; "
+                f"{per_mode.get('unknown', 0)} unrecognized) → "
+                f"{args.out_dir}"
+            )
+            return
         if args.media == "audio":
             from .operators.multimodal import audio_fingerprints
 

@@ -501,6 +501,111 @@ def sniff_media_types(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=assets.schema)
 
 
+def media_keys_auto(
+    assets: DataFrame,
+    kind: str = "phash",
+    n_mels: int = 16,
+    n_frames: int = 5,
+) -> DataFrame:
+    """Mixed-media near-dup keys in ONE Arrow pass (round 14 — the
+    ``--media auto`` ingest shape): each payload is sniffed by magic
+    bytes (``sniff_media_type``) and keyed by ITS modality's extractor
+    in the same batch — image → ``phash64`` (BIGINT), audio →
+    ``fingerprint`` (array<double>, ``audio_dsp.mel_fingerprint``),
+    video → ``frame_hashes`` (array<long>, evenly sampled frames, the
+    ``videohash.video_hashes`` pick).  Off-modality key columns are
+    NULL; unrecognized payloads get media_type ``"unknown"`` with all
+    keys NULL (quarantine); per-row decode failures quarantine to a
+    NULL key, never a job abort.
+
+    Why fused: the chained form (``sniff_media_types`` →
+    ``image_hashes`` → ``audio_fingerprints`` → ``video_hashes``)
+    moves every payload across the Arrow boundary FOUR times — and
+    worse, it CORRUPTS keys: a nullable int64 column (``phash64``)
+    crossing a later extractor's Arrow pass coerces to float64 in
+    pandas (int64 has no NaN) and silently loses low bits past 2^53
+    (caught live in testing — a phash of ...008027 came back
+    ...008128).  One fused pass means the bytes cross once and no key
+    column ever re-enters pandas.  Value-identity with the per-lane
+    single-media extractors is test-pinned, and the streaming twin
+    (``streaming.incremental.media_keys_ingest``) runs this per
+    micro-batch — map-only, so streamed == batch exactly."""
+    from .audio_dsp import mel_fingerprint
+    from .imagehash import image_phash64
+    from .videohash import real_video_frames
+
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+
+    def keys(p) -> tuple[str, int | None, list | None, list | None]:
+        mt = sniff_media_type(p) or "unknown"
+        try:
+            if mt == "image":
+                return mt, image_phash64(bytes(p), kind), None, None
+            if mt == "audio":
+                d = decode_audio(bytes(p))
+                return (
+                    mt,
+                    None,
+                    mel_fingerprint(
+                        d["samples"],
+                        d["sample_rate"],
+                        n_channels=d["n_channels"],
+                        n_mels=n_mels,
+                    ),
+                    None,
+                )
+            if mt == "video":
+                frames = real_video_frames(bytes(p))
+                if not frames:
+                    raise ValueError("no real frame decode path")
+                return (
+                    mt,
+                    None,
+                    None,
+                    [
+                        image_phash64(
+                            frames[i * len(frames) // n_frames], kind
+                        )
+                        for i in range(n_frames)
+                    ],
+                )
+        except Exception:
+            return mt, None, None, None  # per-row quarantine
+        return mt, None, None, None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = [keys(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": [c[0] for c in cols],
+                    "phash64": pd.Series(
+                        [c[1] for c in cols],
+                        index=pdf.index,
+                        dtype="object",
+                    ),
+                    "fingerprint": pd.Series(
+                        [c[2] for c in cols],
+                        index=pdf.index,
+                        dtype="object",
+                    ),
+                    "frame_hashes": pd.Series(
+                        [c[3] for c in cols],
+                        index=pdf.index,
+                        dtype="object",
+                    ),
+                }
+            )
+
+    schema = (
+        "asset_id LONG, media_type STRING, phash64 LONG, "
+        "fingerprint ARRAY<DOUBLE>, frame_hashes ARRAY<BIGINT>"
+    )
+    return assets.mapInPandas(batches, schema=schema)
+
+
 def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
     """Real decode → resample → re-encode.  Pillow (LANCZOS, any format)
     when importable; else stdlib decode + exact area-average (box)

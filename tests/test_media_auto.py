@@ -230,3 +230,149 @@ def test_media_dedup_auto_matches_single_media_runs(spark, tmp_path, capsys):
     assert img[1] == img[2] != img[3]
     assert aud[10] == aud[11] != aud[12]
     assert vid[20] == vid[21] != vid[22]
+
+
+def _keyset(df):
+    """Comparable (asset_id, media_type, keys) tuples with arrays frozen."""
+    return {
+        (
+            r.asset_id,
+            r.media_type,
+            r.phash64,
+            tuple(r.fingerprint) if r.fingerprint is not None else None,
+            tuple(r.frame_hashes) if r.frame_hashes is not None else None,
+        )
+        for r in df.collect()
+    }
+
+
+def _mixed_rows():
+    """A mislabeled mixed crawl batch: 2 images, 2 audio clips, 1 video,
+    1 junk payload, 1 NULL payload — labels all wrong ('auto' must
+    ignore them)."""
+    return [
+        (1, "audio", bytearray(_png(1)), {}),
+        (2, "video", bytearray(_png(2)), {}),
+        (3, "image", bytearray(_wav(_tone(500.0, 4096))), {}),
+        (4, "image", bytearray(_wav(_tone(900.0, 4096))), {}),
+        (5, "image", bytearray(_avi([3, 4])), {}),
+        (6, "image", bytearray(b"junkjunkjunkjunk"), {}),
+        (7, "video", None, {}),
+    ]
+
+
+def test_media_keys_auto_matches_chained_single_media_extractors(spark):
+    """The fused one-Arrow-pass extractor must be value-identical to
+    the single-media extractors run per lane over the sniffed frame:
+    fusing is a cost move, never a semantics move.
+
+    The per-lane runs are deliberately NOT chained extractor-over-
+    extractor (image_hashes → audio_fingerprints → ...): a nullable
+    int64 key column crossing a LATER extractor's Arrow pass coerces
+    to float64 in pandas (int64 has no NaN) and silently loses low
+    bits past 2^53 — caught live writing this test (phash
+    ...008027 came back ...008128).  That corruption hazard is half
+    the reason media_keys_auto is one fused pass."""
+    from proyecto_gasto_publico_etl_per__spark.operators.videohash import (
+        video_hashes,
+    )
+
+    assets = _assets(spark, _mixed_rows())
+    fused = _keyset(multimodal.media_keys_auto(assets))
+
+    sniffed = multimodal.sniff_media_types(assets).localCheckpoint()
+    mt = {r.asset_id: r.media_type for r in sniffed.collect()}
+    img = {
+        r.asset_id: r.phash64
+        for r in multimodal.image_hashes(sniffed).collect()
+    }
+    aud = {
+        r.asset_id: (
+            tuple(r.fingerprint) if r.fingerprint is not None else None
+        )
+        for r in multimodal.audio_fingerprints(sniffed).collect()
+    }
+    vid = {
+        r.asset_id: (
+            tuple(r.frame_hashes)
+            if r.frame_hashes is not None
+            else None
+        )
+        for r in video_hashes(sniffed).collect()
+    }
+    chained = {(a, mt[a], img[a], aud[a], vid[a]) for a in mt}
+    assert fused == chained
+    by_type = {t[0]: t[1] for t in fused}
+    assert by_type == {
+        1: "image", 2: "image", 3: "audio", 4: "audio", 5: "video",
+        6: "unknown", 7: "unknown",
+    }
+    # every recognized row got ITS modality's key and no other
+    for aid, mt, ph, fp, fh in fused:
+        assert (ph is not None) == (mt == "image"), aid
+        assert (fp is not None) == (mt == "audio"), aid
+        assert (fh is not None) == (mt == "video"), aid
+
+
+def test_media_keys_at_ingest_streamed_equals_batch(spark, tmp_path):
+    """The --media auto streaming twin (r13 verdict task 8): a MIXED
+    crawl stream (images + audio + video + junk, mislabeled) keyed per
+    micro-batch by media_keys_ingest produces exactly the batch pass's
+    key set — map-only, no cross-batch state — and a replay of the
+    same source is idempotent (per-epoch overwrite)."""
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        media_keys_ingest,
+    )
+
+    rows = _mixed_rows()
+    src = tmp_path / "src"
+    src.mkdir()
+    schema_ddl = (
+        "asset_id LONG, media_type STRING, payload BINARY, "
+        "meta MAP<STRING, STRING>"
+    )
+    _assets(spark, rows[:3]).coalesce(1).write.parquet(str(src / "b1"))
+    _assets(spark, rows[3:]).coalesce(1).write.parquet(str(src / "b2"))
+    out_dir = str(tmp_path / "keys")
+
+    def run(ckpt):
+        q = media_keys_ingest(
+            spark.readStream.schema(schema_ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*")),
+            out_dir,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+
+    run("ckpt")
+    streamed = _keyset(
+        spark.read.parquet(out_dir).drop("epoch")
+    )
+    batch = _keyset(multimodal.media_keys_auto(_assets(spark, rows)))
+    assert streamed == batch
+    # junk + NULL payloads quarantined identically across modes
+    assert (6, "unknown", None, None, None) in streamed
+    assert (7, "unknown", None, None, None) in streamed
+
+    # replay from a fresh checkpoint: per-epoch overwrite keeps the
+    # zone duplicate-free (at-least-once safety)
+    run("ckpt2")
+    assert _keyset(spark.read.parquet(out_dir).drop("epoch")) == batch
+
+
+def test_cli_media_hash_auto(spark, tmp_path, capsys):
+    """media-hash --media auto: one fused pass keys a mislabeled mixed
+    directory; per-modality counts and quarantine are reported."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    src = str(tmp_path / "assets")
+    _assets(spark, _mixed_rows()).write.parquet(src)
+    out_dir = str(tmp_path / "keys")
+    cli.main(["media-hash", src, out_dir, "--media", "auto"])
+    outmsg = capsys.readouterr().out
+    assert "recognized 5/7 assets" in outmsg
+    assert "image 2, audio 2, video 1; 2 unrecognized" in outmsg
+    got = _keyset(spark.read.parquet(out_dir))
+    want = _keyset(multimodal.media_keys_auto(_assets(spark, _mixed_rows())))
+    assert got == want

@@ -41,7 +41,9 @@ from proyecto_gasto_publico_etl_per__spark.sources.tables import load_table
 DEFAULT_QUERIES = ["corpus_clean_final", "dedup_clusters", "semantic_dedup_keep"]
 
 
-def build_replicated(spark, sf_dir: str, k: int, out_dir: str) -> None:
+def build_replicated(
+    spark, sf_dir: str, k: int, out_dir: str, hot_token: str | None = None
+) -> None:
     docs = load_table(spark, sf_dir, "documents")
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     doc_parts = []
@@ -50,6 +52,20 @@ def build_replicated(spark, sf_dir: str, k: int, out_dir: str) -> None:
         if r > 0:
             rep = rep.withColumn(
                 "text", F.regexp_replace("text", r"(\S+)", f"$1_r{r}")
+            )
+        if hot_token is not None:
+            # appended AFTER the rename so the token is shared by every
+            # replica: the injective rename otherwise guarantees no
+            # term's df grows with the corpus — the one input shape the
+            # serve ladder can't produce naturally (a df≈N stopword,
+            # round-14 hot-term lane)
+            rep = rep.withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(hot_token),
+                ),
             )
         doc_parts.append(rep)
     out = doc_parts[0]
@@ -245,18 +261,11 @@ def media_neardup_probe(spark, k: int, n_base: int = 200_000) -> None:
         )
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    names = sys.argv[3:] or DEFAULT_QUERIES
-    if names == ["media-neardup"]:
-        media_neardup_probe(get_spark(), k)
-        return
-    spark = get_spark()
-    # geometric ×3 ladder up to K (same rationale as the media probe:
-    # a single leg at 2-5 s walls is scheduling-floor-dominated; the
-    # per-leg exponents + whole-ladder fit separate floor from data
-    # term, and the top leg is the number to trust)
+def _ladder_of(k: int) -> list[int]:
+    """Geometric ×3 ladder up to K (shared by the query and text-index
+    lanes): a single leg at 2-5 s walls is scheduling-floor-dominated;
+    the per-leg exponents + whole-ladder fit separate floor from data
+    term, and the top leg is the number to trust."""
     if k < 2:
         raise SystemExit(
             "scaling probe needs k >= 2: a single-rung ladder has no "
@@ -268,6 +277,111 @@ def main() -> None:
         ladder.append(ladder[-1] * 3)
     if ladder[-1] != k:
         ladder.append(k)
+    return ladder
+
+
+def _exp_report(name: str, times: dict[int, float], **extra) -> None:
+    ladder = sorted(times)
+    legs = {
+        f"exp_{a}x_{b}x": round(
+            math.log(times[b] / times[a]) / math.log(b / a), 3
+        )
+        for a, b in zip(ladder, ladder[1:])
+    }
+    xs = [math.log(m) for m in ladder]
+    ys = [math.log(times[m]) for m in ladder]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    fit = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "t_sec": {f"{m}x": round(times[m], 2) for m in ladder},
+                **legs,
+                "exp_fit": round(fit, 3),
+                "exp_top": legs[f"exp_{ladder[-2]}x_{ladder[-1]}x"],
+                **extra,
+            }
+        ),
+        flush=True,
+    )
+
+
+def text_index_probe(spark, sf_dir: str, k: int) -> None:
+    """Round-14 verdict task 6+7: the BM25 index BUILD ladder (the
+    serve side is proven flat; the build is claimed linear — one
+    corpus-sized job — measure it), plus the hot-term serving legs: a
+    shared df==N token is injected into every replica (the injective
+    rename never produces one), making |postings(hot)| corpus-sized —
+    unguarded serving of it must scale ~linearly, and the max_df_frac
+    guard must hold it flat."""
+    import gc
+
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+    )
+
+    HOT = "zzhot"
+    ladder = _ladder_of(k)
+    builds: dict[int, float] = {}
+    serves: dict[int, float] = {}
+    hot_unguarded: dict[int, float] = {}
+    hot_guarded: dict[int, float] = {}
+    for mult in ladder:
+        gc.collect()
+        d = tempfile.mkdtemp(prefix=f"tiscale{mult}x_")
+        build_replicated(spark, sf_dir, mult, d, hot_token=HOT)
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        # min-of-2 fresh builds (fresh root each: the build is the
+        # corpus-sized job being measured, warm caches would lie)
+        runs = []
+        roots = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            roots.append(build_bm25_index(spark, docs))
+            runs.append(time.monotonic() - t0)
+        builds[mult] = min(runs)
+        root = [roots[-1]]
+
+        def timed(terms, **kw):
+            bm25_serve(spark, root, terms, **kw).count()  # warm
+            out = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                bm25_serve(spark, root, terms, **kw).count()
+                out.append(time.monotonic() - t0)
+            return min(out)
+
+        serves[mult] = timed(("spark", "hash", "merge"))
+        hot_unguarded[mult] = timed(("spark", HOT))
+        hot_guarded[mult] = timed(("spark", HOT), max_df_frac=0.5)
+    _exp_report("bm25_index_build", builds, sf_dir=sf_dir)
+    _exp_report("bm25_serve_selective", serves, sf_dir=sf_dir)
+    _exp_report("bm25_serve_hot_unguarded", hot_unguarded, sf_dir=sf_dir)
+    _exp_report(
+        "bm25_serve_hot_guarded_0.5",
+        hot_guarded,
+        sf_dir=sf_dir,
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    names = sys.argv[3:] or DEFAULT_QUERIES
+    if names == ["media-neardup"]:
+        media_neardup_probe(get_spark(), k)
+        return
+    if names == ["text-index"]:
+        text_index_probe(get_spark(), sf_dir, k)
+        return
+    spark = get_spark()
+    ladder = _ladder_of(k)
     dirs = {1: sf_dir}
     for mult in ladder[1:]:
         d = tempfile.mkdtemp(prefix=f"scale{mult}x_")
@@ -292,31 +406,7 @@ def main() -> None:
                 fn(spark, dirs[mult]).count()
                 runs.append(time.monotonic() - t0)
             times[mult] = min(runs)
-        legs = {
-            f"exp_{a}x_{b}x": round(
-                math.log(times[b] / times[a]) / math.log(b / a), 3
-            )
-            for a, b in zip(ladder, ladder[1:])
-        }
-        xs = [math.log(m) for m in ladder]
-        ys = [math.log(times[m]) for m in ladder]
-        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        fit = sum(
-            (x - mx) * (y - my) for x, y in zip(xs, ys)
-        ) / sum((x - mx) ** 2 for x in xs)
-        print(
-            json.dumps(
-                {
-                    "query": name,
-                    "t_sec": {f"{m}x": round(times[m], 2) for m in ladder},
-                    **legs,
-                    "exp_fit": round(fit, 3),
-                    "exp_top": legs[f"exp_{ladder[-2]}x_{ladder[-1]}x"],
-                    "sf_dir": sf_dir,
-                }
-            ),
-            flush=True,
-        )
+        _exp_report(name, times, sf_dir=sf_dir)
 
 
 if __name__ == "__main__":
