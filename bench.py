@@ -140,6 +140,13 @@ EXTENSIONS = (
     # intersection over the same persisted index bm25_serving reads
     "phrase_topk",
     "phrase_serving",
+    # round 14 additions (baseline starts at r14): the index-lifecycle
+    # closers — tombstone-adjusted serving, compacted-root serving, and
+    # the BM25×ANN RRF composition (all serving-lane: index/zone reads,
+    # builds are the warm run like the other serving splits)
+    "bm25_delete_serving",
+    "bm25_compacted_serving",
+    "hybrid_retrieval_topk",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

@@ -52,6 +52,17 @@ def _text_index_deltas(index_dir: str) -> list[int]:
     )
 
 
+def _is_bare_zone_root(path: str) -> bool:
+    """True when ``path`` is itself a zone root (postings/ directly
+    under it — e.g. a compacted out_dir), as opposed to a structured
+    index dir holding base/ and delta=N/ roots.  The ONE probe the
+    build/append guards and the roots resolver all share, so a zone
+    layout change lands in one place (r14 review)."""
+    import os
+
+    return os.path.isdir(f"{path}/postings")
+
+
 def _text_index_roots(index_dir: str) -> list[str]:
     """base + delta=N zone roots of a text index dir, deltas in append
     order; a bare zone root (postings/ present, no base/) serves as-is
@@ -61,7 +72,7 @@ def _text_index_roots(index_dir: str) -> list[str]:
     structured roots' documents (r13 review) — so it errors."""
     import os
 
-    bare = os.path.isdir(f"{index_dir}/postings")
+    bare = _is_bare_zone_root(index_dir)
     structured = []
     if os.path.isdir(f"{index_dir}/base"):
         structured.append(f"{index_dir}/base")
@@ -716,11 +727,9 @@ def main(argv: list[str] | None = None) -> None:
             k * len(args.query_ids), truncate=False
         )
     elif args.cmd == "text-index-build":
-        import os
-
         from .operators.retrieval import build_bm25_index
 
-        if os.path.isdir(f"{args.index_dir}/postings"):
+        if _is_bare_zone_root(args.index_dir):
             # a bare zone root (e.g. a compacted out_dir): writing
             # base/ under it would create an index text-search refuses
             # as ambiguous — the indexed documents would effectively
@@ -747,11 +756,9 @@ def main(argv: list[str] | None = None) -> None:
         n = spark.read.parquet(f"{root}/doclen").count()
         print(f"indexed {n} documents → {root}")
     elif args.cmd == "text-index-append":
-        import os
-
         from .operators.retrieval import build_bm25_index
 
-        if os.path.isdir(f"{args.index_dir}/postings"):
+        if _is_bare_zone_root(args.index_dir):
             # appending delta=0 under a bare zone root would create an
             # ambiguous index (text-search refuses it) — the appended
             # documents would silently vanish from results otherwise
@@ -774,6 +781,14 @@ def main(argv: list[str] | None = None) -> None:
 
         roots = _text_index_roots(args.index_dir)
         if args.phrase:
+            if args.max_df_frac is not None:
+                # dropping a term from a PHRASE breaks its adjacency
+                # semantics, so the guard can't apply — warn instead
+                # of silently ignoring the knob (r14 review)
+                print(
+                    "warning: --max-df-frac does not apply to --phrase "
+                    "(a phrase term cannot be dropped) — ignored"
+                )
             rows = phrase_serve(spark, roots, args.terms, k=args.k)
             for r in rows.collect():
                 print(f"{r.rk:3d}  doc {r.doc_id}  occurrences {r.n_occur}")
@@ -850,7 +865,7 @@ def main(argv: list[str] | None = None) -> None:
                 r["media_type"]: r["count"]
                 for r in done.groupBy("media_type").count().collect()
             }
-            n = done.count()
+            n = sum(per_mode.values())
             keyed = sum(
                 v for m, v in per_mode.items() if m != "unknown"
             )

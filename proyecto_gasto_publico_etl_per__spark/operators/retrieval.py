@@ -136,13 +136,21 @@ def build_bm25_index(
     Writes are plain parquet saves (mode default = errorifexists for a
     fresh root); streaming callers that replay an epoch pass an
     epoch-scoped root and overwrite it (`bm25_index_ingest`)."""
+    import shutil
     import tempfile
 
     if root is None:
         root = tempfile.mkdtemp(prefix="bm25_index_") + "/zones"
         mode = "errorifexists"
     else:
-        # epoch-scoped root: at-least-once replays rewrite in place
+        # epoch-scoped root: at-least-once replays rewrite in place.
+        # A rebuild must also clear any STALE tombstones zone — the
+        # four zone writes overwrite their dirs, but tombstones are
+        # written by delete_from_bm25_index, not by builds, so a
+        # surviving zone from the previous index would silently
+        # anti-join the NEW corpus's matching doc_ids and mis-adjust
+        # every score (r14 review).
+        shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
         mode = "overwrite"
     words = docs.select(
         "doc_id", F.posexplode(dedup._tokens("text")).alias("pos", "tok")
@@ -276,8 +284,22 @@ def delete_from_bm25_index(
 
     Ids absent from the index are ignored (no doclen row → no
     tombstone); re-deleting an already-tombstoned doc is a no-op."""
+    import os
+
     if not roots:
         raise ValueError("delete_from_bm25_index: need at least one root")
+    if tomb_root is not None and os.path.realpath(tomb_root) not in {
+        os.path.realpath(r) for r in roots
+    }:
+        # a tombstone zone outside the served roots is invisible to
+        # bm25_serve/phrase_serve/compact (they probe only `roots`) —
+        # the delete would report success and change nothing, and the
+        # idempotence anti-join would miss it too (r14 review)
+        raise ValueError(
+            f"delete_from_bm25_index: tomb_root {tomb_root!r} is not "
+            "one of the index roots — serving would never see the "
+            "tombstones"
+        )
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
     else:
@@ -466,9 +488,16 @@ def compact_bm25_index(
     one compaction interval (the lifecycle: delete appends a
     tombstone, serve subtracts it algebraically, compact erases it
     physically)."""
+    import shutil
+
     if not roots:
         raise ValueError("compact_bm25_index: need at least one root")
 
+    # a reused out_root may carry a stale tombstones zone from a
+    # previous index generation — the four zone writes below overwrite
+    # their own dirs but would leave it behind to mis-adjust every
+    # serve (r14 review)
+    shutil.rmtree(f"{out_root}/tombstones", ignore_errors=True)
     tomb_roots = _tombstone_roots(roots)
     postings = _read_zones(spark, roots, "postings", positions=True)
     doclen = _read_zones(spark, roots, "doclen")
@@ -503,16 +532,21 @@ def compact_bm25_index(
         # per tok; doclen → count + Σdl).  Reading the compacted
         # output back is deliberate — the folded frames' lineage would
         # re-run the anti-join aggregation per consumer, while the
-        # parquet round-trip costs one bounded re-read.
+        # parquet round-trip costs one bounded re-read.  The reads are
+        # schema-declared: a FULL takedown folds to an empty postings
+        # zone, whose partitioned write leaves no data files to infer
+        # a schema from (the _ZONE_SCHEMAS edge case; r14 review).
         (
-            spark.read.parquet(f"{out_root}/postings")
+            spark.read.schema(_POSTINGS_SCHEMA)
+            .parquet(f"{out_root}/postings")
             .groupBy("tok")
             .agg(F.count("*").alias("df"))
             .write.mode("overwrite")
             .parquet(f"{out_root}/dfreq")
         )
         (
-            spark.read.parquet(f"{out_root}/doclen")
+            spark.read.schema(_DOCLEN_SCHEMA)
+            .parquet(f"{out_root}/doclen")
             .groupBy()
             .agg(
                 F.count("*").alias("n_docs"),

@@ -2651,3 +2651,79 @@ def test_bm25_hot_term_guard(spark, caplog):
         tuple(r)
         for r in bm25_serve(spark, [root], ("spark", "merge")).collect()
     }
+
+
+def test_bm25_rebuild_clears_stale_tombstones(spark, tmp_path):
+    """r14 review: a rebuild into a root (and a compaction into a
+    reused out_root) must clear any surviving tombstones zone — a
+    stale zone would silently anti-join the NEW corpus's matching
+    doc_ids and mis-adjust every score."""
+    import os
+
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    root = str(tmp_path / "idx")
+    build_bm25_index(spark, docs, root=root)
+    delete_from_bm25_index(spark, [root], [1, 4])
+    assert os.path.isdir(f"{root}/tombstones")
+
+    # rebuild over a different corpus: doc 1/4 of the NEW index must
+    # NOT be ghost-deleted, and the stale zone is gone
+    build_bm25_index(spark, docs, root=root)
+    assert not os.path.isdir(f"{root}/tombstones")
+    fresh = build_bm25_index(spark, docs)
+    assert _serve_set(spark, [root]) == _serve_set(spark, [fresh])
+
+    # compaction into a previously-tombstoned out_root likewise
+    out = str(tmp_path / "out")
+    build_bm25_index(spark, docs, root=out)
+    delete_from_bm25_index(spark, [out], [2])
+    compact_bm25_index(spark, [root], out)
+    assert not os.path.isdir(f"{out}/tombstones")
+    assert _serve_set(spark, [out]) == _serve_set(spark, [fresh])
+
+
+def test_bm25_full_takedown_compacts_to_empty_index(spark, tmp_path):
+    """r14 review: tombstoning EVERY doc then compacting must produce
+    a valid empty index (declared-schema read-back of the empty
+    partitioned postings zone), not an AnalysisException."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    root = build_bm25_index(spark, docs)
+    delete_from_bm25_index(spark, [root], [r[0] for r in _TOMB_DOCS])
+    assert _serve_set(spark, [root]) == set()
+    out = str(tmp_path / "empty")
+    compact_bm25_index(spark, [root], out)
+    assert bm25_serve(spark, [out], _TOMB_TERMS).count() == 0
+    stats = spark.read.parquet(f"{out}/stats").collect()[0]
+    assert (stats.n_docs, stats.s_tokens) == (0, 0)
+
+
+def test_bm25_delete_rejects_foreign_tomb_root(spark, tmp_path):
+    """r14 review: a tomb_root outside the served roots would make the
+    delete invisible to serving AND break re-delete idempotence — it
+    must be rejected loudly."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    root = build_bm25_index(spark, docs)
+    with pytest.raises(ValueError, match="tomb_root"):
+        delete_from_bm25_index(
+            spark, [root], [1], tomb_root=str(tmp_path / "elsewhere")
+        )
+    # an explicit tomb_root that IS one of the roots still works
+    assert delete_from_bm25_index(spark, [root], [1], tomb_root=root) == 1
