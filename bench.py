@@ -147,6 +147,7 @@ EXTENSIONS = (
     "bm25_delete_serving",
     "bm25_compacted_serving",
     "hybrid_retrieval_topk",
+    "phrase_delete_serving",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

@@ -1285,6 +1285,25 @@ _DOCS_CTE_DELETED = _DOCS_CTE.replace(
 )
 
 
+def _tombstoned_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-process: a full index over ``documents`` with 10%
+    of the docs (doc_id % 10 == 3) tombstoned — shared by the BM25 and
+    phrase delete-serving entries (ONE index, two query types, same
+    deletion state; the bm25_serving/phrase_serving root-sharing
+    pattern)."""
+    root = _BM25_DELETE_ZONES.get(sf_dir)
+    if root is None:
+        docs = load_table(spark, sf_dir, "documents")
+        root = _bm25_build_index(spark, docs)
+        retrieval.delete_from_bm25_index(
+            spark,
+            [root],
+            docs.select("doc_id").where(F.col("doc_id") % 10 == 3),
+        )
+        _BM25_DELETE_ZONES[sf_dir] = root
+    return root
+
+
 @register(
     "bm25_delete_serving", _BM25_SQL.format(docs_cte=_DOCS_CTE_DELETED)
 )
@@ -1303,16 +1322,7 @@ def bm25_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the append==rebuild contract inverted).  Compaction later folds
     tombstones out physically (pytest-pinned), bounding the adjustment
     set at one compaction interval."""
-    root = _BM25_DELETE_ZONES.get(sf_dir)
-    if root is None:
-        docs = load_table(spark, sf_dir, "documents")
-        root = _bm25_build_index(spark, docs)
-        retrieval.delete_from_bm25_index(
-            spark,
-            [root],
-            docs.select("doc_id").where(F.col("doc_id") % 10 == 3),
-        )
-        _BM25_DELETE_ZONES[sf_dir] = root
+    root = _tombstoned_index_root(spark, sf_dir)
     return retrieval.bm25_serve(spark, [root], _BM25_TERMS)
 
 
@@ -1418,6 +1428,29 @@ def phrase_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, load_table(spark, sf_dir, "documents")
         )
         _BM25_INDEX_ZONES[sf_dir] = root
+    return retrieval.phrase_serve(spark, [root], _PHRASE)
+
+
+@register(
+    "phrase_delete_serving",
+    # the phrase brute oracle over the corpus MINUS the deleted docs —
+    # the same single-replace discipline as _DOCS_CTE_DELETED keeps it
+    # in lockstep with the shared phrase oracle
+    _PHRASE_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 10 <> 3", 1
+    ),
+)
+def phrase_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phrase lane under DELETION, oracle-gated: the positional
+    index serves from the SAME tombstoned root as `bm25_delete_serving`
+    (one index, two query types, one deletion state), anti-joining the
+    tombstoned docs out of the match frame — phrase counts are per-doc
+    (no corpus stats), so deletion is one broadcast anti-join and the
+    result equals the brute zip-compare over the REMAINING docs.  With
+    `bm25_delete_serving` this puts BOTH query types' tombstone
+    arithmetic under the driver's hash gate (the BM25 side also
+    adjusts df/stats; the phrase side proves pure row removal)."""
+    root = _tombstoned_index_root(spark, sf_dir)
     return retrieval.phrase_serve(spark, [root], _PHRASE)
 
 
