@@ -771,6 +771,23 @@ def main(argv: list[str] | None = None) -> None:
             )
         nxt = max(_text_index_deltas(args.index_dir), default=-1) + 1
         docs = spark.read.parquet(args.docs_parquet)
+        from .operators.retrieval import reingest_conflicts
+
+        clash = reingest_conflicts(
+            spark, _text_index_roots(args.index_dir), docs
+        )
+        if clash:
+            # a tombstone anti-joins its doc_id out of EVERY root,
+            # including this new delta — the re-ingested docs would be
+            # permanently invisible while their delta stats still
+            # count (r14 review)
+            raise SystemExit(
+                f"{len(clash)} incoming doc id(s) are tombstoned in "
+                f"this index (e.g. {clash[:5]}); appending them would "
+                "leave those documents invisible. Run "
+                "text-index-compact first (it folds tombstones out) "
+                "or re-ingest under fresh ids."
+            )
         root = build_bm25_index(
             spark, docs, root=f"{args.index_dir}/delta={nxt}"
         )

@@ -235,12 +235,55 @@ def _read_zones(
     return out
 
 
+def _as_local_path(root: str) -> str:
+    """Normalize an index root to a plain local path.
+
+    Tombstone presence is detected with a local directory probe
+    (`_tombstone_roots`), which is the ONE zone whose detection is not
+    a schema-declared read — a root spelled as a URI (``file:/...``)
+    that Spark's readers and writers happily accept would make the
+    probe miss an existing tombstones zone and silently resurrect
+    every deleted document (r14 review).  So at the API boundary:
+    ``file:`` URIs are resolved to their local path (all three
+    spellings — file:/p, file://host/p, file:///p), and any OTHER
+    scheme fails loudly instead of dropping deletions."""
+    import re
+    from urllib.parse import urlparse
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(?=/)", root)
+    if m is None:
+        return root
+    scheme = m.group(1).lower()
+    if scheme == "file":
+        path = urlparse(root).path
+        if not path:
+            raise ValueError(
+                f"retrieval: cannot resolve file URI {root!r} to a "
+                "local path"
+            )
+        return path
+    raise ValueError(
+        f"retrieval: index root {root!r} has scheme {scheme!r} — this "
+        "local-mode engine detects deletion tombstones with a local "
+        "filesystem probe, so a non-local root would silently ignore "
+        "deletes; pass a plain local path"
+    )
+
+
+def _local_roots(roots: Sequence[str]) -> list[str]:
+    """`_as_local_path` over a root list (the shared API boundary for
+    every function that probes tombstones)."""
+    return [_as_local_path(r) for r in roots]
+
+
 def _tombstone_roots(roots: Sequence[str]) -> list[str]:
     """Roots that carry a tombstones zone.  A directory probe per root
     (on a cluster this is the manifest/catalog lookup every table
     format does before planning a scan) — when NO deletes ever
     happened, the serving plan is byte-identical to the pre-deletion
-    one: zero extra joins, zero extra reads."""
+    one: zero extra joins, zero extra reads.  Callers have already
+    normalized roots via `_local_roots`, so the probe never silently
+    misses a URI-spelled zone."""
     import os
 
     return [r for r in roots if os.path.isdir(f"{r}/tombstones")]
@@ -283,11 +326,23 @@ def delete_from_bm25_index(
     - stats decrement by (count, Σdl) of the tombstones, captured here.
 
     Ids absent from the index are ignored (no doclen row → no
-    tombstone); re-deleting an already-tombstoned doc is a no-op."""
+    tombstone); re-deleting an already-tombstoned doc is a no-op.
+
+    RE-INSERT after delete: a tombstone anti-joins its doc_id out of
+    EVERY root's postings, including roots built later — so appending
+    a new document under a tombstoned id (takedown then re-crawl)
+    would leave it permanently invisible while its delta still bumps
+    df/stats.  A tombstoned id must be compacted out (the fold erases
+    the tombstone) before its id can be re-ingested; use
+    `reingest_conflicts` to detect the collision up front (the CLI
+    append path refuses it — r14 review)."""
     import os
 
     if not roots:
         raise ValueError("delete_from_bm25_index: need at least one root")
+    roots = _local_roots(roots)
+    if tomb_root is not None:
+        tomb_root = _as_local_path(tomb_root)
     if tomb_root is not None and os.path.realpath(tomb_root) not in {
         os.path.realpath(r) for r in roots
     }:
@@ -327,6 +382,34 @@ def delete_from_bm25_index(
     finally:
         batch.unpersist()
     return n
+
+
+def reingest_conflicts(
+    spark: SparkSession, roots: Sequence[str], docs: DataFrame
+) -> list[int]:
+    """Doc ids in ``docs`` (first column) that are TOMBSTONED in the
+    index at ``roots`` — appending such a batch would leave those
+    documents permanently invisible: tombstones anti-join their doc_id
+    out of every root's postings, including the new delta, while the
+    delta's df/stats contributions still count (takedown → re-crawl of
+    the same id; r14 review).  The collision must be resolved by
+    compacting first (the fold erases the tombstone) or by assigning
+    the re-crawled document a fresh id.
+
+    Cost is one broadcast semi-join of the (delete-batch-sized)
+    tombstone zone against the incoming batch's ids — nothing
+    corpus-sized; with no tombstones anywhere it is zero reads.
+    Returns a sorted bounded sample (≤100 ids) for the error message;
+    an empty list means the append is safe."""
+    tomb_roots = _tombstone_roots(_local_roots(roots))
+    if not tomb_roots:
+        return []
+    ids = docs.select(F.col(docs.columns[0]).alias("doc_id")).distinct()
+    hit = ids.join(
+        F.broadcast(_read_tombstones(spark, tomb_roots).select("doc_id")),
+        "doc_id",
+    ).limit(100)
+    return sorted(r.doc_id for r in hit.collect())
 
 
 def bm25_serve(
@@ -369,6 +452,7 @@ def bm25_serve(
         raise ValueError("bm25_serve: need at least one index root")
     if not terms:
         raise ValueError("bm25_serve: need at least one query term")
+    roots = _local_roots(roots)
 
     terms = list(dict.fromkeys(terms))
     if max_df_frac is not None:
@@ -488,10 +572,35 @@ def compact_bm25_index(
     one compaction interval (the lifecycle: delete appends a
     tombstone, serve subtracts it algebraically, compact erases it
     physically)."""
+    import os
     import shutil
 
     if not roots:
         raise ValueError("compact_bm25_index: need at least one root")
+    roots = _local_roots(roots)
+    out_root = _as_local_path(out_root)
+
+    # out_root must not overlap any input root: the stale-tombstone
+    # rmtree below runs BEFORE any input is read, so out_root ==
+    # roots[0] would destroy the input's tombstones zone first and the
+    # "compaction" would resurrect every deleted document with no
+    # error; any nesting either way also risks Spark overwriting a
+    # path it is reading.  The CLI has always enforced this — the
+    # check lives here too so library callers get the same protection
+    # (r14 review).  realpath comparison catches symlink aliases.
+    out_real = os.path.realpath(out_root)
+    for r in roots:
+        r_real = os.path.realpath(r)
+        if (
+            out_real == r_real
+            or out_real.startswith(r_real + os.sep)
+            or r_real.startswith(out_real + os.sep)
+        ):
+            raise ValueError(
+                f"compact_bm25_index: out_root {out_root!r} overlaps "
+                f"input root {r!r}; compact to a directory outside "
+                "the index being read"
+            )
 
     # a reused out_root may carry a stale tombstones zone from a
     # previous index generation — the four zone writes below overwrite
@@ -577,6 +686,7 @@ def phrase_serve(
     roots: Sequence[str],
     phrase: Sequence[str],
     k: int = 10,
+    rarest_semijoin_cap: int = 1_000_000,
 ) -> DataFrame:
     """Top-``k`` (doc_id, n_occur, rk) documents containing the exact
     adjacent-token ``phrase``, served from the positional posting zone
@@ -594,13 +704,82 @@ def phrase_serve(
     Work is proportional to |postings(phrase terms)|; the corpus text
     is never re-read.  Value-identity with the brute zip-compare count
     over the tokenized text is property-pinned and shared-oracle-gated
-    (`plans.extension_queries.phrase_topk` / `phrase_serving`)."""
+    (`plans.extension_queries.phrase_topk` / `phrase_serving`).
+
+    Rarest-first cost bound (round 15): exact phrase semantics forbid
+    DROPPING a hot term the way `bm25_serve`'s ``max_df_frac`` does —
+    "of the people" must match "of" — so a stopword inside a phrase
+    would otherwise stream its corpus-sized posting list into the
+    doc_id join even though the intersection output is bounded by the
+    RAREST term's df.  Two measures, both result-identical (inner
+    joins commute, and pre-filtering one side by doc_ids the other
+    side is about to inner-join anyway removes only rows the join
+    would drop — property-pinned):
+
+    - join order is ascending-df (the ≤|phrase|-row dfreq lookup the
+      planner reads anyway), so the accumulating side never exceeds
+      the rarest term's postings;
+    - when the rarest term's df ≤ ``rarest_semijoin_cap``, every other
+      term's postings are semi-joined map-side against the BROADCAST
+      rarest doc_id set before anything else — a hot term's
+      corpus-sized list is filtered at the scan, never shuffled.
+      Above the cap (no term is rare enough to broadcast) the plan
+      falls back to plain ascending-df joins, logged.
+
+    A term absent from dfreq short-circuits to an empty result (the
+    inner join would produce one anyway) with zero postings reads."""
     from pyspark.sql import Window
 
     if not roots:
         raise ValueError("phrase_serve: need at least one index root")
     if len(phrase) < 2:
         raise ValueError("phrase_serve: a phrase needs >= 2 terms")
+    roots = _local_roots(roots)
+
+    dfs = {
+        r.tok: r.df
+        for r in (
+            _read_zones(spark, roots, "dfreq")
+            .filter(F.col("tok").isin(*set(phrase)))
+            .groupBy("tok")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+    }
+    missing = sorted({t for t in phrase if t not in dfs})
+    if missing:
+        log.info(
+            "phrase_serve: term(s) %s not in the index — empty result "
+            "without reading postings",
+            missing,
+        )
+        return spark.createDataFrame([], "doc_id LONG, n_occur LONG, rk INT")
+
+    order = sorted(range(len(phrase)), key=lambda i: (dfs[phrase[i]], i))
+    rare_i = order[0]
+    rare_df = dfs[phrase[rare_i]]
+    semijoin = rare_df <= rarest_semijoin_cap
+    if not semijoin:
+        log.warning(
+            "phrase_serve: rarest term %r has df=%d > "
+            "rarest_semijoin_cap=%d — no side is broadcastable; "
+            "falling back to ascending-df joins only",
+            phrase[rare_i],
+            rare_df,
+            rarest_semijoin_cap,
+        )
+    else:
+        # doc_id-only read of the rarest term's postings (narrow
+        # schema: the positions column is never decoded for this
+        # frame); df rows of 8-byte ids, bounded by the cap
+        rare_ids = (
+            _read_zones(spark, roots, "postings")
+            .filter(
+                (F.col("tok_bucket") == tok_bucket_of(phrase[rare_i]))
+                & (F.col("tok") == phrase[rare_i])
+            )
+            .select("doc_id")
+        )
 
     # one INDEPENDENT zone read per phrase term: deriving all sides
     # from a single filtered frame is the classic self-join trap —
@@ -615,7 +794,8 @@ def phrase_serve(
         return lambda p: p - F.lit(shift)
 
     joined = None
-    for i, term in enumerate(phrase):
+    for i in order:
+        term = phrase[i]
         side = (
             _read_zones(spark, roots, "postings", positions=True)
             .filter(
@@ -627,6 +807,12 @@ def phrase_serve(
                 F.transform("positions", _shift_by(i)).alias(f"p{i}"),
             )
         )
+        if semijoin and i != rare_i:
+            # doc_id is unique within a term's postings, so the inner
+            # join against the distinct broadcast id set is exactly a
+            # semi-join: the hot side is filtered at its scan
+            # (broadcast-hash, zero shuffle) down to ≤rare_df rows
+            side = side.join(F.broadcast(rare_ids), "doc_id")
         joined = side if joined is None else joined.join(side, "doc_id")
     inter = F.col("p0")
     for i in range(1, len(phrase)):

@@ -3,6 +3,8 @@ text stats, multimodal plumbing."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -2727,3 +2729,135 @@ def test_bm25_delete_rejects_foreign_tomb_root(spark, tmp_path):
         )
     # an explicit tomb_root that IS one of the roots still works
     assert delete_from_bm25_index(spark, [root], [1], tomb_root=root) == 1
+
+
+def test_retrieval_uri_roots_see_tombstones_or_fail_loud(spark):
+    """r14 review: tombstone presence is the one zone detected via a
+    local filesystem probe — a root spelled as a file: URI (which
+    Spark's readers accept) must still see an existing tombstones zone
+    instead of silently resurrecting deleted docs, and a non-local
+    scheme must fail loudly rather than drop deletions."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    root = build_bm25_index(spark, docs)
+    delete_from_bm25_index(spark, [root], [2, 5])
+    plain = _serve_set(spark, [root])
+    # all three file: URI spellings resolve to the same local zones
+    for uri in (f"file:{root}", f"file://{root}", f"file:///{root.lstrip('/')}"):
+        assert _serve_set(spark, [uri]) == plain, uri
+    # a remote scheme cannot be probed locally — loud, not silent
+    with pytest.raises(ValueError, match="scheme"):
+        bm25_serve(spark, [f"s3://bucket{root}"], _TOMB_TERMS)
+    with pytest.raises(ValueError, match="scheme"):
+        delete_from_bm25_index(spark, [f"hdfs://nn{root}"], [1])
+
+
+def test_compact_refuses_overlapping_out_root_in_library(spark, tmp_path):
+    """r14 review: compact_bm25_index rmtree's out_root/tombstones
+    BEFORE reading any input — with out_root == roots[0] that would
+    destroy the input's tombstones and silently resurrect deleted
+    docs.  The overlap guard must live in the library, not only the
+    CLI, and must fire before anything is deleted."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    root = build_bm25_index(spark, docs)
+    delete_from_bm25_index(spark, [root], [2])
+    before = _serve_set(spark, [root])
+    for bad in (root, f"{root}/nested", str(Path(root).parent)):
+        with pytest.raises(ValueError, match="overlap"):
+            compact_bm25_index(spark, [root], bad)
+    # the guard fired BEFORE the rmtree: tombstones intact
+    assert _serve_set(spark, [root]) == before
+    # a disjoint out_root still compacts fine
+    out = compact_bm25_index(spark, [root], str(tmp_path / "zones"))
+    assert _serve_set(spark, [out]) == before
+
+
+def test_reingest_conflicts_and_cli_append_guard(spark, tmp_path, capsys):
+    """r14 review: appending a doc under a TOMBSTONED id (takedown →
+    re-crawl) leaves it permanently invisible while its delta stats
+    still count — reingest_conflicts must surface the collision and
+    the CLI append must refuse it until a compact folds the tombstone
+    out."""
+    from proyecto_gasto_publico_etl_per__spark.cli import main
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        delete_from_bm25_index,
+        reingest_conflicts,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    idx = tmp_path / "tindex"
+    build_bm25_index(spark, docs, root=f"{idx}/base")
+    # no tombstones anywhere: zero reads, no conflicts
+    assert reingest_conflicts(spark, [f"{idx}/base"], docs) == []
+    delete_from_bm25_index(spark, [f"{idx}/base"], [2, 5])
+    batch = spark.createDataFrame(
+        [(5, "row value table"), (9, "fresh doc")], _TOMB_SCHEMA
+    )
+    assert reingest_conflicts(spark, [f"{idx}/base"], batch) == [5]
+
+    pq = tmp_path / "batch.parquet"
+    batch.write.parquet(str(pq))
+    with pytest.raises(SystemExit, match="tombstoned"):
+        main(["text-index-append", str(pq), str(idx)])
+    # conflict-free batches still append
+    ok = tmp_path / "ok.parquet"
+    batch.where(F.col("doc_id") == 9).write.parquet(str(ok))
+    main(["text-index-append", str(ok), str(idx)])
+    assert "appended 1 documents" in capsys.readouterr().out
+
+
+def test_phrase_serve_rarest_first_semijoin_identity(spark):
+    """Round 15: phrase_serve joins ascending-df and semi-joins hot
+    terms' postings by the broadcast rarest doc_id set — both must be
+    RESULT-IDENTICAL to the naive plan (inner joins commute; the
+    semi-join removes only rows the join would drop).  A term absent
+    from the index short-circuits to empty without reading postings."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        phrase_serve,
+    )
+
+    # "the" is a stopword present in every doc; "spark hash" rides
+    # behind it so the phrase "the spark hash" has one rare + one hot
+    # neighbour term
+    docs = spark.createDataFrame(
+        [
+            (1, "the spark hash the value the"),
+            (2, "the the hash value the spark"),
+            (3, "the spark hash the spark hash"),
+            (4, "the table the value the row"),
+            (5, "spark hash the end"),
+        ],
+        _TOMB_SCHEMA,
+    )
+    root = build_bm25_index(spark, docs)
+
+    def serve(phrase, **kw):
+        return {
+            tuple(r)
+            for r in phrase_serve(spark, [root], phrase, **kw).collect()
+        }
+
+    want = {(3, 2, 1), (1, 1, 2), (5, 1, 3)}
+    assert serve(("spark", "hash")) == want
+    # hot leading term: "the spark hash" occurs twice in doc 3, once in
+    # doc 1 (doc 5's "hash the" has the stopword AFTER the pair)
+    want_hot = {(3, 2, 1), (1, 1, 2)}
+    assert serve(("the", "spark", "hash")) == want_hot
+    # cap=0 disables the broadcast semi-join: ascending-df joins only,
+    # same result (the fallback path is result-identical)
+    assert serve(("the", "spark", "hash"), rarest_semijoin_cap=0) == want_hot
+    # a term not in the index: empty, no postings read needed
+    assert serve(("spark", "zzz_missing")) == set()
