@@ -256,6 +256,33 @@ def main(argv: list[str] | None = None) -> None:
              "tools/ann_knob_sweep.py --write-manifest)",
     )
 
+    adl = sub.add_parser(
+        "ann-delete",
+        help="tombstone vectors in a persisted ann index (takedown "
+             "without rebuild): search anti-joins them out exactly "
+             "(delete == rebuild-on-remaining); the next ann-compact "
+             "folds them out physically",
+    )
+    adl.add_argument("index_dir")
+    adl.add_argument(
+        "vec_ids", nargs="*", type=int, help="vector ids to delete"
+    )
+    adl.add_argument(
+        "--ids-parquet", default=None,
+        help="parquet whose first column holds the vec ids to delete "
+             "(for batch takedowns)",
+    )
+
+    acp = sub.add_parser(
+        "ann-compact",
+        help="fold a tombstoned ann index into a fresh out_dir: zones "
+             "anti-joined (never re-encoded), frozen artifacts copied "
+             "verbatim, no tombstones zone left — serving needs no "
+             "per-query adjustment afterwards",
+    )
+    acp.add_argument("index_dir")
+    acp.add_argument("out_dir")
+
     tib = sub.add_parser(
         "text-index-build",
         help="build the persisted BM25 inverted index over a documents "
@@ -592,6 +619,17 @@ def main(argv: list[str] | None = None) -> None:
         emb = load_table(spark, args.sf_dir, "embeddings")
         delta = emb.filter(F.col("vec_id") >= args.from_id)
         base = args.index_dir
+        clash = similarity.ann_reingest_conflicts(spark, base, delta)
+        if clash:
+            # a tombstone anti-joins its id out of the whole assigned
+            # zone, new rows included — the re-ingested vectors would
+            # be permanently invisible (the text lane's append guard)
+            raise SystemExit(
+                f"{len(clash)} delta vec id(s) are tombstoned in this "
+                f"index (e.g. {clash[:5]}); appending them would leave "
+                "those vectors invisible. Run ann-compact first (it "
+                "folds tombstones out) or re-ingest under fresh ids."
+            )
         pairs_payload, _ = model_store.load_model(
             spark, f"{base}/centroids", "ivf_centroids"
         )
@@ -708,6 +746,12 @@ def main(argv: list[str] | None = None) -> None:
                 f"target_recall={args.target_recall} -> nprobe={nprobe} "
                 "(from the manifest's measured ladder)"
             )
+        tomb = similarity.ann_tombstone_ids(spark, base)
+        if tomb is not None:
+            print(
+                "index has pending tombstones — serving subtracts them "
+                "exactly (run ann-compact to fold them out physically)"
+            )
         result = similarity.ivf_pq_search(
             emb,
             emb.filter(F.col("vec_id").isin(*args.query_ids)),
@@ -722,10 +766,35 @@ def main(argv: list[str] | None = None) -> None:
                 spark.read.parquet(f"{base}/index_assigned"),
                 spark.read.parquet(f"{base}/index_codes"),
             ),
+            tombstones=tomb,
         )
         result.orderBy("query_id", "rk").show(
             k * len(args.query_ids), truncate=False
         )
+    elif args.cmd == "ann-delete":
+        from .operators import similarity
+
+        if args.ids_parquet is not None:
+            ids = spark.read.parquet(args.ids_parquet)
+        elif args.vec_ids:
+            ids = spark.createDataFrame(
+                [(int(i),) for i in args.vec_ids], "neighbor_id LONG"
+            )
+        else:
+            raise SystemExit("ann-delete: pass vec ids or --ids-parquet")
+        n = similarity.delete_from_ann_index(spark, args.index_dir, ids)
+        print(
+            f"tombstoned {n} vectors (search subtracts them now; the "
+            "next ann-compact folds them out physically)"
+        )
+    elif args.cmd == "ann-compact":
+        from .operators import similarity
+
+        out = similarity.compact_ann_index(
+            spark, args.index_dir, args.out_dir
+        )
+        n = spark.read.parquet(f"{out}/index_assigned").count()
+        print(f"compacted index → {out} ({n} vectors, no tombstones)")
     elif args.cmd == "text-index-build":
         from .operators.retrieval import build_bm25_index
 

@@ -2301,3 +2301,183 @@ def rrf_fuse(
         .filter(F.col("rk") <= topk)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+#: persisted ANN-index tombstones: one row per deleted vector.  The
+#: schema is declared at read time so an empty zone (or a zone written
+#: by a full takedown) stays readable — the retrieval lane's
+#: _ZONE_SCHEMAS discipline applied to the ANN index.
+ANN_TOMBSTONES_SCHEMA = "neighbor_id LONG"
+
+
+def ann_tombstone_ids(spark, base: str) -> DataFrame | None:
+    """The deletion markers persisted beside a saved IVF-PQ index
+    (``<base>/tombstones``, written by `delete_from_ann_index`), as a
+    distinct one-column (neighbor_id) frame — or None when no delete
+    ever happened, in which case serving plans stay byte-identical to
+    the pre-deletion ones (zero extra joins, zero extra reads).
+
+    The distinct makes repeated deletes of the same vector idempotent.
+    Base-dir probing shares the retrieval lane's local-path boundary:
+    ``file:`` URIs resolve, non-local schemes fail loudly instead of
+    silently resurrecting deleted vectors (r14 review)."""
+    import os
+
+    from .retrieval import _as_local_path
+
+    base = _as_local_path(base)
+    if not os.path.isdir(f"{base}/tombstones"):
+        return None
+    return (
+        spark.read.schema(ANN_TOMBSTONES_SCHEMA)
+        .parquet(f"{base}/tombstones")
+        .distinct()
+    )
+
+
+def delete_from_ann_index(
+    spark, base: str, vec_ids: "DataFrame | Sequence[int]"
+) -> int:
+    """Delete vectors from a persisted IVF-PQ index WITHOUT a rebuild:
+    append (neighbor_id) tombstones under ``<base>/tombstones`` and
+    return the number of newly tombstoned vectors — the BM25 lane's
+    `retrieval.delete_from_bm25_index` contract applied to ANN
+    (takedown/retraction on a 100 TB vector corpus must not cost a
+    corpus re-encode).
+
+    Serving anti-joins the tombstones out of the assigned zone BEFORE
+    candidate generation (`ivf_pq_search(tombstones=...)`); because
+    assign/encode are per-row maps, the filtered index is EXACTLY the
+    index rebuilt on the remaining vectors under the same frozen
+    codebook/centroids (driver-oracle-gated via
+    ``plans.extension_queries.ann_delete_serving``).  The next
+    `compact_ann_index` folds them out physically.
+
+    Cost is one broadcast semi-join of the delete batch against the
+    assigned zone's id column (to ignore ids absent from the index)
+    plus an anti-join against existing tombstones (re-delete is a
+    no-op) — delete latency is proportional to the delete batch.
+
+    RE-INSERT after delete: a tombstone anti-joins its id out of the
+    WHOLE assigned zone, including rows appended later — so
+    re-appending a deleted id (takedown then re-crawl) would leave the
+    vector permanently invisible while its rows still sit in the
+    zones.  Compact first (the fold erases the tombstone) or assign a
+    fresh id; `ann_reingest_conflicts` detects the collision and the
+    CLI append path refuses it."""
+    from .retrieval import _as_local_path
+
+    base = _as_local_path(base)
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(
+            F.col(vec_ids.columns[0]).alias("neighbor_id")
+        )
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], ANN_TOMBSTONES_SCHEMA
+        )
+    assigned = spark.read.parquet(f"{base}/index_assigned").select(
+        "neighbor_id"
+    )
+    batch = assigned.join(F.broadcast(ids.distinct()), "neighbor_id")
+    existing = ann_tombstone_ids(spark, base)
+    if existing is not None:
+        batch = batch.join(
+            F.broadcast(existing), "neighbor_id", "left_anti"
+        )
+    # tiny frame (the delete batch): one file keeps the zone compact
+    batch = batch.coalesce(1).persist()
+    try:
+        n = batch.count()
+        if n:
+            batch.write.mode("append").parquet(f"{base}/tombstones")
+    finally:
+        batch.unpersist()
+    return n
+
+
+def ann_reingest_conflicts(
+    spark, base: str, delta: DataFrame, id_col: str = "vec_id"
+) -> list[int]:
+    """Ids in ``delta`` that are TOMBSTONED in the index at ``base`` —
+    appending them (`ivf_pq_index_append` → zone append) would leave
+    those vectors permanently invisible: the tombstone anti-joins
+    their id out of the whole assigned zone, new rows included, while
+    the appended rows still occupy the zones (the retrieval lane's
+    `reingest_conflicts`, applied to ANN).  Resolve by compacting
+    first or re-ingesting under fresh ids.
+
+    One broadcast semi-join of the (delete-batch-sized) tombstone set
+    against the delta's ids; zero reads when no tombstones exist.
+    Returns a sorted bounded sample (≤100 ids); empty means safe."""
+    tomb = ann_tombstone_ids(spark, base)
+    if tomb is None:
+        return []
+    ids = delta.select(F.col(id_col).alias("neighbor_id")).distinct()
+    hit = ids.join(F.broadcast(tomb), "neighbor_id").limit(100)
+    return sorted(r.neighbor_id for r in hit.collect())
+
+
+def compact_ann_index(spark, base: str, out_base: str) -> str:
+    """Fold a tombstoned IVF-PQ index into a fresh base dir: the
+    assigned and codes zones are rewritten WITHOUT the tombstoned
+    vectors (one anti-join each — never a re-encode), the frozen
+    artifacts (centroids / codebook / manifest) are copied verbatim
+    (they ARE the index identity; a compaction must not fork the
+    quantizer), and the output carries NO tombstones zone — serving it
+    needs no per-query adjustment, completing the delete lifecycle:
+    delete appends a tombstone, serve anti-joins it, compact erases it
+    physically (the `retrieval.compact_bm25_index` fold applied to
+    ANN, oracle-gated via ``ann_compacted_serving``).
+
+    ``out_base`` must not overlap ``base`` (either direction): the
+    zones are read from ``base`` while being written, and a same-dir
+    "compaction" would first destroy the tombstones zone it is about
+    to fold (the r14 BM25 compact review, enforced in the library)."""
+    import os
+    import shutil
+
+    from .retrieval import _as_local_path
+
+    base = _as_local_path(base)
+    out_base = _as_local_path(out_base)
+    base_real = os.path.realpath(base)
+    out_real = os.path.realpath(out_base)
+    if (
+        out_real == base_real
+        or out_real.startswith(base_real + os.sep)
+        or base_real.startswith(out_real + os.sep)
+    ):
+        raise ValueError(
+            f"compact_ann_index: out_base {out_base!r} overlaps the "
+            f"index being read ({base!r}); compact to a directory "
+            "outside it"
+        )
+    # a reused out_base may carry a stale tombstones zone from a
+    # previous index generation — the zone writes below overwrite
+    # their own dirs but would leave it behind to silently hide
+    # vectors of the NEW index
+    shutil.rmtree(f"{out_base}/tombstones", ignore_errors=True)
+
+    assigned = spark.read.parquet(f"{base}/index_assigned")
+    codes = spark.read.parquet(f"{base}/index_codes")
+    tomb = ann_tombstone_ids(spark, base)
+    if tomb is not None:
+        tomb_b = F.broadcast(tomb)
+        assigned = assigned.join(tomb_b, "neighbor_id", "left_anti")
+        # the codes zone is keyed by the build's id_col (first column)
+        code_id = codes.columns[0]
+        codes = codes.join(
+            tomb_b.withColumnRenamed("neighbor_id", code_id),
+            code_id,
+            "left_anti",
+        )
+    assigned.write.mode("overwrite").parquet(f"{out_base}/index_assigned")
+    codes.write.mode("overwrite").parquet(f"{out_base}/index_codes")
+    for artifact in ("centroids", "codebook", "manifest"):
+        src = f"{base}/{artifact}"
+        if os.path.isdir(src):
+            dst = f"{out_base}/{artifact}"
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+    return out_base

@@ -3035,6 +3035,173 @@ def ann_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deletion predicate for the ANN tombstone entries — 10% of the
+#: indexed vectors, disjoint from the query ids (vec_id < 10) so the
+#: probe set never shrinks
+_ANN_DELETE_PRED = "(vec_id >= 10 AND vec_id % 10 = 3)"
+
+#: the delete/compact oracle: the shared IVF-PQ oracle with tombstoned
+#: vectors removed from the ASSIGN CTE only — candidates come from the
+#: assignment equi-join, so dropping a vector's assignment makes its
+#: codes unreachable, which is exactly serving's anti-join; the frozen
+#: artifacts (cents/cb CTEs) stay derived from the FULL corpus because
+#: deletion never retrains the quantizer (rebuild-on-remaining reuses
+#: the build's artifacts, same as the Spark side).
+_IVF_PQ_DELETE_SQL = _IVF_PQ_SERVING_SQL.replace(
+    "WHERE ark = 1",
+    f"WHERE ark = 1 AND NOT {_ANN_DELETE_PRED}",
+    1,
+)
+assert _IVF_PQ_DELETE_SQL != _IVF_PQ_SERVING_SQL
+
+#: per-process tombstoned / compacted index bases for the ANN delete
+#: lifecycle entries (the _BM25_DELETE_ZONES discipline)
+_ANN_DELETE_MODELS: dict[str, str] = {}
+_ANN_COMPACT_MODELS: dict[str, str] = {}
+
+
+def _ann_plain_index(spark: SparkSession, emb, base_dir: str) -> None:
+    """Build + persist a fixed-knob IVF-PQ index (centroids, codebook,
+    manifest, assigned + codes zones) under ``base_dir`` — the
+    ann_ivf_pq_serving build without the recall-ladder measurement
+    (the delete entries serve at pinned knobs, so the ladder would be
+    dead weight built once per process)."""
+    from ..operators import model_store
+
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 16)
+    pairs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cents
+    ]
+    model_store.save_model(
+        spark,
+        f"{base_dir}/centroids",
+        "ivf_centroids",
+        [[c, v] for c, v in pairs],
+    )
+    cb = similarity.sampled_codebook(emb, "vec_id", "embedding", _PQ_M, 16)
+    model_store.save_pq_codebook(spark, f"{base_dir}/codebook", cb)
+    model_store.save_model(
+        spark,
+        f"{base_dir}/manifest",
+        "ivf_pq_manifest",
+        {
+            "residual": False,
+            "m": _PQ_M,
+            "n_codes": 16,
+            "nprobe": _PQ_NPROBE,
+            "rerank": _PQ_RERANK,
+        },
+    )
+    assigned, codes = similarity.ivf_pq_build_index(
+        emb, m=_PQ_M, n_codes=16, codebook=cb, centroids=pairs
+    )
+    assigned.write.mode("overwrite").parquet(f"{base_dir}/index_assigned")
+    codes.write.mode("overwrite").parquet(f"{base_dir}/index_codes")
+
+
+def _ann_serve_from(spark: SparkSession, emb, base: str) -> DataFrame:
+    """Load artifacts + zones from ``base`` and serve the standard
+    probe set (vec_id < 10) at the pinned knobs, auto-detecting any
+    pending tombstones zone (None → the plan is byte-identical to
+    pre-deletion serving)."""
+    from ..operators import model_store
+
+    pairs_payload, _ = model_store.load_model(
+        spark, f"{base}/centroids", "ivf_centroids"
+    )
+    pairs = [(int(c), [float(x) for x in v]) for c, v in pairs_payload]
+    cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+    return similarity.ivf_pq_search(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=_PQ_NPROBE,
+        m=_PQ_M,
+        n_codes=16,
+        rerank=_PQ_RERANK,
+        codebook=cb,
+        centroids=pairs,
+        index=(
+            spark.read.parquet(f"{base}/index_assigned"),
+            spark.read.parquet(f"{base}/index_codes"),
+        ),
+        tombstones=similarity.ann_tombstone_ids(spark, base),
+    )
+
+
+def _ann_tombstoned_base(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-process: a full IVF-PQ index with 10% of the
+    vectors (``_ANN_DELETE_PRED``) tombstoned — shared by the delete
+    and compacted serving entries (one index, one deletion state; the
+    `_tombstoned_index_root` pattern from the text lane)."""
+    base = _ANN_DELETE_MODELS.get(sf_dir)
+    if base is None:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="ann_delete_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        _ann_plain_index(spark, emb, base)
+        similarity.delete_from_ann_index(
+            spark, base, emb.select("vec_id").where(_ANN_DELETE_PRED)
+        )
+        _ANN_DELETE_MODELS[sf_dir] = base
+    return base
+
+
+@register("ann_delete_serving", _IVF_PQ_DELETE_SQL)
+def ann_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index DELETION without rebuild, oracle-gated — the
+    `bm25_delete_serving` lifecycle applied to the vector lane (round
+    15, closing the one asymmetry the r14 text-lane closure left): 10%
+    of the indexed vectors are tombstoned on a fully-built persisted
+    IVF-PQ index (`similarity.delete_from_ann_index` — a delete-batch
+    -sized zone append, never a corpus re-encode), and serving
+    anti-joins them out of the assigned zone BEFORE candidate
+    generation.  Because assign/encode are per-row maps, the filtered
+    index is EXACTLY the index rebuilt on the remaining vectors under
+    the same frozen codebook/centroids — the oracle recomputes the
+    full pipeline with the tombstoned vectors removed from the
+    assignment, so delete == rebuild-on-remaining sits under the
+    driver's hash gate.  At 100 TB this is the takedown path: delete
+    latency ∝ delete batch, serving overhead is one broadcast
+    anti-join, and the next compaction folds the tombstones out
+    physically (``ann_compacted_serving``)."""
+    return _ann_serve_from(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        _ann_tombstoned_base(spark, sf_dir),
+    )
+
+
+@register("ann_compacted_serving", _IVF_PQ_DELETE_SQL)
+def ann_compacted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN delete lifecycle's physical fold, oracle-gated: the
+    SAME tombstoned index `ann_delete_serving` reads is compacted to a
+    fresh base (`similarity.compact_ann_index` — assigned/codes zones
+    anti-joined once, frozen artifacts copied verbatim, no tombstones
+    zone left) and served WITHOUT any per-query adjustment.  Shares
+    the delete entry's oracle: compacted == tombstone-adjusted ==
+    rebuild-on-remaining, closing the associativity triangle for the
+    vector lane the way `bm25_compacted_serving` closed it for text.
+    At 100 TB compaction is the periodic job that bounds the tombstone
+    set (and the serving anti-join input) at one compaction
+    interval."""
+    base = _ANN_COMPACT_MODELS.get(sf_dir)
+    if base is None:
+        import tempfile
+
+        base = similarity.compact_ann_index(
+            spark,
+            _ann_tombstoned_base(spark, sf_dir),
+            tempfile.mkdtemp(prefix="ann_compacted_"),
+        )
+        _ANN_COMPACT_MODELS[sf_dir] = base
+    return _ann_serve_from(
+        spark, load_table(spark, sf_dir, "embeddings"), base
+    )
+
+
 @register(
     "hard_negative_mining",
     """
@@ -3833,7 +4000,9 @@ def _hybrid_oracle() -> str:
 
 
 @register("hybrid_retrieval_topk", _hybrid_oracle())
-def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hybrid_retrieval_topk(
+    spark: SparkSession, sf_dir: str, max_df_frac: float | None = None
+) -> DataFrame:
     """The RAG-stack serving shape: ONE fused ranking from a lexical
     BM25 index scan and a dense ANN index probe, combined by
     reciprocal-rank fusion (similarity.rrf_fuse, k=60, exact-integer
@@ -3845,8 +4014,25 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fused scores are BIGINT sums, order-independent and
     bit-identical across engines.  The oracle composes both components'
     FULL registered oracles, so the driver's hash gate certifies the
-    end-to-end composition, not just the parts."""
-    lex = REGISTRY["bm25_serving"][0](spark, sf_dir).select(
+    end-to-end composition, not just the parts.
+
+    ``max_df_frac`` (round 15) reaches the BM25 component's hot-term
+    guard end-to-end: the lexical leg is served through
+    `retrieval.bm25_serve` on the SAME per-process index root
+    `bm25_serving` uses, so a production hybrid stack can bound its
+    one corpus-sized input shape (a stopword query term) without
+    forking the serving path.  Default None is plan- and
+    value-identical to composing `bm25_serving` directly (the driver
+    gate runs it that way)."""
+    root = _BM25_INDEX_ZONES.get(sf_dir)
+    if root is None:
+        root = _bm25_build_index(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        _BM25_INDEX_ZONES[sf_dir] = root
+    lex = retrieval.bm25_serve(
+        spark, [root], _BM25_TERMS, max_df_frac=max_df_frac
+    ).select(
         F.lit(HYBRID_PROBE).cast("long").alias("query_id"),
         "doc_id",
         "rk",

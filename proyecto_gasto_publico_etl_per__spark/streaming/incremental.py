@@ -524,6 +524,54 @@ def bm25_index_ingest(
     )
 
 
+def bm25_delete_ingest(
+    stream: DataFrame,
+    zones_dir: str,
+    checkpoint_dir: str,
+):
+    """Takedowns at the ingest door (round 15 — the deletion twin of
+    ``bm25_index_ingest``): every arriving micro-batch of delete
+    requests (one column of doc_ids) is tombstoned against ALL epoch
+    roots under ``zones_dir`` via
+    `operators.retrieval.delete_from_bm25_index` — one keyed doclen
+    lookup per batch, never a corpus re-tokenize — so a living
+    streamed index honors retractions at the same cadence it honors
+    appends.
+
+    Idempotence under at-least-once replay comes from the delete
+    operator itself: a replayed batch's ids are already tombstoned and
+    the anti-join appends nothing (re-delete is a no-op, test-pinned),
+    so this sink needs no per-epoch overwrite discipline.  Tombstones
+    land in the FIRST epoch root (sorted order — deterministic across
+    replays); serving and compaction read them from any root.
+
+    A delete arriving before any document epoch exists (or for a doc
+    never ingested) is ignored, exactly as the batch operator ignores
+    absent ids.  Streamed-delete == batch-delete identity is pinned in
+    tests/test_streaming.py.
+
+    Returns the started StreamingQuery (AvailableNow trigger).
+    """
+    import glob as _glob
+
+    from ..operators.retrieval import delete_from_bm25_index
+
+    def tombstone(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        roots = sorted(_glob.glob(f"{zones_dir}/epoch=*"))
+        if not roots:
+            return
+        delete_from_bm25_index(batch_df.sparkSession, roots, batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(tombstone)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def media_keys_ingest(
     stream: DataFrame,
     out_dir: str,

@@ -491,3 +491,43 @@ def test_cli_ann_search_target_recall(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert f"nprobe={knee}" in out
     assert "from the manifest's measured ladder" in out
+
+
+def test_cli_ann_delete_compact_lifecycle(spark, tmp_path, capsys):
+    """ann-delete → ann-search (pending-tombstone note) → append guard
+    (re-ingesting a tombstoned id refused) → ann-compact (folded index
+    serves with no adjustment; overlap refused) through the CLI."""
+    import pytest
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    idx = str(tmp_path / "annidx")
+    cli.main(
+        ["ann-build-index", SF_SMOKE, idx, "--n-centroids", "8",
+         "--m", "4", "--n-codes", "8"]
+    )
+    capsys.readouterr()
+
+    cli.main(["ann-delete", idx, "21", "35"])
+    assert "tombstoned 2 vectors" in capsys.readouterr().out
+    # re-delete is a no-op
+    cli.main(["ann-delete", idx, "21"])
+    assert "tombstoned 0 vectors" in capsys.readouterr().out
+
+    cli.main(["ann-search", SF_SMOKE, idx, "3", "--k", "3"])
+    assert "pending tombstones" in capsys.readouterr().out
+
+    # delta (vec_id >= 21) intersects the tombstones: refused
+    with pytest.raises(SystemExit, match="tombstoned"):
+        cli.main(["ann-append-index", SF_SMOKE, idx, "--from-id", "21"])
+
+    with pytest.raises(ValueError, match="overlap"):
+        cli.main(["ann-compact", idx, idx])
+
+    folded = str(tmp_path / "folded")
+    cli.main(["ann-compact", idx, folded])
+    assert "no tombstones" in capsys.readouterr().out
+    cli.main(["ann-search", SF_SMOKE, folded, "3", "--k", "3"])
+    out = capsys.readouterr().out
+    assert "pending tombstones" not in out
+    assert out.strip()

@@ -2861,3 +2861,170 @@ def test_phrase_serve_rarest_first_semijoin_identity(spark):
     assert serve(("the", "spark", "hash"), rarest_semijoin_cap=0) == want_hot
     # a term not in the index: empty, no postings read needed
     assert serve(("spark", "zzz_missing")) == set()
+
+
+def test_ann_delete_lifecycle_persisted_zones(spark, tmp_path):
+    """Round 15, the BM25 lifecycle's ANN twin on PERSISTED zones:
+    delete_from_ann_index appends tombstones beside the index, serving
+    with the auto-detected tombstones == search over the index rebuilt
+    on the remaining vectors (same frozen artifacts), deletes are
+    idempotent and ignore absent ids, compact_ann_index folds the
+    tombstones out physically (identical serving, no tombstones zone,
+    overlap-guarded), and ann_reingest_conflicts flags a tombstoned id
+    until the compact erases it."""
+    from proyecto_gasto_publico_etl_per__spark.operators.similarity import (
+        ann_reingest_conflicts,
+        ann_tombstone_ids,
+        compact_ann_index,
+        delete_from_ann_index,
+        ivf_centroids,
+        ivf_pq_build_index,
+        ivf_pq_search,
+        sampled_codebook,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = ivf_centroids(emb, "vec_id", "embedding", 8)
+    cb = sampled_codebook(emb, "vec_id", "embedding", 16, 8)
+    base = str(tmp_path / "idx")
+    assigned, codes = ivf_pq_build_index(
+        emb, n_centroids=8, m=16, n_codes=8, codebook=cb, centroids=cents
+    )
+    assigned.write.parquet(f"{base}/index_assigned")
+    codes.write.parquet(f"{base}/index_codes")
+    kw = dict(
+        k=5, n_centroids=8, nprobe=4, m=16, n_codes=8, rerank=8,
+        codebook=cb, centroids=cents,
+    )
+
+    def serve(b, corpus=emb):
+        idx = (
+            spark.read.parquet(f"{b}/index_assigned"),
+            spark.read.parquet(f"{b}/index_codes"),
+        )
+        return {
+            tuple(r)
+            for r in ivf_pq_search(
+                corpus, queries, index=idx,
+                tombstones=ann_tombstone_ids(spark, b), **kw
+            ).collect()
+        }
+
+    assert ann_tombstone_ids(spark, base) is None
+    before = serve(base)
+
+    tomb_pred = (F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= 3)
+    tomb = emb.select("vec_id").where(tomb_pred)
+    n = delete_from_ann_index(spark, base, tomb)
+    assert n == tomb.count() > 0
+    # idempotent re-delete + absent id: nothing new
+    assert delete_from_ann_index(spark, base, [7, 10**9]) == 0
+
+    after = serve(base)
+    assert after != before
+    tomb_ids = {r.vec_id for r in tomb.collect()}
+    assert not any(row[1] in tomb_ids for row in after)
+    # delete == rebuild-on-remaining under the same frozen artifacts
+    remaining = emb.join(tomb, "vec_id", "left_anti")
+    rebuilt = ivf_pq_build_index(
+        remaining, n_centroids=8, m=16, n_codes=8,
+        codebook=cb, centroids=cents,
+    )
+    want = {
+        tuple(r)
+        for r in ivf_pq_search(
+            remaining, queries, index=rebuilt, **kw
+        ).collect()
+    }
+    assert after == want
+
+    # re-ingest guard: a tombstoned id conflicts until compacted out
+    batch = spark.createDataFrame([(7,), (1,)], "vec_id LONG")
+    assert ann_reingest_conflicts(spark, base, batch) == [7]
+
+    # file: URI roots still see the tombstones; remote schemes fail loud
+    assert ann_tombstone_ids(spark, f"file:{base}") is not None
+    with pytest.raises(ValueError, match="scheme"):
+        ann_tombstone_ids(spark, f"s3://bucket{base}")
+
+    # compact: overlap guard fires BEFORE anything is touched
+    for bad in (base, f"{base}/nested", str(tmp_path)):
+        with pytest.raises(ValueError, match="overlap"):
+            compact_ann_index(spark, base, bad)
+    assert serve(base) == after
+
+    out = compact_ann_index(spark, base, str(tmp_path / "folded"))
+    assert ann_tombstone_ids(spark, out) is None
+    assert serve(out) == after
+    # the folded zones carry no tombstoned rows at all
+    folded_ids = {
+        r.neighbor_id
+        for r in spark.read.parquet(f"{out}/index_assigned").collect()
+    }
+    assert not (folded_ids & tomb_ids)
+    assert ann_reingest_conflicts(spark, out, batch) == []
+
+
+def test_max_df_frac_reaches_hybrid_and_cli(spark, tmp_path, caplog, capsys):
+    """Round 15 (r14 follow-through): the hot-term guard is reachable
+    END-TO-END — `hybrid_retrieval_topk`'s BM25 component accepts
+    max_df_frac (default None is value-identical to the driver-gated
+    composition), and `text-search --max-df-frac` fires the guard with
+    the logged drop count."""
+    import logging
+
+    from proyecto_gasto_publico_etl_per__spark.cli import main
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        hybrid_retrieval_topk,
+    )
+
+    logger = "proyecto_gasto_publico_etl_per__spark.operators.retrieval"
+
+    # hybrid passthrough: frac=1.0 can drop nothing → identical rows
+    default = {
+        tuple(r) for r in hybrid_retrieval_topk(spark, SF_SMOKE).collect()
+    }
+    assert {
+        tuple(r)
+        for r in hybrid_retrieval_topk(
+            spark, SF_SMOKE, max_df_frac=1.0
+        ).collect()
+    } == default
+    # a tiny frac drops every query term: guard fires (logged), the
+    # lexical leg contributes nothing, fusion degrades to dense-only
+    with caplog.at_level(logging.WARNING, logger=logger):
+        dense_only = hybrid_retrieval_topk(
+            spark, SF_SMOKE, max_df_frac=1e-9
+        )
+        assert dense_only.agg(F.max("n_lists")).collect()[0][0] == 1
+    assert any("dropped" in rec.getMessage() for rec in caplog.records)
+    caplog.clear()
+
+    # CLI: the flag reaches bm25_serve and the firing count is logged
+    docs = spark.createDataFrame(
+        [
+            (1, "the spark merge the"),
+            (2, "the value row"),
+            (3, "the merge spark the the"),
+        ],
+        _TOMB_SCHEMA,
+    )
+    pq = tmp_path / "docs.parquet"
+    docs.write.parquet(str(pq))
+    idx = str(tmp_path / "cli_index")
+    main(["text-index-build", str(pq), idx])
+    capsys.readouterr()
+    with caplog.at_level(logging.WARNING, logger=logger):
+        main(
+            ["text-search", idx, "spark", "the", "--max-df-frac", "0.8"]
+        )
+    assert any(
+        "dropped 1 of 2" in rec.getMessage() for rec in caplog.records
+    )
+    # the served rows are the surviving-term query's
+    printed = capsys.readouterr().out
+    assert "doc 1" in printed and "doc 3" in printed

@@ -888,3 +888,105 @@ def test_bm25_compaction_preserves_serving(spark, tmp_path):
         for r in bm25_serve(spark, [compacted], _BM25_TERMS).collect()
     }
     assert single == multi and len(single) == 4
+
+
+def test_bm25_delete_ingest_streamed_equals_batch(spark, tmp_path):
+    """Round 15: deletes arriving IN-STREAM (foreachBatch →
+    delete_from_bm25_index) over a streamed-built index must equal the
+    batch delete of the same ids — and both equal a rebuild over the
+    remaining docs (the living-index story covers takedowns at ingest,
+    matching the append twin).  A checkpointed replay adds nothing."""
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        _BM25_TERMS,
+    )
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        bm25_delete_ingest,
+        bm25_index_ingest,
+    )
+
+    schema = "doc_id LONG, text STRING"
+    docs = [
+        (1, "spark hash merge spark table"),
+        (2, "hash value row scan"),
+        (3, "merge merge spark"),
+        (4, "table value agg"),
+        (5, "spark spark spark hash merge hash"),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in (0, 1):
+        spark.createDataFrame(
+            docs[i * 3 : i * 3 + 3], schema
+        ).coalesce(1).write.parquet(str(src / f"batch{i}"))
+    zones = tmp_path / "zones"
+    q = bm25_index_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*")),
+        str(zones),
+        str(tmp_path / "ckpt_ingest"),
+    )
+    q.awaitTermination(180)
+
+    # delete requests stream in: doc 2 (epoch 0) and doc 5 (epoch 1),
+    # plus an id never ingested (ignored)
+    dsrc = tmp_path / "dels"
+    dsrc.mkdir()
+    spark.createDataFrame([(2,)], "doc_id LONG").coalesce(1).write.parquet(
+        str(dsrc / "d0")
+    )
+    spark.createDataFrame(
+        [(5,), (999,)], "doc_id LONG"
+    ).coalesce(1).write.parquet(str(dsrc / "d1"))
+    qd = bm25_delete_ingest(
+        spark.readStream.schema("doc_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dsrc / "*")),
+        str(zones),
+        str(tmp_path / "ckpt_del"),
+    )
+    qd.awaitTermination(180)
+
+    roots = sorted(str(p) for p in zones.glob("epoch=*"))
+    streamed = {
+        tuple(r) for r in bm25_serve(spark, roots, _BM25_TERMS).collect()
+    }
+
+    # batch twin: build whole corpus, delete the same ids in one call
+    all_docs = spark.createDataFrame(docs, schema)
+    batch_root = build_bm25_index(spark, all_docs)
+    delete_from_bm25_index(spark, [batch_root], [2, 5, 999])
+    batch = {
+        tuple(r)
+        for r in bm25_serve(spark, [batch_root], _BM25_TERMS).collect()
+    }
+    rebuilt_root = build_bm25_index(
+        spark, all_docs.where(~F.col("doc_id").isin(2, 5))
+    )
+    rebuilt = {
+        tuple(r)
+        for r in bm25_serve(
+            spark, [rebuilt_root], _BM25_TERMS
+        ).collect()
+    }
+    assert streamed == batch == rebuilt
+    assert not any(row[0] in (2, 5) for row in streamed)
+
+    # replay with the same checkpoint: the delete op's idempotence
+    # means the served set is unchanged
+    qd2 = bm25_delete_ingest(
+        spark.readStream.schema("doc_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dsrc / "*")),
+        str(zones),
+        str(tmp_path / "ckpt_del"),
+    )
+    qd2.awaitTermination(180)
+    assert {
+        tuple(r) for r in bm25_serve(spark, roots, _BM25_TERMS).collect()
+    } == streamed
