@@ -148,6 +148,12 @@ EXTENSIONS = (
     "bm25_compacted_serving",
     "hybrid_retrieval_topk",
     "phrase_delete_serving",
+    # round 15 additions (baseline starts at r15): the ANN index
+    # deletion lifecycle — tombstone-adjusted vector serving and the
+    # compacted (physically folded) twin; both serving-lane (the index
+    # build + delete + compact run once per process as the warm run)
+    "ann_delete_serving",
+    "ann_compacted_serving",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

@@ -256,6 +256,31 @@ def main(argv: list[str] | None = None) -> None:
              "tools/ann_knob_sweep.py --write-manifest)",
     )
 
+    hyb = sub.add_parser(
+        "hybrid-search",
+        help="the RAG serving shape from persisted indexes: BM25 top-k "
+             "over a text index + dense top-k over an ann index for "
+             "one query id, fused by reciprocal-rank fusion (exact "
+             "integer grid) — fusion touches only the two output "
+             "lists, both index-bounded",
+    )
+    hyb.add_argument("sf_dir")
+    hyb.add_argument("text_index_dir")
+    hyb.add_argument("ann_index_dir")
+    hyb.add_argument("query_id", type=int)
+    hyb.add_argument("terms", nargs="+")
+    hyb.add_argument("--k", type=int, default=5)
+    hyb.add_argument(
+        "--component-k", type=int, default=10,
+        help="depth of each component ranking before fusion",
+    )
+    hyb.add_argument("--nprobe", type=int, default=4)
+    hyb.add_argument("--rerank", type=int, default=8)
+    hyb.add_argument(
+        "--max-df-frac", type=float, default=None,
+        help="hot-term guard for the BM25 component (see text-search)",
+    )
+
     adl = sub.add_parser(
         "ann-delete",
         help="tombstone vectors in a persisted ann index (takedown "
@@ -771,6 +796,60 @@ def main(argv: list[str] | None = None) -> None:
         result.orderBy("query_id", "rk").show(
             k * len(args.query_ids), truncate=False
         )
+    elif args.cmd == "hybrid-search":
+        from pyspark.sql import functions as F
+
+        from .operators import model_store, similarity
+        from .operators.retrieval import bm25_serve
+        from .sources.tables import load_table
+
+        lex = bm25_serve(
+            spark,
+            _text_index_roots(args.text_index_dir),
+            args.terms,
+            k=args.component_k,
+            max_df_frac=args.max_df_frac,
+        ).select(
+            F.lit(args.query_id).cast("long").alias("query_id"),
+            "doc_id",
+            "rk",
+        )
+        base = args.ann_index_dir
+        manifest, _ = model_store.load_model(spark, f"{base}/manifest")
+        pairs_payload, _ = model_store.load_model(
+            spark, f"{base}/centroids", "ivf_centroids"
+        )
+        pairs = [
+            (int(c), [float(x) for x in v]) for c, v in pairs_payload
+        ]
+        cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        dense = similarity.ivf_pq_search(
+            emb,
+            emb.filter(F.col("vec_id") == args.query_id),
+            k=args.component_k,
+            nprobe=args.nprobe,
+            m=manifest["m"],
+            n_codes=manifest["n_codes"],
+            rerank=args.rerank,
+            codebook=cb,
+            centroids=pairs,
+            index=(
+                spark.read.parquet(f"{base}/index_assigned"),
+                spark.read.parquet(f"{base}/index_codes"),
+            ),
+            tombstones=similarity.ann_tombstone_ids(spark, base),
+        ).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rk"
+        )
+        fused = similarity.rrf_fuse(
+            [lex, dense], k_const=60, topk=args.k, id_col="doc_id"
+        )
+        for r in fused.orderBy("rk").collect():
+            print(
+                f"{r.rk:3d}  doc {r.doc_id}  rrf {r.rrf_score}  "
+                f"lists {r.n_lists}"
+            )
     elif args.cmd == "ann-delete":
         from .operators import similarity
 

@@ -531,3 +531,67 @@ def test_cli_ann_delete_compact_lifecycle(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "pending tombstones" not in out
     assert out.strip()
+
+
+def test_cli_hybrid_search(spark, tmp_path, capsys):
+    """hybrid-search through the CLI: BM25 top-k from a persisted text
+    index + dense top-k from a persisted ann index for one query id,
+    RRF-fused — matches the library composition exactly, and a doc in
+    both component lists carries n_lists=2."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    pq = tmp_path / "docs.parquet"
+    docs.write.parquet(str(pq))
+    tidx = str(tmp_path / "tindex")
+    cli.main(["text-index-build", str(pq), tidx])
+    aidx = str(tmp_path / "annidx")
+    cli.main(
+        ["ann-build-index", SF_SMOKE, aidx, "--n-centroids", "8",
+         "--m", "4", "--n-codes", "8"]
+    )
+    capsys.readouterr()
+    cli.main(
+        ["hybrid-search", SF_SMOKE, tidx, aidx, "3", "spark", "hash",
+         "--k", "5"]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5
+    assert all("rrf" in line and "lists" in line for line in out)
+
+    # library twin: same components, same fusion
+    from proyecto_gasto_publico_etl_per__spark.operators import (
+        model_store,
+        similarity,
+    )
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        bm25_serve,
+    )
+
+    lex = bm25_serve(spark, [f"{tidx}/base"], ("spark", "hash"), k=10).select(
+        F.lit(3).cast("long").alias("query_id"), "doc_id", "rk"
+    )
+    pairs_payload, _ = model_store.load_model(
+        spark, f"{aidx}/centroids", "ivf_centroids"
+    )
+    pairs = [(int(c), [float(x) for x in v]) for c, v in pairs_payload]
+    cb = model_store.load_pq_codebook(spark, f"{aidx}/codebook")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dense = similarity.ivf_pq_search(
+        emb, emb.filter(F.col("vec_id") == 3), k=10, nprobe=4, m=4,
+        n_codes=8, rerank=8, codebook=cb, centroids=pairs,
+        index=(
+            spark.read.parquet(f"{aidx}/index_assigned"),
+            spark.read.parquet(f"{aidx}/index_codes"),
+        ),
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    want = similarity.rrf_fuse(
+        [lex, dense], k_const=60, topk=5, id_col="doc_id"
+    ).collect()
+    for r in want:
+        assert f"doc {r.doc_id}  rrf {r.rrf_score}" in "\n".join(out)

@@ -370,6 +370,74 @@ def text_index_probe(spark, sf_dir: str, k: int) -> None:
     )
 
 
+def phrase_hot_probe(spark, sf_dir: str, k: int) -> None:
+    """Round-15 verdict task 3: the phrase lane's hot-term cost bound.
+    Exact phrase semantics forbid dropping a saturated term (the BM25
+    ``max_df_frac`` remedy), so a stopword INSIDE a phrase would stream
+    its corpus-sized posting list into the doc_id join.  phrase_serve
+    now (a) joins ascending-df and (b) semi-joins every non-rarest
+    side against the BROADCAST rarest doc_id set before the positional
+    intersect.  This probe injects the shared df==N token (``zzhot``,
+    the r14 hot-term lane) and serves the phrase ("spark", zzhot) —
+    "spark"'s df is CONSTANT across rungs (the injective rename keeps
+    bare tokens in replica 0 only) while zzhot's postings grow exactly
+    linearly — with the semi-join on (default cap) and off (cap=0),
+    asserting result identity per rung."""
+    import gc
+
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        phrase_serve,
+    )
+
+    HOT = "zzhot"
+    ladder = _ladder_of(k)
+    semi: dict[int, float] = {}
+    nosemi: dict[int, float] = {}
+    hot_rows: dict[int, int] = {}
+    for mult in ladder:
+        gc.collect()
+        d = tempfile.mkdtemp(prefix=f"phscale{mult}x_")
+        build_replicated(spark, sf_dir, mult, d, hot_token=HOT)
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        root = [build_bm25_index(spark, docs)]
+        hot_rows[mult] = docs.count()  # zzhot rides in EVERY doc
+
+        def timed(**kw):
+            phrase_serve(spark, root, ("spark", HOT), **kw).count()  # warm
+            out = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                phrase_serve(spark, root, ("spark", HOT), **kw).count()
+                out.append(time.monotonic() - t0)
+            return min(out)
+
+        semi[mult] = timed()
+        nosemi[mult] = timed(rarest_semijoin_cap=0)
+        # identity at scale: the semi-join removes only rows the inner
+        # join drops — same result set on every rung
+        a = {
+            tuple(r)
+            for r in phrase_serve(spark, root, ("spark", HOT)).collect()
+        }
+        b = {
+            tuple(r)
+            for r in phrase_serve(
+                spark, root, ("spark", HOT), rarest_semijoin_cap=0
+            ).collect()
+        }
+        assert a == b, f"semi-join changed the result at {mult}x"
+    _exp_report(
+        "phrase_hot_semijoin",
+        semi,
+        sf_dir=sf_dir,
+        hot_posting_rows={f"{m}x": hot_rows[m] for m in sorted(hot_rows)},
+    )
+    _exp_report("phrase_hot_no_semijoin", nosemi, sf_dir=sf_dir)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -379,6 +447,9 @@ def main() -> None:
         return
     if names == ["text-index"]:
         text_index_probe(get_spark(), sf_dir, k)
+        return
+    if names == ["phrase-hot"]:
+        phrase_hot_probe(get_spark(), sf_dir, k)
         return
     spark = get_spark()
     ladder = _ladder_of(k)
