@@ -154,6 +154,7 @@ EXTENSIONS = (
     # build + delete + compact run once per process as the warm run)
     "ann_delete_serving",
     "ann_compacted_serving",
+    "phrase_compacted_serving",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

@@ -1330,18 +1330,13 @@ def bm25_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_COMPACT_ZONES: dict[str, str] = {}
 
 
-@register("bm25_compacted_serving", _BM25_SQL.format(docs_cte=_DOCS_CTE))
-def bm25_compacted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The periodic maintenance job a living index depends on, under
-    the driver gate: a (base, delta) pair — the same 90/10 split as
-    `bm25_append_serving` — is FOLDED into one root by
+def _compacted_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-process: a (base, delta) pair — the same 90/10
+    split as `bm25_append_serving` — FOLDED into one root by
     `retrieval.compact_bm25_index` (zone-level unions and re-sums,
-    never a re-tokenize) and served from the compacted root alone.
-    Shares the inline twin's oracle: compacted == rebuilt, closing the
-    associativity triangle the lane rests on (inline == served ==
-    append-merged == compacted).  At 100 TB compaction is what bounds
-    per-query root fan-in and file count while ingest keeps appending
-    epoch zones."""
+    never a re-tokenize).  Shared by the BM25 and phrase compacted
+    serving entries (one compacted index, two query types — the
+    `_tombstoned_index_root` sharing pattern)."""
     root = _BM25_COMPACT_ZONES.get(sf_dir)
     if root is None:
         import tempfile
@@ -1356,7 +1351,24 @@ def bm25_compacted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             tempfile.mkdtemp(prefix="bm25_compacted_") + "/zones",
         )
         _BM25_COMPACT_ZONES[sf_dir] = root
-    return retrieval.bm25_serve(spark, [root], _BM25_TERMS)
+    return root
+
+
+@register("bm25_compacted_serving", _BM25_SQL.format(docs_cte=_DOCS_CTE))
+def bm25_compacted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The periodic maintenance job a living index depends on, under
+    the driver gate: a (base, delta) pair — the same 90/10 split as
+    `bm25_append_serving` — is FOLDED into one root by
+    `retrieval.compact_bm25_index` (zone-level unions and re-sums,
+    never a re-tokenize) and served from the compacted root alone.
+    Shares the inline twin's oracle: compacted == rebuilt, closing the
+    associativity triangle the lane rests on (inline == served ==
+    append-merged == compacted).  At 100 TB compaction is what bounds
+    per-query root fan-in and file count while ingest keeps appending
+    epoch zones."""
+    return retrieval.bm25_serve(
+        spark, [_compacted_index_root(spark, sf_dir)], _BM25_TERMS
+    )
 
 
 #: fixed 2-term phrase for the phrase queries — an adjacent-token pair
@@ -1452,6 +1464,26 @@ def phrase_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjusts df/stats; the phrase side proves pure row removal)."""
     root = _tombstoned_index_root(spark, sf_dir)
     return retrieval.phrase_serve(spark, [root], _PHRASE)
+
+
+@register("phrase_compacted_serving", _PHRASE_SQL)
+def phrase_compacted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phrase lane through COMPACTION, oracle-gated (round 15):
+    exact-phrase search from the SAME compacted root
+    `bm25_compacted_serving` serves (one compacted index, two query
+    types).  Compaction carries the positional column through the fold
+    (disjoint-doc roots → `first(positions)` is the single row's
+    list), so the shifted-position intersection over the compacted
+    zones equals the brute zip-compare over the full corpus — this
+    entry shares `phrase_topk`'s oracle verbatim, putting the
+    positions-survive-compaction property under the driver's hash gate
+    (the BM25 side only proves the integer aggregates fold).  With the
+    r14/r15 entries every leg of BOTH query types is now gated:
+    inline == served == append-merged == compacted == delete-adjusted,
+    for bag-of-terms AND positional semantics."""
+    return retrieval.phrase_serve(
+        spark, [_compacted_index_root(spark, sf_dir)], _PHRASE
+    )
 
 
 @register(

@@ -572,6 +572,42 @@ def bm25_delete_ingest(
     )
 
 
+def ann_delete_ingest(
+    stream: DataFrame,
+    index_base: str,
+    checkpoint_dir: str,
+):
+    """Vector takedowns at the ingest door (round 15 — the ANN twin of
+    ``bm25_delete_ingest``): every arriving micro-batch of delete
+    requests (one column of vec ids) is tombstoned against the
+    persisted IVF-PQ index at ``index_base`` via
+    `operators.similarity.delete_from_ann_index` — a delete-batch-sized
+    zone append, never a corpus re-encode — so a living vector index
+    honors retractions at the same cadence its zones grow.
+
+    Idempotence under at-least-once replay comes from the delete
+    operator (re-delete anti-joins to a no-op), so the sink needs no
+    per-epoch overwrite discipline; ids absent from the index are
+    ignored.  Streamed-delete == batch-delete identity is pinned in
+    tests/test_streaming.py.
+
+    Returns the started StreamingQuery (AvailableNow trigger).
+    """
+    from ..operators.similarity import delete_from_ann_index
+
+    def tombstone(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delete_from_ann_index(batch_df.sparkSession, index_base, batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(tombstone)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def media_keys_ingest(
     stream: DataFrame,
     out_dir: str,

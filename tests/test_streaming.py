@@ -990,3 +990,100 @@ def test_bm25_delete_ingest_streamed_equals_batch(spark, tmp_path):
     assert {
         tuple(r) for r in bm25_serve(spark, roots, _BM25_TERMS).collect()
     } == streamed
+
+
+def test_ann_delete_ingest_streamed_equals_batch(spark, tmp_path):
+    """Round 15: vector takedowns arriving IN-STREAM (foreachBatch →
+    delete_from_ann_index) against a persisted IVF-PQ index must equal
+    the one-call batch delete of the same ids — and serving the
+    tombstoned index equals search over the index rebuilt on the
+    remaining vectors.  A checkpointed replay adds nothing."""
+    from proyecto_gasto_publico_etl_per__spark.operators.similarity import (
+        ann_tombstone_ids,
+        delete_from_ann_index,
+        ivf_centroids,
+        ivf_pq_build_index,
+        ivf_pq_search,
+        sampled_codebook,
+    )
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import (
+        load_table,
+    )
+    from proyecto_gasto_publico_etl_per__spark.streaming.incremental import (
+        ann_delete_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = ivf_centroids(emb, "vec_id", "embedding", 8)
+    cb = sampled_codebook(emb, "vec_id", "embedding", 16, 8)
+    kw = dict(
+        k=5, n_centroids=8, nprobe=4, m=16, n_codes=8, rerank=8,
+        codebook=cb, centroids=cents,
+    )
+
+    def persist_index(corpus, base):
+        assigned, codes = ivf_pq_build_index(
+            corpus, n_centroids=8, m=16, n_codes=8,
+            codebook=cb, centroids=cents,
+        )
+        assigned.write.parquet(f"{base}/index_assigned")
+        codes.write.parquet(f"{base}/index_codes")
+
+    def serve(base, corpus=emb):
+        idx = (
+            spark.read.parquet(f"{base}/index_assigned"),
+            spark.read.parquet(f"{base}/index_codes"),
+        )
+        return {
+            tuple(r)
+            for r in ivf_pq_search(
+                corpus, queries, index=idx,
+                tombstones=ann_tombstone_ids(spark, base), **kw
+            ).collect()
+        }
+
+    streamed_base = str(tmp_path / "idx_stream")
+    batch_base = str(tmp_path / "idx_batch")
+    persist_index(emb, streamed_base)
+    persist_index(emb, batch_base)
+
+    # two delete-request micro-batches; 10**9 is never indexed
+    dsrc = tmp_path / "dels"
+    dsrc.mkdir()
+    spark.createDataFrame([(21,)], "vec_id LONG").coalesce(1).write.parquet(
+        str(dsrc / "d0")
+    )
+    spark.createDataFrame(
+        [(35,), (10**9,)], "vec_id LONG"
+    ).coalesce(1).write.parquet(str(dsrc / "d1"))
+    q = ann_delete_ingest(
+        spark.readStream.schema("vec_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dsrc / "*")),
+        streamed_base,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    delete_from_ann_index(spark, batch_base, [21, 35, 10**9])
+    got = serve(streamed_base)
+    assert got == serve(batch_base)
+    assert not any(row[1] in (21, 35) for row in got)
+
+    # rebuild-on-remaining twin
+    remaining = emb.filter(~F.col("vec_id").isin(21, 35))
+    rebuilt_base = str(tmp_path / "idx_rebuilt")
+    persist_index(remaining, rebuilt_base)
+    assert got == serve(rebuilt_base, corpus=remaining)
+
+    # checkpointed replay: idempotent, nothing changes
+    q2 = ann_delete_ingest(
+        spark.readStream.schema("vec_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dsrc / "*")),
+        streamed_base,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(180)
+    assert serve(streamed_base) == got
