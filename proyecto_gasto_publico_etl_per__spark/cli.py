@@ -867,13 +867,34 @@ def main(argv: list[str] | None = None) -> None:
             "next ann-compact folds them out physically)"
         )
     elif args.cmd == "ann-compact":
-        from .operators import similarity
+        from .operators import model_store, similarity
 
         out = similarity.compact_ann_index(
             spark, args.index_dir, args.out_dir
         )
         n = spark.read.parquet(f"{out}/index_assigned").count()
         print(f"compacted index → {out} ({n} vectors, no tombstones)")
+        # the manifest (ladder and its ladder_index_n anchor) is copied
+        # verbatim — a mass takedown leaves its measured recalls
+        # describing a larger corpus.  Shrink is the conservative
+        # direction (resolve_nprobe only warns), but say so here where
+        # the fold happened rather than at the first --target-recall
+        # serve (the ann-append-index stale-NOTE discipline).
+        try:
+            manifest, _ = model_store.load_model(spark, f"{out}/manifest")
+        except Exception:
+            manifest = {}
+        anchor = manifest.get("ladder_index_n")
+        if anchor and n < anchor * (
+            1.0 - similarity.LADDER_MAX_GROWTH_FRAC
+        ):
+            print(
+                f"NOTE: the manifest's recall ladder was measured at "
+                f"{anchor} vectors; the compacted index holds {n} — "
+                "the measured recalls are now a conservative estimate. "
+                "Re-measure with tools/ann_knob_sweep.py "
+                f"--write-manifest {out} to serve on current numbers."
+            )
     elif args.cmd == "text-index-build":
         from .operators.retrieval import build_bm25_index
 

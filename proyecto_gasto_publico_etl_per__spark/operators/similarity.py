@@ -1067,7 +1067,10 @@ def resolve_nprobe(
     (indexed vectors at measurement time, from the manifest) and
     ``index_n`` (indexed vectors now) are known, a growth beyond
     ``max_growth_frac`` raises — or warns with ``allow_stale=True`` —
-    instead of resolving as if the measurement still held."""
+    instead of resolving as if the measurement still held.  The SHRINK
+    direction (round 15, now that deletions/compaction exist) only
+    warns: fewer corpus vectors at fixed knobs usually means
+    equal-or-better recall, so the stale estimate is conservative."""
     if not ladder:
         raise ValueError("empty recall ladder")
     if ladder_index_n is not None and index_n is not None:
@@ -1085,6 +1088,27 @@ def resolve_nprobe(
             if not allow_stale:
                 raise ValueError(msg)
             warnings.warn(msg, stacklevel=2)
+        elif ladder_index_n > 0 and index_n < ladder_index_n * (
+            1.0 - max_growth_frac
+        ):
+            # the shrink direction (round 15 — deletions/compaction
+            # exist now): a mass takedown also moves the measurement's
+            # ground truth (deleted vectors were among the true
+            # neighbors the ladder's recalls were scored against).
+            # Shrink only WARNS — the usual effect of fewer corpus
+            # vectors at fixed knobs is equal-or-better recall, so
+            # serving on the stale estimate is conservative, unlike
+            # growth where it silently overstates quality.
+            warnings.warn(
+                f"recall ladder measured over {ladder_index_n} indexed "
+                f"vectors but the index now holds {index_n} "
+                f"(> {max_growth_frac:.0%} shrink — deletions/"
+                "compaction): the measured recalls are a conservative "
+                "estimate for the smaller index; re-measure with "
+                "tools/ann_knob_sweep.py --write-manifest to serve on "
+                "current numbers.",
+                stacklevel=2,
+            )
     pts = sorted(ladder, key=lambda p: int(p["nprobe"]))
     for p in pts:
         if float(p["recall_at_k"]) >= target_recall:

@@ -373,3 +373,29 @@ def test_append_remeasure_bootstraps_missing_ladder(spark, tmp_path, capsys):
     assert manifest["ladder_index_n"] == 500
     cli.main(["ann-search", SF, idx, "3", "--target-recall", "0.0"])
     assert "measured ladder" in capsys.readouterr().out
+
+
+def test_resolve_nprobe_shrink_warns_but_resolves():
+    """Round 15 (deletions exist now): an index SHRUNK past the growth
+    budget — mass takedown / compaction — warns (the stale estimate is
+    conservative) instead of raising, and still resolves."""
+    import warnings as _w
+
+    ladder = [
+        {"nprobe": 2, "recall_at_k": 0.4, "k": 5},
+        {"nprobe": 8, "recall_at_k": 0.8, "k": 5},
+    ]
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = similarity.resolve_nprobe(
+            ladder, 0.7, ladder_index_n=1000, index_n=500
+        )
+    assert got == 8
+    assert any("shrink" in str(w.message) for w in rec)
+    # inside the budget in both directions: silent
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        similarity.resolve_nprobe(
+            ladder, 0.7, ladder_index_n=1000, index_n=900
+        )
+    assert not rec
