@@ -438,12 +438,81 @@ def phrase_hot_probe(spark, sf_dir: str, k: int) -> None:
     _exp_report("phrase_hot_no_semijoin", nosemi, sf_dir=sf_dir)
 
 
+def delete_ladder_probe(spark, sf_dir: str, k: int) -> None:
+    """Round-15: measure the DELETE operators of both index lanes —
+    the lifecycle's claim is "delete latency ∝ delete batch, never a
+    corpus re-tokenize/re-encode".  Per corpus rung (×1 … ×k), build
+    each index once, then time `delete_from_bm25_index` /
+    `delete_from_ann_index` for exponentially growing DISJOINT id
+    batches (disjoint because re-deleting tombstoned ids anti-joins to
+    a no-op, which would time nothing).  Honest caveat printed with
+    the numbers: both deletes do one keyed semi-join against a
+    corpus-sized per-doc zone (doclen / index_assigned), so the data
+    term is a columnar scan that grows with the corpus — bounded and
+    shuffle-free, but not zero; the measurement separates that scan
+    floor from the per-batch cost."""
+    import gc
+
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+    from proyecto_gasto_publico_etl_per__spark.operators.similarity import (
+        delete_from_ann_index,
+        ivf_centroids,
+        ivf_pq_build_index,
+        sampled_codebook,
+    )
+
+    ladder = _ladder_of(k)
+    batches = (8, 64, 512)
+    for mult in ladder:
+        gc.collect()
+        d = tempfile.mkdtemp(prefix=f"delscale{mult}x_")
+        build_replicated(spark, sf_dir, mult, d)
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        text_root = build_bm25_index(spark, docs)
+        ann_base = f"{d}/annidx"
+        cents = ivf_centroids(emb, "vec_id", "embedding", 16)
+        cb = sampled_codebook(emb, "vec_id", "embedding", 16, 16)
+        assigned, codes = ivf_pq_build_index(
+            emb, m=16, n_codes=16, codebook=cb, centroids=cents
+        )
+        assigned.write.parquet(f"{ann_base}/index_assigned")
+        codes.write.parquet(f"{ann_base}/index_codes")
+        row = {"corpus_mult": mult, "bm25_delete_sec": {},
+               "ann_delete_sec": {}}
+        lo = 0
+        for b in batches:
+            ids = list(range(lo, lo + b))
+            lo += b
+            t0 = time.monotonic()
+            n = delete_from_bm25_index(spark, [text_root], ids)
+            row["bm25_delete_sec"][f"batch_{b}"] = round(
+                time.monotonic() - t0, 2
+            )
+            assert n > 0
+            t0 = time.monotonic()
+            n = delete_from_ann_index(spark, ann_base, ids)
+            row["ann_delete_sec"][f"batch_{b}"] = round(
+                time.monotonic() - t0, 2
+            )
+            assert n > 0
+        print(json.dumps(row), flush=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     names = sys.argv[3:] or DEFAULT_QUERIES
     if names == ["media-neardup"]:
         media_neardup_probe(get_spark(), k)
+        return
+    if names == ["delete-ladder"]:
+        delete_ladder_probe(get_spark(), sf_dir, k)
         return
     if names == ["text-index"]:
         text_index_probe(get_spark(), sf_dir, k)
