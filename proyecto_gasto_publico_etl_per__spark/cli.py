@@ -97,6 +97,65 @@ def _text_index_roots(index_dir: str) -> list[str]:
     return structured
 
 
+def _resolve_ann_knobs(
+    spark, base, manifest, k, rerank, nprobe, target_recall
+):
+    """The --target-recall resolution shared by ann-search and
+    hybrid-search: returns (nprobe, k, rerank).  With no target, the
+    CLI knobs pass through.  With a target, the manifest's MEASURED
+    recall ladder resolves nprobe (`similarity.resolve_nprobe`), the
+    ladder's measured (k, rerank) pin over the CLI's (serving at
+    different knobs voids the measurement — printed when they differ),
+    and the staleness anchor is enforced: an append-grown index
+    refuses a ladder it has outgrown, a delete-shrunk one warns (the
+    conservative direction)."""
+    from .operators import similarity
+
+    if target_recall is None:
+        return nprobe, k, rerank
+    ladder = manifest.get("recall_ladder")
+    if not ladder:
+        raise SystemExit(
+            "--target-recall needs a measured recall_ladder in "
+            "the index manifest; write one with "
+            "tools/ann_knob_sweep.py --write-manifest "
+            f"{base}"
+        )
+    ladder_k = int(ladder[0].get("k", k))
+    ladder_rerank = int(manifest.get("rerank", rerank))
+    if (k, rerank) != (ladder_k, ladder_rerank):
+        print(
+            f"--target-recall pins k={ladder_k} "
+            f"rerank={ladder_rerank} (the knobs the ladder was "
+            f"measured at); ignoring --k={k} --rerank={rerank} "
+            "— re-measure the ladder at those knobs to serve "
+            "them with a recall target"
+        )
+        k, rerank = ladder_k, ladder_rerank
+    # staleness guard: appends grow the index without re-measuring;
+    # refuse to resolve from a ladder the index has outgrown
+    # (similarity.LADDER_MAX_GROWTH_FRAC).  The count job only runs
+    # when there IS an anchor to compare against — pre-anchor
+    # manifests must not pay a wasted Spark action on every serve
+    anchor = manifest.get("ladder_index_n")
+    index_n = (
+        spark.read.parquet(f"{base}/index_assigned").count()
+        if anchor is not None
+        else None
+    )
+    nprobe = similarity.resolve_nprobe(
+        ladder,
+        target_recall,
+        ladder_index_n=anchor,
+        index_n=index_n,
+    )
+    print(
+        f"target_recall={target_recall} -> nprobe={nprobe} "
+        "(from the manifest's measured ladder)"
+    )
+    return nprobe, k, rerank
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(prog="gasto-engine")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -279,6 +338,13 @@ def main(argv: list[str] | None = None) -> None:
     hyb.add_argument(
         "--max-df-frac", type=float, default=None,
         help="hot-term guard for the BM25 component (see text-search)",
+    )
+    hyb.add_argument(
+        "--target-recall", type=float, default=None,
+        help="resolve the dense component's nprobe from the ann index "
+             "manifest's MEASURED recall ladder instead of --nprobe "
+             "(see ann-search; pins the dense depth/rerank to the "
+             "measured knobs)",
     )
 
     adl = sub.add_parser(
@@ -650,7 +716,8 @@ def main(argv: list[str] | None = None) -> None:
             # zone, new rows included — the re-ingested vectors would
             # be permanently invisible (the text lane's append guard)
             raise SystemExit(
-                f"{len(clash)} delta vec id(s) are tombstoned in this "
+                f"{'100+' if len(clash) == 100 else len(clash)} "
+                "delta vec id(s) are tombstoned in this "
                 f"index (e.g. {clash[:5]}); appending them would leave "
                 "those vectors invisible. Run ann-compact first (it "
                 "folds tombstones out) or re-ingest under fresh ids."
@@ -724,53 +791,10 @@ def main(argv: list[str] | None = None) -> None:
             (int(c), [float(x) for x in v]) for c, v in pairs_payload
         ]
         cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
-        nprobe = args.nprobe
-        k, rerank = args.k, args.rerank
-        if args.target_recall is not None:
-            ladder = manifest.get("recall_ladder")
-            if not ladder:
-                raise SystemExit(
-                    "--target-recall needs a measured recall_ladder in "
-                    "the index manifest; write one with "
-                    "tools/ann_knob_sweep.py --write-manifest "
-                    f"{base}"
-                )
-            # the ladder's recall was measured at a specific (k, rerank);
-            # serving at different knobs voids the measurement — pin the
-            # measured values and say so when they differ from the CLI's
-            ladder_k = int(ladder[0].get("k", k))
-            ladder_rerank = int(manifest.get("rerank", rerank))
-            if (k, rerank) != (ladder_k, ladder_rerank):
-                print(
-                    f"--target-recall pins k={ladder_k} "
-                    f"rerank={ladder_rerank} (the knobs the ladder was "
-                    f"measured at); ignoring --k={k} --rerank={rerank} "
-                    "— re-measure the ladder at those knobs to serve "
-                    "them with a recall target"
-                )
-                k, rerank = ladder_k, ladder_rerank
-            # staleness guard: appends grow the index without
-            # re-measuring; refuse to resolve from a ladder the index
-            # has outgrown (similarity.LADDER_MAX_GROWTH_FRAC).  The
-            # count job only runs when there IS an anchor to compare
-            # against — pre-anchor manifests must not pay a wasted
-            # Spark action on every serve
-            anchor = manifest.get("ladder_index_n")
-            index_n = (
-                spark.read.parquet(f"{base}/index_assigned").count()
-                if anchor is not None
-                else None
-            )
-            nprobe = similarity.resolve_nprobe(
-                ladder,
-                args.target_recall,
-                ladder_index_n=anchor,
-                index_n=index_n,
-            )
-            print(
-                f"target_recall={args.target_recall} -> nprobe={nprobe} "
-                "(from the manifest's measured ladder)"
-            )
+        nprobe, k, rerank = _resolve_ann_knobs(
+            spark, base, manifest, args.k, args.rerank, args.nprobe,
+            args.target_recall,
+        )
         tomb = similarity.ann_tombstone_ids(spark, base)
         if tomb is not None:
             print(
@@ -824,14 +848,18 @@ def main(argv: list[str] | None = None) -> None:
         ]
         cb = model_store.load_pq_codebook(spark, f"{base}/codebook")
         emb = load_table(spark, args.sf_dir, "embeddings")
+        nprobe, dense_k, rerank = _resolve_ann_knobs(
+            spark, base, manifest, args.component_k, args.rerank,
+            args.nprobe, args.target_recall,
+        )
         dense = similarity.ivf_pq_search(
             emb,
             emb.filter(F.col("vec_id") == args.query_id),
-            k=args.component_k,
-            nprobe=args.nprobe,
+            k=dense_k,
+            nprobe=nprobe,
             m=manifest["m"],
             n_codes=manifest["n_codes"],
-            rerank=args.rerank,
+            rerank=rerank,
             codebook=cb,
             centroids=pairs,
             index=(
@@ -951,7 +979,8 @@ def main(argv: list[str] | None = None) -> None:
             # permanently invisible while their delta stats still
             # count (r14 review)
             raise SystemExit(
-                f"{len(clash)} incoming doc id(s) are tombstoned in "
+                f"{'100+' if len(clash) == 100 else len(clash)} "
+                "incoming doc id(s) are tombstoned in "
                 f"this index (e.g. {clash[:5]}); appending them would "
                 "leave those documents invisible. Run "
                 "text-index-compact first (it folds tombstones out) "

@@ -399,3 +399,55 @@ def test_resolve_nprobe_shrink_warns_but_resolves():
             ladder, 0.7, ladder_index_n=1000, index_n=900
         )
     assert not rec
+
+
+def test_cli_hybrid_search_target_recall(spark, tmp_path, capsys):
+    """hybrid-search --target-recall resolves the dense component's
+    nprobe from the ann manifest's measured ladder (the shared
+    ann-search resolution) and still fuses."""
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    import tools.ann_knob_sweep as sweep
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pq = tmp_path / "docs.parquet"
+    docs.write.parquet(str(pq))
+    tidx = str(tmp_path / "tindex")
+    cli.main(["text-index-build", str(pq), tidx])
+    aidx = str(tmp_path / "annidx")
+    cli.main(
+        ["ann-build-index", SF, aidx, "--n-centroids", "8",
+         "--m", "4", "--n-codes", "8"]
+    )
+    old_argv = _sys.argv
+    try:
+        _sys.argv = [
+            "ann_knob_sweep.py", SF, "--grid", "8:1,8:2",
+            "--write-manifest", aidx,
+        ]
+        sweep.main()
+    finally:
+        _sys.argv = old_argv
+    capsys.readouterr()
+
+    # without a ladder target: plain knobs
+    cli.main(
+        ["hybrid-search", SF, tidx, aidx, "3", "spark", "hash",
+         "--k", "5"]
+    )
+    plain = capsys.readouterr().out
+    assert "measured ladder" not in plain
+
+    cli.main(
+        ["hybrid-search", SF, tidx, aidx, "3", "spark", "hash",
+         "--k", "5", "--target-recall", "0.0"]
+    )
+    out = capsys.readouterr().out
+    assert "measured ladder" in out
+    assert sum(1 for line in out.splitlines() if "rrf" in line) == 5
