@@ -52,6 +52,27 @@ def _text_index_deltas(index_dir: str) -> list[int]:
     )
 
 
+def _text_index_epochs(index_dir: str) -> list[int]:
+    """epoch=N numbers present under a text index dir, ascending —
+    the zone-set layout `streaming.incremental.bm25_index_ingest`
+    writes (one root per micro-batch).  Round 15: the CLI resolver
+    recognizes them so a STREAMED index serves and compacts through
+    the same text-search / text-index-compact commands as a batch one
+    (previously 'no text index here')."""
+    import os
+    import re
+
+    try:
+        names = os.listdir(index_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1))
+        for name in names
+        if (m := re.fullmatch(r"epoch=(\d+)", name))
+    )
+
+
 def _is_bare_zone_root(path: str) -> bool:
     """True when ``path`` is itself a zone root (postings/ directly
     under it — e.g. a compacted out_dir), as opposed to a structured
@@ -64,12 +85,15 @@ def _is_bare_zone_root(path: str) -> bool:
 
 
 def _text_index_roots(index_dir: str) -> list[str]:
-    """base + delta=N zone roots of a text index dir, deltas in append
-    order; a bare zone root (postings/ present, no base/) serves as-is
-    — so `text-search` also works directly on a compacted out_dir.
-    A directory that is BOTH (postings/ alongside base/ or delta=N/)
-    is ambiguous — serving only the bare zones would silently drop the
-    structured roots' documents (r13 review) — so it errors."""
+    """base + delta=N + epoch=N zone roots of a text index dir
+    (deltas/epochs in append order); a bare zone root (postings/
+    present, no base/) serves as-is — so `text-search` also works
+    directly on a compacted out_dir, and (round 15) a STREAMED index
+    (`bm25_index_ingest`'s epoch=N layout) serves and compacts through
+    the same commands.  A directory that is BOTH (postings/ alongside
+    structured roots) is ambiguous — serving only the bare zones would
+    silently drop the structured roots' documents (r13 review) — so it
+    errors."""
     import os
 
     bare = _is_bare_zone_root(index_dir)
@@ -78,6 +102,9 @@ def _text_index_roots(index_dir: str) -> list[str]:
         structured.append(f"{index_dir}/base")
     structured += [
         f"{index_dir}/delta={n}" for n in _text_index_deltas(index_dir)
+    ]
+    structured += [
+        f"{index_dir}/epoch={n}" for n in _text_index_epochs(index_dir)
     ]
     if bare and structured:
         raise SystemExit(
@@ -92,7 +119,7 @@ def _text_index_roots(index_dir: str) -> list[str]:
     if not structured:
         raise SystemExit(
             f"{index_dir}: no text index here (expected base/, "
-            "delta=N/, or a bare zone root with postings/)"
+            "delta=N/, epoch=N/, or a bare zone root with postings/)"
         )
     return structured
 
@@ -937,16 +964,18 @@ def main(argv: list[str] | None = None) -> None:
                 "under it would make the index ambiguous. Build into "
                 "a fresh directory."
             )
-        stale = _text_index_deltas(args.index_dir)
+        stale = [f"delta={n}" for n in _text_index_deltas(args.index_dir)]
+        stale += [f"epoch={n}" for n in _text_index_epochs(args.index_dir)]
         if stale:
-            # rebuilding base while deltas survive would double-count
-            # every delta-indexed document at search time (r13 review)
+            # rebuilding base while deltas/epochs survive would
+            # double-count every one of their documents at search time
+            # (r13 review; epochs added r15 with streamed-index CLI
+            # support)
             raise SystemExit(
-                f"{args.index_dir} has existing delta zones "
-                f"(delta={stale}); a rebuilt base plus stale deltas "
-                "double-counts their documents. Remove the delta=N "
-                "directories (the rebuild covers them) or compact to a "
-                "fresh directory instead."
+                f"{args.index_dir} has existing zone roots ({stale}); "
+                "a rebuilt base plus stale roots double-counts their "
+                "documents. Remove them (the rebuild covers them) or "
+                "compact to a fresh directory instead."
             )
         docs = spark.read.parquet(args.docs_parquet)
         root = build_bm25_index(spark, docs, root=f"{args.index_dir}/base")

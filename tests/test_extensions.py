@@ -3028,3 +3028,46 @@ def test_max_df_frac_reaches_hybrid_and_cli(spark, tmp_path, caplog, capsys):
     # the served rows are the surviving-term query's
     printed = capsys.readouterr().out
     assert "doc 1" in printed and "doc 3" in printed
+
+
+def test_cli_serves_and_compacts_streamed_epoch_zones(spark, tmp_path, capsys):
+    """Round 15: a STREAMED text index (`bm25_index_ingest`'s epoch=N
+    zone layout) serves and compacts through the same CLI commands as
+    a batch one — previously the resolver rejected it ('no text index
+    here').  Epoch roots merge associatively like deltas, a rebuild
+    into the dir refuses while epochs survive, and the compacted root
+    serves identically."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+    from proyecto_gasto_publico_etl_per__spark.operators.retrieval import (
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(_TOMB_DOCS, _TOMB_SCHEMA)
+    idx = tmp_path / "streamed"
+    # the epoch layout bm25_index_ingest leaves behind (built directly:
+    # the streamed==batch zone identity is already pinned elsewhere)
+    build_bm25_index(
+        spark, docs.where(F.col("doc_id") <= 3), root=f"{idx}/epoch=0"
+    )
+    build_bm25_index(
+        spark, docs.where(F.col("doc_id") > 3), root=f"{idx}/epoch=1"
+    )
+    full = build_bm25_index(spark, docs)
+    want = _serve_set(spark, [full])
+
+    cli.main(["text-search", str(idx), *_TOMB_TERMS, "--k", "10"])
+    printed = capsys.readouterr().out
+    for doc_id, score, _rk in want:
+        assert f"doc {doc_id}  score_q {score}" in printed
+
+    # a rebuild into the streamed dir would double-count the epochs
+    pq = tmp_path / "docs.parquet"
+    docs.write.parquet(str(pq))
+    with pytest.raises(SystemExit, match="double-counts"):
+        cli.main(["text-index-build", str(pq), str(idx)])
+
+    # compaction folds the epochs into one root that serves identically
+    out = tmp_path / "folded"
+    cli.main(["text-index-compact", str(idx), str(out)])
+    assert "compacted 2 roots" in capsys.readouterr().out
+    assert _serve_set(spark, [str(out)]) == want
