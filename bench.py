@@ -155,6 +155,12 @@ EXTENSIONS = (
     "ann_delete_serving",
     "ann_compacted_serving",
     "phrase_compacted_serving",
+    # round 15 late additions (baseline starts at r15): the incremental
+    # materialized-aggregate lane — partial-agg zone merge-serving and
+    # its compacted twin (zone builds run once per process as the warm
+    # run, the serving-lane discipline)
+    "incr_agg_serving",
+    "incr_agg_compacted",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

@@ -4406,3 +4406,162 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("auc_micro"),
     )
+
+
+# --- incremental materialized aggregates (operators/aggzone.py) --------------
+
+#: KMV sketch size for the declared lane — small enough that sf0.01's
+#: per-(priority, year) customer sets (~400 distinct) EXERCISE the
+#: estimation branch while sf0.001's (~40) pin the exact-below-k branch
+AGGZONE_K = 64
+
+#: shared oracle: the full recompute over orders, with the KMV distinct
+#: estimate mirrored hash-for-hash (same md5-prefix uint32, same
+#: rank-64 selection, same (k-1)·2^32 // h_k integer floor division) —
+#: so merge-served == recompute sits under the driver's hash gate
+_AGGZONE_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         year(o_orderdate)::INT AS anio,
+         CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS price,
+         CAST(('0x' || substr(md5('k|' || CAST(o_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM orders
+),
+hashes AS (SELECT DISTINCT prio, anio, h FROM base WHERE h IS NOT NULL),
+ranked AS (
+  SELECT prio, anio, h,
+         row_number() OVER (PARTITION BY prio, anio ORDER BY h) AS rn,
+         count(*)    OVER (PARTITION BY prio, anio) AS nd
+  FROM hashes
+),
+kmv AS (
+  SELECT prio, anio,
+         CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+              ELSE (63 * 4294967296)
+                   // greatest(max(CASE WHEN rn = 64 THEN h END), 1)
+         END AS BIGINT) AS distinct_cust_est
+  FROM ranked WHERE rn <= 64 GROUP BY prio, anio
+),
+agg AS (
+  SELECT prio, anio, count(*) AS cnt,
+         CAST(sum(price) AS DECIMAL(38,0)) AS sum_price,
+         min(price) AS min_price, max(price) AS max_price
+  FROM base GROUP BY prio, anio
+)
+SELECT agg.prio, agg.anio, agg.cnt, agg.sum_price, agg.min_price,
+       agg.max_price, kmv.distinct_cust_est
+FROM agg JOIN kmv USING (prio, anio)
+"""
+
+
+def _aggzone_input(
+    spark: SparkSession, sf_dir: str, predicate: Column | None = None
+) -> DataFrame:
+    """orders (optionally pre-filtered — the zone-split predicate runs
+    BEFORE the projection drops o_orderkey) projected to the zone
+    spec's shape: exact-integer price (the engine-wide ×10000 micros
+    grid — floating sums are refused by the operator) and the raw
+    customer key for the KMV sketch."""
+    orders = load_table(spark, sf_dir, "orders")
+    if predicate is not None:
+        orders = orders.where(predicate)
+    return orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").alias("anio"),
+        F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("price"),
+        F.col("o_custkey").alias("cust"),
+    )
+
+
+_AGGZONE_SPEC = dict(
+    keys=["prio", "anio"],
+    sums=["price"],
+    mins=["price"],
+    maxs=["price"],
+    kmvs=["cust"],
+    k=AGGZONE_K,
+)
+
+#: per-process (base, delta) zone roots, keyed by sf_dir (the
+#: _BM25_APPEND_ZONES discipline: regenerated testdata never serves
+#: from a stale zone)
+_AGGZONE_ROOTS: dict[str, tuple[str, str]] = {}
+
+
+def _aggzone_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once-per-process: a base zone over 90% of orders and a
+    delta zone over the other 10% (o_orderkey % 10 == 7 — the
+    bm25_append_serving split), the state an incremental load leaves
+    behind: yesterday's compacted zone plus today's ingest batch."""
+    roots = _AGGZONE_ROOTS.get(sf_dir)
+    if roots is None:
+        from ..operators import aggzone
+
+        is_delta = F.col("o_orderkey") % 10 == F.lit(7)
+        roots = (
+            aggzone.build_agg_zone(
+                spark,
+                _aggzone_input(spark, sf_dir, ~is_delta),
+                **_AGGZONE_SPEC,
+            ),
+            aggzone.build_agg_zone(
+                spark,
+                _aggzone_input(spark, sf_dir, is_delta),
+                **_AGGZONE_SPEC,
+            ),
+        )
+        _AGGZONE_ROOTS[sf_dir] = roots
+    return roots
+
+
+@register("incr_agg_serving", _AGGZONE_SQL)
+def incr_agg_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance without recompute: cnt / exact
+    DECIMAL sum / min / max / KMV-distinct partials for (priority,
+    order-year) live in per-ingest zones (`operators.aggzone` — a base
+    zone over 90% of orders plus a 10% delta zone), and serving merges
+    the zones' PARTIALS: |groups|·|zones| rows re-aggregated, the base
+    table never re-read.  Every partial is associative (sums add in
+    DECIMAL(38,0), min/max fold, the k-minimum-hash arrays union and
+    re-take k minima — hash-level deterministic via the portable
+    md5-prefix hash), so merge-served == full recompute EXACTLY; the
+    oracle is that recompute with the KMV math mirrored
+    expression-for-expression, putting the contract under the driver's
+    hash gate.  At 100 TB this is the only affordable rollup shape: a
+    daily ingest writes one megabyte-scale zone, and a dashboard query
+    reads zones, not the corpus.  The estimator's two branches are
+    both driver-exercised: sf0.001 groups sit below k=64 (exact
+    branch), sf0.01 groups above it (floor-division branch)."""
+    from ..operators import aggzone
+
+    base, delta = _aggzone_roots(spark, sf_dir)
+    return aggzone.serve_agg(spark, [base, delta])
+
+
+#: per-process compacted root, keyed by sf_dir
+_AGGZONE_COMPACT: dict[str, str] = {}
+
+
+@register("incr_agg_compacted", _AGGZONE_SQL)
+def incr_agg_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lane's maintenance job: `compact_agg_zones` folds the base
+    and delta zones into ONE root (a partial-level merge — the KMV
+    union keeps the k smallest distinct hashes, so nothing is lost in
+    the fold) and serving the compacted root must equal both the
+    two-zone serve AND the full recompute.  Shares the recompute
+    oracle with `incr_agg_serving`, so compaction-preserves-results
+    sits under the driver's hash gate the same way
+    `bm25_compacted_serving` pins the text-index fold.  At scale this
+    bounds the serve-time fan-in: ingest appends epochs, compaction
+    periodically folds them, queries read O(1) roots."""
+    from ..operators import aggzone
+
+    root = _AGGZONE_COMPACT.get(sf_dir)
+    if root is None:
+        base, delta = _aggzone_roots(spark, sf_dir)
+        root = aggzone.compact_agg_zones(spark, [base, delta])
+        _AGGZONE_COMPACT[sf_dir] = root
+    return aggzone.serve_agg(spark, [root])

@@ -651,3 +651,58 @@ def media_keys_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def agg_zone_ingest(
+    stream: DataFrame,
+    zones_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    sums: list[str] = [],
+    mins: list[str] = [],
+    maxs: list[str] = [],
+    kmvs: list[str] = [],
+    k: int | None = None,
+):
+    """Living materialized aggregates at the ingest door: every
+    arriving micro-batch writes its OWN epoch-scoped partial-aggregate
+    zone under ``zones_dir/epoch=<id>`` (`operators.aggzone.
+    build_agg_zone`) — the rollup-lane twin of `bm25_index_ingest`.
+
+    Because every partial is associative and a file-source epoch owns
+    a disjoint set of rows, serving over ALL epoch roots
+    (`aggzone.serve_agg`) reproduces a full batch aggregation EXACTLY
+    — the contract `incr_agg_serving` puts under the driver's hash
+    gate, here proven streamed==batch by test.  At-least-once replays
+    rewrite their epoch's zone in place (per-epoch OVERWRITE), so a
+    retried batch cannot double-count.  Cost per batch is O(batch
+    rows); previously ingested epochs are never touched, and
+    `aggzone.compact_agg_zones` periodically folds epochs into one.
+
+    Returns the started StreamingQuery (AvailableNow trigger).
+    """
+    from ..operators.aggzone import KMV_K, build_agg_zone
+
+    kk = KMV_K if k is None else k
+
+    def roll(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_agg_zone(
+            batch_df.sparkSession,
+            batch_df,
+            keys=keys,
+            sums=sums,
+            mins=mins,
+            maxs=maxs,
+            kmvs=kmvs,
+            k=kk,
+            root=f"{zones_dir}/epoch={epoch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(roll)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
