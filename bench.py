@@ -161,6 +161,9 @@ EXTENSIONS = (
     # run, the serving-lane discipline)
     "incr_agg_serving",
     "incr_agg_compacted",
+    # file-stats manifest data skipping (clustered copy + manifest
+    # build once per process; the timed run is the pruned scan)
+    "manifest_pruned_scan",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

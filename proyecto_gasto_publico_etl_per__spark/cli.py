@@ -124,6 +124,64 @@ def _text_index_roots(index_dir: str) -> list[str]:
     return structured
 
 
+def _numbered_subdirs(path: str, prefix: str) -> list[int]:
+    """``<prefix>=N`` numbers directly under ``path``, ascending."""
+    import os
+    import re
+
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1))
+        for name in names
+        if (m := re.fullmatch(rf"{prefix}=(\d+)", name))
+    )
+
+
+def _agg_zone_roots(agg_dir: str) -> list[str]:
+    """base + delta=N + epoch=N roots of an aggregate-zone dir (the
+    `_text_index_roots` layout applied to the rollup lane — epoch=N is
+    what `streaming.incremental.agg_zone_ingest` writes, so a streamed
+    rollup serves and compacts through the same commands).  A bare
+    zone root (spec.json directly under the dir — e.g. a compacted
+    out_dir) serves as-is; bare + structured together is ambiguous and
+    errors, exactly like the text-index resolver."""
+    import os
+
+    bare = os.path.isfile(f"{agg_dir}/spec.json")
+    structured = []
+    if os.path.isdir(f"{agg_dir}/base"):
+        structured.append(f"{agg_dir}/base")
+    structured += [
+        f"{agg_dir}/delta={n}" for n in _numbered_subdirs(agg_dir, "delta")
+    ]
+    structured += [
+        f"{agg_dir}/epoch={n}" for n in _numbered_subdirs(agg_dir, "epoch")
+    ]
+    if bare and structured:
+        raise SystemExit(
+            f"{agg_dir}: ambiguous aggregate-zone dir — it is a bare "
+            "zone root (spec.json) AND contains structured roots "
+            f"({[os.path.basename(r) for r in structured]}). Serving "
+            "either subset alone would silently drop the other's "
+            "rows; separate them into distinct directories."
+        )
+    if bare:
+        return [agg_dir]
+    if not structured:
+        raise SystemExit(
+            f"{agg_dir}: no aggregate zones here (expected base/, "
+            "delta=N/, epoch=N/, or a bare zone root with spec.json)"
+        )
+    return structured
+
+
+def _split_cols(s: str) -> list[str]:
+    return [c for c in s.split(",") if c]
+
+
 def _resolve_ann_knobs(
     spark, base, manifest, k, rerank, nprobe, target_recall
 ):
@@ -472,6 +530,91 @@ def main(argv: list[str] | None = None) -> None:
         help="parquet whose first column holds the doc ids to delete "
              "(for batch takedowns)",
     )
+
+    azb = sub.add_parser(
+        "agg-zone-build",
+        help="materialize a partial-aggregate zone over a parquet "
+             "input at <agg_dir>/base: per-group count / exact sums / "
+             "min / max / KMV distinct sketches — serve merges zones "
+             "instead of recomputing (incremental rollups)",
+    )
+    azb.add_argument("input_parquet")
+    azb.add_argument("agg_dir")
+    azb.add_argument(
+        "--keys", required=True,
+        help="comma-separated group-key columns",
+    )
+    azb.add_argument("--sums", default="", help="comma-separated sum columns "
+                     "(integer/decimal only — convert money doubles to the "
+                     "cents/micros grid first)")
+    azb.add_argument("--mins", default="", help="comma-separated min columns")
+    azb.add_argument("--maxs", default="", help="comma-separated max columns")
+    azb.add_argument(
+        "--kmvs", default="",
+        help="comma-separated distinct-sketch columns (deterministic "
+             "K-Minimum-Values; exact below k distinct)",
+    )
+    azb.add_argument("--k", type=int, default=None,
+                     help="KMV sketch size (default 64)")
+
+    aza = sub.add_parser(
+        "agg-zone-append",
+        help="aggregate a NEW row batch into its own delta zone "
+             "(<agg_dir>/delta=N) under the BASE zone's spec — never "
+             "re-reads prior data; serve merges base+deltas "
+             "(associative partials, append == rebuild)",
+    )
+    aza.add_argument("input_parquet")
+    aza.add_argument("agg_dir")
+
+    azs = sub.add_parser(
+        "agg-zone-serve",
+        help="final aggregates over all zone roots (base + deltas + "
+             "streamed epochs): reads |groups|x|zones| partial rows, "
+             "never the base table",
+    )
+    azs.add_argument("agg_dir")
+    azs.add_argument("--out", default=None,
+                     help="write results to this parquet dir instead of "
+                          "printing")
+    azs.add_argument("--limit", type=int, default=50,
+                     help="max rows to print (ignored with --out)")
+
+    azc = sub.add_parser(
+        "agg-zone-compact",
+        help="fold base + delta + epoch zones into ONE root at out_dir "
+             "(partial-level merge, no base-table re-read) — bounds "
+             "serve-time fan-in after many appends",
+    )
+    azc.add_argument("agg_dir")
+    azc.add_argument("out_dir")
+
+    tst = sub.add_parser(
+        "table-stats",
+        help="collect a per-file min/max/null/row-count manifest for a "
+             "parquet table (footer reads only, distributed) into "
+             "<table>/_stats_manifest — the data-skipping catalog for "
+             "table-scan; re-run after appends (stale manifests refuse)",
+    )
+    tst.add_argument("table_dir")
+    tst.add_argument("columns", nargs="+",
+                     help="columns to track stats for")
+
+    tsc = sub.add_parser(
+        "table-scan",
+        help="range-scan a parquet table through its stats manifest: "
+             "files whose [min,max] cannot match are never scheduled "
+             "(partition pruning without partition directories)",
+    )
+    tsc.add_argument("table_dir")
+    tsc.add_argument("column")
+    tsc.add_argument("--lower", default=None,
+                     help="inclusive lower bound (typed from the column)")
+    tsc.add_argument("--upper", default=None,
+                     help="inclusive upper bound (typed from the column)")
+    tsc.add_argument("--out", default=None,
+                     help="write matching rows to this parquet dir instead "
+                          "of printing the count")
 
     mh = sub.add_parser(
         "media-hash",
@@ -1090,6 +1233,148 @@ def main(argv: list[str] | None = None) -> None:
             f"tombstoned {n} documents (search subtracts them now; "
             "the next text-index-compact folds them out physically)"
         )
+    elif args.cmd == "agg-zone-build":
+        import os
+
+        from .operators.aggzone import KMV_K, build_agg_zone
+
+        if os.path.isfile(f"{args.agg_dir}/spec.json"):
+            # a bare zone root (e.g. a compacted out_dir): base/ under
+            # it would make the dir ambiguous to the roots resolver
+            raise SystemExit(
+                f"{args.agg_dir} is a bare zone root (spec.json "
+                "present — e.g. a compacted out_dir); building base/ "
+                "under it would make the dir ambiguous. Build into a "
+                "fresh directory."
+            )
+        stale = [
+            f"delta={n}" for n in _numbered_subdirs(args.agg_dir, "delta")
+        ] + [
+            f"epoch={n}" for n in _numbered_subdirs(args.agg_dir, "epoch")
+        ]
+        if stale:
+            # rebuilding base while deltas/epochs survive would
+            # double-count every one of their rows at serve time (the
+            # text-index-build rule applied to the rollup lane)
+            raise SystemExit(
+                f"{args.agg_dir} has existing zone roots ({stale}); a "
+                "rebuilt base plus stale roots double-counts their "
+                "rows. Remove them (the rebuild covers them) or "
+                "compact to a fresh directory instead."
+            )
+        df = spark.read.parquet(args.input_parquet)
+        root = build_agg_zone(
+            spark,
+            df,
+            keys=_split_cols(args.keys),
+            sums=_split_cols(args.sums),
+            mins=_split_cols(args.mins),
+            maxs=_split_cols(args.maxs),
+            kmvs=_split_cols(args.kmvs),
+            k=args.k if args.k is not None else KMV_K,
+            root=f"{args.agg_dir}/base",
+        )
+        n = spark.read.parquet(f"{root}/partials").count()
+        print(f"materialized {n} group partials → {root}")
+    elif args.cmd == "agg-zone-append":
+        import os
+
+        from .operators.aggzone import build_agg_zone, zone_spec
+
+        if os.path.isfile(f"{args.agg_dir}/spec.json"):
+            raise SystemExit(
+                f"{args.agg_dir} is a bare zone root (spec.json "
+                "present — e.g. a compacted out_dir); delta zones "
+                "under it would make the dir ambiguous. Append to a "
+                "directory with base/ (move the compacted zone to "
+                f"{args.agg_dir}/base first)."
+            )
+        base = f"{args.agg_dir}/base"
+        if not os.path.isdir(base):
+            raise SystemExit(
+                f"{args.agg_dir}: no base/ zone — run agg-zone-build "
+                "first (the append derives its spec from the base so "
+                "zones can never diverge)"
+            )
+        spec = zone_spec(base)
+        nxt = max(_numbered_subdirs(args.agg_dir, "delta"), default=-1) + 1
+        df = spark.read.parquet(args.input_parquet)
+        root = build_agg_zone(
+            spark, df, root=f"{args.agg_dir}/delta={nxt}", **spec
+        )
+        n = spark.read.parquet(f"{root}/partials").count()
+        print(f"appended {n} group partials → {root}")
+    elif args.cmd == "agg-zone-serve":
+        from .operators.aggzone import serve_agg
+
+        roots = _agg_zone_roots(args.agg_dir)
+        out = serve_agg(spark, roots)
+        if args.out:
+            out.write.parquet(args.out)
+            print(
+                f"served {len(roots)} zone root(s) → {args.out}"
+            )
+        else:
+            cols = out.columns
+            print("\t".join(cols))
+            for r in out.limit(args.limit).collect():
+                print("\t".join(str(r[c]) for c in cols))
+    elif args.cmd == "agg-zone-compact":
+        from .operators.aggzone import compact_agg_zones
+
+        roots = _agg_zone_roots(args.agg_dir)
+        # compact_agg_zones guards root overlap itself; the agg_dir
+        # container is checked here (out_dir == agg_dir would write a
+        # bare zone BESIDE base/ — the ambiguous layout)
+        import os
+
+        out_real = os.path.realpath(args.out_dir)
+        dir_real = os.path.realpath(args.agg_dir)
+        if (
+            out_real == dir_real
+            or out_real.startswith(dir_real + os.sep)
+            or dir_real.startswith(out_real + os.sep)
+        ):
+            raise SystemExit(
+                f"out_dir {args.out_dir} overlaps {args.agg_dir}; "
+                "compact to a directory outside the zones being read."
+            )
+        out = compact_agg_zones(spark, roots, args.out_dir)
+        print(f"compacted {len(roots)} zone root(s) → {out}")
+    elif args.cmd == "table-stats":
+        from .sources.manifest import build_stats_manifest
+
+        out = build_stats_manifest(spark, args.table_dir, args.columns)
+        n = spark.read.parquet(out).count()
+        print(f"collected stats for {n} file(s) → {out}")
+    elif args.cmd == "table-scan":
+        from .sources.manifest import pruned_scan, select_files
+
+        def typed(bound):
+            if bound is None:
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(bound)
+                except ValueError:
+                    continue
+            return bound
+
+        lo, hi = typed(args.lower), typed(args.upper)
+        kept, total = select_files(
+            spark, args.table_dir, args.column, lo, hi
+        )
+        df = pruned_scan(spark, args.table_dir, args.column, lo, hi)
+        if args.out:
+            df.write.parquet(args.out)
+            print(
+                f"scanned {len(kept)}/{total} file(s) → {args.out}"
+            )
+        else:
+            print(
+                f"scanned {len(kept)}/{total} file(s), "
+                f"{df.count()} matching row(s)"
+            )
     elif args.cmd == "media-hash":
         assets = spark.read.parquet(args.assets_parquet)
 

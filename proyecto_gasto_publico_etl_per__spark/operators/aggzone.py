@@ -291,6 +291,17 @@ def _load_spec(root: str) -> dict:
         return json.load(fh)
 
 
+def zone_spec(root: str) -> dict:
+    """The zone's build spec (keys/measures/k, schema omitted) — the
+    CLI's append path derives its build arguments from the BASE zone's
+    spec, so an append can never silently diverge from the base."""
+    return {
+        k: v
+        for k, v in _load_spec(_as_local_path(root)).items()
+        if k != "schema"
+    }
+
+
 def read_partials(
     spark: SparkSession, roots: Sequence[str]
 ) -> tuple[DataFrame, dict]:

@@ -4565,3 +4565,91 @@ def incr_agg_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = aggzone.compact_agg_zones(spark, [base, delta])
         _AGGZONE_COMPACT[sf_dir] = root
     return aggzone.serve_agg(spark, [root])
+
+
+# --- file-stats manifest pruning (sources/manifest.py) -----------------------
+
+#: the pruned window: 18 months of a 7-year clustered fact — narrow
+#: enough that the manifest skips most files, wide enough to span file
+#: boundaries at every SF
+_MANIFEST_LO, _MANIFEST_HI = 199606, 199711
+
+#: per-process clustered-copy root (with its manifest), keyed by sf_dir
+_MANIFEST_TABLES: dict[str, str] = {}
+
+
+def _manifest_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-process: orders projected to (ym, price micros,
+    o_orderkey), range-clustered into 8 files on ym (each file covers
+    a narrow month window — `maintenance.cluster_by`'s layout), with a
+    file-stats manifest collected over ym.  The state a maintained
+    warehouse table sits in: clustered data + catalog stats."""
+    root = _MANIFEST_TABLES.get(sf_dir)
+    if root is None:
+        import tempfile
+
+        from ..sources import manifest as mf
+
+        orders = load_table(spark, sf_dir, "orders")
+        copy = orders.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+                "ym"
+            ),
+            F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("price"),
+            "o_orderkey",
+        )
+        root = tempfile.mkdtemp(prefix="manifest_scan_") + "/orders_ym"
+        (
+            copy.repartitionByRange(8, "ym")
+            .sortWithinPartitions("ym")
+            .write.parquet(root)
+        )
+        mf.build_stats_manifest(spark, root, ["ym"])
+        _MANIFEST_TABLES[sf_dir] = root
+    return root
+
+
+@register(
+    "manifest_pruned_scan",
+    f"""
+    SELECT (year(o_orderdate) * 100 + month(o_orderdate))::INT AS ym,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                AS DECIMAL(38,0)) AS sum_price
+    FROM orders
+    WHERE (year(o_orderdate) * 100 + month(o_orderdate))
+          BETWEEN {_MANIFEST_LO} AND {_MANIFEST_HI}
+    GROUP BY 1
+    """,
+)
+def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping through a file-stats manifest: orders live
+    range-clustered on year-month (8 files, built once per process),
+    a per-file min/max manifest sits beside them
+    (`sources.manifest.build_stats_manifest` — footer-only, collected
+    once), and an 18-month range query plans its scan FROM the
+    manifest: files whose [min_ym, max_ym] cannot intersect the range
+    are never scheduled (3 of 8 files survive at every SF — the
+    pruning ratio is a layout property, not a data-size property),
+    then the exact predicate filters rows within the kept files.
+    Result-identical to the full scan + filter — which is exactly what
+    the oracle computes over the raw table, so skip-correctness sits
+    under the driver's hash gate.  At 100 TB this is THE scan lever:
+    partition pruning without partition directories — a month query
+    over a year-clustered petabyte fact schedules 1/12th of the tasks
+    and opens 1/12th of the footers, composing with `cluster_by` /
+    `cluster_by_zorder` layouts and shrinking further as files narrow.
+    A stale manifest (data file it doesn't know) refuses loudly rather
+    than silently dropping rows (test-pinned)."""
+    from ..sources import manifest as mf
+
+    root = _manifest_table(spark, sf_dir)
+    pruned = mf.pruned_scan(
+        spark, root, "ym", _MANIFEST_LO, _MANIFEST_HI
+    )
+    return pruned.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("price").cast("decimal(38,0)")).alias("sum_price"),
+    )

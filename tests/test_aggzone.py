@@ -297,3 +297,70 @@ def test_zone_is_self_describing(spark):
     assert spec["keys"] == ["g"] and spec["k"] == 8
     assert spec["sums"] == ["v"] and spec["kmvs"] == ["w"]
     assert "schema" in spec
+
+
+def test_cli_agg_zone_lifecycle(spark, tmp_path, capsys):
+    """agg-zone-build → agg-zone-append → agg-zone-serve (== one-zone
+    build over the full input) → agg-zone-compact → serve on the bare
+    compacted root: the user-facing incremental-rollup lifecycle."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    schema = "g STRING, v INT, c INT"
+    b1 = [("a", 1, 10), ("a", 2, 11), ("b", 3, 12)]
+    b2 = [("a", 4, 10), ("b", 5, 13)]
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    spark.createDataFrame(b1, schema).write.parquet(d1)
+    spark.createDataFrame(b2, schema).write.parquet(d2)
+    agg = str(tmp_path / "agg")
+
+    cli.main(
+        ["agg-zone-build", d1, agg, "--keys", "g", "--sums", "v",
+         "--kmvs", "c"]
+    )
+    assert "materialized 2 group partials" in capsys.readouterr().out
+    cli.main(["agg-zone-append", d2, agg])
+    assert "appended 2 group partials" in capsys.readouterr().out
+
+    cli.main(["agg-zone-serve", agg])
+    served = capsys.readouterr().out
+    whole = aggzone.build_agg_zone(
+        spark,
+        spark.createDataFrame(b1 + b2, schema),
+        keys=["g"],
+        sums=["v"],
+        kmvs=["c"],
+    )
+    for r in aggzone.serve_agg(spark, [whole]).collect():
+        line = f"{r.g}\t{r.cnt}\t{r.sum_v}\t{r.distinct_c_est}"
+        assert line in served, f"missing {line!r} in {served!r}"
+
+    out_dir = str(tmp_path / "folded")
+    cli.main(["agg-zone-compact", agg, out_dir])
+    assert "compacted 2 zone root(s)" in capsys.readouterr().out
+    cli.main(["agg-zone-serve", out_dir])
+    assert capsys.readouterr().out == served
+
+
+def test_cli_agg_zone_guards(spark, tmp_path, capsys):
+    """The layout guards: build refuses a dir with stale deltas,
+    append refuses a missing base, compact refuses overlap."""
+    import pytest as _pytest
+
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    d = str(tmp_path / "d")
+    spark.createDataFrame([("a", 1)], "g STRING, v INT").write.parquet(d)
+    agg = str(tmp_path / "agg")
+    cli.main(["agg-zone-build", d, agg, "--keys", "g", "--sums", "v"])
+    cli.main(["agg-zone-append", d, agg])
+    capsys.readouterr()
+
+    with _pytest.raises(SystemExit, match="existing zone roots"):
+        cli.main(["agg-zone-build", d, agg, "--keys", "g"])
+    with _pytest.raises(SystemExit, match="no base"):
+        cli.main(["agg-zone-append", d, str(tmp_path / "nothere")])
+    with _pytest.raises(SystemExit, match="overlaps"):
+        cli.main(["agg-zone-compact", agg, f"{agg}/out"])
+    # appends inherit the BASE spec: v stays a sum column
+    spec = aggzone.zone_spec(f"{agg}/base")
+    assert spec["sums"] == ["v"] and spec["keys"] == ["g"]
