@@ -164,6 +164,9 @@ EXTENSIONS = (
     # file-stats manifest data skipping (clustered copy + manifest
     # build once per process; the timed run is the pruned scan)
     "manifest_pruned_scan",
+    # exact-integer EWMA and ordered-edge triangle counting
+    "ewma_priority_monthly",
+    "triangle_brand_graph",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

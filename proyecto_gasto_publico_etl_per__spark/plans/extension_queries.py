@@ -4653,3 +4653,209 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("price").cast("decimal(38,0)")).alias("sum_price"),
     )
+
+
+# --- exact EWMA smoothing ----------------------------------------------------
+
+#: EWMA window (rows) and the power-of-two weight of the newest row —
+#: half-life of one month: weight(lag j) = 2^(EWMA_W-1-j)
+EWMA_W = 8
+
+
+@register(
+    "ewma_priority_monthly",
+    f"""
+    WITH monthly AS (
+      SELECT o_orderpriority AS prio,
+             (year(o_orderdate) * 100 + month(o_orderdate))::INT AS ym,
+             CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS msum
+      FROM orders GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT prio, ym, msum,
+             {", ".join(
+                 f"lag(msum, {j}) OVER "
+                 f"(PARTITION BY prio ORDER BY ym) AS x{j}"
+                 for j in range(1, 8)
+             )}
+      FROM monthly
+    )
+    SELECT prio, ym, msum,
+           (1000 * (msum * 128
+                    + {" + ".join(
+                        f"COALESCE(x{j}, 0) * {1 << (7 - j)}"
+                        for j in range(1, 8)
+                    )}))
+           // (128 + {" + ".join(
+                  f"CASE WHEN x{j} IS NULL THEN 0 ELSE {1 << (7 - j)} END"
+                  for j in range(1, 8)
+              )}) AS ewma_q3
+    FROM lagged
+    """,
+)
+def ewma_priority_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of monthly order value per
+    priority, EXACT across engines: the classic EWMA is a float
+    recurrence (y_t = αx_t + (1-α)y_{t-1}) whose accumulation order
+    makes it partition-dependent — this is the finite-window integer
+    form with α = 1/2 folded into POWER-OF-TWO weights (newest month
+    weighs 128, 7th-back weighs 1), so numerator and denominator are
+    exact BIGINTs, partial leading windows renormalize by the
+    available-weight sum (no warm-up bias), and the smoothed value is
+    ONE integer floor division onto a 1e-3 grid — Spark ``div`` ==
+    DuckDB ``//`` on the non-negative operands.  BIGINT headroom:
+    1000·255·msum needs the max monthly micro-sum < 3.6e13 (≈ $36M/
+    month/group — 50× past these SFs); beyond that drop the grid to
+    1e2 or pre-scale msum to millis (documented, not silent — the
+    classifier_auc_eval precedent).  Shape at 100 TB: ONE hash agg to
+    monthly grain (corpus-proportional, map-side combinable), then the
+    lag window runs per-series on the MONTHLY frame — series-count ×
+    months rows, corpus size gone; a gappy series composes with
+    month_spine_gapfill first (lags are row-based, docstring
+    contract)."""
+    from pyspark.sql import Window
+
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+                "ym"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("msum")
+        )
+    )
+    w = Window.partitionBy("prio").orderBy("ym")
+    lags = [F.col("msum")] + [
+        F.lag("msum", j).over(w) for j in range(1, EWMA_W)
+    ]
+    num = sum(
+        (
+            F.coalesce(x, F.lit(0)) * F.lit(1 << (EWMA_W - 1 - j))
+            for j, x in enumerate(lags)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(x.isNotNull(), F.lit(1 << (EWMA_W - 1 - j))).otherwise(
+                0
+            )
+            for j, x in enumerate(lags)
+        ),
+        start=F.lit(0),
+    )
+    return monthly.select(
+        "prio",
+        "ym",
+        "msum",
+        (F.lit(1000) * num.cast("long"))
+        .cast("long")
+        .alias("__num"),
+        den.cast("long").alias("__den"),
+    ).select(
+        "prio",
+        "ym",
+        "msum",
+        F.expr("__num div __den").alias("ewma_q3"),
+    )
+
+
+# --- triangle counting on the brand co-occurrence graph ----------------------
+
+#: minimum co-order support for a brand-graph edge (the
+#: basket_brand_pairs threshold, shared semantics)
+TRI_MIN_SUPPORT = 5
+
+
+@register(
+    "triangle_brand_graph",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    edges AS (
+      SELECT a.brand AS a, b.brand AS b
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.brand < b.brand
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ),
+    tris AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_tri
+    FROM (
+      SELECT a AS brand FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    GROUP BY brand
+    """,
+)
+def triangle_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle participation in the co-order graph (brands
+    are adjacent when ≥5 orders contain both): the clustering-cohesion
+    primitive PageRank/SALSA don't capture — a brand in many triangles
+    sits in a dense co-purchase community, not just a popular one.
+
+    The count uses the ORDERED-edge join (each undirected edge stored
+    once as a < b; a triangle a<b<c is found exactly once as
+    e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c)) — the standard distributed
+    algorithm: no triangle is double-counted, and the join fan-out is
+    Σ_v d_out(v)² where d_out is the ORDER-respecting out-degree —
+    at web scale the ordering is by degree (degeneracy), which bounds
+    d_out by the arboricity; on the bounded brand alphabet the whole
+    edge set broadcasts and the plan is exchange-free after the edge
+    derivation.  The corpus-proportional work is deriving the edges
+    (the basket_brand_pairs self-join: one shuffle on the basket key,
+    per-basket fan-out bounded by basket size²); the triangle joins
+    run on the |brands|²-bounded edge list.  Wedge (e1 ⋈ e2) and
+    closure (⋈ e3) are exact set logic — the oracle mirrors the same
+    three-way join, so the count sits under the driver's hash gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    a = items.select("basket", F.col("brand").alias("a"))
+    b = items.select("basket", F.col("brand").alias("b"))
+    edges = (
+        a.join(b, "basket")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= TRI_MIN_SUPPORT)
+        .select("a", "b")
+    )
+    e1 = edges
+    e2 = F.broadcast(edges.select(F.col("a").alias("b"), F.col("b").alias("c")))
+    e3 = F.broadcast(edges.select(F.col("a").alias("a"), F.col("b").alias("c")))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    verts = (
+        tris.select(F.col("a").alias("brand"))
+        .unionAll(tris.select(F.col("b").alias("brand")))
+        .unionAll(tris.select(F.col("c").alias("brand")))
+    )
+    return verts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
