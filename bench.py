@@ -167,6 +167,9 @@ EXTENSIONS = (
     # exact-integer EWMA and ordered-edge triangle counting
     "ewma_priority_monthly",
     "triangle_brand_graph",
+    # per-file bloom point lookup (hash-clustered copy + bloom'd
+    # manifest build once per process; the timed run is the lookup)
+    "bloom_point_lookup",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

@@ -597,8 +597,15 @@ def main(argv: list[str] | None = None) -> None:
              "table-scan; re-run after appends (stale manifests refuse)",
     )
     tst.add_argument("table_dir")
-    tst.add_argument("columns", nargs="+",
-                     help="columns to track stats for")
+    tst.add_argument("columns", nargs="*",
+                     help="columns to track min/max stats for")
+    tst.add_argument(
+        "--blooms", default="",
+        help="comma-separated columns to build per-file bloom filters "
+             "for (equality skipping on hash-clustered layouts; costs "
+             "one column-pruned data scan, unlike the footer-only "
+             "min/max stats)",
+    )
 
     tsc = sub.add_parser(
         "table-scan",
@@ -612,6 +619,11 @@ def main(argv: list[str] | None = None) -> None:
                      help="inclusive lower bound (typed from the column)")
     tsc.add_argument("--upper", default=None,
                      help="inclusive upper bound (typed from the column)")
+    tsc.add_argument(
+        "--equals", default=None,
+        help="point lookup: keep only files whose stats/bloom admit "
+             "column == value (mutually exclusive with --lower/--upper)",
+    )
     tsc.add_argument("--out", default=None,
                      help="write matching rows to this parquet dir instead "
                           "of printing the count")
@@ -1344,11 +1356,21 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "table-stats":
         from .sources.manifest import build_stats_manifest
 
-        out = build_stats_manifest(spark, args.table_dir, args.columns)
+        out = build_stats_manifest(
+            spark,
+            args.table_dir,
+            args.columns,
+            blooms=_split_cols(args.blooms),
+        )
         n = spark.read.parquet(out).count()
         print(f"collected stats for {n} file(s) → {out}")
     elif args.cmd == "table-scan":
-        from .sources.manifest import pruned_scan, select_files
+        from .sources.manifest import (
+            point_lookup,
+            pruned_scan,
+            select_files,
+            select_files_eq,
+        )
 
         def typed(bound):
             if bound is None:
@@ -1360,11 +1382,25 @@ def main(argv: list[str] | None = None) -> None:
                     continue
             return bound
 
-        lo, hi = typed(args.lower), typed(args.upper)
-        kept, total = select_files(
-            spark, args.table_dir, args.column, lo, hi
-        )
-        df = pruned_scan(spark, args.table_dir, args.column, lo, hi)
+        if args.equals is not None and (
+            args.lower is not None or args.upper is not None
+        ):
+            raise SystemExit(
+                "table-scan: --equals is mutually exclusive with "
+                "--lower/--upper"
+            )
+        if args.equals is not None:
+            v = typed(args.equals)
+            kept, total = select_files_eq(
+                spark, args.table_dir, args.column, v
+            )
+            df = point_lookup(spark, args.table_dir, args.column, v)
+        else:
+            lo, hi = typed(args.lower), typed(args.upper)
+            kept, total = select_files(
+                spark, args.table_dir, args.column, lo, hi
+            )
+            df = pruned_scan(spark, args.table_dir, args.column, lo, hi)
         if args.out:
             df.write.parquet(args.out)
             print(

@@ -4859,3 +4859,79 @@ def triangle_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verts.groupBy("brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")
     )
+
+
+#: the point-lookup probe key (present at every SF)
+_BLOOM_PROBE_CUST = 42
+
+#: per-process hash-clustered copy + bloom'd manifest, keyed by sf_dir
+_BLOOM_TABLES: dict[str, str] = {}
+
+
+def _bloom_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-process: orders hash-clustered into 8 files on
+    o_custkey with a stats manifest carrying BOTH range stats and a
+    per-file bloom over the key — the layout where range pruning is
+    useless (every file spans the key range) and only the bloom can
+    skip."""
+    root = _BLOOM_TABLES.get(sf_dir)
+    if root is None:
+        import tempfile
+
+        from ..sources import manifest as mf
+
+        orders = load_table(spark, sf_dir, "orders")
+        copy = orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("price"),
+        )
+        root = tempfile.mkdtemp(prefix="bloom_lookup_") + "/orders_ck"
+        copy.repartition(8, "o_custkey").write.parquet(root)
+        mf.build_stats_manifest(
+            spark, root, ["o_custkey"], blooms=["o_custkey"]
+        )
+        _BLOOM_TABLES[sf_dir] = root
+    return root
+
+
+@register(
+    "bloom_point_lookup",
+    f"""
+    SELECT o_custkey AS cust,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                AS DECIMAL(38,0)) AS sum_price
+    FROM orders
+    WHERE o_custkey = {_BLOOM_PROBE_CUST}
+    GROUP BY 1
+    """,
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-free point lookup through per-file bloom filters: orders
+    live HASH-clustered on the customer key (8 files — the layout
+    co-locating each customer's rows in ONE file), and the manifest
+    carries a 8192-bit / 4-hash bloom per file, so the lookup's plan
+    consults the manifest and schedules only the files whose blooms
+    admit the key — 1 of 8 here, ~FPR·|files| in general; range stats
+    CANNOT help on this layout because every file spans the whole key
+    range (the exact gap `manifest_pruned_scan`'s min/max path leaves
+    open).  False positives cost one wasted file scan (the exact
+    equality predicate still filters); false negatives cannot happen —
+    build and probe share one hash (`manifest.bloom_positions`, the
+    md5-prefix discipline).  The oracle recomputes the lookup over the
+    raw table, putting skip-correctness under the driver's hash gate.
+    At 100 TB this is the needle query served without an index: a
+    customer's history costs one file + a metadata probe, not a
+    table scan."""
+    from ..sources import manifest as mf
+
+    root = _bloom_table(spark, sf_dir)
+    rows = mf.point_lookup(
+        spark, root, "o_custkey", _BLOOM_PROBE_CUST
+    )
+    return rows.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("price").cast("decimal(38,0)")).alias("sum_price"),
+    )

@@ -52,6 +52,44 @@ MANIFEST_DIR = "_stats_manifest"
 #: footer-read fan-out: files per executor task during a manifest build
 _FILES_PER_TASK = 64
 
+#: per-file bloom geometry: 8192 bits / 4 hashes ≈ 2.4% false-positive
+#: rate at 1024 distinct values per file, stored SPARSE (set-bit
+#:positions) so low-cardinality files cost bytes, not bits
+BLOOM_BITS = 8192
+BLOOM_HASHES = 4
+
+
+def bloom_positions(value, bits: int = BLOOM_BITS, k: int = BLOOM_HASHES):
+    """The k bloom bit positions of ``value`` — md5-prefix hashes with
+    the hash index as salt (the engine's portable-hash discipline;
+    `_bloom_pos_cols` is the Spark twin, and build/probe sharing THIS
+    function is what makes the filter sound)."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"b{i}|{value}".encode("utf-8")).hexdigest()
+        out.append(int(h[:8], 16) % bits)
+    return out
+
+
+def _bloom_pos_cols(col: str, bits: int, k: int) -> list:
+    """Spark expressions mirroring `bloom_positions` — same md5, same
+    salt, same modulus, so a bit set at build time is exactly the bit
+    probed at plan time."""
+    c = F.col(col).cast("string")
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b{i}|"), c)), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            bits,
+        ).cast("int")
+        for i in range(k)
+    ]
+
 
 def _data_files(path: str) -> list[str]:
     """The table's parquet data files (top-level part files and
@@ -89,20 +127,37 @@ def _stat_ddl(spark: SparkSession, path: str, cols: Sequence[str]) -> str:
 
 
 def build_stats_manifest(
-    spark: SparkSession, path: str, cols: Sequence[str]
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    blooms: Sequence[str] = (),
 ) -> str:
-    """Collect per-file stats for ``cols`` into
-    ``<path>/_stats_manifest``; returns the manifest directory.
+    """Collect per-file stats for ``cols`` (plus optional per-file
+    bloom filters for ``blooms``) into ``<path>/_stats_manifest``;
+    returns the manifest directory.
 
     The job shape at scale: the file list becomes a DataFrame, fans
     out ~64 files per task, and each task opens only FOOTERS —
     `pyarrow.parquet.ParquetFile(...).metadata` — folding row-group
-    stats into one row per file.  No data page is ever read."""
-    if not cols:
+    stats into one row per file.  No data page is ever read for the
+    min/max stats.  Bloom columns DO cost one data scan of just those
+    columns (hash → distinct (file, bit) → per-file sparse bitset,
+    map-side combinable), because equality skipping needs membership,
+    not bounds — min/max cannot prune a point lookup on a
+    hash-clustered key whose range spans every file.  The bloom rides
+    in the same manifest row as ``bloom_<c>`` (sorted set-bit
+    positions, ≤ BLOOM_BITS ints per file)."""
+    if not cols and not blooms:
         raise ValueError("manifest: need at least one tracked column")
     files = _data_files(path)
     if not files:
         raise ValueError(f"manifest: no parquet data files under {path!r}")
+    table_cols = set(spark.read.parquet(path).schema.names)
+    bad = [c for c in blooms if c not in table_cols]
+    if bad:
+        raise ValueError(
+            f"manifest: bloom columns {bad} not in table {path!r}"
+        )
     ddl = _stat_ddl(spark, path, cols)
     cols = list(cols)
 
@@ -150,6 +205,30 @@ def build_stats_manifest(
         .repartition(n_tasks)
         .mapInPandas(read_footers, ddl)
     )
+    for c in blooms:
+        # one column-pruned scan: value → k bit positions → distinct
+        # (file, bit) — a hash aggregate that combines map-side, so the
+        # shuffle carries at most |files|·BLOOM_BITS rows — → per-file
+        # sparse bitset.  NULLs set no bits (a NULL never equals the
+        # probe value).
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        bloom = (
+            spark.read.parquet(path)
+            .where(F.col(c).isNotNull())
+            .select(
+                fname.alias("file"),
+                F.explode(
+                    F.array(*_bloom_pos_cols(c, BLOOM_BITS, BLOOM_HASHES))
+                ).alias("bit"),
+            )
+            .distinct()
+            .groupBy("file")
+            .agg(F.sort_array(F.collect_list("bit")).alias(f"bloom_{c}"))
+        )
+        stats = stats.join(bloom, "file", "left").withColumn(
+            f"bloom_{c}",
+            F.coalesce(F.col(f"bloom_{c}"), F.array().cast("array<int>")),
+        )
     out = os.path.join(path, MANIFEST_DIR)
     stats.write.mode("overwrite").parquet(out)
     return out
@@ -244,3 +323,78 @@ def pruned_scan(
         up = F.col(col) <= F.lit(upper)
         pred = up if pred is None else pred & up
     return df if pred is None else df.where(pred)
+
+
+def select_files_eq(
+    spark: SparkSession, path: str, col: str, value
+) -> tuple[list[str], int]:
+    """(files that can contain ``col == value``, total file count) —
+    the EQUALITY twin of `select_files`: min/max bounds first (a value
+    outside a file's range is proven absent), then the per-file bloom
+    when the manifest carries one (``blooms=[col]`` at build time) —
+    a file is kept only if ALL k probe bits are set.  Blooms answer
+    the query ranges cannot: on a HASH-clustered key every file spans
+    the whole value range, so min/max keeps everything, while the
+    bloom keeps ~FPR·|files| — the point-lookup skipping a clustered
+    layout can't provide.  False positives only cost a wasted scan of
+    one file (the exact predicate still filters rows); false negatives
+    cannot happen because build and probe share `bloom_positions`.
+    Same staleness guard as the range path."""
+    mf = read_manifest(spark, path)
+    has_range = f"min_{col}" in mf.columns
+    has_bloom = f"bloom_{col}" in mf.columns
+    if not has_range and not has_bloom:
+        raise ValueError(
+            f"manifest: column {col!r} has neither range stats nor a "
+            "bloom filter in the manifest"
+        )
+    sel = ["file"]
+    if has_range:
+        sel += [f"min_{col}", f"max_{col}"]
+    if has_bloom:
+        sel.append(f"bloom_{col}")
+    rows = mf.select(*sel).collect()
+    known = {r["file"] for r in rows}
+    live = _data_files(path)
+    unknown = [f for f in live if os.path.basename(f) not in known]
+    if unknown:
+        raise ValueError(
+            f"manifest: {len(unknown)} data file(s) under {path!r} are "
+            "not in the manifest (appended after the build?) — rebuild "
+            f"with build_stats_manifest; first: {unknown[0]!r}"
+        )
+    by_name = {os.path.basename(f): f for f in live}
+    probe = set(bloom_positions(value))
+    kept = []
+    for r in rows:
+        name = r["file"]
+        if name not in by_name:
+            continue
+        if has_range:
+            mn, mx = r[f"min_{col}"], r[f"max_{col}"]
+            if mn is not None and mx is not None and not (
+                mn <= value <= mx
+            ):
+                continue
+        if has_bloom and not probe.issubset(set(r[f"bloom_{col}"])):
+            continue
+        kept.append(by_name[name])
+    return kept, len(live)
+
+
+def point_lookup(
+    spark: SparkSession, path: str, col: str, value
+) -> DataFrame:
+    """Rows with ``col == value``, scanning only the files the
+    manifest cannot rule out (`select_files_eq`) — result-identical to
+    a full scan + equality filter, at the cost of the surviving files
+    only.  At 100 TB with a hash-clustered key and a bloom'd manifest
+    this is the index-free point lookup: ~FPR·|files| + true-match
+    files scanned instead of the table."""
+    schema = spark.read.parquet(path).schema
+    kept, _total = select_files_eq(spark, path, col, value)
+    if not kept:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*kept)
+    return df.where(F.col(col) == F.lit(value))

@@ -200,3 +200,144 @@ def test_cli_table_stats_and_scan(spark, tmp_path, capsys):
          "--out", out_dir]
     )
     assert spark.read.parquet(out_dir).count() == 21
+
+
+@pytest.fixture(scope="module")
+def hash_clustered(spark, tmp_path_factory):
+    """orders → (key, price), HASH-clustered into 8 files on key (each
+    customer's rows co-located in one file), manifest with range stats
+    AND a bloom over the key."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    copy = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("price"),
+    )
+    root = str(tmp_path_factory.mktemp("bloom") / "orders_ck")
+    copy.repartition(8, "key").write.parquet(root)
+    manifest.build_stats_manifest(spark, root, ["key"], blooms=["key"])
+    return root, copy
+
+
+def test_bloom_point_lookup_identity(spark, hash_clustered):
+    root, copy = hash_clustered
+    keys = [r.key for r in copy.select("key").distinct().limit(5).collect()]
+    for k in keys:
+        got = manifest.point_lookup(spark, root, "key", k)
+        want = copy.where(F.col("key") == k)
+        assert _rows(got) == _rows(want)
+        assert got.count() > 0
+
+
+def test_bloom_skips_on_hash_layout(spark, hash_clustered):
+    """Range stats keep ALL files on a hash layout (every file spans
+    the key range); the bloom keeps ~1."""
+    root, copy = hash_clustered
+    k = copy.select("key").distinct().limit(1).collect()[0].key
+    kept_range, total = manifest.select_files(spark, root, "key", k, k)
+    assert len(kept_range) == total == 8, "hash layout defeats min/max"
+    kept_eq, _ = manifest.select_files_eq(spark, root, "key", k)
+    assert len(kept_eq) <= 2, "bloom must prune a hash-clustered lookup"
+
+
+def test_bloom_absent_value_and_fp_tolerance(spark, hash_clustered):
+    """An absent key keeps ~FPR of the files (usually 0 at 8 files)
+    and ALWAYS returns zero rows; sweeping many absent keys bounds the
+    observed FPR."""
+    root, _ = hash_clustered
+    kept_sum = 0
+    for probe in range(10_000_000, 10_000_040):
+        kept, total = manifest.select_files_eq(spark, root, "key", probe)
+        kept_sum += len(kept)
+        if kept:
+            assert (
+                manifest.point_lookup(spark, root, "key", probe).count()
+                == 0
+            )
+    # 40 probes × 8 files = 320 membership tests; FPR ≈ 2.4% at 1024
+    # ndv/file — these files hold ~19 keys each, so expect ~0 hits;
+    # allow a loose bound for hash luck
+    assert kept_sum <= 8
+
+
+def test_bloom_positions_build_probe_agree(spark):
+    """The Spark build expressions and the Python probe compute the
+    SAME bit positions — the soundness contract (a mismatch would
+    create false negatives = silently dropped rows)."""
+    vals = [(0,), (42,), (123456789,), (-7,)]
+    df = spark.createDataFrame(vals, "v LONG")
+    cols = manifest._bloom_pos_cols("v", manifest.BLOOM_BITS,
+                                    manifest.BLOOM_HASHES)
+    got = {
+        r.v: [r[f"p{i}"] for i in range(manifest.BLOOM_HASHES)]
+        for r in df.select(
+            "v", *[c.alias(f"p{i}") for i, c in enumerate(cols)]
+        ).collect()
+    }
+    for (v,) in vals:
+        assert got[v] == manifest.bloom_positions(v)
+
+
+def test_bloom_string_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(w,) for w in ["ash", "birch", "cedar", "oak", "pine"] * 4],
+        "s STRING",
+    )
+    root = str(tmp_path / "t")
+    df.repartition(4, "s").write.parquet(root)
+    manifest.build_stats_manifest(spark, root, [], blooms=["s"])
+    got = manifest.point_lookup(spark, root, "s", "cedar")
+    assert got.count() == 4
+    kept, total = manifest.select_files_eq(spark, root, "s", "cedar")
+    assert len(kept) < total
+
+
+def test_bloom_null_values_set_no_bits(spark, tmp_path):
+    """NULLs never match an equality probe, so they set no bloom bits;
+    an all-NULL file has an empty bloom and is always skipped."""
+    a = spark.createDataFrame([(None,)], "v INT")
+    b = spark.createDataFrame([(5,)], "v INT")
+    root = str(tmp_path / "t")
+    a.coalesce(1).write.parquet(root)
+    b.coalesce(1).write.mode("append").parquet(root)
+    manifest.build_stats_manifest(spark, root, [], blooms=["v"])
+    kept, total = manifest.select_files_eq(spark, root, "v", 5)
+    assert total == 2 and len(kept) == 1
+
+
+def test_eq_without_bloom_falls_back_to_range(spark, clustered):
+    """A manifest with only range stats still answers equality
+    selection (bounds check) — blooms are an upgrade, not a
+    requirement."""
+    root, copy = clustered
+    got = manifest.point_lookup(spark, root, "ym", 199607)
+    want = copy.where(F.col("ym") == 199607)
+    assert _rows(got) == _rows(want)
+    kept, total = manifest.select_files_eq(spark, root, "ym", 199607)
+    assert len(kept) < total, "range-clustered layout prunes equality"
+
+
+def test_cli_bloom_lookup(spark, tmp_path, capsys):
+    """table-stats --blooms → table-scan --equals: the point-lookup
+    pair on a hash-clustered layout."""
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    df = spark.createDataFrame(
+        [(i % 10, i) for i in range(200)], "k INT, v INT"
+    )
+    root = str(tmp_path / "t")
+    df.repartition(5, "k").write.parquet(root)
+    cli.main(["table-stats", root, "--blooms", "k"])
+    assert "collected stats for 5 file(s)" in capsys.readouterr().out
+
+    cli.main(["table-scan", root, "k", "--equals", "3"])
+    out = capsys.readouterr().out
+    assert "20 matching row(s)" in out
+    kept = int(out.split("scanned ", 1)[1].split("/", 1)[0])
+    assert kept < 5, "bloom must skip files for a point key"
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(
+            ["table-scan", root, "k", "--equals", "3", "--lower", "0"]
+        )
