@@ -170,6 +170,10 @@ EXTENSIONS = (
     # per-file bloom point lookup (hash-clustered copy + bloom'd
     # manifest build once per process; the timed run is the lookup)
     "bloom_point_lookup",
+    # sketch-quality gates for the KMV lane (est-vs-exact audits —
+    # both recompute the exact side by design, like the recall evals)
+    "kmv_est_quality",
+    "kmv_jaccard_priorities",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

@@ -4847,6 +4847,15 @@ def triangle_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_ab") >= TRI_MIN_SUPPORT)
         .select("a", "b")
     )
+    # the edge list feeds THREE join references (e1/e2/e3) with
+    # different column pruning — Catalyst will NOT ReuseExchange such
+    # consumers (r6 rule), so without a barrier the corpus-sized
+    # basket self-join re-expands per reference (46 static shuffles
+    # measured).  Lazy localCheckpoint pins the edge derivation to ONE
+    # execution (plan build stays job-free — the corpus_clean_final /
+    # mmr pattern); explicit broadcast hints below compensate for the
+    # checkpointed frame's missing size stats.
+    edges = edges.localCheckpoint(eager=False)
     e1 = edges
     e2 = F.broadcast(edges.select(F.col("a").alias("b"), F.col("b").alias("c")))
     e3 = F.broadcast(edges.select(F.col("a").alias("a"), F.col("b").alias("c")))
@@ -4934,4 +4943,240 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("price").cast("decimal(38,0)")).alias("sum_price"),
+    )
+
+
+@register(
+    "kmv_est_quality",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS prio,
+             year(o_orderdate)::INT AS anio,
+             o_custkey,
+             CAST(('0x' || substr(md5('k|' || CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM orders
+    ),
+    hashes AS (SELECT DISTINCT prio, anio, h FROM base WHERE h IS NOT NULL),
+    ranked AS (
+      SELECT prio, anio, h,
+             row_number() OVER (PARTITION BY prio, anio ORDER BY h) AS rn,
+             count(*)    OVER (PARTITION BY prio, anio) AS nd
+      FROM hashes
+    ),
+    kmv AS (
+      SELECT prio, anio,
+             CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+                  ELSE (63 * 4294967296)
+                       // greatest(max(CASE WHEN rn = 64 THEN h END), 1)
+             END AS BIGINT) AS nd_est
+      FROM ranked WHERE rn <= 64 GROUP BY prio, anio
+    ),
+    exact AS (
+      SELECT prio, anio,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_exact
+      FROM base GROUP BY prio, anio
+    )
+    SELECT e.prio, e.anio, e.nd_exact, k.nd_est,
+           (greatest(k.nd_est - e.nd_exact, e.nd_exact - k.nd_est)
+            * 1000000) // greatest(e.nd_exact, 1) AS err_ppm
+    FROM exact e JOIN kmv k USING (prio, anio)
+    """,
+)
+def kmv_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality gate for the KMV distinct estimator — the
+    `minhash_est_quality` / `ann_recall_eval` discipline applied to
+    the rollup lane: per (priority, year) group, the estimate SERVED
+    from the lane's persisted zones (base + delta, the exact frames
+    `incr_agg_serving` reads) against the exact COUNT DISTINCT, with
+    the relative error on an exact ppm grid (integer floor division of
+    exact BIGINTs).  Because the sketch is hash-deterministic, the
+    error itself is deterministic and sits under the driver's hash
+    gate — a regression in the hash, the merge, or the estimator
+    arithmetic moves err_ppm and fails the hash match.  Analytic
+    context: rsd ≈ 1/sqrt(k−2) ≈ 12.7% at k=64, so sf0.01's ~400-
+    distinct groups should land within a few hundred thousand ppm and
+    sf0.001's below-k groups at EXACTLY 0 (the exact branch).  At
+    100 TB the audit costs |groups| sketch rows + one exact distinct
+    (the one corpus-sized job — run it where ground truth is
+    affordable, e.g. on a sampled partition, to certify the sketch
+    serving everywhere else)."""
+    from ..operators import aggzone
+
+    base, delta = _aggzone_roots(spark, sf_dir)
+    served = aggzone.serve_agg(spark, [base, delta]).select(
+        "prio", "anio", F.col("distinct_cust_est").alias("nd_est")
+    )
+    exact = (
+        _aggzone_input(spark, sf_dir)
+        .groupBy("prio", "anio")
+        .agg(F.countDistinct("cust").cast("long").alias("nd_exact"))
+    )
+    return (
+        exact.join(served, ["prio", "anio"])
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "(greatest(nd_est - nd_exact, nd_exact - nd_est) "
+                "* CAST(1000000 AS BIGINT)) div greatest(nd_exact, "
+                "CAST(1 AS BIGINT))"
+            ),
+        )
+        .select("prio", "anio", "nd_exact", "nd_est", "err_ppm")
+    )
+
+
+@register(
+    "kmv_jaccard_priorities",
+    """
+    WITH base AS (
+      SELECT DISTINCT o_orderpriority AS prio, o_custkey AS cust
+      FROM orders
+    ),
+    hashes AS (
+      SELECT DISTINCT prio,
+             CAST(('0x' || substr(md5('k|' || CAST(cust AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM base
+    ),
+    ranked AS (
+      SELECT prio, h,
+             row_number() OVER (PARTITION BY prio ORDER BY h) AS rn
+      FROM hashes
+    ),
+    sk AS (
+      SELECT prio, list(h ORDER BY h) AS kmv
+      FROM ranked WHERE rn <= 64 GROUP BY prio
+    ),
+    est AS (
+      SELECT a.prio AS pa, b.prio AS pb,
+             list_sort(list_distinct(a.kmv || b.kmv))[1:64] AS u,
+             a.kmv AS ka, b.kmv AS kb
+      FROM sk a JOIN sk b ON a.prio < b.prio
+    ),
+    est2 AS (
+      SELECT pa, pb,
+             CAST(len(list_intersect(list_intersect(u, ka), kb)) AS BIGINT)
+               AS rho,
+             CAST(len(u) AS BIGINT) AS us
+      FROM est
+    ),
+    exact AS (
+      SELECT a.prio AS pa, b.prio AS pb,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM base a JOIN base b
+        ON a.cust = b.cust AND a.prio < b.prio
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY prio
+    )
+    SELECT x.pa, x.pb,
+           (x.n_inter * 1000000)
+             // (sa.n + sb.n - x.n_inter) AS j_exact_ppm,
+           (e.rho * 1000000) // greatest(e.us, 1) AS j_est_ppm
+    FROM exact x
+    JOIN est2 e ON e.pa = x.pa AND e.pb = x.pb
+    JOIN sizes sa ON sa.prio = x.pa
+    JOIN sizes sb ON sb.prio = x.pb
+    """,
+)
+def kmv_jaccard_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap estimation FROM SKETCHES — the theta-sketch-style
+    capability the KMV arrays unlock beyond distinct counts: for each
+    priority pair, the Jaccard similarity of their distinct-customer
+    sets estimated from the two k=64 sketches alone (ρ/k where ρ =
+    members of the union's k-minima present in BOTH sketches — an
+    unbiased Jaccard estimator, Beyer et al. 2007), beside the exact
+    Jaccard from the full sets, both on an exact ppm grid (integer
+    floor division).  The audience-overlap question at 100 TB: exact
+    pairwise overlap of N sources costs N² corpus-sized joins, while
+    the sketch answer costs |pairs| × k array rows — megabytes — from
+    sketches the rollup zones ALREADY persist; the exact twin rides
+    along here (driver-SF-affordable) so the estimator's bias sits
+    under the hash gate the way minhash_est_quality gates the MinHash
+    lane.  Everything is deterministic: one portable hash, k-minima
+    selection, and integer division — Spark's array_intersect /
+    array_distinct mirror DuckDB's list functions exactly (unordered
+    set semantics, sizes only)."""
+    from ..operators.aggzone import KMV_K, _kmv_partial
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .distinct()
+        # four consumers (sketch build, both sides of the exact
+        # pairwise join, group sizes) with different pruning — the
+        # shared-subtree rule: without a barrier the orders distinct
+        # re-expands per consumer (11 static shuffles measured);
+        # lazy, so declared-plan build stays job-free
+        .localCheckpoint(eager=False)
+    )
+    sk = _kmv_partial(base, ["prio"], "cust", KMV_K).withColumnRenamed(
+        "kmv_cust", "kmv"
+    )
+    a = sk.select(F.col("prio").alias("pa"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("prio").alias("pb"), F.col("kmv").alias("kb"))
+    est = (
+        a.join(F.broadcast(b), F.col("pa") < F.col("pb"))
+        .withColumn(
+            "u",
+            F.slice(
+                F.sort_array(
+                    F.array_distinct(F.concat("ka", "kb"))
+                ),
+                1,
+                KMV_K,
+            ),
+        )
+        .select(
+            "pa",
+            "pb",
+            F.size(
+                F.array_intersect(F.array_intersect("u", "ka"), "kb")
+            )
+            .cast("long")
+            .alias("rho"),
+            F.size("u").cast("long").alias("us"),
+        )
+    )
+    inter = (
+        base.select(F.col("prio").alias("pa"), "cust")
+        .join(base.select(F.col("prio").alias("pb"), "cust"), "cust")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sizes = base.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("prio").alias("pa"), F.col("n").alias("na"))
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("prio").alias("pb"), F.col("n").alias("nb"))
+            ),
+            "pb",
+        )
+        .join(F.broadcast(est), ["pa", "pb"])
+        .select(
+            "pa",
+            "pb",
+            F.expr(
+                "(n_inter * CAST(1000000 AS BIGINT)) "
+                "div (na + nb - n_inter)"
+            ).alias("j_exact_ppm"),
+            F.expr(
+                "(rho * CAST(1000000 AS BIGINT)) div greatest(us, "
+                "CAST(1 AS BIGINT))"
+            ).alias("j_est_ppm"),
+        )
     )

@@ -364,3 +364,31 @@ def test_cli_agg_zone_guards(spark, tmp_path, capsys):
     # appends inherit the BASE spec: v stays a sum column
     spec = aggzone.zone_spec(f"{agg}/base")
     assert spec["sums"] == ["v"] and spec["keys"] == ["g"]
+
+
+def test_kmv_est_quality_exact_branch(spark):
+    """At sf0.001 every (prio, anio) customer set sits below k=64, so
+    the quality gate must report EXACTLY zero error everywhere."""
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        kmv_est_quality,
+    )
+
+    rows = kmv_est_quality(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.nd_est == r.nd_exact and r.err_ppm == 0
+
+
+def test_kmv_jaccard_estimator_bound(spark):
+    """Sketch Jaccard vs exact on the real sets: every estimate lands
+    in [0, 1e6] and within ~4 standard errors of the exact value
+    (sd ≈ sqrt(J(1-J)/k) ≤ 1/(2·sqrt(64)) = 62500 ppm)."""
+    from proyecto_gasto_publico_etl_per__spark.plans.extension_queries import (
+        kmv_jaccard_priorities,
+    )
+
+    rows = kmv_jaccard_priorities(spark, SF_SMOKE).collect()
+    assert len(rows) == 10, "5 priorities -> 10 unordered pairs"
+    for r in rows:
+        assert 0 <= r.j_est_ppm <= 1_000_000
+        assert abs(r.j_est_ppm - r.j_exact_ppm) <= 250_000

@@ -76,6 +76,10 @@ CARTESIAN_OK = {
     #                        |brands|²-bounded pair table
     "basket_size_histogram",  # 1-row order-total scalar broadcast onto
     #                           the |sizes|-bounded histogram
+    "kmv_jaccard_priorities",  # |priorities|² sketch-pair generation:
+    #                            a non-equi (pa < pb) join of the
+    #                            5-row sketch frame with itself —
+    #                            model-artifact-sized at any SF (r15)
 }
 
 
