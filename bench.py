@@ -174,6 +174,9 @@ EXTENSIONS = (
     # both recompute the exact side by design, like the recall evals)
     "kmv_est_quality",
     "kmv_jaccard_priorities",
+    # trigram substring serving (index build once per process; the
+    # timed run is candidates + verify over candidates)
+    "substring_search_serving",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

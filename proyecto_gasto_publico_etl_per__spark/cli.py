@@ -531,6 +531,40 @@ def main(argv: list[str] | None = None) -> None:
              "(for batch takedowns)",
     )
 
+    sib = sub.add_parser(
+        "substring-index-build",
+        help="build the trigram substring index over a documents "
+             "parquet (doc_id, text): crc32-bucketed trigram postings "
+             "at <index_dir>/base — substring-search then answers "
+             "LIKE '%%needle%%' without a corpus scan",
+    )
+    sib.add_argument("docs_parquet")
+    sib.add_argument("index_dir")
+
+    sia = sub.add_parser(
+        "substring-index-append",
+        help="trigram-index a NEW document batch into its own delta "
+             "zone (<index_dir>/delta=N) — postings are sets over "
+             "disjoint docs, so serving base+deltas == a full rebuild",
+    )
+    sia.add_argument("docs_parquet")
+    sia.add_argument("index_dir")
+
+    ssr = sub.add_parser(
+        "substring-search",
+        help="case-insensitive substring containment over an indexed "
+             "corpus: candidates from the trigram postings (partition-"
+             "pruned), verified over candidates only — never a corpus "
+             "text scan; needles under 3 chars are refused",
+    )
+    ssr.add_argument("index_dir")
+    ssr.add_argument("docs_parquet",
+                     help="the indexed corpus (candidates verify "
+                          "against its text by keyed lookup)")
+    ssr.add_argument("needle")
+    ssr.add_argument("--limit", type=int, default=20,
+                     help="max doc ids to print")
+
     azb = sub.add_parser(
         "agg-zone-build",
         help="materialize a partial-aggregate zone over a parquet "
@@ -1244,6 +1278,86 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"tombstoned {n} documents (search subtracts them now; "
             "the next text-index-compact folds them out physically)"
+        )
+    elif args.cmd == "substring-index-build":
+        import os
+
+        from .operators.trigram import build_trigram_index
+
+        if os.path.isdir(f"{args.index_dir}/postings"):
+            raise SystemExit(
+                f"{args.index_dir} is a bare zone root (postings/ "
+                "present); building base/ under it would make the "
+                "index ambiguous. Build into a fresh directory."
+            )
+        stale = [
+            f"delta={n}" for n in _numbered_subdirs(args.index_dir, "delta")
+        ] + [
+            f"epoch={n}" for n in _numbered_subdirs(args.index_dir, "epoch")
+        ]
+        if stale:
+            raise SystemExit(
+                f"{args.index_dir} has existing zone roots ({stale}); "
+                "a rebuilt base plus stale roots double-serves their "
+                "documents. Remove them first."
+            )
+        docs = spark.read.parquet(args.docs_parquet)
+        root = build_trigram_index(
+            spark, docs, root=f"{args.index_dir}/base"
+        )
+        n = spark.read.parquet(f"{root}/stats").collect()[0]["n_docs"]
+        print(f"trigram-indexed {n} documents → {root}")
+    elif args.cmd == "substring-index-append":
+        import os
+
+        from .operators.trigram import build_trigram_index
+
+        if not os.path.isdir(f"{args.index_dir}/base"):
+            raise SystemExit(
+                f"{args.index_dir}: no base/ zone — run "
+                "substring-index-build first"
+            )
+        nxt = max(_numbered_subdirs(args.index_dir, "delta"), default=-1) + 1
+        docs = spark.read.parquet(args.docs_parquet)
+        root = build_trigram_index(
+            spark, docs, root=f"{args.index_dir}/delta={nxt}"
+        )
+        n = spark.read.parquet(f"{root}/stats").collect()[0]["n_docs"]
+        print(f"trigram-indexed {n} documents → {root}")
+    elif args.cmd == "substring-search":
+        import os
+
+        from .operators.trigram import trigram_serve
+
+        roots = []
+        if os.path.isdir(f"{args.index_dir}/postings"):
+            roots = [args.index_dir]
+        else:
+            if os.path.isdir(f"{args.index_dir}/base"):
+                roots.append(f"{args.index_dir}/base")
+            roots += [
+                f"{args.index_dir}/delta={n}"
+                for n in _numbered_subdirs(args.index_dir, "delta")
+            ]
+            roots += [
+                f"{args.index_dir}/epoch={n}"
+                for n in _numbered_subdirs(args.index_dir, "epoch")
+            ]
+        if not roots:
+            raise SystemExit(
+                f"{args.index_dir}: no trigram index here (expected "
+                "base/, delta=N/, epoch=N/, or a bare zone root)"
+            )
+        docs = spark.read.parquet(args.docs_parquet)
+        try:
+            hits = trigram_serve(spark, roots, args.needle, docs)
+        except ValueError as exc:
+            raise SystemExit(str(exc)) from exc
+        ids = [r.doc_id for r in hits.limit(args.limit + 1).collect()]
+        more = "+" if len(ids) > args.limit else ""
+        print(
+            f"{min(len(ids), args.limit)}{more} matching document(s): "
+            f"{ids[: args.limit]}"
         )
     elif args.cmd == "agg-zone-build":
         import os

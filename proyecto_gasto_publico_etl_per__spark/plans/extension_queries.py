@@ -5180,3 +5180,51 @@ def kmv_jaccard_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("j_est_ppm"),
         )
     )
+
+
+# --- trigram substring search (operators/trigram.py) -------------------------
+
+#: the substring probe: crosses a token boundary ("…window scan…" /
+#: "…window sc…"), so no token/phrase index can answer it — moderate
+#: selectivity at every SF (32/500 … 272/5000 docs)
+_TRIGRAM_NEEDLE = "window sc"
+
+#: per-process trigram-index root, keyed by sf_dir
+_TRIGRAM_ZONES: dict[str, str] = {}
+
+
+@register(
+    "substring_search_serving",
+    f"""
+    SELECT doc_id
+    FROM documents
+    WHERE position('{_TRIGRAM_NEEDLE}' IN lower(coalesce(text, ''))) > 0
+    """,
+)
+def substring_search_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring containment (`LIKE '%window sc%'`) served from a
+    trigram index — the search shape the BM25/phrase lanes CANNOT
+    answer (tokenization erases cross-token character structure; the
+    needle here spans a token boundary on purpose).  The pg_trgm idea
+    on the engine's zone discipline (`operators.trigram`): every
+    distinct 3-char window of the lowercased text is indexed into
+    crc32-bucketed postings (built once per process); a query reads
+    ONLY its trigrams' bucket directories (partition pruning is the
+    index seek), takes docs containing ALL needle trigrams (an exact
+    SUPERSET by construction), and verifies containment over the
+    candidates alone — a keyed semi-join lookup, never a corpus text
+    scan.  The oracle is the exact corpus-scan filter, so
+    candidates-∩-verify == exact sits under the driver's hash gate.
+    At 100 TB: index build is the one corpus-sized job; per-query cost
+    is |postings(needle trigrams)| + |candidates| text fetches —
+    the same economics as the BM25 lane, for a query class SQL
+    engines otherwise answer with a full scan.  Sub-3-char needles
+    are REFUSED loudly (no trigram exists to prune with)."""
+    from ..operators import trigram
+
+    root = _TRIGRAM_ZONES.get(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    if root is None:
+        root = trigram.build_trigram_index(spark, docs)
+        _TRIGRAM_ZONES[sf_dir] = root
+    return trigram.trigram_serve(spark, [root], _TRIGRAM_NEEDLE, docs)

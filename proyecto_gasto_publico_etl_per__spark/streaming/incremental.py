@@ -706,3 +706,36 @@ def agg_zone_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def trigram_index_ingest(
+    stream: DataFrame,
+    zones_dir: str,
+    checkpoint_dir: str,
+):
+    """Living substring index at the ingest door: every arriving
+    micro-batch of documents (doc_id, text) is trigram-indexed into
+    its OWN epoch-scoped zone set under ``zones_dir/epoch=<id>``
+    (`operators.trigram.build_trigram_index`) — the substring-search
+    twin of `bm25_index_ingest`.  Postings are SETS over disjoint doc
+    subsets, so serving over all epoch roots == one batch build of
+    the whole corpus (streamed==batch pinned by test); at-least-once
+    replays rewrite their epoch in place (per-epoch OVERWRITE).
+    Returns the started StreamingQuery (AvailableNow trigger)."""
+    from ..operators.trigram import build_trigram_index
+
+    def index(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_trigram_index(
+            batch_df.sparkSession,
+            batch_df,
+            root=f"{zones_dir}/epoch={epoch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(index)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
