@@ -175,8 +175,11 @@ EXTENSIONS = (
     "kmv_est_quality",
     "kmv_jaccard_priorities",
     # trigram substring serving (index build once per process; the
-    # timed run is candidates + verify over candidates)
+    # timed run is candidates + verify over candidates), plus its
+    # deletion lifecycle twins (tombstoned root / compacted fold)
     "substring_search_serving",
+    "substring_delete_serving",
+    "substring_compacted_serving",
 )
 
 #: Per-entry regression lanes (round-9 verdict task 3).  The extension

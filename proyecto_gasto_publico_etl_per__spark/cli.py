@@ -565,6 +565,21 @@ def main(argv: list[str] | None = None) -> None:
     ssr.add_argument("--limit", type=int, default=20,
                      help="max doc ids to print")
 
+    sid = sub.add_parser(
+        "substring-index-delete",
+        help="tombstone documents in a trigram index (takedown without "
+             "rebuild): search anti-joins them from the candidate set; "
+             "rebuild the index (or compact) to fold them physically",
+    )
+    sid.add_argument("index_dir")
+    sid.add_argument(
+        "doc_ids", nargs="*", type=int, help="document ids to delete"
+    )
+    sid.add_argument(
+        "--ids-parquet", default=None,
+        help="parquet whose first column holds the doc ids to delete",
+    )
+
     azb = sub.add_parser(
         "agg-zone-build",
         help="materialize a partial-aggregate zone over a parquet "
@@ -1358,6 +1373,34 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"{min(len(ids), args.limit)}{more} matching document(s): "
             f"{ids[: args.limit]}"
+        )
+    elif args.cmd == "substring-index-delete":
+        import os
+
+        from .operators.trigram import delete_from_trigram_index
+
+        roots = []
+        if os.path.isdir(f"{args.index_dir}/postings"):
+            roots = [args.index_dir]
+        elif os.path.isdir(f"{args.index_dir}/base"):
+            roots = [f"{args.index_dir}/base"]
+        if not roots:
+            raise SystemExit(
+                f"{args.index_dir}: no trigram index here"
+            )
+        if args.ids_parquet is not None:
+            ids = spark.read.parquet(args.ids_parquet)
+        elif args.doc_ids:
+            ids = spark.createDataFrame(
+                [(int(i),) for i in args.doc_ids], "doc_id LONG"
+            )
+        else:
+            raise SystemExit(
+                "substring-index-delete: pass doc ids or --ids-parquet"
+            )
+        n = delete_from_trigram_index(spark, roots, ids)
+        print(
+            f"tombstoned {n} documents (search anti-joins them now)"
         )
     elif args.cmd == "agg-zone-build":
         import os

@@ -48,6 +48,10 @@ N_TRI_BUCKETS = 64
 
 _POSTINGS_SCHEMA = "doc_id LONG, tri STRING, tri_bucket LONG"
 _STATS_SCHEMA = "n_docs LONG"
+#: deletion markers — serving anti-joins them out of the candidate
+#: set, compaction folds them out physically (the BM25/ANN tombstone
+#: lifecycle applied to the substring lane)
+_TOMBSTONES_SCHEMA = "doc_id LONG"
 
 MIN_NEEDLE = 3
 
@@ -97,6 +101,15 @@ def build_trigram_index(
         root = tempfile.mkdtemp(prefix="trigram_index_") + "/zones"
         mode = "errorifexists"
     else:
+        # epoch-scoped rebuild: clear any STALE tombstones zone too —
+        # the zone writes below overwrite their own dirs, but
+        # tombstones are written by delete_from_trigram_index, and a
+        # survivor from the previous index would silently anti-join
+        # the NEW corpus's matching doc_ids (the r14 writers-clear-
+        # zones-they-don't-own rule)
+        import shutil
+
+        shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
         mode = "overwrite"
     norm = docs.select("doc_id", _norm("text").alias("__t"))
     postings = (
@@ -125,6 +138,91 @@ def _read_postings(spark: SparkSession, roots: Sequence[str]) -> DataFrame:
     return out
 
 
+def _tombstone_roots(roots: Sequence[str]) -> list[str]:
+    """Roots carrying a tombstones zone — a directory probe per root
+    (the catalog lookup every table format runs before planning); when
+    no deletes ever happened the serving plan is byte-identical to
+    the pre-deletion one."""
+    import os
+
+    return [r for r in roots if os.path.isdir(f"{r}/tombstones")]
+
+
+def _read_tombstones(
+    spark: SparkSession, roots: Sequence[str]
+) -> DataFrame:
+    """Distinct deleted doc_ids across the roots' tombstone zones —
+    the distinct makes repeated deletes idempotent and placement
+    irrelevant."""
+    rd = spark.read.schema(_TOMBSTONES_SCHEMA)
+    out = rd.parquet(f"{roots[0]}/tombstones")
+    for r in roots[1:]:
+        out = out.unionByName(rd.parquet(f"{r}/tombstones"))
+    return out.distinct()
+
+
+def delete_from_trigram_index(
+    spark: SparkSession, roots: Sequence[str], ids: DataFrame
+) -> int:
+    """Tombstone documents (takedown/retraction without rebuild):
+    appends the ids' first column as (doc_id) tombstones under
+    ``roots[0]`` — a delete-batch-sized write, never a postings
+    rewrite.  Serving anti-joins candidates against the union of all
+    roots' tombstones; `compact_trigram_index` later folds them out
+    physically.  Returns the batch's id count."""
+    doc_ids = ids.select(
+        F.col(ids.columns[0]).cast("long").alias("doc_id")
+    ).distinct()
+    n = doc_ids.count()
+    doc_ids.write.mode("append").parquet(f"{roots[0]}/tombstones")
+    return n
+
+
+def compact_trigram_index(
+    spark: SparkSession, roots: Sequence[str], out_root: str
+) -> str:
+    """Fold many zone roots into ONE: postings union with tombstoned
+    docs anti-joined OUT, stats recomputed from the folded postings'
+    distinct docs (plus indexed-but-trigramless docs cannot be
+    recovered from postings — their absence only affects the stats
+    count, never results, documented).  The output root carries NO
+    tombstones zone; out_root must not overlap an input (the
+    compact_bm25_index guard)."""
+    import os
+
+    if not roots:
+        raise ValueError("compact_trigram_index: need at least one root")
+    out_real = os.path.realpath(out_root)
+    for r in roots:
+        r_real = os.path.realpath(r)
+        if (
+            out_real == r_real
+            or out_real.startswith(r_real + os.sep)
+            or r_real.startswith(out_real + os.sep)
+        ):
+            raise ValueError(
+                f"compact_trigram_index: out_root {out_root!r} overlaps "
+                f"input root {r!r} — compact to a fresh location"
+            )
+    posts = _read_postings(spark, roots)
+    t_roots = _tombstone_roots(roots)
+    if t_roots:
+        posts = posts.join(
+            F.broadcast(_read_tombstones(spark, t_roots)),
+            "doc_id",
+            "left_anti",
+        )
+    posts = posts.repartition(F.col("tri_bucket"))
+    posts.write.partitionBy("tri_bucket").parquet(f"{out_root}/postings")
+    (
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .parquet(f"{out_root}/postings")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .write.parquet(f"{out_root}/stats")
+    )
+    return out_root
+
+
 def trigram_candidates(
     spark: SparkSession, roots: Sequence[str], needle: str
 ) -> DataFrame:
@@ -146,12 +244,23 @@ def trigram_candidates(
     posts = _read_postings(spark, roots).where(
         F.col("tri_bucket").isin(buckets) & F.col("tri").isin(tris)
     )
-    return (
+    cands = (
         posts.groupBy("doc_id")
         .agg(F.count_distinct("tri").alias("__k"))
         .where(F.col("__k") == len(tris))
         .select("doc_id")
     )
+    t_roots = _tombstone_roots(roots)
+    if t_roots:
+        # deletion adjustment on the ALREADY-PRUNED candidate set: a
+        # broadcast anti-join of the delete-batch-sized tombstones —
+        # serving stays |postings(needle)|-bounded with deletes pending
+        cands = cands.join(
+            F.broadcast(_read_tombstones(spark, t_roots)),
+            "doc_id",
+            "left_anti",
+        )
+    return cands
 
 
 def trigram_serve(

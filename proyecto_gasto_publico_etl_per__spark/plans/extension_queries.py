@@ -5228,3 +5228,84 @@ def substring_search_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = trigram.build_trigram_index(spark, docs)
         _TRIGRAM_ZONES[sf_dir] = root
     return trigram.trigram_serve(spark, [root], _TRIGRAM_NEEDLE, docs)
+
+
+#: per-process tombstoned trigram root, keyed by sf_dir
+_TRIGRAM_DELETE_ZONES: dict[str, str] = {}
+
+#: the substring oracle over the REMAINING docs — delete ==
+#: rebuild-on-remaining (the bm25_delete_serving contract applied to
+#: the substring lane; same 10% split)
+_SUBSTRING_DELETED_SQL = f"""
+    SELECT doc_id
+    FROM documents
+    WHERE position('{_TRIGRAM_NEEDLE}' IN lower(coalesce(text, ''))) > 0
+      AND doc_id % 10 <> 3
+"""
+
+
+def _trigram_delete_root(spark: SparkSession, sf_dir: str) -> str:
+    root = _TRIGRAM_DELETE_ZONES.get(sf_dir)
+    if root is None:
+        from ..operators import trigram
+
+        docs = load_table(spark, sf_dir, "documents")
+        root = trigram.build_trigram_index(spark, docs)
+        trigram.delete_from_trigram_index(
+            spark,
+            [root],
+            docs.select("doc_id").where(F.col("doc_id") % 10 == 3),
+        )
+        _TRIGRAM_DELETE_ZONES[sf_dir] = root
+    return root
+
+
+@register("substring_delete_serving", _SUBSTRING_DELETED_SQL)
+def substring_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search under deletion — the tombstone lifecycle the
+    BM25 and ANN lanes have, applied to the trigram index: 10% of the
+    docs (doc_id % 10 == 3) are tombstoned on a fully-built index (a
+    delete-batch-sized zone append, never a postings rewrite), and
+    serving anti-joins the tombstones out of the ALREADY-PRUNED
+    candidate set (a broadcast anti-join — serving stays
+    |postings(needle)|-bounded with deletes pending).  The oracle is
+    the exact scan over the REMAINING docs, so delete ==
+    rebuild-on-remaining sits under the driver's hash gate; compaction
+    folds tombstones out physically (pytest-pinned), bounding the
+    adjustment set at one compaction interval."""
+    from ..operators import trigram
+
+    root = _trigram_delete_root(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram.trigram_serve(spark, [root], _TRIGRAM_NEEDLE, docs)
+
+
+#: per-process compacted trigram root, keyed by sf_dir
+_TRIGRAM_COMPACT_ZONES: dict[str, str] = {}
+
+
+@register("substring_compacted_serving", _SUBSTRING_DELETED_SQL)
+def substring_compacted_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The lane's maintenance fold: `compact_trigram_index` over the
+    tombstoned root anti-joins the deleted docs' postings out
+    physically and the compacted root carries NO tombstones zone — its
+    serving plan is byte-identical to pre-deletion serving.  Shares
+    the rebuild-on-remaining oracle with `substring_delete_serving`,
+    closing the substring lane's lifecycle triangle (served ==
+    delete-adjusted == compacted) the way the BM25 and ANN lanes
+    closed theirs."""
+    from ..operators import trigram
+
+    root = _TRIGRAM_COMPACT_ZONES.get(sf_dir)
+    if root is None:
+        import tempfile
+
+        src = _trigram_delete_root(spark, sf_dir)
+        root = trigram.compact_trigram_index(
+            spark, [src], tempfile.mkdtemp(prefix="trigram_compacted_") + "/zones"
+        )
+        _TRIGRAM_COMPACT_ZONES[sf_dir] = root
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram.trigram_serve(spark, [root], _TRIGRAM_NEEDLE, docs)

@@ -197,3 +197,80 @@ def test_cli_substring_lifecycle(spark, tmp_path, capsys):
         cli.main(["substring-search", idx, dall, "ab"])
     with pytest.raises(SystemExit, match="existing zone roots"):
         cli.main(["substring-index-build", d1, idx])
+
+
+def test_delete_equals_rebuild_on_remaining(spark, corpus):
+    """Tombstoned serving == an index rebuilt over the remaining docs
+    (delete == rebuild-on-remaining), re-delete is idempotent, and
+    compaction folds the tombstones out physically."""
+    import os
+    import tempfile
+
+    docs, _ = corpus
+    root = trigram.build_trigram_index(spark, docs)
+    victims = docs.select("doc_id").where(F.col("doc_id") % 10 == 3)
+    n = trigram.delete_from_trigram_index(spark, [root], victims)
+    assert n == victims.count()
+
+    remaining = docs.where(F.col("doc_id") % 10 != 3)
+    want = _served(
+        spark,
+        [trigram.build_trigram_index(spark, remaining)],
+        "window sc",
+        docs,
+    )
+    got = _served(spark, [root], "window sc", docs)
+    assert got == want and got
+
+    # idempotent re-delete
+    trigram.delete_from_trigram_index(spark, [root], victims)
+    assert _served(spark, [root], "window sc", docs) == want
+
+    # compaction: folded root serves identically with NO tombstones
+    out = tempfile.mkdtemp(prefix="tri_fold_") + "/zones"
+    folded = trigram.compact_trigram_index(spark, [root], out)
+    assert not os.path.isdir(f"{folded}/tombstones")
+    assert _served(spark, [folded], "window sc", docs) == want
+
+
+def test_compact_overlap_refused(spark, corpus):
+    docs, _ = corpus
+    root = trigram.build_trigram_index(spark, docs.limit(10))
+    with pytest.raises(ValueError, match="overlaps"):
+        trigram.compact_trigram_index(spark, [root], root)
+
+
+def test_epoch_rebuild_clears_stale_tombstones(spark, tmp_path):
+    """An epoch-root rebuild must clear a surviving tombstones zone —
+    the previous index's deletions must not suppress the NEW corpus's
+    matching doc_ids (the r14 stale-zone rule)."""
+    docs = spark.createDataFrame(
+        [(1, "window scan a"), (2, "window scan b")],
+        "doc_id LONG, text STRING",
+    )
+    root = str(tmp_path / "epoch=0")
+    trigram.build_trigram_index(spark, docs, root=root)
+    trigram.delete_from_trigram_index(
+        spark, [root], spark.createDataFrame([(1,)], "doc_id LONG")
+    )
+    assert _served(spark, [root], "window sc", docs) == [2]
+    # replayed epoch: same root rebuilt — deletions must vanish
+    trigram.build_trigram_index(spark, docs, root=root)
+    assert _served(spark, [root], "window sc", docs) == [1, 2]
+
+
+def test_cli_substring_delete(spark, tmp_path, capsys):
+    from proyecto_gasto_publico_etl_per__spark import cli
+
+    schema = "doc_id LONG, text STRING"
+    rows = [(1, "window scan a"), (2, "window scan b"), (3, "plain")]
+    d = str(tmp_path / "d")
+    spark.createDataFrame(rows, schema).write.parquet(d)
+    idx = str(tmp_path / "idx")
+    cli.main(["substring-index-build", d, idx])
+    capsys.readouterr()
+    cli.main(["substring-index-delete", idx, "1"])
+    assert "tombstoned 1 documents" in capsys.readouterr().out
+    cli.main(["substring-search", idx, d, "window sc"])
+    out = capsys.readouterr().out
+    assert "[2]" in out
