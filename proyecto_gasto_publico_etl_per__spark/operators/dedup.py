@@ -267,6 +267,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, seed) → minhash: min over shingles of the seeded hash.
 
@@ -275,10 +276,21 @@ def minhash_signatures(
     computed once per (doc, shingle); the ``num_hashes`` seeded variants
     derive from it by integer mixing (``_seeded_mix``) — 16× fewer md5
     evaluations, the dominant cost of signature building.
+
+    ``shingled``: optional precomputed ``_shingle_sets`` frame
+    (optimization r15) — callers that ALSO need the shingle sets (the
+    LSH verify path) pass their materialized frame so the clean/split/
+    zip_with shingle chain runs once per query instead of once per
+    reference.  ``word_shingles`` is already distinct-set semantics, so
+    exploding the set frame is expression-for-expression identical.
     """
-    hashed = fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    base = (
+        shingled
+        if shingled is not None
+        else _shingle_sets(df, id_col, text_col, n)
+    )
+    hashed = base.select(
+        "doc", F.explode("shingles").alias("shingle")
     ).select("doc", _portable_hash(F.col("shingle"), 0).alias("h"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     return (
@@ -295,12 +307,18 @@ def band_signatures(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band, band_sig): md5 of each ordered minhash band slice —
     the LSH bucket key.  Shared by the batch candidate join and the
-    streaming ingest filter (the bucket table IS this frame's history)."""
+    streaming ingest filter (the bucket table IS this frame's history).
+
+    ``sigs``: optional precomputed ``minhash_signatures`` frame (see
+    there) — avoids re-deriving the signature chain when the caller
+    already holds it materialized."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = sigs.withColumn(
         "band", (F.col("seed") / rows_per_band).cast("int")
     )
@@ -326,6 +344,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band signature.
 
@@ -333,8 +352,13 @@ def minhash_lsh_candidates(
     (band, signature) — never an all-pairs product.  rows_per_band =
     num_hashes // bands tunes the Jaccard threshold curve
     (s-curve ≈ (1/bands)^(1/rows_per_band)).
+
+    ``sigs``: optional precomputed signature frame, forwarded to
+    ``band_signatures`` (optimization r15).
     """
-    band_sigs = band_signatures(df, id_col, text_col, n, num_hashes, bands)
+    band_sigs = band_signatures(
+        df, id_col, text_col, n, num_hashes, bands, sigs=sigs
+    )
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     return (
         a.join(b, on=["band", "band_sig"])
@@ -363,9 +387,24 @@ def minhash_dedup_pairs(
     candidates join to the per-doc shingle sets and intersect per pair —
     the corpus-wide posting self-join never runs, so the LSH stage's
     pruning is what the whole pipeline costs at 100 TB.
+
+    Shared-subtree materialization (optimization r15): the clean/split/
+    zip_with shingle chain feeds BOTH the signature build and the
+    verifier, and the band-signature frame feeds both sides of the
+    candidate self-join; Spark re-expands each DataFrame reference, so
+    without a barrier the corpus text chain runs twice per query (the
+    corpus_clean_final / hamming_pairs lesson).  A lazy localCheckpoint
+    pins each shared frame to one execution; plan build stays job-free.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
     shingled = _shingle_sets(df, id_col, text_col, n)
+    if not df.isStreaming:
+        shingled = shingled.localCheckpoint(eager=False)
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, shingled=shingled
+    )
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, sigs=sigs
+    )
     return (
         verify_pairs_jaccard(cands, shingled)
         .where(F.col("jaccard") >= threshold)
@@ -396,10 +435,24 @@ def minhash_estimator_quality(
     if 10000 % num_hashes != 0:
         raise ValueError("num_hashes must divide 10000 for exact est_q4")
     step = 10000 // num_hashes
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, n, num_hashes, bands
+    # shared-subtree materialization (optimization r15): shingled feeds
+    # the signature chain AND the exact verifier; sigs feeds the band
+    # build AND both agreement sides; cands feeds the agreement join AND
+    # the verifier.  Each re-expansion re-ran the corpus text chain —
+    # lazy localCheckpoints pin each to one execution (batch only).
+    shingled = _shingle_sets(df, id_col, text_col, n)
+    if not df.isStreaming:
+        shingled = shingled.localCheckpoint(eager=False)
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, shingled=shingled
     )
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    if not df.isStreaming:
+        sigs = sigs.localCheckpoint(eager=False)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, sigs=sigs
+    )
+    if not df.isStreaming:
+        cands = cands.localCheckpoint(eager=False)
     sa = sigs.select(
         F.col("doc").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
     )
@@ -416,7 +469,7 @@ def minhash_estimator_quality(
             .alias("n_agree")
         )
     )
-    exact = verify_pairs_jaccard(cands, _shingle_sets(df, id_col, text_col, n))
+    exact = verify_pairs_jaccard(cands, shingled)
     jac_q4 = F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("bigint")
     return (
         agree.join(exact.select("doc_a", "doc_b", "jaccard"), ["doc_a", "doc_b"])

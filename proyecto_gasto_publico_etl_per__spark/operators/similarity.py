@@ -23,10 +23,12 @@ All cosine math is double-precision, presented on an integer grid
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import math
 import warnings
 from collections.abc import Sequence
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
@@ -102,6 +104,34 @@ def brute_force_topk(
     )
 
 
+#: hard dim cap for the precomputed hyperplane weight masks — past it
+#: the bucket expression raises (a silently-wrong weight would quietly
+#: wreck recall, the failure mode this lane's guards exist to avoid).
+#: 256 is 4× the test corpus's dims; a wider embedding source raises it
+#: (the mask literal grows linearly, one string per plane).
+_PLANE_MAX_DIMS = 256
+
+
+@lru_cache(maxsize=None)
+def _plane_mask(p: int) -> str:
+    """Per-dimension sign mask for hyperplane ``p``: char d is '1' for
+    weight +1.0, '0' for -1.0 — the SAME parity-of-md5("p:d") value the
+    per-row expression used to compute, evaluated once per (plane, dim)
+    in Python at plan-build time instead of once per (row, plane, dim)
+    at runtime.  Encoded as ONE string literal per plane rather than an
+    array of ±1.0 literals: a 256-double array literal per plane made
+    every consumer's plan ~2k expression nodes heavier and Catalyst
+    re-optimization of the replicated subtrees DOUBLED wall time on the
+    LSH query family (measured r15: sim_topk_lsh 1.0 s → 2.9 s); the
+    mask keeps the plan one small literal per plane."""
+    return "".join(
+        "1"
+        if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else "0"
+        for d in range(_PLANE_MAX_DIMS)
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -128,40 +158,51 @@ def hyperplane_buckets(
     corpus lands in a handful of buckets NO MATTER how many planes you
     add.  Audit ``count_distinct(bucket)`` against 2^n_planes before
     committing a bucket-join pass over a new embedding source.
+
+    Weight evaluation (optimization r15): the ±1 weights depend only on
+    (plane, dim), so they are computed ONCE at plan-build time in Python
+    (``_plane_mask`` — the identical md5 parity rule) and embedded as
+    one sign-mask string literal per plane; the per-element weight is a
+    1-char substring compare instead of an interpreted
+    md5+conv+substring per (row, plane, dim) — dims × n_planes md5
+    evaluations per corpus ROW removed (guide §1.2 step 2 / §4.2: hoist
+    data-independent work out of the per-row path).  Dot products, fold
+    order, and NULL semantics are bit-identical to the former
+    expression: ``x * (+1.0/-1.0)`` is the same IEEE op in the same
+    order, an empty or NULL vector still yields a NULL dot (no bit
+    set), and dims beyond the mask raise instead of silently flipping
+    weights (the former path had no dim limit).
     """
     df = fan_out(df)
     v = _as_double(F.col("vec"))
+    size_v = F.size(F.col("vec"))
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        # weight_d = +1 if md5("p:d") first hex digit is even else -1
-        dot_p = F.aggregate(
+        m = F.lit(_plane_mask(p))
+        dot_fast = F.aggregate(
             F.zip_with(
                 v,
-                F.sequence(F.lit(0), F.size(F.col("vec")) - 1),
+                F.sequence(F.lit(0), size_v - 1),
                 lambda x, d: x
-                * F.when(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"{p}:"), d.cast("string")
-                                )
-                            ),
-                            1,
-                            1,
-                        ),
-                        16,
-                        10,
-                    )
-                    .cast("int")
-                    .bitwiseAND(1)
-                    == 0,
-                    1.0,
-                ).otherwise(-1.0),
+                * F.when(m.substr(d + 1, F.lit(1)) == "1", 1.0).otherwise(
+                    -1.0
+                ),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        # the sequence() shape reproduces the former empty/NULL-vector
+        # semantics unchanged (NULL dot → no bit set); only the
+        # beyond-mask case needs an explicit loud guard
+        dot_p = F.when(
+            size_v > _PLANE_MAX_DIMS,
+            F.raise_error(
+                F.lit(
+                    "hyperplane_buckets: vector dims exceed "
+                    f"_PLANE_MAX_DIMS={_PLANE_MAX_DIMS}; raise the constant"
+                )
+            ).cast("double"),
+        ).otherwise(dot_fast)
         bucket = bucket + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return df.select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
@@ -504,6 +545,11 @@ def ann_recall(
     (query_id, neighbor_id) — probe-set-sized, trivially broadcast.
     """
     truth = brute_force_topk(corpus, queries, id_col, vec_col, k)
+    if not corpus.isStreaming:
+        # truth feeds the per-method hit joins AND the n_expected
+        # aggregate; each reference re-expands the brute corpus×probe
+        # pass — pin it to one execution (optimization r15)
+        truth = truth.localCheckpoint(eager=False)
     approx = {
         "lsh": lsh_topk(corpus, queries, id_col, vec_col, k, n_planes),
         "ivf": ivf_topk(
