@@ -169,12 +169,17 @@ def ngram_jaccard_pairs(
     posting-list dedup at corpus scale.
     """
     shingled = _shingle_sets(df, id_col, text_col, n)
-    if max_df is not None and not df.isStreaming:
+    if not df.isStreaming:
         # the capped path references the shingle sets THREE times (df
-        # counts, candidate postings, per-pair verification); Spark does
-        # no common-subplan reuse across DataFrame references, so
-        # materialize the clean/split/shingle chain once
-        shingled = shingled.localCheckpoint(eager=True)
+        # counts, candidate postings, per-pair verification) and the
+        # uncapped path twice (posting self-join + the size lookups);
+        # Spark does no common-subplan reuse across DataFrame
+        # references, so materialize the clean/split/shingle chain once.
+        # Lazy for the uncapped path (optimization r15 — plan build
+        # stays job-free); the capped path keeps its eager barrier (the
+        # measured round-5 janino-limit fix depends on the profile
+        # materializing before the filter).
+        shingled = shingled.localCheckpoint(eager=max_df is not None)
     postings = shingled.select(
         "doc", F.explode("shingles").alias("shingle")
     )
@@ -941,6 +946,15 @@ def dup_span_scrub(
     base = fan_out(df).select(
         F.col(id_col).alias("doc"), _tokens(text_col).alias("toks")
     )
+    if not df.isStreaming:
+        # base feeds the token-position explode, the gram explode, and
+        # the final per-doc stats join (3 references); grams feeds the
+        # metadata aggregate and the cover join (2).  The references'
+        # exchange children differ, so the tokenize/gram chains re-ran
+        # per reference — pin each to one execution (optimization r15,
+        # the minhash-lane pattern; the streaming twin passes batch
+        # frames through foreachBatch, so this covers it too)
+        base = base.localCheckpoint(eager=False)
     tokpos = base.select(
         "doc", F.posexplode("toks").alias("ti0", "tok")
     ).select("doc", (F.col("ti0") + 1).alias("ti"), "tok")
@@ -953,6 +967,8 @@ def dup_span_scrub(
         (F.col("g0") + 1).alias("start"),
         F.unhex(F.md5("gram")).alias("gkey"),
     )
+    if not df.isStreaming and meta is None:
+        grams = grams.localCheckpoint(eager=False)
     if meta is None:
         meta = dup_span_meta_from_grams(grams)
     cover = (

@@ -440,9 +440,19 @@ def pmi_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(_tokens("text").alias("toks"))
     uni = toks.select(F.explode("toks").alias("tok"))
-    ucnt = uni.groupBy("tok").agg(F.count("*").alias("n"))
+    # ucnt feeds the total aggregate AND both resolution joins (3 refs),
+    # bcnt the total AND the scored frame (2) — each reference re-ran
+    # its corpus explode+count pass (different projections defeat
+    # ReuseExchange); pin the two vocab-bounded count tables so the
+    # corpus is touched by exactly the two passes the docstring claims
+    # (optimization r15)
+    ucnt = uni.groupBy("tok").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=False
+    )
     bi = toks.select(F.explode(word_grams_from_tokens("toks", 2)).alias("bigram"))
-    bcnt = bi.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    bcnt = bi.groupBy("bigram").agg(
+        F.count("*").alias("n_ab")
+    ).localCheckpoint(eager=False)
     utot = ucnt.agg(F.sum("n").alias("n_uni"))
     btot = bcnt.agg(F.sum("n_ab").alias("n_bi"))
     parts = F.split("bigram", " ")
@@ -782,6 +792,10 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "line"),
     )
+    # lines feeds the DF aggregate AND the mark join side; the exchange
+    # children differ, so the tokenize+line-window chain ran twice —
+    # pin it (optimization r15, the minhash-lane pattern)
+    lines = lines.localCheckpoint(eager=False)
     ldf = lines.groupBy("line").agg(
         F.count_distinct("doc").alias("df")
     )
@@ -843,7 +857,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost over a Jaccard pass is zero when computed together.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingled = dedup._shingle_sets(docs, "doc_id", "text", 3)
+    # the shingle chain feeds the size lookup AND the posting self-join;
+    # the two exchange children differ, so without a barrier the chain
+    # runs twice — pin it (optimization r15, the minhash-lane pattern)
+    shingled = dedup._shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
     sizes = shingled.select("doc", F.size("shingles").alias("n_sh"))
     posts = shingled.select("doc", F.explode("shingles").alias("shingle"))
     a = posts.select(F.col("doc").alias("doc_sub"), "shingle")
@@ -1094,7 +1113,12 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle as every other posting operator; no per-doc history scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingled = dedup._shingle_sets(docs, "doc_id", "text", 3)
+    # the shingle chain feeds the first-seen aggregate AND the posting
+    # join side; different exchange children, so it ran twice — pin it
+    # (optimization r15, the minhash-lane pattern)
+    shingled = dedup._shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
     posts = shingled.select("doc", F.explode("shingles").alias("shingle"))
     first_seen = posts.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
     joined = posts.join(first_seen, "shingle")

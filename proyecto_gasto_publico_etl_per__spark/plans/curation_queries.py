@@ -469,9 +469,14 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same posting-join scale discipline as the n-gram path: stop
     fingerprints above the DF cap never generate candidates."""
     docs = load_table(spark, sf_dir, "documents")
+    # the winnow chain (md5 per char k-gram) feeds the DF count AND the
+    # candidate self-join; the count's exchange child differs from the
+    # join sides' so ReuseExchange cannot merge them and the chain ran
+    # twice — pin it to one execution (optimization r15, the
+    # minhash-lane pattern)
     posts = textstats.winnow_fingerprints(
         docs, k=WINNOW_K, w=WINNOW_W
-    )
+    ).localCheckpoint(eager=False)
     dfreq = posts.groupBy("fp").agg(F.count("*").alias("df"))
     keep = dfreq.where(F.col("df") <= WINNOW_MAX_DF).select("fp")
     cp = posts.join(keep, "fp")

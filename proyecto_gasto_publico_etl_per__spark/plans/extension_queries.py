@@ -4362,6 +4362,12 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("np"),
     ).withColumn("bkt", F.expr(f"(s_q6 + {AUC_SHIFT}) div {AUC_BUCKET}"))
+    # g feeds the in-bucket window AND the bucket-totals aggregate;
+    # their exchange children differ (window partitioning vs partial
+    # agg), so the corpus scan + quality_stats margin chain ran twice —
+    # pin the distinct-score frame (bounded by the corpus's distinct
+    # quantized margins) to one execution (optimization r15)
+    g = g.localCheckpoint(eager=False)
     in_bucket = Window.partitionBy("bkt").orderBy("s_q6").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -35,7 +35,16 @@ DEFAULT_CONF: dict[str, str] = {
     # maxPartitionBytes above governs instead, so this only affects the
     # small-file end.
     "spark.sql.files.openCostInBytes": str(512 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # scale-dependent and therefore PARAMETERISED (optimization r15):
+    # 32 is the local default (matches the dev box's cores; AQE
+    # coalescing handles anything smaller), a cluster deploy sets
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS so post-shuffle partitions land in
+    # the 100 MB-1 GB band the optimization guide §2.2 prescribes
+    # (e.g. ~100k for a 100 TB shuffle at 1 GB targets) instead of
+    # inheriting a local-mode constant.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     # local[N] runs the driver AND all N executor threads in ONE JVM whose
     # heap defaults to 1g — 32 threads sharing 1g explains GC-locker
     # stalls and an OOM observed on a 10×-sf0.1 corpus (round 5).  8g is
