@@ -2045,6 +2045,13 @@ def _ensure_extensions() -> None:
 #: (tools/check_correctness.py) still covers all declared queries every
 #: round.
 DRIVER_PRIORITY: list[str] = [
+    # r16: the four r15 driver-red queries (DECIMAL(38,0) sum_price
+    # presentation → BIGINT) — pinned FIRST so they cannot rotate out of
+    # the 50-slot window before the driver re-checks them green
+    "incr_agg_serving",
+    "incr_agg_compacted",
+    "manifest_pruned_scan",
+    "bloom_point_lookup",
     # fixed this round — must reconfirm in the driver env
     "filtered_agg_funnel",
     "sessionize",

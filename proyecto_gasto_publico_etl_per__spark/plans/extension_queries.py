@@ -4451,7 +4451,7 @@ kmv AS (
 ),
 agg AS (
   SELECT prio, anio, count(*) AS cnt,
-         CAST(sum(price) AS DECIMAL(38,0)) AS sum_price,
+         CAST(sum(price) AS BIGINT) AS sum_price,
          min(price) AS min_price, max(price) AS max_price
   FROM base GROUP BY prio, anio
 )
@@ -4544,7 +4544,11 @@ def incr_agg_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import aggzone
 
     base, delta = _aggzone_roots(spark, sf_dir)
-    return aggzone.serve_agg(spark, [base, delta])
+    served = aggzone.serve_agg(spark, [base, delta])
+    # carry stays DECIMAL(38,0) inside the zones (overflow-safe partials);
+    # the PRESENTED sum is BIGINT — the ewma_priority_monthly discipline
+    # that hashes identically in both engines under a dtype-aware hasher
+    return served.withColumn("sum_price", F.col("sum_price").cast("long"))
 
 
 #: per-process compacted root, keyed by sf_dir
@@ -4570,7 +4574,9 @@ def incr_agg_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, delta = _aggzone_roots(spark, sf_dir)
         root = aggzone.compact_agg_zones(spark, [base, delta])
         _AGGZONE_COMPACT[sf_dir] = root
-    return aggzone.serve_agg(spark, [root])
+    served = aggzone.serve_agg(spark, [root])
+    # BIGINT presentation — see incr_agg_serving
+    return served.withColumn("sum_price", F.col("sum_price").cast("long"))
 
 
 # --- file-stats manifest pruning (sources/manifest.py) -----------------------
@@ -4623,7 +4629,7 @@ def _manifest_table(spark: SparkSession, sf_dir: str) -> str:
     SELECT (year(o_orderdate) * 100 + month(o_orderdate))::INT AS ym,
            count(*) AS cnt,
            CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
-                AS DECIMAL(38,0)) AS sum_price
+                AS BIGINT) AS sum_price
     FROM orders
     WHERE (year(o_orderdate) * 100 + month(o_orderdate))
           BETWEEN {_MANIFEST_LO} AND {_MANIFEST_HI}
@@ -4657,7 +4663,7 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pruned.groupBy("ym").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("price").cast("decimal(38,0)")).alias("sum_price"),
+        F.sum("price").cast("long").alias("sum_price"),
     )
 
 
@@ -4917,7 +4923,7 @@ def _bloom_table(spark: SparkSession, sf_dir: str) -> str:
     SELECT o_custkey AS cust,
            count(*) AS cnt,
            CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
-                AS DECIMAL(38,0)) AS sum_price
+                AS BIGINT) AS sum_price
     FROM orders
     WHERE o_custkey = {_BLOOM_PROBE_CUST}
     GROUP BY 1
@@ -4948,7 +4954,7 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rows.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("price").cast("decimal(38,0)")).alias("sum_price"),
+        F.sum("price").cast("long").alias("sum_price"),
     )
 
 
