@@ -23,6 +23,7 @@ import argparse
 from .plans import mef_pipeline
 from .plans import queries as Q
 from .session import get_spark
+from .operators.skew import pin
 
 
 def _warn_cross_modality(media: str, *flags) -> None:
@@ -1652,7 +1653,7 @@ def main(argv: list[str] | None = None) -> None:
             # invocations with correct labels (tested).  The relabeled
             # frame is checkpointed once: three lanes would otherwise
             # each rerun the Arrow sniff pass over the payload bytes.
-            sniffed = sniff_media_types(assets).localCheckpoint()
+            sniffed = pin(sniff_media_types(assets), eager=True)
             max_hamming = 3 if args.max_hamming is None else args.max_hamming
             threshold = 0.95 if args.threshold is None else args.threshold
             min_matches = 2 if args.min_matches is None else args.min_matches
@@ -1806,9 +1807,10 @@ def main(argv: list[str] | None = None) -> None:
                 "label", (F.col("lang") == args.label_lang).cast("int")
             )
         # each fold's trainer re-reads the frame n_iters times — cut it
-        profile = profile.select(
-            "doc_id", label_col, *QUALITY_FEATURES
-        ).localCheckpoint(eager=True)
+        profile = pin(
+            profile.select("doc_id", label_col, *QUALITY_FEATURES),
+            eager=True,
+        )
         folds = classifier.kfold_eval(
             profile,
             list(QUALITY_FEATURES),

@@ -15,7 +15,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .skew import broadcast_if_bounded
+from .skew import broadcast_if_bounded, pin
 from ..functions.cleaning import clean_text
 from ..sources.tables import fan_out
 
@@ -611,16 +611,61 @@ def dsir_importance(
     Σ c_b · lr_micro, which is then an exact BIGINT sum — the weight is
     partition-invariant and cross-engine exact.
 
-    Scale: two posting passes over the corpus — one building the
-    4096-row bucket count table (collected as the operator's model
-    artifact, like IVF centroids; Catalyst prunes the other pass to the
-    raw docs only) — then the log-ratio table broadcasts into the
-    per-doc join.  All aggregates are map-combinable.  No windows, no
+    Scale: ONE posting pass over the corpus (round 16 — previously
+    two: train re-tokenized the full corpus, score re-tokenized the
+    raw docs).  The tokenize+hash explode aggregates once to a pinned
+    per-(doc, is_t, bucket) count frame; the 4096-row training totals
+    re-aggregate FROM that frame (map-combinable, no corpus re-scan)
+    and the per-doc scoring join consumes it directly.  The counts are
+    exact integers either way, so the model and the scores are
+    bit-identical to the two-pass formulation (oracle- and
+    test-pinned).  The log-ratio table broadcasts into the per-doc
+    join.  All aggregates are map-combinable.  No windows, no
     all-pairs, no scalar cross join.
     """
-    model = dsir_train(df, is_target, id_col=id_col, text_col=text_col)
-    raw = df.where(~is_target)
-    return dsir_score(raw, model, id_col=id_col, text_col=text_col)
+    spark = df.sparkSession
+    tagged = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("text"),
+        is_target.alias("is_t"),
+    )
+    postings = (
+        _hashed_features(tagged, "doc", "text")
+        .groupBy("doc", "is_t", "bucket")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    # two consumers with different pruning (bucket totals vs per-doc
+    # counts) — pin so the tokenize+hash pass executes once
+    postings = pin(postings)
+    model = _dsir_model_from_postings(spark, postings)
+    lr = spark.createDataFrame(
+        [tuple(p) for p in model["lr"]], "bucket long, lr_micro long"
+    )
+    docfeat = postings.where(~F.col("is_t")).select("doc", "bucket", "k")
+    w = (
+        docfeat.join(F.broadcast(lr), "bucket", "left")
+        .groupBy("doc")
+        .agg(
+            F.sum("k").cast("long").alias("n_feats"),
+            F.sum(
+                F.col("k")
+                * F.coalesce(
+                    F.col("lr_micro"),
+                    F.lit(int(model["default_lr_micro"])),
+                )
+            )
+            .cast("long")
+            .alias("weight_micro"),
+        )
+    )
+    raw_ids = tagged.where(~F.col("is_t")).select("doc")
+    return raw_ids.join(w, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("weight_micro", F.lit(0)).cast("long").alias(
+            "weight_micro"
+        ),
+    )
 
 
 def dsir_train(
@@ -640,7 +685,6 @@ def dsir_train(
     (``model_store.save_dsir`` persists it): per-bucket quantized
     log-ratios plus the smoothed default for buckets unseen in training.
     """
-    B = DSIR_BUCKETS
     tagged = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("text"),
@@ -659,10 +703,33 @@ def dsir_train(
         .cast("long")
         .alias("c_r"),
     )
-    bc_rows = bc.collect()
+    return _dsir_model_from_counts(df.sparkSession, bc.collect())
+
+
+def _dsir_model_from_postings(spark, postings: DataFrame) -> dict:
+    """Train from a per-(doc, is_t, bucket, k) posting-count frame (the
+    pinned frame ``dsir_importance`` shares with scoring): re-aggregate
+    to the same ≤4096-row bucket totals ``dsir_train`` computes directly
+    — exact integer sums either way, so the model is identical."""
+    bc = postings.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("k")))
+        .cast("long")
+        .alias("c_r"),
+    )
+    return _dsir_model_from_counts(spark, bc.collect())
+
+
+def _dsir_model_from_counts(spark, bc_rows) -> dict:
+    """Bucket count rows (bucket, c_t, c_r) → the persistable DSIR model
+    dict — the shared tail of both training paths.  Totals are exact
+    Python int sums; every log2 runs as a JVM expression over a
+    re-created bounded frame (see ``dsir_train``)."""
+    B = DSIR_BUCKETS
     n_t = sum(r["c_t"] for r in bc_rows)
     n_r = sum(r["c_r"] for r in bc_rows)
-    spark = df.sparkSession
 
     def _lr_col(c_t, c_r):
         return (

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.cleaning import clean_text
 from ..sources.tables import fan_out
 from .textstats import fingerprint
+from .skew import pin
 
 log = logging.getLogger(__name__)
 
@@ -179,7 +180,7 @@ def ngram_jaccard_pairs(
         # stays job-free); the capped path keeps its eager barrier (the
         # measured round-5 janino-limit fix depends on the profile
         # materializing before the filter).
-        shingled = shingled.localCheckpoint(eager=max_df is not None)
+        shingled = pin(shingled, eager=max_df is not None)
     postings = shingled.select(
         "doc", F.explode("shingles").alias("shingle")
     )
@@ -403,7 +404,7 @@ def minhash_dedup_pairs(
     """
     shingled = _shingle_sets(df, id_col, text_col, n)
     if not df.isStreaming:
-        shingled = shingled.localCheckpoint(eager=False)
+        shingled = pin(shingled)
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_hashes, shingled=shingled
     )
@@ -447,17 +448,17 @@ def minhash_estimator_quality(
     # lazy localCheckpoints pin each to one execution (batch only).
     shingled = _shingle_sets(df, id_col, text_col, n)
     if not df.isStreaming:
-        shingled = shingled.localCheckpoint(eager=False)
+        shingled = pin(shingled)
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_hashes, shingled=shingled
     )
     if not df.isStreaming:
-        sigs = sigs.localCheckpoint(eager=False)
+        sigs = pin(sigs)
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, bands, sigs=sigs
     )
     if not df.isStreaming:
-        cands = cands.localCheckpoint(eager=False)
+        cands = pin(cands)
     sa = sigs.select(
         F.col("doc").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
     )
@@ -653,9 +654,11 @@ def hamming_pairs(
     # simhash — to exactly one execution (measured: 12 static
     # exchanges → 5, wall 1.14s → below at sf0.01).  Lazy, not eager:
     # plan build stays job-free; the first action materializes it.
-    tagged = base.withColumn(
-        "rep", F.min("hid").over(Window.partitionBy("hv"))
-    ).localCheckpoint(eager=False)
+    tagged = pin(
+        base.withColumn(
+            "rep", F.min("hid").over(Window.partitionBy("hv"))
+        )
+    )
     star = tagged.where(F.col("hid") != F.col("rep")).select(
         F.col("rep").alias(out_a),
         F.col("hid").alias(out_b),
@@ -954,7 +957,7 @@ def dup_span_scrub(
         # per reference — pin each to one execution (optimization r15,
         # the minhash-lane pattern; the streaming twin passes batch
         # frames through foreachBatch, so this covers it too)
-        base = base.localCheckpoint(eager=False)
+        base = pin(base)
     tokpos = base.select(
         "doc", F.posexplode("toks").alias("ti0", "tok")
     ).select("doc", (F.col("ti0") + 1).alias("ti"), "tok")
@@ -968,7 +971,7 @@ def dup_span_scrub(
         F.unhex(F.md5("gram")).alias("gkey"),
     )
     if not df.isStreaming and meta is None:
-        grams = grams.localCheckpoint(eager=False)
+        grams = pin(grams)
     if meta is None:
         meta = dup_span_meta_from_grams(grams)
     cover = (

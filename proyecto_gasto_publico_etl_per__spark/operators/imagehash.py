@@ -155,6 +155,7 @@ def image_neardup_clusters(
     from pyspark.sql import functions as F
 
     from .dedup import cluster_duplicates
+    from .skew import pin
 
     # materialize the decode+hash map pass ONCE: it feeds the pair
     # self-join and the final label join, and without the barrier each
@@ -164,8 +165,8 @@ def image_neardup_clusters(
         image_hashes_df(assets, kind)
         .where(F.col("phash64").isNotNull())
         .select("asset_id", "phash64")
-        .localCheckpoint()
     )
+    hashes = pin(hashes, eager=True)
     pairs = phash_pairs(
         hashes, max_hamming=max_hamming, log_capped=log_capped
     )

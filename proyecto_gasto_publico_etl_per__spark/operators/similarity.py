@@ -104,11 +104,13 @@ def brute_force_topk(
     )
 
 
-#: hard dim cap for the precomputed hyperplane weight masks — past it
-#: the bucket expression raises (a silently-wrong weight would quietly
-#: wreck recall, the failure mode this lane's guards exist to avoid).
-#: 256 is 4× the test corpus's dims; a wider embedding source raises it
-#: (the mask literal grows linearly, one string per plane).
+#: dim width of the precomputed hyperplane weight masks — vectors wider
+#: than this fall back PER ROW to the original inline md5-parity weight
+#: expression (bit-identical by construction: the mask IS that parity,
+#: hoisted), so wider embedding sources keep working at the pre-mask
+#: per-row cost instead of raising (round-16 advice; the r15 version
+#: raised).  256 is 4× the test corpus's dims; widening it just grows
+#: the one string literal per plane.
 _PLANE_MAX_DIMS = 256
 
 
@@ -192,17 +194,41 @@ def hyperplane_buckets(
             lambda acc, x: acc + x,
         )
         # the sequence() shape reproduces the former empty/NULL-vector
-        # semantics unchanged (NULL dot → no bit set); only the
-        # beyond-mask case needs an explicit loud guard
-        dot_p = F.when(
-            size_v > _PLANE_MAX_DIMS,
-            F.raise_error(
-                F.lit(
-                    "hyperplane_buckets: vector dims exceed "
-                    f"_PLANE_MAX_DIMS={_PLANE_MAX_DIMS}; raise the constant"
-                )
-            ).cast("double"),
-        ).otherwise(dot_fast)
+        # semantics unchanged (NULL dot → no bit set).  Vectors wider
+        # than the mask take the original inline md5-parity expression
+        # per row (the mask is that parity precomputed, so the branches
+        # agree bit-for-bit on every dim both can reach) — a capability
+        # fallback, not a guard: wide rows pay the pre-r15 cost, masked
+        # rows keep the fast path (round-16 advice fix)
+        dot_slow = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), size_v - 1),
+                lambda x, d: x
+                * F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(f"{p}:"), d.cast("string"))
+                            ),
+                            1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("int")
+                    .bitwiseAND(1)
+                    == 0,
+                    1.0,
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dot_p = F.when(size_v > _PLANE_MAX_DIMS, dot_slow).otherwise(
+            dot_fast
+        )
         bucket = bucket + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return df.select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")

@@ -21,6 +21,8 @@ and a skew-split shuffle join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +33,89 @@ SALT_COL = "__gasto_salt"
 #: (round-9 lifecycle: persist() leaked executor memory across long
 #: sessions — the 151-query bench held ~5 vocab frames forever)
 _PINNED: list[DataFrame] = []
+
+#: checkpoint-pinned frames (``pin`` in local/reliable mode) awaiting
+#: release — dropping the Python reference makes the JVM-side plan (and
+#: its checkpoint RDD blocks) collectable; ``release_pinned`` clears the
+#: list and nudges the JVM GC so ContextCleaner frees the blocks between
+#: queries instead of at an arbitrary later GC (round-16 advice: long
+#: 189-query sessions otherwise hold every query's checkpoint blocks
+#: until driver GC happens to run)
+_CKPT_PINNED: list[DataFrame] = []
+
+#: ``pin`` barrier-mode knob.  ``local`` (default) = executor-local
+#: checkpoint — fastest, but severs lineage and the pinned frame must
+#: fit executor-local storage; ``reliable`` = reliable-storage
+#: ``DataFrame.checkpoint`` (survives executor loss; requires a
+#: checkpoint dir, see ``SPARK_GRAFT_CHECKPOINT_DIR``); ``persist`` =
+#: MEMORY_AND_DISK cache — keeps lineage (recomputable on executor
+#: loss, safe at any frame size because it spills/evicts) at the cost
+#: of weaker plan-dedup guarantees under memory pressure.  SCALE.md
+#: §"Pinned-frame inventory" documents per-site expected sizes.
+PIN_MODE_ENV = "SPARK_GRAFT_PIN_MODE"
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+_PIN_MODES = ("local", "reliable", "persist")
+
+
+def pin(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Plan-dedup barrier: materialize ``df`` once so that 2+ downstream
+    consumers (whose differing column pruning defeats ReuseExchange —
+    the round-6 lesson) share one execution instead of re-expanding the
+    subtree per consumer.
+
+    This is the engine-wide seam for the 100 TB trade the round-15
+    advice flagged: a bare ``localCheckpoint`` pins corpus-scale frames
+    to executor-local storage and severs lineage (an executor loss
+    fails the job; the frame must fit local disk).  ``pin`` keeps the
+    local default (right for the bench and for bounded frames) but lets
+    a deployment switch EVERY pin site at once via
+    ``SPARK_GRAFT_PIN_MODE``:
+
+    - ``local`` (default): ``df.localCheckpoint(eager)``.
+    - ``reliable``: ``df.checkpoint(eager)`` to the configured
+      checkpoint dir (``SPARK_GRAFT_CHECKPOINT_DIR`` or a dir already
+      set on the SparkContext) — lineage still severed, but blocks
+      live on reliable storage so executor loss is survivable.
+    - ``persist``: ``df.persist(MEMORY_AND_DISK)`` — lineage KEPT
+      (fault-tolerant and size-safe: blocks spill and can be evicted
+      and recomputed), registered for ``release_pinned``.
+
+    Batch only (checkpoint/persist are illegal on streaming frames —
+    callers already guard).  NOT a write barrier: a frame that must be
+    materialized before its own input directory is overwritten (the
+    mef_pipeline pattern) needs an eager checkpoint regardless of any
+    knob and therefore calls ``localCheckpoint`` directly.  Lineage-
+    CUTTING sites (iterative loops whose plans otherwise grow per
+    round) also stay on explicit checkpoints — ``persist`` would keep
+    the growing lineage alive.
+    """
+    mode = os.environ.get(PIN_MODE_ENV, "local").strip().lower() or "local"
+    if mode not in _PIN_MODES:
+        raise ValueError(
+            f"{PIN_MODE_ENV}={mode!r}: expected one of {_PIN_MODES}"
+        )
+    if mode == "persist":
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PINNED.append(out)
+        if eager:
+            out.count()
+        return out
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            ckpt_dir = os.environ.get(CHECKPOINT_DIR_ENV)
+            if not ckpt_dir:
+                raise ValueError(
+                    f"{PIN_MODE_ENV}=reliable needs a checkpoint dir: "
+                    f"set {CHECKPOINT_DIR_ENV} or call "
+                    "SparkContext.setCheckpointDir first"
+                )
+            sc.setCheckpointDir(ckpt_dir)
+        out = df.checkpoint(eager=eager)
+    else:
+        out = df.localCheckpoint(eager=eager)
+    _CKPT_PINNED.append(out)
+    return out
 
 
 def broadcast_if_bounded(
@@ -72,11 +157,25 @@ def release_pinned() -> int:
     (correctness is unaffected — only the cache is dropped).  Long
     sessions (the 151-query bench loop, the correctness gate) call
     this between queries so vocab caches don't accumulate executor
-    memory for the whole run."""
+    memory for the whole run.
+
+    Checkpoint-pinned frames (``pin`` local/reliable) are released by
+    dropping the registry's references and prompting one JVM GC:
+    checkpoint blocks belong to the plan's RDD, which ContextCleaner
+    frees when the JVM object is unreachable — reference-dropping (not
+    a forced unpersist) is the SAFE release, because a frame the
+    caller still holds (a lazy result a later action will run) stays
+    reachable and keeps its blocks."""
     n = 0
     while _PINNED:
         _PINNED.pop().unpersist()
         n += 1
+    if _CKPT_PINNED:
+        spark = _CKPT_PINNED[0].sparkSession
+        n += len(_CKPT_PINNED)
+        _CKPT_PINNED.clear()
+        # nudge ContextCleaner: checkpoint RDD blocks free on JVM GC
+        spark.sparkContext._jvm.System.gc()
     return n
 
 

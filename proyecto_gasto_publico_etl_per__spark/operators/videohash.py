@@ -38,6 +38,7 @@ import logging
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .skew import pin
 
 log = logging.getLogger(__name__)
 
@@ -185,7 +186,7 @@ def video_pairs(
         vw = Window.partitionBy("fhash")
         frames = frames.withColumn("vdf", F.count("*").over(vw))
         if log_capped and not hashes.isStreaming:
-            frames = frames.localCheckpoint(eager=False)
+            frames = pin(frames)
             hot = (
                 frames.where(F.col("vdf") > max_value_df)
                 .agg(
@@ -206,7 +207,7 @@ def video_pairs(
     # set) whose differing pruning defeats ReuseExchange — pin it once
     # (the hamming_pairs tagged-frame lesson; lazy, so plan build stays
     # job-free)
-    frames = frames.localCheckpoint(eager=False)
+    frames = pin(frames)
     vals = frames.select(F.col("fhash").alias("hv")).distinct()
     vpairs = hamming_pairs(
         vals.select(F.col("hv").alias("h_id"), "hv"),
@@ -267,8 +268,8 @@ def video_neardup_clusters(
         video_hashes(assets, kind, n_frames)
         .where(F.col("frame_hashes").isNotNull())
         .select("asset_id", "frame_hashes")
-        .localCheckpoint()
     )
+    vh = pin(vh, eager=True)
     vp = video_pairs(
         vh, max_hamming=max_hamming,
         min_matches=min_matches, log_capped=log_capped,

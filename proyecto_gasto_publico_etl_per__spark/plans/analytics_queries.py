@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from ..operators import dedup, textstats
 from ..operators.dedup import _tokens
+from ..operators.skew import pin
 from ..sources.tables import fan_out, load_table
 from .driver_queries import register
 from .extension_queries import _DOCS_CTE, JACCARD_T, _lang_sql
@@ -446,13 +447,11 @@ def pmi_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReuseExchange); pin the two vocab-bounded count tables so the
     # corpus is touched by exactly the two passes the docstring claims
     # (optimization r15)
-    ucnt = uni.groupBy("tok").agg(F.count("*").alias("n")).localCheckpoint(
-        eager=False
-    )
+    ucnt = pin(uni.groupBy("tok").agg(F.count("*").alias("n")))
     bi = toks.select(F.explode(word_grams_from_tokens("toks", 2)).alias("bigram"))
-    bcnt = bi.groupBy("bigram").agg(
-        F.count("*").alias("n_ab")
-    ).localCheckpoint(eager=False)
+    bcnt = pin(
+        bi.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    )
     utot = ucnt.agg(F.sum("n").alias("n_uni"))
     btot = bcnt.agg(F.sum("n_ab").alias("n_bi"))
     parts = F.split("bigram", " ")
@@ -795,7 +794,7 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lines feeds the DF aggregate AND the mark join side; the exchange
     # children differ, so the tokenize+line-window chain ran twice —
     # pin it (optimization r15, the minhash-lane pattern)
-    lines = lines.localCheckpoint(eager=False)
+    lines = pin(lines)
     ldf = lines.groupBy("line").agg(
         F.count_distinct("doc").alias("df")
     )
@@ -860,9 +859,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle chain feeds the size lookup AND the posting self-join;
     # the two exchange children differ, so without a barrier the chain
     # runs twice — pin it (optimization r15, the minhash-lane pattern)
-    shingled = dedup._shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
-    )
+    shingled = pin(dedup._shingle_sets(docs, "doc_id", "text", 3))
     sizes = shingled.select("doc", F.size("shingles").alias("n_sh"))
     posts = shingled.select("doc", F.explode("shingles").alias("shingle"))
     a = posts.select(F.col("doc").alias("doc_sub"), "shingle")
@@ -1116,9 +1113,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle chain feeds the first-seen aggregate AND the posting
     # join side; different exchange children, so it ran twice — pin it
     # (optimization r15, the minhash-lane pattern)
-    shingled = dedup._shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
-    )
+    shingled = pin(dedup._shingle_sets(docs, "doc_id", "text", 3))
     posts = shingled.select("doc", F.explode("shingles").alias("shingle"))
     first_seen = posts.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
     joined = posts.join(first_seen, "shingle")

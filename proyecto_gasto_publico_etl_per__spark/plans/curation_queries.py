@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import curation, dedup, similarity, star, stats
 from ..sources.tables import load_table
+from ..operators.skew import pin
 from ..operators import textstats
 from .driver_queries import _star_oracle, register
 from .extension_queries import (
@@ -474,9 +475,9 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join sides' so ReuseExchange cannot merge them and the chain ran
     # twice — pin it to one execution (optimization r15, the
     # minhash-lane pattern)
-    posts = textstats.winnow_fingerprints(
-        docs, k=WINNOW_K, w=WINNOW_W
-    ).localCheckpoint(eager=False)
+    posts = pin(
+        textstats.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    )
     dfreq = posts.groupBy("fp").agg(F.count("*").alias("df"))
     keep = dfreq.where(F.col("df") <= WINNOW_MAX_DF).select("fp")
     cp = posts.join(keep, "fp")

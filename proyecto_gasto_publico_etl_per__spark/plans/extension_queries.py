@@ -24,6 +24,7 @@ from ..operators import (
     similarity,
     textstats,
 )
+from ..operators.skew import pin
 from ..sources.tables import load_table
 from ..streaming.incremental import windowed_event_counts
 from .driver_queries import REGISTRY, register
@@ -726,9 +727,10 @@ def corpus_clean_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluated) and runs on the file's 1-2 scan partitions.  Measured
     # 4.6s -> 0.8s at sf0.1.  The checkpoint materializes only the slim
     # 4-column profile, not the text.
-    slim = profiled.select(
-        "doc_id", "lang_pred", "n_tokens", "quality_ok"
-    ).localCheckpoint(eager=True)
+    slim = pin(
+        profiled.select("doc_id", "lang_pred", "n_tokens", "quality_ok"),
+        eager=True,
+    )
     selected = slim.where(
         F.col("quality_ok")
         & (F.col("lang_pred") == "en")
@@ -996,8 +998,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("content_hash", "source")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
     )
+    per = pin(per, eager=True)
     a = per.select(
         "content_hash", F.col("source").alias("source_a"),
         F.col("n").alias("n_a"),
@@ -1896,9 +1898,13 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus_clean_final); the oracle's 1:1 doc_id join is unchanged
     profiled = textstats.lang_id(textstats.quality_stats(docs))
     # same filter barrier as corpus_clean_final (see the comment there)
-    slim = profiled.select(
-        "doc_id", "lang_pred", "n_tokens", "stopword_ratio", "quality_ok"
-    ).localCheckpoint(eager=True)
+    slim = pin(
+        profiled.select(
+            "doc_id", "lang_pred", "n_tokens", "stopword_ratio",
+            "quality_ok",
+        ),
+        eager=True,
+    )
     return slim.where(
         F.col("quality_ok")
         & (F.col("lang_pred") == "en")
@@ -3987,10 +3993,23 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid.  The fusion stage touches only the component OUTPUTS
     (probe-sized frames), so its cost is corpus-independent; the claim
     under the driver's hash gate is that fusing three cheap approximate
-    views is itself exactly reproducible."""
+    views is itself exactly reproducible.
+
+    Round 16: the three rankings consume ONE pinned embeddings frame
+    instead of each re-loading the table (the component queries'
+    standalone entries keep their own loads) — the corpus parquet is
+    scanned once, and every downstream pass (bucketing, centroid
+    assignment, SQ8 encode, exact re-ranks) reads the pinned blocks.
+    Identical inputs ⇒ identical component rankings ⇒ identical fusion
+    (oracle-pinned)."""
+    emb = pin(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
     lists = [
-        REGISTRY[n][0](spark, sf_dir)
-        for n in ("sim_topk_lsh_multiprobe", "sim_topk_ivf", "sim_topk_sq8")
+        similarity.lsh_multiprobe_topk(emb, probes),
+        similarity.ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4),
+        similarity.sq8_topk(emb, probes, k=5, rerank=SQ8_RERANK),
     ]
     return similarity.rrf_fuse(lists, k_const=60, topk=5)
 
@@ -4367,7 +4386,7 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg), so the corpus scan + quality_stats margin chain ran twice —
     # pin the distinct-score frame (bounded by the corpus's distinct
     # quantized margins) to one execution (optimization r15)
-    g = g.localCheckpoint(eager=False)
+    g = pin(g)
     in_bucket = Window.partitionBy("bkt").orderBy("s_q6").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -4867,7 +4886,7 @@ def triangle_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # execution (plan build stays job-free — the corpus_clean_final /
     # mmr pattern); explicit broadcast hints below compensate for the
     # checkpointed frame's missing size stats.
-    edges = edges.localCheckpoint(eager=False)
+    edges = pin(edges)
     e1 = edges
     e2 = F.broadcast(edges.select(F.col("a").alias("b"), F.col("b").alias("c")))
     e3 = F.broadcast(edges.select(F.col("a").alias("a"), F.col("b").alias("c")))
@@ -5120,13 +5139,13 @@ def kmv_jaccard_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("cust"),
         )
         .distinct()
-        # four consumers (sketch build, both sides of the exact
-        # pairwise join, group sizes) with different pruning — the
-        # shared-subtree rule: without a barrier the orders distinct
-        # re-expands per consumer (11 static shuffles measured);
-        # lazy, so declared-plan build stays job-free
-        .localCheckpoint(eager=False)
     )
+    # four consumers (sketch build, both sides of the exact
+    # pairwise join, group sizes) with different pruning — the
+    # shared-subtree rule: without a barrier the orders distinct
+    # re-expands per consumer (11 static shuffles measured);
+    # lazy, so declared-plan build stays job-free
+    base = pin(base)
     sk = _kmv_partial(base, ["prio"], "cust", KMV_K).withColumnRenamed(
         "kmv_cust", "kmv"
     )

@@ -35,16 +35,16 @@ DEFAULT_CONF: dict[str, str] = {
     # maxPartitionBytes above governs instead, so this only affects the
     # small-file end.
     "spark.sql.files.openCostInBytes": str(512 * 1024),
-    # scale-dependent and therefore PARAMETERISED (optimization r15):
-    # 32 is the local default (matches the dev box's cores; AQE
-    # coalescing handles anything smaller), a cluster deploy sets
-    # SPARK_GRAFT_SHUFFLE_PARTITIONS so post-shuffle partitions land in
-    # the 100 MB-1 GB band the optimization guide §2.2 prescribes
-    # (e.g. ~100k for a 100 TB shuffle at 1 GB targets) instead of
-    # inheriting a local-mode constant.
-    "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
-    ),
+    # spark.sql.shuffle.partitions is scale-dependent and therefore
+    # PARAMETERISED via SPARK_GRAFT_SHUFFLE_PARTITIONS — resolved
+    # INSIDE get_spark (round-16 advice: an import-time read silently
+    # ignored later env changes and a junk value only failed deep in
+    # session build), validated there as a positive int.  32 is the
+    # local default (matches the dev box's cores; AQE coalescing
+    # handles anything smaller); a cluster deploy sets the env so
+    # post-shuffle partitions land in the 100 MB-1 GB band the
+    # optimization guide §2.2 prescribes (e.g. ~100k for a 100 TB
+    # shuffle at 1 GB targets) instead of inheriting a local constant.
     # local[N] runs the driver AND all N executor threads in ONE JVM whose
     # heap defaults to 1g — 32 threads sharing 1g explains GC-locker
     # stalls and an OOM observed on a 10×-sf0.1 corpus (round 5).  8g is
@@ -55,6 +55,24 @@ DEFAULT_CONF: dict[str, str] = {
     # a JVM already exists in the process (getOrCreate reuse).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
+
+
+def _positive_int_env(name: str, default: int) -> int:
+    """Resolve an integer tuning env var at session-build time with a
+    clear error — a junk value must fail HERE, naming the variable, not
+    as an opaque Spark conf parse error later."""
+    raw = os.environ.get(name)
+    if raw is None or not raw.strip():
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name}={raw!r} is not an integer"
+        ) from None
+    if val <= 0:
+        raise ValueError(f"{name}={raw!r} must be a positive integer")
+    return val
 
 
 def get_spark(
@@ -74,6 +92,9 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        _positive_int_env("SPARK_GRAFT_SHUFFLE_PARTITIONS", 32)
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -95,3 +95,61 @@ def test_buckets_match_inline_md5_expression(spark):
     }
     assert got == ref
     assert got[4] == 0  # empty vector: NULL dots, no bit set
+
+
+def test_wide_vectors_fall_back_to_inline_md5(spark):
+    """Vectors wider than _PLANE_MAX_DIMS must hash through the inline
+    md5-parity fallback (round 16 — the r15 version raised), matching
+    the pre-mask expression exactly; masked-width rows in the same
+    frame keep the fast path and the same values."""
+    wide = [((-1.0) ** i) * (1.0 + i / 7.0) for i in range(_PLANE_MAX_DIMS + 44)]
+    df = spark.createDataFrame(
+        [(1, wide), (2, [0.5, -0.25, 1.0, 0.0] * 16)],
+        "vec_id bigint, embedding array<double>",
+    )
+    n_planes = 4
+    got = {
+        r["doc"]: r["bucket"]
+        for r in hyperplane_buckets(df, n_planes=n_planes).collect()
+    }
+    v = F.transform(F.col("vec"), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        dot_p = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(F.col("vec")) - 1),
+                lambda x, d: x
+                * F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(f"{p}:"), d.cast("string"))
+                            ),
+                            1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("int")
+                    .bitwiseAND(1)
+                    == 0,
+                    1.0,
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    ref = {
+        r["doc"]: r["bucket"]
+        for r in df.select(
+            F.col("vec_id").alias("doc"), F.col("embedding").alias("vec")
+        )
+        .withColumn("bucket", bucket)
+        .collect()
+    }
+    assert got == ref

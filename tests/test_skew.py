@@ -122,3 +122,94 @@ def test_broadcast_if_bounded_release_lifecycle(spark, skewed):
     assert big.join(broadcast_if_bounded(small), "k").count() == n_before
     assert release_pinned() == 1
     assert release_pinned() == 0  # idempotent on an empty registry
+
+
+# --- pin(): the knob-switchable plan-dedup barrier (round 16) -----------------
+
+
+def _pin_env(monkeypatch, mode=None, ckpt_dir=None):
+    from proyecto_gasto_publico_etl_per__spark.operators import skew
+
+    if mode is None:
+        monkeypatch.delenv(skew.PIN_MODE_ENV, raising=False)
+    else:
+        monkeypatch.setenv(skew.PIN_MODE_ENV, mode)
+    if ckpt_dir is None:
+        monkeypatch.delenv(skew.CHECKPOINT_DIR_ENV, raising=False)
+    else:
+        monkeypatch.setenv(skew.CHECKPOINT_DIR_ENV, str(ckpt_dir))
+
+
+def test_pin_default_is_local_checkpoint(spark, monkeypatch):
+    from proyecto_gasto_publico_etl_per__spark.operators import skew
+
+    _pin_env(monkeypatch)
+    skew.release_pinned()
+    df = spark.range(0, 10)
+    out = skew.pin(df, eager=True)
+    assert out.collect() == df.collect()
+    # a checkpointed plan is a LogicalRDD scan, not the original Range
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" not in plan
+    assert skew._CKPT_PINNED, "local pin must register for release"
+    assert skew.release_pinned() >= 1
+    assert not skew._CKPT_PINNED
+
+
+def test_pin_reliable_without_dir_raises(spark, monkeypatch):
+    import pytest as _pytest
+
+    from proyecto_gasto_publico_etl_per__spark.operators import skew
+
+    if spark.sparkContext.getCheckpointDir() is not None:
+        _pytest.skip("checkpoint dir already set on this session")
+    _pin_env(monkeypatch, "reliable")
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_CHECKPOINT_DIR"):
+        skew.pin(spark.range(3))
+
+
+def test_pin_reliable_writes_to_checkpoint_dir(spark, monkeypatch, tmp_path):
+    import os
+
+    from proyecto_gasto_publico_etl_per__spark.operators import skew
+
+    ckpt = tmp_path / "ckpt"
+    _pin_env(monkeypatch, "reliable", ckpt)
+    skew.release_pinned()
+    df = spark.range(0, 10)
+    out = skew.pin(df, eager=True)
+    assert out.collect() == df.collect()
+    # reliable checkpoints materialize as files under the configured dir
+    found = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert found, "reliable pin must write checkpoint files"
+    assert skew.release_pinned() >= 1
+
+
+def test_pin_persist_keeps_lineage_and_registers(spark, monkeypatch):
+    from proyecto_gasto_publico_etl_per__spark.operators import skew
+
+    _pin_env(monkeypatch, "persist")
+    skew.release_pinned()
+    df = spark.range(0, 10)
+    out = skew.pin(df, eager=True)
+    assert out.storageLevel.useMemory or out.storageLevel.useDisk
+    # lineage kept: the plan still shows the original source
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" in plan
+    assert out in skew._PINNED
+    assert skew.release_pinned() >= 1
+    assert not (out.storageLevel.useMemory or out.storageLevel.useDisk)
+
+
+def test_pin_rejects_unknown_mode(spark, monkeypatch):
+    import pytest as _pytest
+
+    from proyecto_gasto_publico_etl_per__spark.operators import skew
+
+    _pin_env(monkeypatch, "bogus")
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_PIN_MODE"):
+        skew.pin(spark.range(3))

@@ -34,9 +34,17 @@ def main() -> None:
     registry = all_queries()
     for name in names:
         df = registry[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API only (round-16 advice: the former
+        # PythonSQLUtils.explainString / queryExecution() private-
+        # internals route breaks across Spark versions): capture the
+        # documented explain("formatted") output off stdout
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         (out / f"{name}_{suffix}.txt").write_text(plan)
         print(f"wrote {out / f'{name}_{suffix}.txt'} ({len(plan)} chars)")
 
