@@ -71,6 +71,46 @@ def score_q(a: Column, b: Column, scale: int = 1000) -> Column:
     return F.floor(cosine(a, b) * scale + F.lit(0.5)).cast("bigint")
 
 
+# --- SQL-fragment twins of the vector expression builders ---------------------
+#
+# Plan-build latency is a real serving cost (round-15 measurement: the
+# Column-API construction of an ivf_pq_search plan is ~2000 Py4J round
+# trips ≈ 1s of socket latency per query, ~half its bench wall).  Each
+# builder below renders the IDENTICAL expression as one SQL string so a
+# whole scoring column parses in ONE Py4J call; Spark's parser builds
+# the same operator tree (same IEEE ops in the same fold order), so
+# values are bit-identical — gated by the unchanged oracles and the
+# lane's pytest pins.  Keep every fragment token-for-token in sync with
+# its Column twin above/below; any new scoring expression should get
+# both forms only when it sits on a measured serving path.
+
+
+def _sql_as_double(v: str) -> str:
+    return f"transform({v}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    ad, bd = _sql_as_double(a), _sql_as_double(b)
+    return f"({_sql_dot(ad, bd)} / ({_sql_norm(ad)} * {_sql_norm(bd)}))"
+
+
+def _sql_score_q(a: str, b: str, scale: int = 1000) -> str:
+    return (
+        f"CAST(floor({_sql_cosine(a, b)} * {scale} + 0.5D) AS BIGINT)"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -92,7 +132,7 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score_q3", score_q(F.col("qvec"), F.col("cvec")))
+        .withColumn("score_q3", F.expr(_sql_score_q("qvec", "cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q3"), "neighbor_id"
@@ -263,7 +303,7 @@ def lsh_topk(
             "bucket",
         )
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score_q3", score_q(F.col("qvec"), F.col("vec")))
+        .withColumn("score_q3", F.expr(_sql_score_q("qvec", "vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q3"), "neighbor_id")
     return (
@@ -302,7 +342,7 @@ def knn_join_lsh(
     scored = (
         left.join(right, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score_q3", score_q(F.col("qvec"), F.col("cvec")))
+        .withColumn("score_q3", F.expr(_sql_score_q("qvec", "cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q3"), "neighbor_id")
     return (
@@ -354,7 +394,20 @@ def _centroid_literal(
     )
 
 
-def _centroid_expr(pairs: list[tuple[int, list[float]]]) -> Column:
+def _centroid_literal_sql(
+    cents: Sequence[Row], id_col: str, vec_col: str
+) -> str:
+    """``_centroid_literal`` as a SQL fragment, for the one-parse
+    consumers (ivf_assign/ivf_probe/residualize string paths)."""
+    return _centroid_sql(
+        [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in cents]
+    )
+
+
+def _centroid_sql(pairs: list[tuple[int, list[float]]]) -> str:
+    """The centroid set as a SQL array-of-struct literal FRAGMENT — the
+    one-parse form every string-built consumer embeds (see the
+    SQL-fragment block above)."""
     entries = ",".join(
         "named_struct('cid',{cid}L,'cvec',array({vec}))".format(
             cid=int(cid),
@@ -362,19 +415,49 @@ def _centroid_expr(pairs: list[tuple[int, list[float]]]) -> Column:
         )
         for cid, vec in pairs
     )
-    return F.expr(f"array({entries})")
+    return f"array({entries})"
+
+
+def _centroid_expr(pairs: list[tuple[int, list[float]]]) -> Column:
+    return F.expr(_centroid_sql(pairs))
+
+
+def _cent_as_sql(cent: "Column | str") -> str | None:
+    """The SQL fragment for a centroid argument, or ``None`` when the
+    caller passed a prebuilt Column (legacy path — kept for external
+    callers that compose the literal themselves)."""
+    return cent if isinstance(cent, str) else None
+
+
+def _q(col: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL fragment."""
+    return f"`{col}`"
 
 
 def ivf_assign(
     df: DataFrame,
-    cent_lit: Column,
+    cent_lit: "Column | str",
     vec_col: str,
     out: str = "cid",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max quantized cosine,
     ties to the lowest centroid id).  Map-only: argmax over the literal
-    centroid array — the inverted-list build never shuffles the corpus."""
+    centroid array — the inverted-list build never shuffles the corpus.
+
+    ``cent_lit`` may be the SQL fragment from ``_centroid_sql`` (one
+    Py4J parse for the whole assignment column — the serving-latency
+    form) or a prebuilt Column (legacy)."""
     df = fan_out(df)
+    cent_sql = _cent_as_sql(cent_lit)
+    if cent_sql is not None:
+        score = _sql_score_q(_q(vec_col), "c.cvec")
+        return df.withColumn(
+            out,
+            F.expr(
+                f"CAST(-(array_max(transform({cent_sql}, c -> "
+                f"struct({score} AS s, -c.cid AS ncid)))).ncid AS INT)"
+            ),
+        )
     scored = F.transform(
         cent_lit,
         lambda c: F.struct(
@@ -388,13 +471,27 @@ def ivf_assign(
 
 def ivf_probe(
     df: DataFrame,
-    cent_lit: Column,
+    cent_lit: "Column | str",
     vec_col: str,
     nprobe: int,
     out: str = "cid",
 ) -> DataFrame:
     """Explode each query row into its ``nprobe`` nearest centroid ids
-    (score desc, centroid id asc on ties)."""
+    (score desc, centroid id asc on ties).  ``cent_lit`` as in
+    ``ivf_assign``."""
+    cent_sql = _cent_as_sql(cent_lit)
+    if cent_sql is not None:
+        score = _sql_score_q(_q(vec_col), "c.cvec")
+        return df.withColumn(
+            out,
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort(transform({cent_sql}, "
+                    f"c -> struct(-{score} AS ns, c.cid AS cid))), 1, "
+                    f"{int(nprobe)}), p -> p.cid)"
+                )
+            ),
+        )
     scored = F.transform(
         cent_lit,
         lambda c: F.struct(
@@ -427,7 +524,7 @@ def _centroid_vec_for(cent_lit: Column, cid_col: Column) -> Column:
 
 def residualize(
     df: DataFrame,
-    cent_lit: Column,
+    cent_lit: "Column | str",
     vec_col: str,
     cid_col: str = "cid",
     out: str = "rvec",
@@ -443,6 +540,19 @@ def residualize(
     from every code, concentrating what the codebook must explain into
     a much smaller ball — measurably higher recall at identical
     m/n_codes (see the SCALE.md serving ladder)."""
+    cent_sql = _cent_as_sql(cent_lit)
+    if cent_sql is not None:
+        cvec = (
+            f"(element_at(filter({cent_sql}, c -> c.cid = "
+            f"CAST({_q(cid_col)} AS BIGINT)), 1)).cvec"
+        )
+        return df.withColumn(
+            out,
+            F.expr(
+                f"zip_with({_sql_as_double(_q(vec_col))}, {cvec}, "
+                "(a, b) -> a - b)"
+            ),
+        )
     cvec = _centroid_vec_for(cent_lit, F.col(cid_col))
     return df.withColumn(
         out,
@@ -473,10 +583,12 @@ def ivf_topk(
     nprobe/n_centroids of the data and never shuffles the corpus.
     """
     if centroids is not None:
-        cent_lit = centroid_literal_pairs(centroids)
+        cent_lit = _centroid_sql(
+            [(int(c), [float(x) for x in v]) for c, v in centroids]
+        )
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-        cent_lit = _centroid_literal(cents, id_col, vec_col)
+        cent_lit = _centroid_literal_sql(cents, id_col, vec_col)
     assigned = ivf_assign(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
@@ -495,7 +607,7 @@ def ivf_topk(
     cand = (
         assigned.join(F.broadcast(probed), "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score_q3", score_q(F.col("qvec"), F.col("cvec")))
+        .withColumn("score_q3", F.expr(_sql_score_q("qvec", "cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q3"), "neighbor_id")
     return (
@@ -537,7 +649,7 @@ def hard_negatives(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("qlabel") != F.col("nlabel"))
-        .withColumn("score_q3", score_q(F.col("qvec"), F.col("cvec")))
+        .withColumn("score_q3", F.expr(_sql_score_q("qvec", "cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q3"), "neighbor_id"
@@ -761,8 +873,24 @@ def _dlit_array(vals: Sequence[float]) -> Column:
     shortest exact round-trip decimal and Java's parseDouble is
     correctly rounded, so the literal is bit-identical to ``F.lit``'s.
     """
-    return F.expr(
+    return F.expr(_dlit_sql(vals))
+
+
+def _dlit_sql(vals: Sequence[float]) -> str:
+    """``_dlit_array``'s SQL fragment form, for embedding in larger
+    one-parse expressions (see the SQL-fragment block)."""
+    return (
         "array(" + ",".join(f"{_finite(x, 'codebook')!r}D" for x in vals) + ")"
+    )
+
+
+def _sql_quant_sq_l2(xs: str, cw: str, quant: int) -> str:
+    """SQL fragment twin of ``_quant_sq_l2`` (same ops, same fold
+    order — values bit-identical)."""
+    return (
+        f"CAST(floor(aggregate(zip_with({xs}, {cw}, "
+        "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x) "
+        f"* {int(quant)} + 0.5D) AS BIGINT)"
     )
 
 
@@ -824,29 +952,28 @@ def pq_encode(
     # caller's m/n_codes defaults can never mismatch it (r6 review)
     m = len(codebook)
     sub = len(codebook[0][0])
-    v = _as_double(F.col(vec_col))
-
+    # the whole m × n_codes argmin forest renders as ONE parsed SQL
+    # string (plan-build latency: the per-codeword Column chain was
+    # ~2500 Py4J calls for a 16×16 codebook — the round-15 measured
+    # serving-latency term; the parsed tree is node-for-node the one
+    # the Column API built, so codes are bit-identical)
+    v = _sql_as_double(_q(vec_col))
     per_sub = []
     for s in range(m):
-        xs = F.slice(v, s * sub + 1, sub)
-        scored = F.array(
-            *[
-                F.struct(
-                    _quant_sq_l2(xs, cw, quant).alias("d"),
-                    F.lit(code).alias("code"),
-                )
-                for code, cw in enumerate(codebook[s])
-            ]
-        )
-        best = F.array_min(scored)
+        xs = f"slice({v}, {s * sub + 1}, {sub})"
+        scored = "array(" + ",".join(
+            f"struct({_sql_quant_sq_l2(xs, _dlit_sql(cw), quant)} AS d, "
+            f"{code} AS code)"
+            for code, cw in enumerate(codebook[s])
+        ) + ")"
         per_sub.append(
-            F.struct(best["code"].alias("code"), best["d"].alias("d"))
+            f"struct((array_min({scored})).code AS code, "
+            f"(array_min({scored})).d AS d)"
         )
+    arr = F.expr("array(" + ",".join(per_sub) + ")")
     return (
         fan_out(df)
-        .select(
-            F.col(id_col), F.posexplode(F.array(*per_sub)).alias("pos", "b")
-        )
+        .select(F.col(id_col), F.posexplode(arr).alias("pos", "b"))
         .select(
             id_col,
             (F.col("pos") + 1).cast("int").alias("subspace"),
@@ -990,12 +1117,16 @@ def _pq_dtable_from(
         ],
         "subspace INT, code INT, cvec ARRAY<DOUBLE>",
     )
-    qv = _as_double(F.col(vec_col))
+    # one-parse slice array + one-parse distance (see the SQL-fragment
+    # block: the per-slice Column chain was a measured serving-latency
+    # term; the parsed tree is identical, so distances are bit-exact)
+    qv = _sql_as_double(_q(vec_col))
+    slices = ",".join(
+        f"slice({qv}, {s * sub + 1}, {sub})" for s in range(m)
+    )
     qslices = qframe.select(
         *keys,
-        F.posexplode(
-            F.array(*[F.slice(qv, s * sub + 1, sub) for s in range(m)])
-        ).alias("pos", "xs"),
+        F.posexplode(F.expr(f"array({slices})")).alias("pos", "xs"),
     ).select(
         *keys, (F.col("pos") + 1).cast("int").alias("subspace"), "xs"
     )
@@ -1003,7 +1134,7 @@ def _pq_dtable_from(
         *keys,
         "subspace",
         "code",
-        _quant_sq_l2(F.col("xs"), F.col("cvec"), quant).alias("pd_q6"),
+        F.expr(_sql_quant_sq_l2("xs", "cvec", quant)).alias("pd_q6"),
     )
 
 
@@ -1079,10 +1210,12 @@ def ivf_pq_build_index(
     space, which is where a trained codebook should live too
     (``pq_train_codebook`` over the residualized frame)."""
     if centroids is not None:
-        cent_lit = centroid_literal_pairs(centroids)
+        cent_lit = _centroid_sql(
+            [(int(c), [float(x) for x in v]) for c, v in centroids]
+        )
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-        cent_lit = _centroid_literal(cents, id_col, vec_col)
+        cent_lit = _centroid_literal_sql(cents, id_col, vec_col)
     if residual:
         base = ivf_assign(corpus.select(id_col, vec_col), cent_lit, vec_col)
         resid = residualize(base, cent_lit, vec_col)
@@ -1485,10 +1618,12 @@ def ivf_pq_search(
             index_n=index_n,
         )
     if centroids is not None:
-        cent_lit = centroid_literal_pairs(centroids)
+        cent_lit = _centroid_sql(
+            [(int(c), [float(x) for x in v]) for c, v in centroids]
+        )
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-        cent_lit = _centroid_literal(cents, id_col, vec_col)
+        cent_lit = _centroid_literal_sql(cents, id_col, vec_col)
     # codebook: caller-supplied (pq_train_codebook) or the hash-sample
     # default; encode and dtable must share it exactly — for residual
     # indexes the default samples from residual space, matching
@@ -1605,7 +1740,7 @@ def ivf_pq_search(
     exact = (
         nvecs.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
-        .withColumn("score_q3", score_q(F.col("qvec"), F.col("nvec")))
+        .withColumn("score_q3", F.expr(_sql_score_q("qvec", "nvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q3"), "neighbor_id"
@@ -1674,7 +1809,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            score_q(F.col("a.vec"), F.col("b.vec")).alias("score_q3"),
+            F.expr(_sql_score_q("a.vec", "b.vec")).alias("score_q3"),
         )
         .where(F.col("score_q3") >= int(threshold * 1000))
         .distinct()
@@ -1704,9 +1839,17 @@ def sq8_minmax(
     return [(float(r.mn), float(r.mx)) for r in rows]
 
 
-def _sq8_dequant(codes: Column, minmax: list[tuple[float, float]]) -> Column:
+def _sq8_dequant(
+    codes: "Column | str", minmax: list[tuple[float, float]]
+) -> Column:
     """Reconstruction values: mid-point of each code's cell —
-    mn + (code+0.5)·(mx−mn)/256 (degenerate dims reconstruct to mn)."""
+    mn + (code+0.5)·(mx−mn)/256 (degenerate dims reconstruct to mn).
+
+    Pass ``codes`` as a column NAME to get the one-parse SQL form (the
+    serving-latency fast path — identical expression tree, bit-exact
+    values); a Column keeps the legacy builder."""
+    if isinstance(codes, str):
+        return F.expr(_sql_sq8_dequant(_q(codes), minmax))
     mns = _dlit_array([m for m, _ in minmax])
     mxs = _dlit_array([m for _, m in minmax])
     return F.transform(
@@ -1718,6 +1861,21 @@ def _sq8_dequant(codes: Column, minmax: list[tuple[float, float]]) -> Column:
             * (F.element_at(mxs, i + 1) - F.element_at(mns, i + 1))
             / F.lit(256.0),
         ).otherwise(F.element_at(mns, i + 1)),
+    )
+
+
+def _sql_sq8_dequant(codes: str, minmax: list[tuple[float, float]]) -> str:
+    """SQL fragment twin of ``_sq8_dequant`` (same ops, same
+    precedence — bit-identical reconstructions)."""
+    mns = _dlit_sql([m for m, _ in minmax])
+    mxs = _dlit_sql([m for _, m in minmax])
+    return (
+        f"transform({codes}, (c, i) -> "
+        f"CASE WHEN element_at({mxs}, i + 1) > element_at({mns}, i + 1) "
+        f"THEN element_at({mns}, i + 1) + (CAST(c AS DOUBLE) + 0.5D) "
+        f"* (element_at({mxs}, i + 1) - element_at({mns}, i + 1)) "
+        f"/ 256.0D "
+        f"ELSE element_at({mns}, i + 1) END)"
     )
 
 
@@ -1750,26 +1908,19 @@ def sq8_encode(
     """
     if minmax is None:
         minmax = sq8_minmax(df, id_col, vec_col)
-    mns = _dlit_array([m for m, _ in minmax])
-    mxs = _dlit_array([m for _, m in minmax])
-    codes = F.transform(
-        _as_double(F.col(vec_col)),
-        lambda x, i: F.when(
-            F.element_at(mxs, i + 1) > F.element_at(mns, i + 1),
-            F.least(
-                F.lit(255),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (x - F.element_at(mns, i + 1))
-                        / (F.element_at(mxs, i + 1) - F.element_at(mns, i + 1))
-                        * F.lit(256.0)
-                    ),
-                ),
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("int"),
+    # one-parse encode expression (see the SQL-fragment block) — the
+    # per-dim Column chain was a measured plan-build latency term on
+    # the SQ8 serving paths; same tree, bit-identical codes
+    mns = _dlit_sql([m for m, _ in minmax])
+    mxs = _dlit_sql([m for _, m in minmax])
+    codes = F.expr(
+        f"transform({_sql_as_double(_q(vec_col))}, (x, i) -> "
+        f"CAST(CASE WHEN element_at({mxs}, i + 1) > "
+        f"element_at({mns}, i + 1) "
+        f"THEN least(255, greatest(0, floor((x - element_at({mns}, i + 1)) "
+        f"/ (element_at({mxs}, i + 1) - element_at({mns}, i + 1)) "
+        f"* 256.0D))) "
+        f"ELSE 0 END AS INT))"
     )
     return fan_out(df).select(F.col(id_col), codes.alias("codes"))
 
@@ -1802,25 +1953,23 @@ def sq8_topk(
         minmax = sq8_minmax(corpus, id_col, vec_col)
     ndq = sq8_encode(corpus, id_col, vec_col, minmax).select(
         F.col(id_col).alias("neighbor_id"),
-        _sq8_dequant(F.col("codes"), minmax).alias("ndq"),
+        _sq8_dequant("codes", minmax).alias("ndq"),
     )
     qdq = sq8_encode(queries, id_col, vec_col, minmax).select(
         F.col(id_col).alias("query_id"),
-        _sq8_dequant(F.col("codes"), minmax).alias("qdq"),
+        _sq8_dequant("codes", minmax).alias("qdq"),
     )
-    n = ndq.withColumn("nnm", _norm(F.col("ndq")))
-    q = qdq.withColumn("qnm", _norm(F.col("qdq")))
+    n = ndq.withColumn("nnm", F.expr(_sql_norm("ndq")))
+    q = qdq.withColumn("qnm", F.expr(_sql_norm("qdq")))
     scored = (
         n.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "approx_q6",
-            F.floor(
-                _dot(F.col("qdq"), F.col("ndq"))
-                / (F.col("qnm") * F.col("nnm"))
-                * F.lit(1_000_000)
-                + F.lit(0.5)
-            ).cast("bigint"),
+            F.expr(
+                f"CAST(floor({_sql_dot('qdq', 'ndq')} / (qnm * nnm) "
+                "* 1000000 + 0.5D) AS BIGINT)"
+            ),
         )
     )
     w_a = Window.partitionBy("query_id").orderBy(
@@ -1840,7 +1989,7 @@ def sq8_topk(
     exact = (
         nvecs.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
-        .withColumn("score_q3", score_q(F.col("qvec"), F.col("nvec")))
+        .withColumn("score_q3", F.expr(_sql_score_q("qvec", "nvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q3"), "neighbor_id"
@@ -2017,7 +2166,7 @@ def lsh_multiprobe_topk(
         cb.withColumnRenamed("doc", "neighbor_id")
         .join(F.broadcast(probes), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score_q3", score_q(F.col("qvec"), F.col("vec")))
+        .withColumn("score_q3", F.expr(_sql_score_q("qvec", "vec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q3"), "neighbor_id"
@@ -2056,10 +2205,12 @@ def ivf_sq8_topk(
     deterministic sample-init/corpus-scan derivations for tests.
     """
     if centroids is not None:
-        cent_lit = centroid_literal_pairs(centroids)
+        cent_lit = _centroid_sql(
+            [(int(c), [float(x) for x in v]) for c, v in centroids]
+        )
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-        cent_lit = _centroid_literal(cents, id_col, vec_col)
+        cent_lit = _centroid_literal_sql(cents, id_col, vec_col)
     if minmax is None:
         minmax = sq8_minmax(corpus, id_col, vec_col)
     assigned = ivf_assign(
@@ -2082,23 +2233,21 @@ def ivf_sq8_topk(
     )
     ndq = sq8_encode(corpus, id_col, vec_col, minmax).select(
         F.col(id_col).alias("neighbor_id"),
-        _sq8_dequant(F.col("codes"), minmax).alias("ndq"),
-    ).withColumn("nnm", _norm(F.col("ndq")))
+        _sq8_dequant("codes", minmax).alias("ndq"),
+    ).withColumn("nnm", F.expr(_sql_norm("ndq")))
     qdq = sq8_encode(queries, id_col, vec_col, minmax).select(
         F.col(id_col).alias("query_id"),
-        _sq8_dequant(F.col("codes"), minmax).alias("qdq"),
-    ).withColumn("qnm", _norm(F.col("qdq")))
+        _sq8_dequant("codes", minmax).alias("qdq"),
+    ).withColumn("qnm", F.expr(_sql_norm("qdq")))
     scored = (
         cand.join(ndq, "neighbor_id")
         .join(F.broadcast(qdq), "query_id")
         .withColumn(
             "approx_q6",
-            F.floor(
-                _dot(F.col("qdq"), F.col("ndq"))
-                / (F.col("qnm") * F.col("nnm"))
-                * F.lit(1_000_000)
-                + F.lit(0.5)
-            ).cast("bigint"),
+            F.expr(
+                f"CAST(floor({_sql_dot('qdq', 'ndq')} / (qnm * nnm) "
+                "* 1000000 + 0.5D) AS BIGINT)"
+            ),
         )
     )
     w_a = Window.partitionBy("query_id").orderBy(
@@ -2118,7 +2267,7 @@ def ivf_sq8_topk(
     exact = (
         nvecs.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
-        .withColumn("score_q3", score_q(F.col("qvec"), F.col("nvec")))
+        .withColumn("score_q3", F.expr(_sql_score_q("qvec", "nvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q3"), "neighbor_id"
@@ -2277,7 +2426,7 @@ def mmr_select(
             "query_id",
             "a_id",
             "b_id",
-            score_q(F.col("av"), F.col("bv")).alias("sim_q3"),
+            F.expr(_sql_score_q("av", "bv")).alias("sim_q3"),
         )
         .localCheckpoint()
     )
