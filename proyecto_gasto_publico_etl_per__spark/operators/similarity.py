@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import fan_out
+from .skew import pin
 
 log = logging.getLogger(__name__)
 
@@ -686,8 +687,9 @@ def ann_recall(
     if not corpus.isStreaming:
         # truth feeds the per-method hit joins AND the n_expected
         # aggregate; each reference re-expands the brute corpus×probe
-        # pass — pin it to one execution (optimization r15)
-        truth = truth.localCheckpoint(eager=False)
+        # pass — pin it to one execution (optimization r15; knob-gated
+        # via skew.pin since round 16)
+        truth = pin(truth)
     approx = {
         "lsh": lsh_topk(corpus, queries, id_col, vec_col, k, n_planes),
         "ivf": ivf_topk(
@@ -1785,7 +1787,7 @@ def embedding_neardup_pairs(
             # pin the bucketing pass: the eager hot-bucket count would
             # otherwise recompute the md5-per-plane aggregate a second
             # time when the pair join runs (review r12)
-            b = b.localCheckpoint(eager=False)
+            b = pin(b)
             hot = (
                 b.where(F.col("bsz") > max_bucket)
                 .agg(
@@ -2080,6 +2082,11 @@ def ann_rank_quality(
     ground truth, broadcast hit joins, no corpus-sized shuffle.
     """
     truth = brute_force_topk(corpus, queries, id_col, vec_col, k)
+    if not corpus.isStreaming:
+        # truth feeds BOTH methods' hit joins; each reference re-expands
+        # the brute corpus×probe pass — pin it to one execution (round 16,
+        # the ann_recall r15 fix applied to the rank-metric twins)
+        truth = pin(truth)
     approx = {
         "lsh": lsh_topk(corpus, queries, id_col, vec_col, k, n_planes),
         "ivf": ivf_topk(
@@ -2306,6 +2313,10 @@ def ann_ndcg(
     truth_keys = brute_force_topk(corpus, queries, id_col, vec_col, k).select(
         "query_id", "neighbor_id"
     )
+    if not corpus.isStreaming:
+        # both methods' gain joins reference the brute truth — pin it
+        # (round 16, the ann_recall r15 fix applied to the nDCG twin)
+        truth_keys = pin(truth_keys)
     approx = {
         "lsh": lsh_topk(corpus, queries, id_col, vec_col, k, n_planes),
         "ivf": ivf_topk(
@@ -2398,10 +2409,11 @@ def mmr_select(
     # printed 70 static shuffles and re-scanned the corpus per step.
     # With the barrier the corpus is touched exactly once and the loop
     # runs entirely on |Q|×N(²) checkpointed rows.
-    cand = (
-        brute_force_topk(corpus, queries, id_col, vec_col, k=n_candidates)
-        .select("query_id", "neighbor_id", "score_q3")
-        .localCheckpoint()
+    cand = pin(
+        brute_force_topk(
+            corpus, queries, id_col, vec_col, k=n_candidates
+        ).select("query_id", "neighbor_id", "score_q3"),
+        eager=True,
     )
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -2419,7 +2431,7 @@ def mmr_select(
         F.col("neighbor_id").alias("b_id"),
         F.col("cv").alias("bv"),
     )
-    pair = (
+    pair = pin(
         a.join(b, "query_id")
         .where(F.col("a_id") != F.col("b_id"))
         .select(
@@ -2427,8 +2439,8 @@ def mmr_select(
             "a_id",
             "b_id",
             F.expr(_sql_score_q("av", "bv")).alias("sim_q3"),
-        )
-        .localCheckpoint()
+        ),
+        eager=True,
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("score_q3"), "neighbor_id"

@@ -3311,7 +3311,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the LSH and IVF indexes vs brute-force ground truth
     over the 10-vector probe set — the tuning gate for every
     approximate-search knob (n_planes, nprobe)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # one pinned corpus frame feeds brute truth + both indexes
+    # (round 16, the ann_rrf_fusion treatment)
+    emb = pin(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
     return similarity.ann_recall(
         emb,
         emb.filter(F.col("vec_id") < 10),
@@ -3365,7 +3371,13 @@ def ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reciprocal ranks are exact integers (1000000 DIV first_hit, no-hit
     queries contribute 0); the only double is the final mean
     (operators/similarity.ann_rank_quality)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # one pinned corpus frame feeds brute truth + both indexes
+    # (round 16, the ann_rrf_fusion treatment)
+    emb = pin(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
     return similarity.ann_rank_quality(
         emb,
         emb.filter(F.col("vec_id") < 10),
@@ -3429,7 +3441,13 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-5 ln/log2 rule) and the ideal DCG is a precomputed
     integer constant; the only double is the final mean
     (operators/similarity.ann_ndcg)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # one pinned corpus frame feeds brute truth + both indexes
+    # (round 16, the ann_rrf_fusion treatment)
+    emb = pin(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
     return similarity.ann_ndcg(
         emb,
         emb.filter(F.col("vec_id") < 10),
@@ -3871,6 +3889,10 @@ def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # the symmetrizing union references pairs TWICE; each reference
+    # re-expands the lineitem⋈orders distinct — pin it to one execution
+    # (round 16, the shared-subtree rule)
+    pairs = pin(pairs)
     cust = (F.col("c") * 2).cast("long")
     supp = (F.col("s") * 2 + 1).cast("long")
     edges = pairs.select(cust.alias("src"), supp.alias("dst")).union(
