@@ -763,8 +763,10 @@ def cluster_duplicates(
         # materialize ONCE: the pair list is typically the output of an
         # expensive dedup pipeline (posting join / LSH verify); without
         # this every propagation round re-runs that upstream plan for
-        # each of its joins and counts
-        .localCheckpoint(eager=True)
+        # each of its joins and counts.  Lazy + the count below = ONE
+        # job that both materializes the checkpoint and sizes the graph
+        # (round 16: the count used to be a second pass)
+        .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession
     n_edges = edges.count()
@@ -831,7 +833,10 @@ def _propagate_min_labels(
                     )
                 ).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes the
+            # checkpoint AND counts in one job (round 16 — the r15
+            # deferred item; eager + count was two jobs per round)
+            .localCheckpoint(eager=False)
         )
         changed = jumped.filter(F.col("_chg")).count()
         labels = jumped.drop("_chg")

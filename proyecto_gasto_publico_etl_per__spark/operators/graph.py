@@ -119,7 +119,8 @@ def pagerank_int(
         edges = edges.select(
             "src", "dst", F.col(weight_col).cast("long").alias("w")
         )
-    edges = edges.localCheckpoint(eager=True)
+    # lazy + the count below = one materialize-and-size job (round 16)
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
     n_edges = edges.count()
     # iteration state is (node, r) pairs — size shuffles to the graph,
@@ -237,7 +238,8 @@ def salsa_int(
     Returns ``(hubs, authorities)`` as ``(node, h)`` / ``(node, a)``.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # lazy + the count below = one materialize-and-size job (round 16)
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
     n_edges = edges.count()
