@@ -726,8 +726,11 @@ def _dsir_model_from_counts(spark, bc_rows) -> dict:
     """Bucket count rows (bucket, c_t, c_r) → the persistable DSIR model
     dict — the shared tail of both training paths.  Totals are exact
     Python int sums; every log2 runs as a JVM expression over a
-    re-created bounded frame (see ``dsir_train``)."""
+    re-created bounded frame (see ``dsir_train``).  Rows sort by bucket
+    so the persisted artifact is byte-identical under any partitioning
+    (and both training paths emit the identical dict)."""
     B = DSIR_BUCKETS
+    bc_rows = sorted(bc_rows, key=lambda r: r["bucket"])
     n_t = sum(r["c_t"] for r in bc_rows)
     n_r = sum(r["c_r"] for r in bc_rows)
 

@@ -596,3 +596,42 @@ def test_temperature_allocations_null_lang_dropped(spark):
     )
     alloc = temperature_allocations(docs, budget=100)
     assert set(alloc) == {"en"} and alloc["en"] == 100
+
+
+def test_dsir_fused_posting_model_equals_two_pass_train(spark):
+    """Round 16: dsir_importance trains from the shared per-(doc, is_t,
+    bucket) posting-count frame; the model dict must be IDENTICAL to
+    dsir_train's straight-to-bucket two-pass aggregation (exact integer
+    counts either way)."""
+    from pyspark.sql import functions as F
+
+    from proyecto_gasto_publico_etl_per__spark.operators.curation import (
+        _dsir_model_from_postings,
+        _hashed_features,
+        dsir_train,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "t"),
+            (2, "alpha beta", "t"),
+            (3, "beta gamma delta", "r"),
+            (4, "epsilon zeta", "r"),
+            (5, "", "r"),
+        ],
+        "doc_id LONG, text STRING, grp STRING",
+    )
+    is_t = F.col("grp") == "t"
+    tagged = df.select(
+        F.col("doc_id").alias("doc"),
+        F.col("text").alias("text"),
+        is_t.alias("is_t"),
+    )
+    postings = (
+        _hashed_features(tagged, "doc", "text")
+        .groupBy("doc", "is_t", "bucket")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    assert _dsir_model_from_postings(spark, postings) == dsir_train(
+        df, is_t
+    )
