@@ -1002,9 +1002,14 @@ def audio_fingerprint_pairs(
     base = fps.where(F.col(fp_col).isNotNull()).select(
         F.col(id_col).alias("asset_id"), F.col(fp_col).alias("fingerprint")
     )
-    tagged = base.withColumn(
-        "rep", F.min("asset_id").over(Window.partitionBy("fingerprint"))
-    ).localCheckpoint(eager=False)
+    from .skew import pin
+
+    tagged = pin(
+        base.withColumn(
+            "rep",
+            F.min("asset_id").over(Window.partitionBy("fingerprint")),
+        )
+    )
     star = tagged.where(F.col("asset_id") != F.col("rep")).select(
         F.col("rep").alias("id_a"),
         F.col("asset_id").alias("id_b"),
@@ -1065,11 +1070,13 @@ def audio_neardup_clusters(
 
     # one decode+fingerprint pass feeds the pair join AND the label
     # join — same single-barrier rationale as the image lane
-    fps = (
+    from .skew import pin
+
+    fps = pin(
         audio_fingerprints(assets, n_mels=n_mels)
         .where(F.col("fingerprint").isNotNull())
-        .select("asset_id", "fingerprint")
-        .localCheckpoint()
+        .select("asset_id", "fingerprint"),
+        eager=True,
     )
     pairs = audio_fingerprint_pairs(
         fps,
